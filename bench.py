@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": sf}.
+
+Each query is forced end-to-end with a noop write (full computation, no
+driver collect bottleneck); a warmup query amortizes JVM/codegen startup
+so the numbers measure the plans, not session boot.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+from movie_data_pipeline_spark.plans import REGISTRY
+from movie_data_pipeline_spark.session import get_spark
+
+# Headline set: heavy scan-agg, star joins, window, dedup/text/similarity
+# extensions when present.
+HEADLINE = [
+    "q16_pricing_summary",
+    "q15_segment_revenue",
+    "q02_region_revenue",
+    "q04_customer_order_stats",
+    "q09_top_orders_per_customer",
+    "q13_hourly_event_stats",
+    "q17_dedup_exact",
+    "q19_minhash_signatures",
+    "q22_ann_cosine_topk",
+    "q24_text_quality",
+]
+
+
+def run_query(spark, name: str, sf_dir: str) -> float:
+    df = REGISTRY[name].build(spark, sf_dir)
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+    spark = get_spark(app_name="mdp-bench")
+
+    names = [n for n in HEADLINE if n in REGISTRY]
+    # Warmup: run the first query once to pay session/codegen startup.
+    if names:
+        run_query(spark, names[0], sf_dir)
+
+    timings: dict[str, float] = {}
+    for name in names:
+        timings[name] = round(run_query(spark, name, sf_dir), 4)
+
+    out = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

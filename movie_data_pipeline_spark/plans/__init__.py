@@ -1,0 +1,14 @@
+"""Query catalog: every operator from SURVEY.md §2 plus the LLM-pipeline
+extensions, each exposed as a named (Spark builder, DuckDB oracle SQL)
+pair consumed by ``__spark_entry__.py``.
+
+Importing this package populates the registry.
+"""
+
+from movie_data_pipeline_spark.plans.core import REGISTRY, QuerySpec, query  # noqa: F401
+
+# Side-effect imports: each module registers its queries.
+from movie_data_pipeline_spark.plans import relational  # noqa: E402,F401
+from movie_data_pipeline_spark.plans import dedup  # noqa: E402,F401
+from movie_data_pipeline_spark.plans import text  # noqa: E402,F401
+from movie_data_pipeline_spark.plans import similarity  # noqa: E402,F401

@@ -1,0 +1,3 @@
+"""Deduplication queries (LLM-pipeline extension surface). Populated in
+subsequent milestones; see movie_data_pipeline_spark/operators/dedup.py.
+"""

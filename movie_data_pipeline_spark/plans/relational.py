@@ -1,0 +1,652 @@
+"""Relational parity queries (SURVEY.md §2), one per operator class.
+
+Each query re-expresses an operator the reference performs (pandas code
+or documented SQL surface) on the driver's synthetic star schema, with a
+DuckDB oracle. Conventions keeping the value-hash comparison stable:
+
+- every computed column is aliased identically on both sides;
+- double-valued aggregates are rounded to 4 decimals on both sides
+  (summation order differs between engines; rounding removes last-ulp
+  noise);
+- every result has an explicit total ordering or is order-insensitive;
+- rank/count-like integers are cast to BIGINT on both sides (Spark's
+  ``row_number`` is INT, DuckDB's is BIGINT);
+- DuckDB ``regexp_replace`` defaults to first-match-only → oracles pass
+  the ``'g'`` flag wherever Spark (replace-all by default) is mirrored.
+
+Scale notes are in each query's docstring: what broadcasts, what
+shuffles, and why the plan survives 1000 executors × 100 TB.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from movie_data_pipeline_spark.functions.titles import (
+    clean_title,
+    normalize_title,
+    release_year,
+)
+from movie_data_pipeline_spark.plans.core import query, r4, round4
+from movie_data_pipeline_spark.sources.registry import load_table
+
+
+# --------------------------------------------------------------------------
+# q01 — filter + global top-k  (SURVEY §2.2 P11, §2.6 O1; README.md:533-541)
+# --------------------------------------------------------------------------
+@query(
+    "q01_top_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+    tags=("parity", "filter", "topk"),
+)
+def q01_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-10 by price among open orders.
+
+    Mirrors the reference's "Top 10 Highest Rated Movies"
+    (README.md:533-541): predicate filter + ORDER BY ... LIMIT k.
+    Scale: Catalyst plans TakeOrderedAndProject — per-partition heaps of
+    k rows, no global sort; the filter is pushed into the parquet scan.
+    o_orderkey tiebreak makes the result deterministic.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# q02 — multi-way dim join + aggregate  (SURVEY §2.3 J2/J3, §2.4 A2/A3)
+# --------------------------------------------------------------------------
+@query(
+    "q02_region_revenue",
+    oracle="""
+    SELECT r_name,
+           COUNT(*) AS n_orders,
+           floor((SUM(o_totalprice)) * 10000 + 0.5) / 10000 AS total_revenue,
+           floor((AVG(o_totalprice)) * 10000 + 0.5) / 10000 AS avg_order_value
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey   = c_custkey
+    GROUP BY r_name
+    ORDER BY r_name
+    """,
+    tags=("parity", "join", "agg"),
+)
+def q02_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue rollup through the region⋈nation⋈customer⋈orders chain.
+
+    Mirrors the reference's 3-way movies⋈movie_genres⋈genres join
+    (README.md:547-556) in star-schema form. Scale: region/nation are
+    tiny dims → explicit broadcast; customer⋈orders is the only real
+    shuffle and AQE picks broadcast for customer when it fits. Partial
+    (map-side) aggregation runs before the final exchange on r_name.
+    """
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        region.join(nation, nation.n_regionkey == region.r_regionkey)
+        .join(customer, customer.c_nationkey == nation.n_nationkey)
+        .join(orders, orders.o_custkey == customer.c_custkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            round4(F.sum("o_totalprice")).alias("total_revenue"),
+            round4(F.avg("o_totalprice")).alias("avg_order_value"),
+        )
+        .orderBy("r_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# q03 — string aggregation  (SURVEY §2.4 A4; README.md:550 GROUP_CONCAT)
+# --------------------------------------------------------------------------
+@query(
+    "q03_region_nations",
+    oracle="""
+    SELECT r_name,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           CAST(COUNT(*) AS BIGINT) AS n_nations
+    FROM region JOIN nation ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    ORDER BY r_name
+    """,
+    tags=("parity", "agg", "string"),
+)
+def q03_region_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP_CONCAT parity: comma-joined sorted member list per group.
+
+    The reference's MySQL GROUP_CONCAT is order-nondeterministic; we sort
+    inside the group (sort_array ∘ collect_list) to make the value
+    hashable (SURVEY §7 "determinism mismatches"). Scale: collect_list
+    is safe only because group cardinality is bounded (nations per
+    region); unbounded groups would need a different contract.
+    """
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        region.join(nation, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations"),
+            F.count("*").alias("n_nations"),
+        )
+        .orderBy("r_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# q04 — group + HAVING  (SURVEY §2.4 A5; README.md:576-587, 591-601)
+# --------------------------------------------------------------------------
+@query(
+    "q04_customer_order_stats",
+    oracle="""
+    SELECT c_custkey, c_name,
+           COUNT(*) AS order_count,
+           floor((AVG(o_totalprice)) * 10000 + 0.5) / 10000 AS avg_order_value
+    FROM customer JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_name
+    HAVING COUNT(*) >= 15
+    ORDER BY order_count DESC, c_custkey
+    """,
+    tags=("parity", "agg", "having"),
+)
+def q04_customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer stats with a post-aggregate HAVING filter.
+
+    Mirrors "Movies by Director" / "Average Rating by User"
+    (README.md:576-587, 591-601): COUNT + AVG per group, HAVING count ≥
+    threshold, ordered. Scale: single hash-aggregate shuffle on the
+    group key; HAVING is applied above the final aggregate (no extra
+    pass).
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("*").alias("order_count"),
+            round4(F.avg("o_totalprice")).alias("avg_order_value"),
+        )
+        .filter(F.col("order_count") >= 15)
+        .orderBy(F.desc("order_count"), F.asc("c_custkey"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q05 — conditional aggregation  (SURVEY §2.4 A6; README.md:675-681)
+# --------------------------------------------------------------------------
+@query(
+    "q05_order_quality_probe",
+    oracle="""
+    SELECT COUNT(*) AS total_orders,
+           COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_open,
+           COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_fulfilled,
+           COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_pending,
+           COUNT(CASE WHEN o_totalprice IS NULL THEN 1 END) AS null_price,
+           floor((100.0 * COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) / COUNT(*)) * 10000 + 0.5) / 10000
+               AS pct_open
+    FROM orders
+    """,
+    tags=("parity", "agg", "quality"),
+)
+def q05_order_quality_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality probe via conditional aggregation.
+
+    Mirrors the reference's null-count quality check
+    (README.md:675-681, SUM(CASE WHEN ... THEN 1 ELSE 0 END)) expressed
+    with count-if semantics so both engines yield BIGINT. Scale: single
+    full scan, partial aggregation per partition, one-row result.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    agg = orders.agg(
+        F.count("*").alias("total_orders"),
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_open"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_fulfilled"),
+        F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("n_pending"),
+        F.count(F.when(F.col("o_totalprice").isNull(), 1)).alias("null_price"),
+    )
+    return agg.withColumn(
+        "pct_open", round4(F.lit(100.0) * F.col("n_open") / F.col("total_orders"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q06 — value histogram  (SURVEY §2.4 A7; README.md:684-687)
+# --------------------------------------------------------------------------
+@query(
+    "q06_quantity_histogram",
+    oracle="""
+    SELECT l_quantity, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_quantity
+    ORDER BY l_quantity
+    """,
+    tags=("parity", "agg", "histogram"),
+)
+def q06_quantity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency distribution over a low-cardinality value column.
+
+    Mirrors the rating histogram (README.md:684-687). Scale: classic
+    partial+final hash aggregate; output cardinality is the value
+    domain, not the row count.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy("l_quantity")
+        .agg(F.count("*").alias("n"))
+        .orderBy("l_quantity")
+    )
+
+
+# --------------------------------------------------------------------------
+# q07 — anti join  (SURVEY §2.3 J4, §2.7 U1; README.md:484-487)
+# --------------------------------------------------------------------------
+@query(
+    "q07_customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    ORDER BY c_custkey
+    """,
+    tags=("parity", "join", "anti"),
+)
+def q07_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers that placed no order.
+
+    Mirrors the reference's movies-missing-from-links set difference
+    (README.md:484-487, python set minus) as a distributed anti join.
+    Scale: shuffle on the key (or broadcast when the right side is
+    small); no driver-side sets.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# q08 — regex transform chain  (SURVEY §2.2 P1-P5; etl1.py:92-140)
+# --------------------------------------------------------------------------
+_Q08_TITLE_SQL = """
+    CASE
+      WHEN p_partkey % 3 = 0 THEN p_name || ', The (' || CAST(1990 + p_partkey % 30 AS VARCHAR) || ')'
+      WHEN p_partkey % 3 = 1 THEN p_name || ' (' || CAST(1990 + p_partkey % 30 AS VARCHAR) || ')'
+      ELSE p_name
+    END
+"""
+
+
+@query(
+    "q08_title_normalize",
+    oracle=f"""
+    WITH titled AS (
+      SELECT p_partkey, {_Q08_TITLE_SQL} AS title FROM part
+    ), norm AS (
+      SELECT p_partkey, title,
+             TRY_CAST(NULLIF(regexp_extract(title, '\\((\\d{{4}})\\)\\s*$', 1), '') AS INTEGER)
+                 AS release_year,
+             TRIM(regexp_replace(title, '\\s*\\(\\d{{4}}\\)\\s*$', '')) AS clean_title,
+             regexp_replace(
+               TRIM(regexp_replace(
+                 regexp_replace(
+                   TRIM(regexp_replace(TRIM(title), '\\s*\\([^)]*\\)', '', 'g')),
+                   '^(.*), (The|A|An|Le|La|Les)$', '\\2 \\1'),
+                 '\\s+', ' ', 'g')),
+               '^[, ]+|[, ]+$', '', 'g') AS norm_title
+      FROM titled
+    )
+    SELECT p_partkey, title, release_year, clean_title, norm_title
+    FROM norm
+    ORDER BY p_partkey
+    """,
+    tags=("parity", "regex", "transform"),
+)
+def q08_title_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's title pipeline (etl1.py:92-140) as column exprs.
+
+    Synthesizes MovieLens-shaped titles from `part` (a third with a
+    trailing article + year, a third with just a year, a third with no
+    year → null release_year path), then applies year extraction, year
+    stripping, and full normalization. Scale: pure narrow
+    transformations inside whole-stage codegen — no shuffle, no Python.
+    """
+    part = load_table(spark, sf_dir, "part")
+    year_str = (F.lit(1990) + F.col("p_partkey") % 30).cast("string")
+    title = (
+        F.when(
+            F.col("p_partkey") % 3 == 0,
+            F.concat(F.col("p_name"), F.lit(", The ("), year_str, F.lit(")")),
+        )
+        .when(
+            F.col("p_partkey") % 3 == 1,
+            F.concat(F.col("p_name"), F.lit(" ("), year_str, F.lit(")")),
+        )
+        .otherwise(F.col("p_name"))
+    )
+    titled = part.select("p_partkey", title.alias("title"))
+    return titled.select(
+        "p_partkey",
+        "title",
+        release_year(F.col("title")).alias("release_year"),
+        clean_title(F.col("title")).alias("clean_title"),
+        normalize_title(F.col("title")).alias("norm_title"),
+    ).orderBy("p_partkey")
+
+
+# --------------------------------------------------------------------------
+# q09 — per-group top-k window  (SURVEY §2.5)
+# --------------------------------------------------------------------------
+@query(
+    "q09_top_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+      WHERE o_custkey < 200
+    )
+    WHERE rn <= 3
+    ORDER BY o_custkey, rn
+    """,
+    tags=("parity", "window", "topk"),
+)
+def q09_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-3 via ROW_NUMBER — the windowed form of the
+    reference's global top-k (SURVEY §2.5 notes this as the natural
+    per-genre extension). Scale: one shuffle on the partition key; AQE
+    handles skewed customers. rn cast to BIGINT for schema parity.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.filter(F.col("o_custkey") < 200)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# q10 — deterministic surrogate keys  (SURVEY §2.9; schema.sql:23)
+# --------------------------------------------------------------------------
+@query(
+    "q10_event_type_dim",
+    oracle="""
+    SELECT DENSE_RANK() OVER (ORDER BY event_type) AS type_id,
+           event_type
+    FROM (SELECT DISTINCT event_type FROM events)
+    ORDER BY type_id
+    """,
+    tags=("parity", "window", "surrogate-key"),
+)
+def q10_event_type_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUTO_INCREMENT-parity surrogate keys for a small dimension.
+
+    The reference inserts genres in sorted order so genre_id is the
+    1-based alphabetical rank (etl1.py:437, SURVEY §2.9); reproduced as
+    dense_rank over the distinct values. Scale: the distinct is
+    distributed; only the trivially small dimension passes through the
+    single-partition window.
+    """
+    events = load_table(spark, sf_dir, "events")
+    dim = events.select("event_type").distinct()
+    w = Window.orderBy("event_type")
+    return dim.select(
+        F.dense_rank().over(w).cast("long").alias("type_id"), "event_type"
+    ).orderBy("type_id")
+
+
+# --------------------------------------------------------------------------
+# q11 — set difference  (SURVEY §2.7 U1)
+# --------------------------------------------------------------------------
+@query(
+    "q11_orderkeys_except_fulfilled",
+    oracle="""
+    SELECT l_orderkey FROM lineitem
+    EXCEPT
+    SELECT o_orderkey AS l_orderkey FROM orders WHERE o_orderstatus = 'F'
+    ORDER BY l_orderkey
+    """,
+    tags=("parity", "setop"),
+)
+def q11_orderkeys_except_fulfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT-DISTINCT set difference on a key column.
+
+    Mirrors the reference's pandas set-minus consistency check
+    (README.md:484-487) with SQL set semantics. Scale: Spark plans this
+    as a left-anti join over distinct keys — shuffle on the key.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    fulfilled = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderkey").alias("l_orderkey")
+    )
+    return lineitem.select("l_orderkey").subtract(fulfilled).orderBy("l_orderkey")
+
+
+# --------------------------------------------------------------------------
+# q12 — split + explode + distinct  (SURVEY §2.4 A1; etl1.py:430-433)
+# --------------------------------------------------------------------------
+@query(
+    "q12_name_token_vocabulary",
+    oracle="""
+    SELECT token, COUNT(*) AS n_parts
+    FROM (SELECT unnest(string_split(p_name, ' ')) AS token FROM part)
+    WHERE token <> ''
+    GROUP BY token
+    ORDER BY token
+    """,
+    tags=("parity", "explode", "distinct"),
+)
+def q12_name_token_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token vocabulary via split+explode — the genre-split pattern.
+
+    The reference splits pipe-delimited genres with a python set loop
+    (etl1.py:430-433); here the array is first-class and explode feeds a
+    distributed aggregate. Scale: explode is narrow; the aggregate
+    shuffles only (token, count) pairs after map-side partial
+    aggregation.
+    """
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.select(F.explode(F.split(F.col("p_name"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n_parts"))
+        .orderBy("token")
+    )
+
+
+# --------------------------------------------------------------------------
+# q13 — tumbling-window time aggregation  (SURVEY §2.10 extension)
+# --------------------------------------------------------------------------
+@query(
+    "q13_hourly_event_stats",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS ts_hour,
+           COUNT(*) AS n_events,
+           floor((AVG(value)) * 10000 + 0.5) / 10000 AS avg_value
+    FROM events
+    GROUP BY 1
+    ORDER BY ts_hour
+    """,
+    tags=("extension", "time", "window-agg"),
+)
+def q13_hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour aggregation over the event stream (batch form).
+
+    Uses Spark's window() grouping — the same operator Structured
+    Streaming uses with a watermark (streaming variant lives in
+    movie_data_pipeline_spark/streaming). 1-hour windows align to epoch
+    → start == date_trunc('hour'). Scale: group key is the window start;
+    partial aggregation bounds shuffle width.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            round4(F.avg("value")).alias("avg_value"),
+        )
+        .select(F.col("w.start").alias("ts_hour"), "n_events", "avg_value")
+        .orderBy("ts_hour")
+    )
+
+
+# --------------------------------------------------------------------------
+# q14 — coercion semantics  (SURVEY §2.2 P7; etl1.py:340-341, 358-360)
+# --------------------------------------------------------------------------
+@query(
+    "q14_coerce_extract",
+    oracle="""
+    SELECT event_id,
+           TRY_CAST(NULLIF(regexp_extract(props, '"k":\\s*(\\d+)', 1), '') AS INTEGER) AS k_val,
+           TRY_CAST(event_type AS INTEGER) AS bad_int
+    FROM events
+    WHERE event_id < 2000
+    ORDER BY event_id
+    """,
+    tags=("parity", "cast", "regex"),
+)
+def q14_coerce_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`pd.to_numeric(errors='coerce')` parity: invalid → NULL.
+
+    k_val parses a number out of the JSON-ish props string; bad_int
+    try-casts a non-numeric column and must be NULL for every row
+    (etl1.py:358-360 semantics). try_cast keeps this correct even under
+    ANSI sessions. Scale: narrow codegen-only transforms.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.filter(F.col("event_id") < 2000)
+        .select(
+            "event_id",
+            F.nullif(F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1), F.lit(""))
+            .try_cast("int")
+            .alias("k_val"),
+            F.col("event_type").try_cast("int").alias("bad_int"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q15 — fact⋈dim revenue  (SURVEY §2.3 J3)
+# --------------------------------------------------------------------------
+@query(
+    "q15_segment_revenue",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_lineitems,
+           floor((SUM(l_extendedprice * (1 - l_discount))) * 10000 + 0.5) / 10000 AS revenue
+    FROM customer
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    tags=("parity", "join", "agg", "bench"),
+)
+def q15_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by market segment through the fact⋈dim⋈dim chain.
+
+    The movies⋈ratings fact-dim join (README.md:562-572) at star-schema
+    scale. Scale: lineitem⋈orders shuffles on orderkey (or AQE
+    broadcasts orders when small); the 5-value segment aggregate is
+    map-side combined before a tiny final exchange.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        customer.join(orders, orders.o_custkey == customer.c_custkey)
+        .join(lineitem, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            round4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue"
+            ),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# --------------------------------------------------------------------------
+# q16 — pricing summary (TPC-H Q1 shape)
+# --------------------------------------------------------------------------
+@query(
+    "q16_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           floor((SUM(l_quantity)) * 10000 + 0.5) / 10000 AS sum_qty,
+           floor((SUM(l_extendedprice)) * 10000 + 0.5) / 10000 AS sum_base_price,
+           floor((SUM(l_extendedprice * (1 - l_discount))) * 10000 + 0.5) / 10000 AS sum_disc_price,
+           floor((SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 10000 + 0.5) / 10000 AS sum_charge,
+           floor((AVG(l_quantity)) * 10000 + 0.5) / 10000 AS avg_qty,
+           floor((AVG(l_extendedprice)) * 10000 + 0.5) / 10000 AS avg_price,
+           floor((AVG(l_discount)) * 10000 + 0.5) / 10000 AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("parity", "agg", "bench"),
+)
+def q16_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped pricing summary — the heavy-scan benchmark query.
+
+    Exercises the full conditional/compound aggregate surface over the
+    fact table. Scale: single pushed-filter scan; 6-group output means
+    shuffle traffic is only the partial-aggregate states.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.filter(
+            F.col("l_shipdate").cast("date") <= F.lit(datetime.date(1998, 9, 2))
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            round4(F.sum("l_quantity")).alias("sum_qty"),
+            round4(F.sum("l_extendedprice")).alias("sum_base_price"),
+            round4(F.sum(disc_price)).alias("sum_disc_price"),
+            round4(F.sum(disc_price * (1 + F.col("l_tax")))).alias("sum_charge"),
+            round4(F.avg("l_quantity")).alias("avg_qty"),
+            round4(F.avg("l_extendedprice")).alias("avg_price"),
+            round4(F.avg("l_discount")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )

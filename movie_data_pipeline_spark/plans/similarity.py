@@ -1,0 +1,4 @@
+"""Embedding-similarity queries (LLM-pipeline extension surface).
+Populated in subsequent milestones; see
+movie_data_pipeline_spark/operators/similarity.py.
+"""

@@ -1,0 +1,16 @@
+from __future__ import annotations
+
+import pytest
+
+from movie_data_pipeline_spark.session import get_spark
+
+TESTDATA_SF_DIR = "/root/testdata/sf0.001"
+ORACLE_SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    # Small local session for test speed; shuffle partitions kept low so
+    # tiny-SF tests don't pay 32-task scheduling overhead per shuffle.
+    spark = get_spark(app_name="mdp-tests", cpus=8, shuffle_partitions=8)
+    yield spark

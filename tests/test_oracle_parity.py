@@ -1,0 +1,54 @@
+"""Every registered query with an oracle must match DuckDB exactly —
+the same comparison the verification driver runs at sf=0.01 (run here at
+sf=0.001 for speed; a marked slow test repeats at sf=0.01).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from movie_data_pipeline_spark.plans import REGISTRY
+from tests.conftest import ORACLE_SF_DIR, TESTDATA_SF_DIR
+from tests.oracle_harness import compare, duckdb_connection
+
+ORACLE_QUERIES = sorted(n for n, s in REGISTRY.items() if s.oracle)
+ROWS_ONLY_QUERIES = sorted(n for n, s in REGISTRY.items() if s.oracle is None)
+
+
+@pytest.fixture(scope="module")
+def con():
+    return duckdb_connection(TESTDATA_SF_DIR)
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_query_matches_oracle(spark, con, name):
+    spec = REGISTRY[name]
+    spark_df = spec.build(spark, TESTDATA_SF_DIR)
+    oracle_df = con.execute(spec.oracle).df()
+    compare(spark_df, oracle_df, name)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
+def test_rows_only_query_runs(spark, name):
+    spec = REGISTRY[name]
+    df = spec.build(spark, TESTDATA_SF_DIR)
+    assert df.count() >= 0
+    assert df.schema.fieldNames()
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_query_matches_oracle_sf001(spark, name):
+    spec = REGISTRY[name]
+    con = duckdb_connection(ORACLE_SF_DIR)
+    compare(spec.build(spark, ORACLE_SF_DIR), con.execute(spec.oracle).df(), name)
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    q, o = e.queries(), e.oracle_sql()
+    assert set(o) <= set(q)
+    assert q
