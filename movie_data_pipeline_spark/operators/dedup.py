@@ -1,0 +1,241 @@
+"""Deduplication operators for large-scale document corpora.
+
+The reference pipeline has no dedup surface; these are the
+LLM-data-pipeline extensions (BASELINE.json north star) built
+Spark-first:
+
+- exact duplicates: hash-groupBy on the full text (one shuffle on the
+  group key; at 100 TB group on a digest column to keep shuffle rows
+  narrow — ``exact_duplicates`` does exactly that);
+- n-gram Jaccard: shingle → explode → self-equi-join on shingle →
+  count — a similarity *join* expressed as joins/aggregates Catalyst
+  can plan and AQE can skew-split (hot shingles are the skew risk;
+  ``jaccard_pairs`` drops shingles above a document-frequency cap the
+  same way web-dedup pipelines drop stop-shingles);
+- MinHash signatures + banded LSH: permutation-free affine hash family
+  over a 32-bit base hash; signatures in *long* format (doc_id, h_idx,
+  min_hash) so the whole pipeline stays relational and
+  oracle-verifiable; banding is a group-concat + self-join per band;
+- SimHash: bit-majority over token hashes via a tiny broadcast
+  bit-index table — two hash aggregates, no UDFs.
+
+Everything is deterministic (md5-based hashing, no seeds) and runs
+unchanged from local[32] to a real cluster: the only shuffles are the
+explicit groupBy/join keys visible in the code.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from movie_data_pipeline_spark.functions.text import base_hash32, tokens, word_shingles
+from movie_data_pipeline_spark.operators.util import spread
+
+# Affine MinHash family h_i(x) = (a_i * x + b_i) mod P over the 32-bit
+# base hash. P is prime and < 2^31 so a_i * x + b_i stays well inside
+# int64. Constants are fixed (not seeded) so signatures are stable
+# across runs and engines.
+MINHASH_P = 2_038_074_743
+NUM_HASHES = 16
+LSH_BAND_ROWS = 4  # → 4 bands of 4 rows
+
+
+def minhash_coeffs(k: int = NUM_HASHES) -> list[tuple[int, int, int]]:
+    """Deterministic (h_idx, a, b) coefficient table."""
+    return [(i, 4801 + 977 * i, 1531 + 683 * i) for i in range(k)]
+
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per distinct text: representative id + copy count.
+
+    Groups on a 128-bit digest rather than the raw text so the shuffle
+    carries 16 bytes per row instead of whole documents — the difference
+    between a feasible and an absurd exchange at 100 TB. (md5 collisions
+    are negligible at any realistic corpus size.)
+    """
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_digest"))
+        .agg(
+            F.min(id_col).alias("rep_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .select("rep_doc_id", "n_copies")
+    )
+
+
+def doc_shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, shingle) pairs, distinct per document."""
+    df = spread(df)
+    return df.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.2,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Document pairs with n-gram Jaccard similarity ≥ threshold.
+
+    Shape: shingle-set sizes per doc, self-equi-join on shingle to count
+    the intersection, then |A∩B| / (|A|+|B|-|A∩B|). ``max_shingle_df``
+    optionally drops shingles occurring in more than that many docs —
+    at scale a handful of stop-shingles would otherwise dominate the
+    join output quadratically (classic skew; this cap is the standard
+    web-dedup mitigation and AQE skew-join covers the residue).
+    """
+    sh = doc_shingles(df, id_col, text_col, n).alias("sh")
+    if max_shingle_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df_count"))
+            .filter(F.col("df_count") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle")
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_shingles").alias("size_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures_long(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = NUM_HASHES,
+) -> DataFrame:
+    """MinHash signatures in long format: (id, h_idx, min_hash).
+
+    The coefficient table is a tiny literal DataFrame broadcast into a
+    cross join against the exploded shingles; the signature is then one
+    hash aggregate min() per (doc, h_idx). Long format keeps every step
+    relational — the driver oracle can reproduce it in pure SQL.
+    """
+    spark = df.sparkSession
+    coeffs = F.broadcast(
+        spark.createDataFrame(minhash_coeffs(num_hashes), "h_idx INT, a LONG, b LONG")
+    )
+    sh = doc_shingles(df, id_col, text_col, n).withColumn(
+        "bh", base_hash32(F.col("shingle"))
+    )
+    return (
+        sh.crossJoin(coeffs)
+        .groupBy(F.col(id_col), F.col("h_idx").cast("long").alias("h_idx"))
+        .agg(
+            F.min((F.col("a") * F.col("bh") + F.col("b")) % MINHASH_P).alias("min_hash")
+        )
+    )
+
+
+def lsh_candidate_pairs(
+    signatures_long: DataFrame,
+    id_col: str = "doc_id",
+    band_rows: int = LSH_BAND_ROWS,
+) -> DataFrame:
+    """Candidate near-duplicate pairs from banded MinHash signatures.
+
+    Docs sharing an identical band signature (all ``band_rows`` hashes
+    equal) become a candidate pair. The band signature is a group-concat
+    string so the bucket join key is a single scalar; the self-join is a
+    plain equi-join on (band, band_sig) — shuffle-partitionable, and at
+    scale the band join replaces the O(n²) pair enumeration a
+    brute-force Jaccard would need.
+    """
+    bands = (
+        signatures_long.withColumn("band", (F.col("h_idx") / band_rows).cast("long"))
+        .groupBy(id_col, "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("h_idx", "min_hash"))),
+                    lambda s: s["min_hash"].cast("string"),
+                ),
+                ",",
+            ).alias("band_sig")
+        )
+    )
+    x, y = bands.alias("x"), bands.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.band_sig") == F.col("y.band_sig"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .select(
+            F.col(f"x.{id_col}").alias("doc_a"), F.col(f"y.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+) -> DataFrame:
+    """Occurrence-weighted SimHash fingerprint per document.
+
+    Each token occurrence votes +1/-1 on every bit of its 32-bit hash;
+    the fingerprint sets the bits with a positive sum. Implemented as a
+    broadcast cross join against a ``bits``-row (bit_idx, pow2) table +
+    two hash aggregates — the bit extraction ``(h div pow2) % 2`` uses
+    only integer ops both engines evaluate identically. The cross join
+    multiplies rows by ``bits`` (constant factor, map-side only).
+    """
+    spark = df.sparkSession
+    bit_table = F.broadcast(
+        spark.createDataFrame(
+            [(j, 1 << j) for j in range(bits)], "bit_idx INT, pow2 LONG"
+        )
+    )
+    toks = spread(df).select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+    ).withColumn("bh", base_hash32(F.col("token")))
+    votes = (
+        toks.crossJoin(bit_table)
+        .groupBy(id_col, "bit_idx", "pow2")
+        .agg(
+            F.sum(
+                F.when(F.expr("(bh div pow2) % 2") == 1, 1).otherwise(-1)
+            ).alias("vote")
+        )
+    )
+    return votes.groupBy(id_col).agg(
+        F.sum(F.when(F.col("vote") > 0, F.col("pow2")).otherwise(0)).alias("simhash")
+    )

@@ -1,3 +1,186 @@
-"""Deduplication queries (LLM-pipeline extension surface). Populated in
-subsequent milestones; see movie_data_pipeline_spark/operators/dedup.py.
+"""Deduplication queries over the ``documents`` table, each with an
+exact DuckDB oracle (the MinHash/SimHash hashing is md5-based precisely
+so the oracle can reproduce signatures bit-for-bit in SQL).
+
+Shared SQL fragments mirror movie_data_pipeline_spark/functions/text.py
+and operators/dedup.py; the MinHash coefficient VALUES are rendered from
+the same Python constants the Spark builders use, so there is a single
+source of truth.
 """
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from movie_data_pipeline_spark.operators.dedup import (
+    LSH_BAND_ROWS,
+    MINHASH_P,
+    exact_duplicates,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_coeffs,
+    minhash_signatures_long,
+    simhash,
+)
+from movie_data_pipeline_spark.plans.core import query, r4, round4
+from movie_data_pipeline_spark.sources.registry import load_table
+
+# DuckDB mirrors of the shared text expressions. Slices are 1-based and
+# end-inclusive in DuckDB (t[i:i+n-1] == Spark slice(t, i, n)).
+_TOKS_SQL = "string_split_regex(lower(trim(text)), '\\s+')"
+_SHINGLES_CTE = f"""
+  toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+  shingles AS (
+    SELECT DISTINCT doc_id, sh FROM (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3
+               THEN unnest(list_transform(generate_series(1, len(t) - 2),
+                                          i -> array_to_string(t[i:i+2], ' ')))
+               ELSE array_to_string(t, ' ')
+             END AS sh
+      FROM toks))
+"""
+_BH_SQL = "CAST(('0x' || substr(md5({col}), 1, 8)) AS BIGINT)"
+
+_COEFF_VALUES = ", ".join(f"({i}, {a}, {b})" for i, a, b in minhash_coeffs())
+_MINHASH_LONG_CTES = f"""
+  {_SHINGLES_CTE},
+  coeffs(h_idx, a, b) AS (VALUES {_COEFF_VALUES}),
+  hashed AS (SELECT doc_id, {_BH_SQL.format(col='sh')} AS bh FROM shingles),
+  sigs AS (
+    SELECT doc_id, CAST(h_idx AS BIGINT) AS h_idx,
+           MIN((a * bh + b) % {MINHASH_P}) AS min_hash
+    FROM hashed CROSS JOIN coeffs
+    GROUP BY doc_id, h_idx)
+"""
+
+
+@query(
+    "q17_dedup_exact",
+    oracle="""
+    SELECT MIN(doc_id) AS rep_doc_id, COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    ORDER BY rep_doc_id
+    """,
+    tags=("extension", "dedup"),
+)
+def q17_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via digest-groupBy: representative id + copy count.
+
+    Scale: the shuffle key is a 16-byte digest, never the document text
+    (see operators.dedup.exact_duplicates).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_duplicates(docs).orderBy("rep_doc_id")
+
+
+@query(
+    "q18_ngram_jaccard_dupes",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM shingles a JOIN shingles b
+        ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           {r4('n_common * 1.0 / (ca.n + cb.n - n_common)')} AS jaccard
+    FROM common
+    JOIN counts ca ON ca.doc_id = doc_a
+    JOIN counts cb ON cb.doc_id = doc_b
+    WHERE n_common * 1.0 / (ca.n + cb.n - n_common) >= 0.2
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("extension", "dedup", "similarity-join"),
+)
+def q18_ngram_jaccard_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by word-3-gram Jaccard ≥ 0.2.
+
+    The synthetic corpus plants real near-duplicates (jaccard up to
+    ~0.99), so the result is non-trivial. The ratio inside the filter is
+    exact integer arithmetic (counts), so thresholding is portable; only
+    the reported jaccard is rounded.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, threshold=0.2)
+    return pairs.select(
+        "doc_a", "doc_b", round4(F.col("jaccard")).alias("jaccard")
+    ).orderBy("doc_a", "doc_b")
+
+
+@query(
+    "q19_minhash_signatures",
+    oracle=f"""
+    WITH {_MINHASH_LONG_CTES}
+    SELECT doc_id, h_idx, min_hash FROM sigs
+    ORDER BY doc_id, h_idx
+    """,
+    tags=("extension", "dedup", "minhash"),
+)
+def q19_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-hash MinHash signature per document, long format.
+
+    Bit-for-bit reproducible across engines (md5-based base hash +
+    affine family with fixed coefficients). Scale: explode(shingles) ×
+    16 broadcast coefficients, then one min() aggregate — the shuffle
+    carries (doc_id, h_idx, hash) triples only.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_signatures_long(docs).orderBy("doc_id", "h_idx")
+
+
+@query(
+    "q20_minhash_lsh_candidates",
+    oracle=f"""
+    WITH {_MINHASH_LONG_CTES},
+    bands AS (
+      SELECT doc_id, h_idx // {LSH_BAND_ROWS} AS band,
+             string_agg(CAST(min_hash AS VARCHAR), ',' ORDER BY h_idx) AS band_sig
+      FROM sigs GROUP BY doc_id, band)
+    SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+    FROM bands x JOIN bands y
+      ON x.band = y.band AND x.band_sig = y.band_sig AND x.doc_id < y.doc_id
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("extension", "dedup", "minhash", "lsh"),
+)
+def q20_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-LSH candidate pairs (4 bands × 4 rows) from q19 signatures.
+
+    Scale: this is the sub-quadratic path — docs only meet inside a
+    band bucket, so the join is a plain equi-join on (band, band_sig)
+    instead of an all-pairs comparison.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures_long(docs)
+    return lsh_candidate_pairs(sigs).orderBy("doc_a", "doc_b")
+
+
+@query(
+    "q21_simhash",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS token FROM documents
+    ),
+    hashed AS (SELECT doc_id, {_BH_SQL.format(col='token')} AS bh FROM toks),
+    bits AS (SELECT j AS bit_idx, CAST(2 ** j AS BIGINT) AS pow2
+             FROM generate_series(0, 31) t(j)),
+    votes AS (
+      SELECT doc_id, bit_idx, pow2,
+             SUM(CASE WHEN (bh // pow2) % 2 = 1 THEN 1 ELSE -1 END) AS vote
+      FROM hashed CROSS JOIN bits
+      GROUP BY doc_id, bit_idx, pow2)
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN vote > 0 THEN pow2 ELSE 0 END) AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    tags=("extension", "dedup", "simhash"),
+)
+def q21_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit occurrence-weighted SimHash fingerprint per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash(docs).orderBy("doc_id")

@@ -1,4 +1,104 @@
-"""Embedding-similarity queries (LLM-pipeline extension surface).
-Populated in subsequent milestones; see
-movie_data_pipeline_spark/operators/similarity.py.
+"""Embedding-similarity queries over ``embeddings`` with DuckDB oracles.
+
+The oracle casts the float32 lists to DOUBLE[] before
+list_cosine_similarity so both engines do double-precision math over
+identical element order; reported similarities are quantized with the
+cross-engine-deterministic round4 (cosines are far from exact decimal
+half-boundaries, so quantization is stable).
 """
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from movie_data_pipeline_spark.operators.similarity import cosine, cosine_topk
+from movie_data_pipeline_spark.plans.core import query, r4, round4
+from movie_data_pipeline_spark.sources.registry import load_table
+
+# Query set: every 100th vector — scales with the corpus (5 queries at
+# sf0.01, 50 at sf0.1) without hardcoding ids that may not exist.
+_QUERY_PRED = "vec_id % 100 = 0"
+
+
+@query(
+    "q22_ann_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_vec
+               FROM embeddings WHERE {_QUERY_PRED}),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(e.embedding::DOUBLE[], q.q_vec) AS cs
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, cs,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cs DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, {r4('cs')} AS cos_sim, rank
+    FROM ranked WHERE rank <= 10
+    ORDER BY query_id, rank
+    """,
+    tags=("extension", "similarity", "ann"),
+)
+def q22_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-10 for a broadcast query set.
+
+    The baseline ANN path (operators.similarity.cosine_topk): corpus
+    scanned once, queries broadcast, JVM-side zip_with/aggregate math,
+    per-query window rank. The LSH-bucketed scale path is exercised in
+    tests (approximate → no value oracle).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.expr(_QUERY_PRED))
+    out = cosine_topk(emb, queries, k=10)
+    return out.select(
+        "query_id", "neighbor_id", round4(F.col("cos_sim")).alias("cos_sim"), "rank"
+    ).orderBy("query_id", "rank")
+
+
+@query(
+    "q23_embedding_top_pairs",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cs
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE a.vec_id % 10 = 0 AND b.vec_id % 10 = 0)
+    SELECT vec_a, vec_b, {r4('cs')} AS cos_sim,
+           CASE WHEN cs >= 0.9 THEN true ELSE false END AS is_near_dup
+    FROM pairs
+    -- order on the quantized value (matches the Spark side) so the
+    -- LIMIT boundary cannot be decided by sub-round4 noise
+    ORDER BY {r4('cs')} DESC, vec_a, vec_b
+    LIMIT 25
+    """,
+    tags=("extension", "similarity", "near-dup"),
+)
+def q23_embedding_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate scan: top-25 most-similar pairs within a
+    deterministic sample, with the ≥0.9 near-dup flag.
+
+    On the synthetic corpus no pair crosses 0.9 (max ≈ 0.51), so the
+    flag column is honest rather than tuned; crafted near-dup vectors
+    exercise the flag in tests. The sample predicate (every 10th
+    vector) keeps the all-pairs comparison O((n/10)²) — the full-corpus
+    path is exactly the LSH operator tested separately.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").filter("vec_id % 10 = 0")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b")).select(
+        "vec_a", "vec_b", cosine(F.col("ea"), F.col("eb")).alias("cs")
+    )
+    return (
+        pairs.select(
+            "vec_a",
+            "vec_b",
+            round4(F.col("cs")).alias("cos_sim"),
+            (F.col("cs") >= 0.9).alias("is_near_dup"),
+        )
+        .orderBy(F.desc("cos_sim"), "vec_a", "vec_b")
+        .limit(25)
+    )

@@ -1,3 +1,195 @@
-"""Text-analysis queries (LLM-pipeline extension surface). Populated in
-subsequent milestones; see movie_data_pipeline_spark/functions/text.py.
+"""Text-analysis queries over ``documents`` (LLM-pipeline extensions):
+token counting, quality scoring, language ID, fingerprinting — all pure
+column expressions with exact DuckDB oracles.
 """
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from movie_data_pipeline_spark.functions.text import tokens
+from movie_data_pipeline_spark.plans.core import query, r4, round4
+from movie_data_pipeline_spark.sources.registry import load_table
+
+# Stopword lists for the n-gram-free language-ID heuristic: score each
+# language by how many of its high-frequency function words appear as
+# tokens; argmax wins, ties break alphabetically ('de' < 'en' < ...).
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "en": ("the", "a", "and", "of", "to", "is", "in", "that"),
+    "es": ("el", "la", "los", "las", "de", "que", "y", "es"),
+    "fr": ("le", "la", "les", "et", "de", "un", "une", "est"),
+    "zh": ("的", "是", "不", "了", "在", "人", "有", "我"),
+}
+
+ENGLISH_STOPWORDS = LANG_STOPWORDS["en"]
+
+FINGERPRINT_MOD = 1_000_000_007
+FINGERPRINT_BASE = 31
+
+
+def _in_list_sql(items: tuple[str, ...]) -> str:
+    return "(" + ", ".join(f"'{w}'" for w in items) + ")"
+
+
+# --------------------------------------------------------------------------
+# q24 — token counts + quality features
+# --------------------------------------------------------------------------
+_EN_SET = _in_list_sql(ENGLISH_STOPWORDS)
+
+
+@query(
+    "q24_text_quality",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, n_chars,
+             string_split_regex(lower(trim(text)), '\\s+') AS t,
+             length(regexp_replace(text, '[^.,;:!?''"]', '', 'g')) AS n_punct
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(t, w -> w IN {_EN_SET})) AS BIGINT) AS n_stopwords,
+           {r4("(n_chars - len(t) + 1) * 1.0 / len(t)")} AS avg_token_len,
+           {r4("n_punct * 1.0 / n_chars")} AS punct_ratio,
+           {r4(f"len(list_filter(t, w -> w IN {_EN_SET})) * 1.0 / len(t)")} AS stopword_ratio
+    FROM toks
+    ORDER BY doc_id
+    """,
+    tags=("extension", "text", "quality"),
+)
+def q24_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features: token count, stopword count/ratio,
+    average token length, punctuation ratio.
+
+    All narrow column expressions (split/filter/length) — whole-stage
+    codegen, zero shuffles; at 100 TB this is a pure map stage.
+    avg_token_len is derived as (chars - spaces)/tokens assuming
+    single-space joins, matching the corpus format.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    n_tokens = F.size(t).cast("long")
+    stop_arr = F.array(*[F.lit(w) for w in ENGLISH_STOPWORDS])
+    n_stop = F.size(F.filter(t, lambda w: F.array_contains(stop_arr, w))).cast("long")
+    n_punct = F.length(F.regexp_replace(F.col("text"), r"[^.,;:!?'\"]", ""))
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_stop.alias("n_stopwords"),
+        round4((F.col("n_chars") - n_tokens + 1) * 1.0 / n_tokens).alias(
+            "avg_token_len"
+        ),
+        round4(n_punct * 1.0 / F.col("n_chars")).alias("punct_ratio"),
+        round4(n_stop * 1.0 / n_tokens).alias("stopword_ratio"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# q25 — language identification (stopword-voting heuristic)
+# --------------------------------------------------------------------------
+_LANG_SCORES_SQL = ",\n           ".join(
+    f"CAST(len(list_filter(t, w -> w IN {_in_list_sql(words)})) AS BIGINT) AS score_{lang}"
+    for lang, words in sorted(LANG_STOPWORDS.items())
+)
+_LANG_GREATEST_SQL = "GREATEST(" + ", ".join(
+    f"score_{lang}" for lang in sorted(LANG_STOPWORDS)
+) + ")"
+_LANG_PICK_SQL = "CASE " + " ".join(
+    f"WHEN score_{lang} = {_LANG_GREATEST_SQL} THEN '{lang}'"
+    for lang in sorted(LANG_STOPWORDS)
+) + " END"
+
+
+@query(
+    "q25_lang_id",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\\s+') AS t
+      FROM documents),
+    scored AS (
+      SELECT doc_id, lang,
+           {_LANG_SCORES_SQL}
+      FROM toks)
+    SELECT doc_id, lang AS labeled_lang, {_LANG_PICK_SQL} AS predicted_lang
+    FROM scored
+    ORDER BY doc_id
+    """,
+    tags=("extension", "text", "lang-id"),
+)
+def q25_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: stopword-hit voting, argmax with
+    alphabetical tie-break (CASE evaluates languages in sorted order).
+
+    A real deployment would use char-n-gram profiles; the operator shape
+    (per-doc score vector → argmax) is identical and stays a pure map
+    stage at any scale.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+
+    def stop_counter(words: tuple[str, ...]):
+        # single-arg lambda (a default arg would make PySpark treat it
+        # as the 2-arg (element, index) lambda form)
+        arr = F.array(*[F.lit(x) for x in words])
+        return F.size(F.filter(t, lambda w: F.array_contains(arr, w))).cast("long")
+
+    scored = docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[
+            stop_counter(words).alias(f"score_{lang}")
+            for lang, words in sorted(LANG_STOPWORDS.items())
+        ],
+    )
+    langs = sorted(LANG_STOPWORDS)
+    greatest = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    expr = None
+    for lang in langs:
+        cond = F.col(f"score_{lang}") == greatest
+        expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
+    return scored.select(
+        "doc_id", "labeled_lang", expr.alias("predicted_lang")
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# q26 — rolling-hash document fingerprint
+# --------------------------------------------------------------------------
+@query(
+    "q26_doc_fingerprint",
+    oracle=f"""
+    WITH chars AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, length(text)),
+                            i -> ascii(substr(text, i, 1))) AS cs
+      FROM documents)
+    SELECT doc_id,
+           list_reduce(list_prepend(CAST(0 AS BIGINT), cs),
+                       (acc, c) -> (acc * {FINGERPRINT_BASE} + c) % {FINGERPRINT_MOD})
+               AS fingerprint
+    FROM chars
+    ORDER BY doc_id
+    """,
+    tags=("extension", "text", "fingerprint"),
+)
+def q26_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash fingerprint over the full character
+    sequence — the document-fingerprinting primitive (same hash family
+    as Rabin-Karp/winnowing).
+
+    Exact-arithmetic fold (acc*31 + ascii) mod p, identical in both
+    engines; Spark's aggregate() is the fold, DuckDB's list_reduce is
+    the oracle's. Pure map stage at scale.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("text")),
+        lambda i: F.ascii(F.substring(F.col("text"), i, F.lit(1))),
+    )
+    fp = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * FINGERPRINT_BASE + c) % FINGERPRINT_MOD,
+    )
+    return docs.select("doc_id", fp.alias("fingerprint")).orderBy("doc_id")

@@ -1,0 +1,74 @@
+"""Operator-level dedup tests on crafted corpora — prove the detection
+paths fire (the synthetic testdata drives the oracle checks; these drive
+semantics: planted exact dups, near-dups, and unrelated docs).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from movie_data_pipeline_spark.operators.dedup import (
+    exact_duplicates,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures_long,
+    simhash,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill near the garden gate"
+)
+NEAR = BASE.replace("lazy", "sleepy")  # one-token edit → high jaccard
+OTHER = (
+    "completely different content about distributed query engines and "
+    "columnar storage formats with vectorized execution pipelines"
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [(0, BASE), (1, BASE), (2, NEAR), (3, OTHER)]
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+
+def test_exact_duplicates(corpus):
+    out = {r.rep_doc_id: r.n_copies for r in exact_duplicates(corpus).collect()}
+    assert out[0] == 2  # docs 0 and 1 identical
+    assert out[2] == 1 and out[3] == 1
+
+
+def test_jaccard_finds_near_dup(corpus):
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs(corpus, threshold=0.5).collect()
+    }
+    assert pairs[(0, 1)] == 1.0  # exact dup pair
+    assert 0.5 <= pairs[(0, 2)] < 1.0  # near-dup pair
+    assert (0, 3) not in pairs and (1, 3) not in pairs
+
+
+def test_jaccard_df_cap_drops_stop_shingles(corpus):
+    # With a document-frequency cap of 1, shingles shared by any two
+    # docs are dropped → no pair can reach the threshold.
+    out = jaccard_pairs(corpus, threshold=0.1, max_shingle_df=1).collect()
+    assert out == []
+
+
+def test_minhash_lsh_candidates(corpus):
+    sigs = minhash_signatures_long(corpus)
+    cand = {(r.doc_a, r.doc_b) for r in lsh_candidate_pairs(sigs).collect()}
+    assert (0, 1) in cand  # identical docs always collide in every band
+    assert (0, 2) in cand  # planted near-dup should collide in ≥1 band
+    assert (0, 3) not in cand and (2, 3) not in cand
+
+
+def test_simhash_hamming_ordering(corpus):
+    fp = {r.doc_id: r.simhash for r in simhash(corpus).collect()}
+
+    def hamming(a: int, b: int) -> int:
+        return bin(a ^ b).count("1")
+
+    assert fp[0] == fp[1]  # identical text → identical fingerprint
+    assert hamming(fp[0], fp[2]) < hamming(fp[0], fp[3])
