@@ -25,6 +25,7 @@ from movie_data_pipeline_spark.session import get_spark
 HEADLINE = [
     "q16_pricing_summary",
     "q15_segment_revenue",
+    "q28_local_supplier_revenue",
     "q02_region_revenue",
     "q04_customer_order_stats",
     "q09_top_orders_per_customer",

@@ -140,25 +140,29 @@ def minhash_signatures_long(
 ) -> DataFrame:
     """MinHash signatures in long format: (id, h_idx, min_hash).
 
-    The coefficient table is a tiny literal DataFrame broadcast into a
-    cross join against the exploded shingles; the signature is then one
-    hash aggregate min() per (doc, h_idx). Long format keeps every step
-    relational — the driver oracle can reproduce it in pure SQL.
+    One pass: every hash of the family is a separate min() aggregate
+    over the shingle hash — the shuffle carries (doc, 16 mins) wide rows
+    (k+1 columns per shingle row) instead of exploding shingles × k into
+    k-fold more rows; the long format is restored map-side with stack()
+    after the aggregate. Long format keeps every step relational — the
+    driver oracle reproduces it in pure SQL.
     """
-    spark = df.sparkSession
-    coeffs = F.broadcast(
-        spark.createDataFrame(minhash_coeffs(num_hashes), "h_idx INT, a LONG, b LONG")
-    )
     sh = doc_shingles(df, id_col, text_col, n).withColumn(
         "bh", base_hash32(F.col("shingle"))
     )
-    return (
-        sh.crossJoin(coeffs)
-        .groupBy(F.col(id_col), F.col("h_idx").cast("long").alias("h_idx"))
-        .agg(
-            F.min((F.col("a") * F.col("bh") + F.col("b")) % MINHASH_P).alias("min_hash")
-        )
+    wide = sh.groupBy(id_col).agg(
+        *[
+            F.min((F.lit(a) * F.col("bh") + F.lit(b)) % MINHASH_P).alias(f"h{i}")
+            for i, a, b in minhash_coeffs(num_hashes)
+        ]
     )
+    stack = "stack({n}, {args}) AS (h_idx, min_hash)".format(
+        n=num_hashes,
+        args=", ".join(
+            f"CAST({i} AS BIGINT), h{i}" for i in range(num_hashes)
+        ),
+    )
+    return wide.select(F.col(id_col), F.expr(stack))
 
 
 def lsh_candidate_pairs(
@@ -212,30 +216,28 @@ def simhash(
     """Occurrence-weighted SimHash fingerprint per document.
 
     Each token occurrence votes +1/-1 on every bit of its 32-bit hash;
-    the fingerprint sets the bits with a positive sum. Implemented as a
-    broadcast cross join against a ``bits``-row (bit_idx, pow2) table +
-    two hash aggregates — the bit extraction ``(h div pow2) % 2`` uses
-    only integer ops both engines evaluate identically. The cross join
-    multiplies rows by ``bits`` (constant factor, map-side only).
+    the fingerprint sets the bits with a positive sum. All ``bits`` vote
+    sums are parallel aggregates in ONE pass over the tokens (wide rows
+    through the shuffle, not a bits-fold row blowup); the fingerprint is
+    folded map-side after the aggregate. Bit extraction
+    ``(h div 2^j) % 2`` uses only integer ops both engines evaluate
+    identically.
     """
-    spark = df.sparkSession
-    bit_table = F.broadcast(
-        spark.createDataFrame(
-            [(j, 1 << j) for j in range(bits)], "bit_idx INT, pow2 LONG"
-        )
-    )
     toks = spread(df).select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
     ).withColumn("bh", base_hash32(F.col("token")))
-    votes = (
-        toks.crossJoin(bit_table)
-        .groupBy(id_col, "bit_idx", "pow2")
-        .agg(
+    votes = toks.groupBy(id_col).agg(
+        *[
             F.sum(
-                F.when(F.expr("(bh div pow2) % 2") == 1, 1).otherwise(-1)
-            ).alias("vote")
-        )
+                F.when(F.expr(f"(bh div {1 << j}) % 2") == 1, 1).otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(bits)
+        ]
     )
-    return votes.groupBy(id_col).agg(
-        F.sum(F.when(F.col("vote") > 0, F.col("pow2")).otherwise(0)).alias("simhash")
+    fingerprint = None
+    for j in range(bits):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return votes.select(
+        F.col(id_col), fingerprint.cast("long").alias("simhash")
     )

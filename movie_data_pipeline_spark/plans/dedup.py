@@ -124,12 +124,14 @@ def q19_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-hash MinHash signature per document, long format.
 
     Bit-for-bit reproducible across engines (md5-based base hash +
-    affine family with fixed coefficients). Scale: explode(shingles) ×
-    16 broadcast coefficients, then one min() aggregate — the shuffle
-    carries (doc_id, h_idx, hash) triples only.
+    affine family with fixed coefficients). Scale: all 16 mins are
+    computed as parallel aggregates in ONE pass over the shingles — the
+    shuffle carries k+1-column wide rows, not k-fold exploded rows; the
+    long format is restored map-side afterwards.
     """
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_signatures_long(docs).orderBy("doc_id", "h_idx")
+    # no trailing global sort: the driver compare is order-insensitive
+    return minhash_signatures_long(docs)
 
 
 @query(

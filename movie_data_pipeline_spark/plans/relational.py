@@ -650,3 +650,56 @@ def q16_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+# --------------------------------------------------------------------------
+# q28 — multi-fact star join with co-location predicate (TPC-H Q5 shape)
+# --------------------------------------------------------------------------
+@query(
+    "q28_local_supplier_revenue",
+    oracle="""
+    SELECT n_name,
+           COUNT(*) AS n_lineitems,
+           floor((SUM(l_extendedprice * (1 - l_discount))) * 10000 + 0.5) / 10000
+               AS revenue
+    FROM customer
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = c_nationkey
+    WHERE s_nationkey = c_nationkey
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+    tags=("parity", "join", "agg", "bench"),
+)
+def q28_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue from locally-supplied lineitems per nation (TPC-H Q5
+    shape): a 5-table star join with a cross-dimension equality
+    predicate (supplier nation == customer nation).
+
+    Scale: nation broadcasts; supplier broadcasts (bounded dim);
+    lineitem⋈orders is the big shuffle on orderkey. The s_nationkey =
+    c_nationkey predicate is applied post-join by Catalyst (it connects
+    two dims only joinable through the facts).
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    return (
+        customer.join(orders, orders.o_custkey == customer.c_custkey)
+        .join(lineitem, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supplier), supplier.s_suppkey == lineitem.l_suppkey)
+        .join(nation, nation.n_nationkey == customer.c_nationkey)
+        .filter(F.col("s_nationkey") == F.col("c_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            round4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue"
+            ),
+        )
+        .orderBy("n_name")
+    )

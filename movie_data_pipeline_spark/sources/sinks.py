@@ -1,0 +1,51 @@
+"""Warehouse sinks: overwrite parquet (the reference's full-refresh
+semantics) plus the scale-path layouts — partitioned and bucketed writes
+that pre-pay shuffle cost once so repeated joins/aggregations on the
+same keys skip their exchange.
+
+The reference's load phase is row-at-a-time INSERTs / 1000-row batches
+into an RDBMS (etl1.py:372-519, SURVEY §2.1 S4); here a sink is a
+distributed write whose *layout* is the optimization surface:
+
+- ``write_overwrite``: plain atomic refresh;
+- ``write_partitioned``: directory partitioning on a low-cardinality
+  column → partition pruning at read (the Spark analogue of the
+  reference's B-tree indexes on filter keys, SURVEY §4);
+- ``write_bucketed``: hash-bucketed + sorted table registered in the
+  metastore → joins/groupBys on the bucket key need no exchange at all
+  (co-located join), the right layout for a fact table joined on the
+  same key by every query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_overwrite(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").parquet(path)
+
+
+def write_partitioned(df: DataFrame, path: str, partition_cols: list[str]) -> None:
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort_col: str | None = None,
+) -> None:
+    """Bucketed managed table (saveAsTable — bucketing metadata lives in
+    the catalog). n_buckets should divide evenly into cluster
+    parallelism at the target scale; sort-within-buckets enables
+    merge-join without a sort step."""
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_col is not None:
+        writer = writer.sortBy(sort_col)
+    writer.format("parquet").saveAsTable(table)
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)
