@@ -39,8 +39,16 @@ def release_year(title: Column) -> Column:
 
 
 def clean_title(title: Column) -> Column:
-    """Title with the trailing ``(YYYY)`` stripped (etl1.py:99)."""
-    return F.trim(F.regexp_replace(title, YEAR_STRIP_RE, ""))
+    """Title with the trailing ``(YYYY)`` stripped (etl1.py:99).
+
+    Faithful branch semantics: the reference strips whitespace only on
+    the match path; a title with no year suffix is returned VERBATIM
+    (etl1.py:100-101 returns the original, un-stripped title).
+    """
+    matched = F.regexp_extract(title, YEAR_EXTRACT_RE, 1) != ""
+    return F.when(
+        matched, F.trim(F.regexp_replace(title, YEAR_STRIP_RE, ""))
+    ).otherwise(title)
 
 
 def normalize_title(title: Column) -> Column:

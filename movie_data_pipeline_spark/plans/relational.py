@@ -306,7 +306,9 @@ _Q08_TITLE_SQL = """
       SELECT p_partkey, title,
              TRY_CAST(NULLIF(regexp_extract(title, '\\((\\d{{4}})\\)\\s*$', 1), '') AS INTEGER)
                  AS release_year,
-             TRIM(regexp_replace(title, '\\s*\\(\\d{{4}}\\)\\s*$', '')) AS clean_title,
+             CASE WHEN regexp_extract(title, '\\((\\d{{4}})\\)\\s*$', 1) <> ''
+                  THEN TRIM(regexp_replace(title, '\\s*\\(\\d{{4}}\\)\\s*$', ''))
+                  ELSE title END AS clean_title,
              regexp_replace(
                TRIM(regexp_replace(
                  regexp_replace(
@@ -702,4 +704,75 @@ def q28_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("n_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# q30 — distinct aggregates (engine completeness; absent in the reference)
+# --------------------------------------------------------------------------
+@query(
+    "q30_priority_distinct_customers",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("parity", "agg", "distinct"),
+)
+def q30_priority_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) per group. Scale: Catalyst expands this into a
+    two-phase aggregate (distinct on (group, key) then count) — no
+    driver-side sets; for sketch-accuracy tradeoffs at extreme scale
+    approx_count_distinct swaps in without plan changes.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# q31 — ROLLUP subtotals (engine completeness; absent in the reference)
+# --------------------------------------------------------------------------
+@query(
+    "q31_rollup_revenue",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           COUNT(*) AS n,
+           floor((SUM(l_extendedprice)) * 10000 + 0.5) / 10000 AS revenue
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    ORDER BY returnflag, linestatus
+    """,
+    tags=("parity", "agg", "rollup"),
+)
+def q31_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals via ROLLUP (flag → flag+status → grand
+    total), subtotal rows labeled 'ALL'. Scale: Spark expands rollup
+    into a single pass with grouping-set expansion before the exchange —
+    still one shuffle.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            round4(F.sum("l_extendedprice")).alias("revenue"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "n",
+            "revenue",
+        )
+        .orderBy("returnflag", "linestatus")
     )

@@ -102,3 +102,39 @@ def q23_embedding_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos_sim"), "vec_a", "vec_b")
         .limit(25)
     )
+
+
+@query(
+    "q29_label_centroids",
+    oracle=f"""
+    SELECT label,
+           i - 1 AS dim_idx,
+           {r4('AVG(embedding[i]::DOUBLE)')} AS centroid,
+           COUNT(*) AS n_vecs
+    FROM embeddings e, unnest(generate_series(1, len(e.embedding))) AS t(i)
+    GROUP BY label, dim_idx
+    ORDER BY label, dim_idx
+    """,
+    tags=("extension", "similarity", "vector-agg"),
+)
+def q29_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids in long (label, dim, value) form —
+    the vector-aggregation primitive behind IVF coarse quantizers and
+    class prototypes.
+
+    Long form keeps the aggregate fully relational (one shuffle on
+    (label, dim)); posexplode is a narrow generator. dim_idx is 0-based
+    on both sides.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode("embedding").alias("dim_idx", "v")
+    )
+    return (
+        exploded.groupBy("label", F.col("dim_idx").cast("long").alias("dim_idx"))
+        .agg(
+            round4(F.avg(F.col("v").cast("double"))).alias("centroid"),
+            F.count("*").alias("n_vecs"),
+        )
+        .orderBy("label", "dim_idx")
+    )
