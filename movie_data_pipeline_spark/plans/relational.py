@@ -776,3 +776,45 @@ def q31_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("returnflag", "linestatus")
     )
+
+
+# --------------------------------------------------------------------------
+# q32 — typed JSON parsing (semi-structured props column)
+# --------------------------------------------------------------------------
+@query(
+    "q32_json_props_stats",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           floor((AVG(CAST(json_extract_string(props, '$.k') AS INTEGER))) * 10000 + 0.5) / 10000
+               AS avg_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("parity", "json", "agg"),
+)
+def q32_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed parse of the semi-structured props column via from_json
+    with a declared schema (the Spark form of the reference's
+    field-by-field JSON handling, etl1.py:156-167), then aggregated.
+
+    Scale: from_json is a codegen'd JVM expression — no Python; the
+    declared one-field schema prunes the parse to exactly the needed
+    key.
+    """
+    events = load_table(spark, sf_dir, "events")
+    parsed = events.select(
+        "event_type",
+        F.from_json(F.col("props"), "k INT").getField("k").alias("k"),
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            round4(F.avg("k")).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
