@@ -818,3 +818,39 @@ def q32_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q33 — exact percentiles (distribution stats; absent in the reference)
+# --------------------------------------------------------------------------
+@query(
+    "q33_price_quantiles",
+    oracle="""
+    SELECT l_returnflag,
+           floor((quantile_cont(l_extendedprice, 0.5)) * 10000 + 0.5) / 10000 AS p50,
+           floor((quantile_cont(l_extendedprice, 0.95)) * 10000 + 0.5) / 10000 AS p95,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("parity", "agg", "percentile"),
+)
+def q33_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (verified bit-identical
+    to quantile_cont before quantization).
+
+    Scale: exact percentile sorts within groups — fine for bounded
+    groups; at extreme cardinality swap in percentile_approx (t-digest
+    sketch, mergeable map-side) without changing the plan shape.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy("l_returnflag")
+        .agg(
+            round4(F.expr("percentile(l_extendedprice, 0.5)")).alias("p50"),
+            round4(F.expr("percentile(l_extendedprice, 0.95)")).alias("p95"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
