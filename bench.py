@@ -31,7 +31,9 @@ HEADLINE = [
     "q09_top_orders_per_customer",
     "q13_hourly_event_stats",
     "q17_dedup_exact",
+    "q18_ngram_jaccard_dupes",
     "q19_minhash_signatures",
+    "q20_minhash_lsh_candidates",
     "q22_ann_cosine_topk",
     "q24_text_quality",
 ]

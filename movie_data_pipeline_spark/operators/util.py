@@ -15,7 +15,13 @@ def spread(df: DataFrame, min_factor: int = 2) -> DataFrame:
     partitions, so at real scale (inputs already split into thousands of
     tasks) this is a no-op and adds no shuffle.
     """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() * min_factor <= target:
+    try:
+        target = df.sparkSession.sparkContext.defaultParallelism
+        current = df.rdd.getNumPartitions()
+    except Exception:
+        # Environments without RDD access (e.g. Spark Connect): leave
+        # the partitioning to the source — correctness is unaffected.
+        return df
+    if current * min_factor <= target:
         return df.repartition(target)
     return df
