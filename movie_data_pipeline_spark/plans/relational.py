@@ -854,3 +854,156 @@ def q33_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# --------------------------------------------------------------------------
+# q34 — batch sessionization (gap windows via lag + cumulative sum)
+# --------------------------------------------------------------------------
+@query(
+    "q34_user_sessions",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN date_diff('microsecond',
+                            LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                            ts) > 1800000000
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session,
+             event_id
+      FROM events),
+    numbered AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked)
+    SELECT user_id,
+           CAST(session_id AS BIGINT) AS session_id,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           floor((SUM(value)) * 10000 + 0.5) / 10000 AS total_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+    tags=("extension", "window", "sessionization"),
+)
+def q34_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization in batch: a new session starts when the
+    gap to the previous event (per user) exceeds 30 minutes; session id
+    is the running count of session starts.
+
+    This is the batch twin of the streaming applyInPandasWithState
+    sessionizer (streaming/events.py) — same semantics, pure window
+    functions, no Python. Scale: both windows partition by user_id (one
+    shuffle, reused across the lag and the running sum via the same
+    partitioning).
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    with_prev = events.select(
+        "user_id", "ts", "value", "event_id", F.lag("ts").over(w).alias("prev_ts")
+    )
+    marked = with_prev.select(
+        "user_id",
+        "ts",
+        "value",
+        "event_id",
+        F.when(
+            F.col("prev_ts").isNull()
+            # microsecond grain on both sides: second-level timestampdiff
+            # floors elapsed time and disagrees with an exact interval
+            # comparison when a gap is a fractional hair over the limit
+            | (F.expr("timestampdiff(MICROSECOND, prev_ts, ts)") > 1_800_000_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    numbered = marked.select(
+        "user_id",
+        "ts",
+        "value",
+        F.sum("new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("session_id"),
+    )
+    return (
+        numbered.groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            round4(F.sum("value")).alias("total_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q35 — as-of join (custom operator the reference/Spark lack natively)
+# --------------------------------------------------------------------------
+@query(
+    "q35_asof_click_before_purchase",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, event_type, ts,
+             last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_click_ts
+      FROM events)
+    SELECT event_id, user_id, ts AS purchase_ts, last_click_ts,
+           CAST(CASE WHEN last_click_ts IS NOT NULL
+                     THEN date_diff('microsecond', last_click_ts, ts) // 1000000
+                END AS BIGINT) AS seconds_since_click
+    FROM ordered
+    WHERE event_type = 'purchase'
+    ORDER BY event_id
+    """,
+    tags=("extension", "join", "asof"),
+)
+def q35_asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's most recent
+    STRICTLY-EARLIER click (the backward as-of semantics of
+    pandas.merge_asof / kdb aj), expressed as a union-free single-pass
+    window: last_value(click ts) ignoring nulls over rows preceding.
+
+    Scale: one shuffle on user_id and a sequential window scan — the
+    standard distributed as-of strategy (interleave both sides on the
+    time axis within the key partition), no range join explosion.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_click = F.last(
+        F.when(F.col("event_type") == "click", F.col("ts")), ignorenulls=True
+    ).over(w)
+    return (
+        events.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.col("ts").alias("purchase_ts"),
+            last_click.alias("last_click_ts"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "purchase_ts",
+            "last_click_ts",
+            # exact micros then floor-divide: Spark's timestampdiff
+            # measures elapsed units while DuckDB's date_diff counts
+            # boundary crossings — only the microsecond grain (where the
+            # data is exact) agrees, so the seconds floor is derived
+            F.expr(
+                "timestampdiff(MICROSECOND, last_click_ts, purchase_ts) div 1000000"
+            ).alias("seconds_since_click"),
+        )
+        .orderBy("event_id")
+    )

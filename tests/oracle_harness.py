@@ -24,8 +24,18 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
-    """Sort columns by name and rows by all columns (order-insensitive)."""
+    """Sort columns by name and rows by all columns (order-insensitive).
+
+    Datetime columns are normalized to microsecond resolution: Spark
+    collects ns-unit datetimes, DuckDB µs — with mixed units (and NaT
+    present) pandas' exact comparison degrades to raw int64s and reports
+    equal values as different. All engine data is µs-precision, so the
+    cast is lossless.
+    """
     df = df.reindex(sorted(df.columns), axis=1)
+    for col in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[col]):
+            df[col] = df[col].astype("datetime64[us]")
     if len(df.columns):
         df = df.sort_values(by=list(df.columns), kind="mergesort", ignore_index=True)
     return df
