@@ -1007,3 +1007,141 @@ def q35_asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q36 — range (interval) join via time-bucket equi-join + refine
+# --------------------------------------------------------------------------
+@query(
+    "q36_nearby_event_pairs",
+    oracle="""
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           COUNT(*) AS n_pairs
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND date_diff('microsecond', a.ts, b.ts) <= 300000000
+    GROUP BY type_a, type_b
+    ORDER BY type_a, type_b
+    """,
+    tags=("extension", "join", "range"),
+)
+def q36_nearby_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: same-user event pairs within a forward 5-minute
+    window, counted by type pair.
+
+    Spark has no native range join, so the scalable form is the
+    bucket-and-refine pattern: quantize time into 5-minute bins, join on
+    (user, bin) with the left side probing its own and the next bin
+    (explode of two bin keys — bounded 2x replication), then apply the
+    exact interval predicate. The join stays a shuffle EQUI-join —
+    no cartesian anything — and the bin width bounds candidate pairs.
+    """
+    events = load_table(spark, sf_dir, "events")
+    width_us = 300_000_000  # 5 min
+    micros = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    base = events.select(
+        "user_id", "event_type", "ts", micros.alias("us")
+    )
+    a = base.select(
+        "user_id",
+        F.col("event_type").alias("type_a"),
+        F.col("us").alias("us_a"),
+        F.explode(
+            F.array(
+                (F.col("us") / width_us).cast("long"),
+                (F.col("us") / width_us).cast("long") + 1,
+            )
+        ).alias("bin"),
+    )
+    b = base.select(
+        "user_id",
+        F.col("event_type").alias("type_b"),
+        F.col("us").alias("us_b"),
+        (F.col("us") / width_us).cast("long").alias("bin"),
+    )
+    return (
+        a.join(b, ["user_id", "bin"])
+        .filter(
+            (F.col("us_b") > F.col("us_a"))
+            & (F.col("us_b") - F.col("us_a") <= width_us)
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("type_a", "type_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# q37 — TF-IDF relevance scoring (training-data quality primitive)
+# --------------------------------------------------------------------------
+@query(
+    "q37_tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             tf.tf * ln(n.n_docs * 1.0 / df.df) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n),
+    ranked AS (
+      SELECT doc_id, term, tf, CAST(df AS BIGINT) AS df, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY scored.tfidf DESC, term) AS rnk
+      FROM scored)
+    SELECT doc_id, term, tf, df,
+           floor((tfidf) * 10000 + 0.5) / 10000 AS tfidf, rnk
+    FROM ranked WHERE rnk <= 3
+    ORDER BY doc_id, rnk
+    """,
+    tags=("extension", "text", "tfidf"),
+)
+def q37_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — the classic relevance/quality
+    scoring primitive for training-data curation.
+
+    Fully relational: term frequencies (one aggregate), document
+    frequencies (one aggregate, broadcast back — the term vocabulary is
+    tiny relative to the corpus), corpus size as a literal join, window
+    top-k per doc. Ranking ties break on the term so near-equal doubles
+    cannot reorder the result across engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from movie_data_pipeline_spark.functions.text import tokens as _tokens
+    from movie_data_pipeline_spark.operators.util import spread as _spread
+
+    toks = _spread(docs).select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = toks.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n_docs = docs.count()  # scalar driver value: one count job, constant-folded
+    scored = tf.join(F.broadcast(dfreq), "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("tfidf_raw"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf_raw"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            round4(F.col("tfidf_raw")).alias("tfidf"),
+            "rnk",
+        )
+        .orderBy("doc_id", "rnk")
+    )
