@@ -46,6 +46,48 @@ def run_query(spark, name: str, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
+REFERENCE_DATA = "/root/reference/data"
+
+
+def run_movielens_pipeline(spark) -> float | None:
+    """The reference's own workload, end to end: extract the bundled
+    MovieLens CSVs, full transform, write the 4-table warehouse.
+
+    Direct BASELINE.md comparison: the reference's compute-bound path
+    (extract + load, API excluded) takes ~32 s on this dataset
+    (README.md:610-612, 625-630).
+    """
+    if not os.path.exists(f"{REFERENCE_DATA}/movies.csv"):
+        return None
+    import shutil
+    import tempfile
+
+    from movie_data_pipeline_spark.pipeline.movies_etl import (
+        build_warehouse,
+        write_warehouse,
+    )
+    from movie_data_pipeline_spark.sources.movielens import (
+        read_links,
+        read_movies,
+        read_ratings,
+    )
+
+    out = tempfile.mkdtemp(prefix="mdp-bench-wh-")
+    try:
+        t0 = time.perf_counter()
+        wh, _ = build_warehouse(
+            spark,
+            read_movies(spark, REFERENCE_DATA),
+            read_ratings(spark, REFERENCE_DATA),
+            read_links(spark, REFERENCE_DATA),
+            enrichment=None,
+        )
+        write_warehouse(wh, out)
+        return time.perf_counter() - t0
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -60,6 +102,11 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in names:
         timings[name] = round(run_query(spark, name, sf_dir), 4)
+
+    # reference-workload replica (BASELINE.md: ~32 s compute-bound)
+    ml = run_movielens_pipeline(spark)
+    if ml is not None:
+        timings["movielens_etl_full"] = round(ml, 4)
 
     out = {
         "metric": "headline_queries_total_runtime",
