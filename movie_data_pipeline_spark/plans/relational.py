@@ -1145,3 +1145,111 @@ def q37_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# q38 — pivot (wide conditional aggregation)
+# --------------------------------------------------------------------------
+@query(
+    "q38_status_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F,
+           COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS O,
+           COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS P
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("parity", "agg", "pivot"),
+)
+def q38_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order counts pivoted by status. The pivot values are declared
+    explicitly — with them, Spark plans a single-pass conditional
+    aggregate (no extra distinct-values job, no second shuffle), which
+    is also exactly how the oracle expresses it.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# q39 — deterministic hash sampling (training-data curation primitive)
+# --------------------------------------------------------------------------
+@query(
+    "q39_deterministic_sample",
+    oracle="""
+    SELECT COUNT(*) AS n_sampled,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(COUNT(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT) AS n_en
+    FROM documents
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 = 0
+    """,
+    tags=("extension", "sampling"),
+)
+def q39_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% corpus sample selected by a content-independent md5 hash of
+    the id — reproducible across engines, runs, and cluster layouts
+    (unlike TABLESAMPLE/rand(), which are partition-dependent). This is
+    the sampling contract a training-data pipeline needs: adding or
+    re-sharding data never changes which existing rows are sampled.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 10
+    )
+    return docs.filter(bucket == 0).agg(
+        F.count("*").alias("n_sampled"),
+        F.min("doc_id").alias("first_doc"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("n_en"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q40 — ntile quantile bucketing
+# --------------------------------------------------------------------------
+@query(
+    "q40_price_quartiles",
+    oracle="""
+    WITH tiled AS (
+      SELECT o_totalprice,
+             NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
+      FROM orders)
+    SELECT CAST(quartile AS BIGINT) AS quartile,
+           COUNT(*) AS n,
+           floor((MIN(o_totalprice)) * 10000 + 0.5) / 10000 AS lo,
+           floor((MAX(o_totalprice)) * 10000 + 0.5) / 10000 AS hi
+    FROM tiled
+    GROUP BY quartile
+    ORDER BY quartile
+    """,
+    tags=("parity", "window", "ntile"),
+)
+def q40_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-count quartile buckets over order prices via NTILE, with
+    per-bucket ranges. Ties broken by o_orderkey so bucket boundaries
+    are engine-independent. Scale note: a global NTILE needs a total
+    order — for 100 TB use range-partitioned bucketing by pre-computed
+    quantile boundaries (q33) instead; this form is for bounded inputs.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    tiled = orders.select(
+        "o_totalprice", F.ntile(4).over(w).cast("long").alias("quartile")
+    )
+    return (
+        tiled.groupBy("quartile")
+        .agg(
+            F.count("*").alias("n"),
+            round4(F.min("o_totalprice")).alias("lo"),
+            round4(F.max("o_totalprice")).alias("hi"),
+        )
+        .orderBy("quartile")
+    )
