@@ -1,0 +1,524 @@
+"""Advanced relational coverage: subquery shapes, multi-dim grouping,
+window frames, and set operations (SURVEY.md §2.3-2.7 completions).
+
+These close out the SQL-surface operator classes the reference's
+documented query set implies but q01-q40 had not yet exercised as
+first-class, oracle-gated queries:
+
+- EXISTS / semi-join (q41) and correlated scalar-subquery
+  decorrelation (q42) — the two classic subquery rewrites;
+- CUBE (q43) and GROUPING SETS (q48) — completing the rollup family
+  started by q31;
+- frame-based moving window aggregate (q44) and percent_rank (q47);
+- INTERSECT (q45) and UNION ALL conformance (q46) — completing the set
+  operations started by q11 (EXCEPT) and q07 (anti join).
+
+All cross-engine invariants from :mod:`.relational` apply: aligned
+aliases, ``round4``/``exact_sum`` (never engine ROUND / raw double
+SUM), BIGINT casts, explicit total orderings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from movie_data_pipeline_spark.plans.core import (
+    exact_sum,
+    exact_sum_sql,
+    query,
+    r4,
+    round4,
+)
+from movie_data_pipeline_spark.sources.registry import load_table
+
+
+# --------------------------------------------------------------------------
+# q41 — EXISTS → left-semi join  (SURVEY §2.3; TPC-H Q4 shape)
+# --------------------------------------------------------------------------
+@query(
+    "q41_priority_with_returns",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+    )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("parity", "semi-join", "subquery"),
+)
+def q41_priority_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders per priority that have at least one returned lineitem.
+
+    The EXISTS subquery is expressed as a ``left_semi`` join — Spark's
+    native decorrelation, which never duplicates the probe side no
+    matter how many matching lineitems exist. Scale: both sides shuffle
+    on l_orderkey/o_orderkey (co-partitioned sort-merge semi); the
+    returnflag filter is pushed to the lineitem scan so only ~25% of the
+    fact table reaches the exchange, and the build side carries a single
+    column. No distinct is needed before the semi join (semi join
+    deduplicates by construction).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    returned = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# q42 — correlated scalar subquery → decorrelated agg join (TPC-H Q17 shape)
+# --------------------------------------------------------------------------
+@query(
+    "q42_small_quantity_revenue",
+    oracle=f"""
+    WITH pa AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+                   / COUNT(*) AS avg_qty
+        FROM lineitem
+        GROUP BY l_partkey
+    )
+    SELECT p_brand,
+           COUNT(*) AS n_small,
+           {r4(exact_sum_sql("l_extendedprice"))} AS small_revenue
+    FROM lineitem li
+    JOIN pa ON pa.l_partkey = li.l_partkey
+    JOIN part ON p_partkey = li.l_partkey
+    WHERE l_quantity < 0.5 * avg_qty
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+    tags=("parity", "subquery", "decorrelation"),
+)
+def q42_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue from lineitems below half their part's average quantity.
+
+    The correlated scalar subquery (``l_quantity < 0.5 * (SELECT
+    AVG(l_quantity) ... WHERE same part)``) is decorrelated into a
+    per-part aggregate joined back on l_partkey — one extra shuffle of a
+    two-column aggregate instead of a per-row subquery. Scale: the agg
+    and the join share the l_partkey partitioning, so AQE plans the join
+    exchange-free on the agg side; part is dimension-sized → broadcast.
+    Cross-engine determinism: avg is computed as exact decimal SUM /
+    COUNT so both engines derive bit-identical doubles before the
+    comparison (a raw double AVG is accumulation-order-dependent and
+    can flip rows at the boundary).
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    per_part = lineitem.groupBy("l_partkey").agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(30,6)")).cast("double")
+            / F.count("*")
+        ).alias("avg_qty")
+    )
+    return (
+        lineitem.join(per_part, "l_partkey")
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_small"),
+            round4(exact_sum(F.col("l_extendedprice"))).alias("small_revenue"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+# --------------------------------------------------------------------------
+# q43 — CUBE  (completes the q31 ROLLUP family)
+# --------------------------------------------------------------------------
+@query(
+    "q43_cube_order_stats",
+    oracle=f"""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus,
+           COALESCE(o_orderpriority, 'ALL') AS orderpriority,
+           COUNT(*) AS n,
+           {r4(exact_sum_sql("o_totalprice"))} AS revenue
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    ORDER BY orderstatus, orderpriority
+    """,
+    tags=("parity", "cube", "aggregate"),
+)
+def q43_cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four grouping combinations of (status, priority) in one pass.
+
+    ``cube`` expands each input row to its 2^2 grouping-set variants
+    before a single hash aggregate — one shuffle for all subtotals
+    instead of four separate groupBy jobs reading the fact table four
+    times. Scale: expansion happens map-side and partial aggregation
+    collapses it before the exchange, so shuffled bytes stay bounded by
+    the (tiny) group cardinality, not 4x the input. The grouping columns
+    contain no source NULLs (synthetic schema), so COALESCE('ALL')
+    labels subtotal rows unambiguously.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            round4(exact_sum(F.col("o_totalprice"))).alias("revenue"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("orderpriority"),
+            "n",
+            "revenue",
+        )
+        .orderBy("orderstatus", "orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# q44 — frame-based moving window aggregate  (SURVEY §2.5)
+# --------------------------------------------------------------------------
+@query(
+    "q44_moving_avg_order_price",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           floor((CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) OVER w AS DOUBLE)
+                  / COUNT(*) OVER w) * 10000 + 0.5) / 10000 AS mov_avg_price
+    FROM orders
+    WINDOW w AS (
+        PARTITION BY o_custkey
+        ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+    )
+    ORDER BY o_orderkey
+    """,
+    tags=("parity", "window", "frame"),
+)
+def q44_moving_avg_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-order trailing average price per customer.
+
+    A ROWS-frame window: one shuffle on o_custkey, then a per-partition
+    sort and a sliding frame — no self-join. Scale: state per partition
+    is the 3-row frame, O(1) memory per group regardless of group size;
+    skewed customers are bounded by AQE partition splitting. Determinism:
+    the frame sum is exact decimal (DuckDB evaluates windowed aggregates
+    via segment trees whose combine order differs from Spark's running
+    accumulator — exact decimal arithmetic is order-free), the divide
+    happens in double on bit-identical inputs, and the frame order
+    carries an o_orderkey tiebreak.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, 0)
+    )
+    mov_avg = (
+        F.sum(F.col("o_totalprice").cast("decimal(30,6)")).over(w).cast("double")
+        / F.count("*").over(w)
+    )
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_custkey",
+            round4(mov_avg).alias("mov_avg_price"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# q45 — INTERSECT  (completes set ops: q11 EXCEPT, q07 anti)
+# --------------------------------------------------------------------------
+@query(
+    "q45_rich_open_customers",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    INTERSECT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
+    ORDER BY c_custkey
+    """,
+    tags=("parity", "setop", "intersect"),
+)
+def q45_rich_open_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with >5000 balance who also have an open order.
+
+    SQL INTERSECT == ``DataFrame.intersect`` (set semantics, implicit
+    dedup on both sides). Scale: Catalyst plans it as an aggregate +
+    left-semi join on the single key column; both inputs are filtered
+    and pruned to one column before the exchange, so the shuffle carries
+    8 bytes/row. Equivalent hand-written form: distinct + left_semi —
+    the built-in keeps the plan declarative.
+    """
+    customer = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 5000)
+        .select("c_custkey")
+    )
+    open_orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return customer.intersect(open_orders).orderBy("c_custkey")
+
+
+# --------------------------------------------------------------------------
+# q46 — UNION ALL schema conformance + aggregate  (SURVEY §2.7 U2)
+# --------------------------------------------------------------------------
+@query(
+    "q46_unified_money_flow",
+    oracle=f"""
+    SELECT src,
+           COUNT(*) AS n,
+           {r4(exact_sum_sql("amount"))} AS total
+    FROM (
+        SELECT 'order' AS src, o_totalprice AS amount FROM orders
+        UNION ALL
+        SELECT 'line' AS src, l_extendedprice AS amount FROM lineitem
+    )
+    GROUP BY src
+    ORDER BY src
+    """,
+    tags=("parity", "setop", "union"),
+)
+def q46_unified_money_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two heterogeneous sources conformed to one schema, then aggregated.
+
+    ``unionByName`` after projecting both sides to (src, amount) — the
+    standard conform-then-union shape for merging fact tables. Scale:
+    UNION ALL is a zero-shuffle concatenation of partitions; the single
+    aggregate on a 2-value key does a map-side partial combine, so the
+    exchange moves a handful of rows however large the inputs are.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.lit("order").alias("src"), F.col("o_totalprice").alias("amount")
+    )
+    lines = load_table(spark, sf_dir, "lineitem").select(
+        F.lit("line").alias("src"), F.col("l_extendedprice").alias("amount")
+    )
+    return (
+        orders.unionByName(lines)
+        .groupBy("src")
+        .agg(
+            F.count("*").alias("n"),
+            round4(exact_sum(F.col("amount"))).alias("total"),
+        )
+        .orderBy("src")
+    )
+
+
+# --------------------------------------------------------------------------
+# q47 — percent_rank  (SURVEY §2.5 analytic-rank family)
+# --------------------------------------------------------------------------
+@query(
+    "q47_balance_percentile",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           floor((PERCENT_RANK() OVER (
+               PARTITION BY c_mktsegment
+               ORDER BY c_acctbal, c_custkey
+           )) * 10000 + 0.5) / 10000 AS balance_pct
+    FROM customer
+    ORDER BY c_custkey
+    """,
+    tags=("parity", "window", "rank"),
+)
+def q47_balance_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each customer's balance percentile within their market segment.
+
+    percent_rank = (rank-1)/(n-1): pure integer inputs, so the double
+    result is bit-identical across engines — no rounding dependence on
+    accumulation order. The c_custkey tiebreak makes ranks (and
+    therefore percentiles) fully deterministic even under duplicate
+    balances. Scale: one shuffle on c_mktsegment + per-partition sort;
+    low-cardinality segment keys are the known skew case — at 100 TB
+    this flips to the q40-documented distributed-quantile path rather
+    than a 5-partition sort.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        customer.select(
+            "c_custkey",
+            "c_mktsegment",
+            round4(F.percent_rank().over(w)).alias("balance_pct"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# q48 — GROUPING SETS  (explicit set list, distinct from ROLLUP/CUBE)
+# --------------------------------------------------------------------------
+@query(
+    "q48_grouping_sets_orders",
+    oracle="""
+    SELECT COALESCE(r_name, 'ALL') AS region_name,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n_orders
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey = c_custkey
+    GROUP BY GROUPING SETS ((r_name), (o_orderpriority))
+    ORDER BY region_name, priority
+    """,
+    tags=("parity", "grouping-sets", "aggregate"),
+)
+def q48_grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order counts by region AND by priority in one scan.
+
+    Native ``DataFrame.groupingSets`` (Spark 4.0+): the join pipeline
+    runs once and both groupings share the expand + single hash
+    aggregate — versus two full scans and two shuffles for separate
+    groupBys. Scale: the dim chain (region→nation→customer) is
+    broadcast so the only wide exchange is the 2x-expanded aggregate,
+    collapsed map-side to ~30 output groups.
+    """
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = (
+        orders.join(
+            F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey")
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        joined.groupingSets(
+            [["r_name"], ["o_orderpriority"]], "r_name", "o_orderpriority"
+        )
+        .agg(F.count("*").alias("n_orders"))
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region_name"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+        )
+        .orderBy("region_name", "priority")
+    )
+
+
+# --------------------------------------------------------------------------
+# q49 — date spine + zero-fill  (sequence/explode scaffolding)
+# --------------------------------------------------------------------------
+@query(
+    "q49_daily_order_spine",
+    oracle=f"""
+    WITH b AS (
+        SELECT CAST(MIN(o_orderdate) AS DATE) AS d0,
+               CAST(MAX(o_orderdate) AS DATE) AS d1
+        FROM orders
+    ),
+    spine AS (
+        SELECT UNNEST(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+        FROM b
+    ),
+    daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               COUNT(*) AS n,
+               {r4(exact_sum_sql("o_totalprice"))} AS rev
+        FROM orders
+        GROUP BY 1
+    )
+    SELECT strftime(spine.day, '%Y-%m-%d') AS day,
+           COALESCE(n, 0) AS n_orders,
+           COALESCE(rev, 0.0) AS revenue
+    FROM spine LEFT JOIN daily ON daily.day = spine.day
+    ORDER BY day
+    """,
+    tags=("parity", "spine", "zero-fill"),
+)
+def q49_daily_order_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous daily order counts with gap days zero-filled.
+
+    The calendar spine is generated from the data itself:
+    ``sequence(min_date, max_date)`` on the 1-row bounds aggregate,
+    exploded to one row per day, then left-joined to per-day aggregates.
+    Scale: the spine is O(days) — thousands of rows for decades of data
+    — so the join broadcasts the spine against the pre-aggregated daily
+    frame (itself already collapsed map-side); the full fact table is
+    scanned exactly once, projecting two columns. NTZ timestamps make
+    CAST-to-date identical in any session timezone.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min(F.to_date("o_orderdate")).alias("d0"),
+        F.max(F.to_date("o_orderdate")).alias("d1"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day")
+    )
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count("*").alias("n"),
+        round4(exact_sum(F.col("o_totalprice"))).alias("rev"),
+    )
+    return (
+        spine.join(daily, "day", "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce(F.col("n"), F.lit(0).cast("bigint")).alias("n_orders"),
+            F.coalesce(F.col("rev"), F.lit(0.0)).alias("revenue"),
+        )
+        .orderBy("day")
+    )
+
+
+# --------------------------------------------------------------------------
+# q50 — uncorrelated scalar subquery: share of global total
+# --------------------------------------------------------------------------
+@query(
+    "q50_status_revenue_share",
+    oracle="""
+    WITH s AS (
+        SELECT o_orderstatus,
+               SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS rev_dec
+        FROM orders
+        GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus,
+           floor((CAST(rev_dec AS DOUBLE)) * 10000 + 0.5) / 10000 AS revenue,
+           floor((CAST(rev_dec AS DOUBLE)
+                  / CAST((SELECT SUM(rev_dec) FROM s) AS DOUBLE))
+                 * 10000 + 0.5) / 10000 AS share
+    FROM s
+    ORDER BY o_orderstatus
+    """,
+    tags=("parity", "subquery", "normalization"),
+)
+def q50_status_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each order status's share of total revenue (global normalization).
+
+    The uncorrelated scalar subquery ``x / (SELECT SUM(..))`` is the
+    universal normalization shape (probability mass, TF-IDF corpus
+    totals, traffic share). Spark form: aggregate once per status, then
+    a partition-less window sum over the already-aggregated frame — the
+    grand total is computed from ~3 rows, not by re-scanning the fact
+    table, and no driver-side collect is involved. Exact decimal sums on
+    both levels make numerator and denominator bit-identical across
+    engines before the double divide.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    per_status = orders.groupBy("o_orderstatus").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(30,6)")).alias("rev_dec")
+    )
+    total = F.sum("rev_dec").over(Window.partitionBy())
+    return (
+        per_status.select(
+            "o_orderstatus",
+            round4(F.col("rev_dec").cast("double")).alias("revenue"),
+            round4(
+                F.col("rev_dec").cast("double") / total.cast("double")
+            ).alias("share"),
+        )
+        .orderBy("o_orderstatus")
+    )

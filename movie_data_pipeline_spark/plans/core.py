@@ -36,6 +36,25 @@ def r4(expr: str) -> str:
     return f"floor(({expr}) * 10000 + 0.5) / 10000"
 
 
+def exact_sum(col: Column) -> Column:
+    """Order-independent cross-engine SUM for double measures.
+
+    A plain double SUM accumulates in engine- and partition-order; on
+    large groups the engines drift by ~1e-5 absolute — enough to land on
+    opposite sides of a round4 boundary (observed on 6e9-magnitude
+    revenue sums at sf0.1). Casting each term to DECIMAL(30,6) first
+    makes the aggregation exact integer arithmetic (identical in any
+    order on both engines); the result returns to double via a correctly
+    rounded conversion of the same exact decimal.
+    """
+    return F.sum(col.cast("decimal(30,6)")).cast("double")
+
+
+def exact_sum_sql(expr: str) -> str:
+    """DuckDB-side mirror of :func:`exact_sum`."""
+    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(30,6))) AS DOUBLE)"
+
+
 @dataclass(frozen=True)
 class QuerySpec:
     name: str

@@ -31,7 +31,7 @@ from movie_data_pipeline_spark.functions.titles import (
     normalize_title,
     release_year,
 )
-from movie_data_pipeline_spark.plans.core import query, r4, round4
+from movie_data_pipeline_spark.plans.core import exact_sum, query, r4, round4
 from movie_data_pipeline_spark.sources.registry import load_table
 
 
@@ -75,7 +75,7 @@ def q01_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT r_name,
            COUNT(*) AS n_orders,
-           floor((SUM(o_totalprice)) * 10000 + 0.5) / 10000 AS total_revenue,
+           floor((CAST(SUM(CAST((o_totalprice) AS DECIMAL(30,6))) AS DOUBLE)) * 10000 + 0.5) / 10000 AS total_revenue,
            floor((AVG(o_totalprice)) * 10000 + 0.5) / 10000 AS avg_order_value
     FROM region
     JOIN nation   ON n_regionkey = r_regionkey
@@ -106,7 +106,7 @@ def q02_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name")
         .agg(
             F.count("*").alias("n_orders"),
-            round4(F.sum("o_totalprice")).alias("total_revenue"),
+            round4(exact_sum(F.col("o_totalprice"))).alias("total_revenue"),
             round4(F.avg("o_totalprice")).alias("avg_order_value"),
         )
         .orderBy("r_name")
@@ -570,7 +570,7 @@ def q14_coerce_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_mktsegment,
            COUNT(*) AS n_lineitems,
-           floor((SUM(l_extendedprice * (1 - l_discount))) * 10000 + 0.5) / 10000 AS revenue
+           floor((CAST(SUM(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(30,6))) AS DOUBLE)) * 10000 + 0.5) / 10000 AS revenue
     FROM customer
     JOIN orders   ON o_custkey = c_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -596,7 +596,7 @@ def q15_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_lineitems"),
-            round4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            round4(exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
                 "revenue"
             ),
         )
@@ -611,10 +611,10 @@ def q15_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q16_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           floor((SUM(l_quantity)) * 10000 + 0.5) / 10000 AS sum_qty,
-           floor((SUM(l_extendedprice)) * 10000 + 0.5) / 10000 AS sum_base_price,
-           floor((SUM(l_extendedprice * (1 - l_discount))) * 10000 + 0.5) / 10000 AS sum_disc_price,
-           floor((SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 10000 + 0.5) / 10000 AS sum_charge,
+           floor((CAST(SUM(CAST((l_quantity) AS DECIMAL(30,6))) AS DOUBLE)) * 10000 + 0.5) / 10000 AS sum_qty,
+           floor((CAST(SUM(CAST((l_extendedprice) AS DECIMAL(30,6))) AS DOUBLE)) * 10000 + 0.5) / 10000 AS sum_base_price,
+           floor((CAST(SUM(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(30,6))) AS DOUBLE)) * 10000 + 0.5) / 10000 AS sum_disc_price,
+           floor((CAST(SUM(CAST((l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS DECIMAL(30,6))) AS DOUBLE)) * 10000 + 0.5) / 10000 AS sum_charge,
            floor((AVG(l_quantity)) * 10000 + 0.5) / 10000 AS avg_qty,
            floor((AVG(l_extendedprice)) * 10000 + 0.5) / 10000 AS avg_price,
            floor((AVG(l_discount)) * 10000 + 0.5) / 10000 AS avg_disc,
@@ -641,10 +641,10 @@ def q16_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            round4(F.sum("l_quantity")).alias("sum_qty"),
-            round4(F.sum("l_extendedprice")).alias("sum_base_price"),
-            round4(F.sum(disc_price)).alias("sum_disc_price"),
-            round4(F.sum(disc_price * (1 + F.col("l_tax")))).alias("sum_charge"),
+            round4(exact_sum(F.col("l_quantity"))).alias("sum_qty"),
+            round4(exact_sum(F.col("l_extendedprice"))).alias("sum_base_price"),
+            round4(exact_sum(disc_price)).alias("sum_disc_price"),
+            round4(exact_sum(disc_price * (1 + F.col("l_tax")))).alias("sum_charge"),
             round4(F.avg("l_quantity")).alias("avg_qty"),
             round4(F.avg("l_extendedprice")).alias("avg_price"),
             round4(F.avg("l_discount")).alias("avg_disc"),
@@ -662,7 +662,7 @@ def q16_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT n_name,
            COUNT(*) AS n_lineitems,
-           floor((SUM(l_extendedprice * (1 - l_discount))) * 10000 + 0.5) / 10000
+           floor((CAST(SUM(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(30,6))) AS DOUBLE)) * 10000 + 0.5) / 10000
                AS revenue
     FROM customer
     JOIN orders   ON o_custkey = c_custkey
@@ -699,7 +699,7 @@ def q28_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.count("*").alias("n_lineitems"),
-            round4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            round4(exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
                 "revenue"
             ),
         )
@@ -748,7 +748,7 @@ def q30_priority_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFra
     SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
            COALESCE(l_linestatus, 'ALL') AS linestatus,
            COUNT(*) AS n,
-           floor((SUM(l_extendedprice)) * 10000 + 0.5) / 10000 AS revenue
+           floor((CAST(SUM(CAST((l_extendedprice) AS DECIMAL(30,6))) AS DOUBLE)) * 10000 + 0.5) / 10000 AS revenue
     FROM lineitem
     GROUP BY ROLLUP(l_returnflag, l_linestatus)
     ORDER BY returnflag, linestatus
@@ -766,7 +766,7 @@ def q31_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineitem.rollup("l_returnflag", "l_linestatus")
         .agg(
             F.count("*").alias("n"),
-            round4(F.sum("l_extendedprice")).alias("revenue"),
+            round4(exact_sum(F.col("l_extendedprice"))).alias("revenue"),
         )
         .select(
             F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
@@ -881,7 +881,7 @@ def q33_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
            MIN(ts) AS session_start,
            MAX(ts) AS session_end,
            COUNT(*) AS n_events,
-           floor((SUM(value)) * 10000 + 0.5) / 10000 AS total_value
+           floor((CAST(SUM(CAST((value) AS DECIMAL(30,6))) AS DOUBLE)) * 10000 + 0.5) / 10000 AS total_value
     FROM numbered
     GROUP BY user_id, session_id
     ORDER BY user_id, session_id
@@ -935,7 +935,7 @@ def q34_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
             F.count("*").alias("n_events"),
-            round4(F.sum("value")).alias("total_value"),
+            round4(exact_sum(F.col("value"))).alias("total_value"),
         )
         .orderBy("user_id", "session_id")
     )
