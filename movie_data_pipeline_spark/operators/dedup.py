@@ -83,6 +83,7 @@ def jaccard_pairs(
     n: int = 3,
     threshold: float = 0.2,
     max_shingle_df: int | None = None,
+    persist: bool = True,
 ) -> DataFrame:
     """Document pairs with n-gram Jaccard similarity ≥ threshold.
 
@@ -92,6 +93,15 @@ def jaccard_pairs(
     at scale a handful of stop-shingles would otherwise dominate the
     join output quadratically (classic skew; this cap is the standard
     web-dedup mitigation and AQE skew-join covers the residue).
+
+    ``persist`` caches the filtered shingle frame (MEMORY_AND_DISK):
+    four consumers reference it (both self-join sides, the df-cap
+    aggregate, the size aggregate), and without a cache Catalyst inlines
+    the scan+regex+explode subtree into each — 8 source scans at plan
+    level. Re-shingling a 100 TB corpus repeatedly costs far more than
+    spilling the exploded frame once. The cache lives until evicted
+    (LRU) or the session ends; pass ``persist=False`` for one-shot
+    plans that must not hold block-manager state.
     """
     sh = doc_shingles(df, id_col, text_col, n).alias("sh")
     if max_shingle_df is not None:
@@ -102,6 +112,10 @@ def jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(rare, "shingle")
+    if persist:
+        from pyspark import StorageLevel
+
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
 
     a, b = sh.alias("a"), sh.alias("b")

@@ -522,3 +522,194 @@ def q50_status_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# --------------------------------------------------------------------------
+# q51 — SCD type-2 interval build  (change-point → version → valid_from/to)
+# --------------------------------------------------------------------------
+@query(
+    "q51_user_type_history",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM event_type
+                    THEN 1 ELSE 0 END AS chg
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    seg AS (
+        SELECT user_id, ts, event_type,
+               SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS version
+        FROM ordered
+    ),
+    spans AS (
+        SELECT user_id,
+               CAST(version AS BIGINT) AS version,
+               event_type,
+               MIN(ts) AS valid_from,
+               COUNT(*) AS n_events
+        FROM seg
+        GROUP BY user_id, version, event_type
+    )
+    SELECT user_id, version, event_type, valid_from,
+           LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+               AS valid_to,
+           n_events
+    FROM spans
+    ORDER BY user_id, version
+    """,
+    tags=("parity", "scd2", "window"),
+)
+def q51_user_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history of each user's event type.
+
+    The standard warehouse versioning build: detect change points with
+    lag, turn them into version numbers with a running sum, collapse
+    runs to [valid_from, valid_to) intervals with lead — the same
+    islands-and-gaps machinery as q34's sessionization, producing a
+    queryable history table instead of sessions. The open (current)
+    interval has valid_to NULL. Scale: three window passes share one
+    shuffle + sort on user_id (Catalyst reuses the partitioning; the
+    final lead runs on the already-collapsed spans frame, orders of
+    magnitude smaller than the input). No self-join, no driver loops.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = F.when(
+        ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+    ).otherwise(0)
+    seg = events.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.sum(chg)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("version"),
+    )
+    spans = seg.groupBy("user_id", "version", "event_type").agg(
+        F.min("ts").alias("valid_from"),
+        F.count("*").alias("n_events"),
+    )
+    wv = Window.partitionBy("user_id").orderBy("version")
+    return (
+        spans.select(
+            "user_id",
+            "version",
+            "event_type",
+            "valid_from",
+            F.lead("valid_from").over(wv).alias("valid_to"),
+            "n_events",
+        )
+        .orderBy("user_id", "version")
+    )
+
+
+# --------------------------------------------------------------------------
+# q52 — null-safe equality join  (<=> / IS NOT DISTINCT FROM)
+# --------------------------------------------------------------------------
+@query(
+    "q52_nullsafe_nation_pairs",
+    oracle="""
+    SELECT COALESCE(NULLIF(c.c_nationkey, 0), -1) AS nation_bucket,
+           COUNT(*) AS n_pairs
+    FROM customer c
+    JOIN supplier s
+      ON NULLIF(c.c_nationkey, 0) IS NOT DISTINCT FROM NULLIF(s.s_nationkey, 0)
+    GROUP BY nation_bucket
+    ORDER BY nation_bucket
+    """,
+    tags=("parity", "join", "null-safe"),
+)
+def q52_nullsafe_nation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-supplier pairs joined null-safely on a nullable key.
+
+    NULLIF derives a genuinely nullable key (nation 0 → NULL on both
+    sides); the null-safe equality ``<=>`` (SQL: IS NOT DISTINCT FROM)
+    matches NULL with NULL — a plain equi-join would silently drop that
+    entire bucket. Spark keeps ``eqNullSafe`` hash-joinable (NULL hashes
+    to a regular bucket), so this stays a broadcast/shuffled hash join,
+    not the nested-loop fallback a ``OR (a IS NULL AND b IS NULL)``
+    rewrite would force. Scale caveat documented: a null-safe key
+    funnels ALL nulls to one partition — the q-series skew toolkit
+    (operators/skew.py) applies when the null fraction is material.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    ck = F.nullif(F.col("c_nationkey"), F.lit(0))
+    sk = F.nullif(F.col("s_nationkey"), F.lit(0))
+    return (
+        customer.withColumn("ck", ck)
+        .join(
+            F.broadcast(supplier.withColumn("sk", sk)),
+            F.col("ck").eqNullSafe(F.col("sk")),
+        )
+        .groupBy(F.coalesce(F.col("ck"), F.lit(-1)).alias("nation_bucket"))
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("nation_bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# q53 — fuzzy string-similarity join with blocking  (levenshtein)
+# --------------------------------------------------------------------------
+@query(
+    "q53_fuzzy_part_names",
+    oracle="""
+    SELECT a.p_brand,
+           a.p_name AS name_a,
+           b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+           COUNT(*) AS n_pairs
+    FROM part a
+    JOIN part b
+      ON a.p_brand = b.p_brand
+     AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 2
+    GROUP BY a.p_brand, name_a, name_b, dist
+    ORDER BY a.p_brand, name_a, name_b
+    """,
+    tags=("parity", "fuzzy-join", "blocking"),
+)
+def q53_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-identical part names within a brand (edit distance 1-2).
+
+    Fuzzy entity matching with blocking: the equi-join on p_brand is the
+    blocking key, so the quadratic levenshtein comparison runs only
+    within brand buckets — never as a global cross join (the audit tool
+    would flag CartesianProduct). Distance 0 (exact duplicates) is
+    excluded; that's q17's exact-dedup domain. Scale: cost is
+    sum(block²); for skewed blocks the standard fix is a second blocking
+    key (name prefix) — composable here by adding it to the join keys.
+    Spark and DuckDB both implement standard Levenshtein, so distances
+    compare exactly.
+    """
+    part = load_table(spark, sf_dir, "part")
+    a = part.select(
+        F.col("p_brand"),
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+    )
+    b = part.select(
+        F.col("p_brand").alias("brand_b"),
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(
+            b,
+            (F.col("p_brand") == F.col("brand_b"))
+            & (F.col("key_a") < F.col("key_b")),
+        )
+        .filter(dist.between(1, 2))
+        .groupBy(
+            "p_brand",
+            "name_a",
+            "name_b",
+            dist.cast("bigint").alias("dist"),
+        )
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("p_brand", "name_a", "name_b")
+    )
