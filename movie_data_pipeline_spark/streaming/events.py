@@ -14,7 +14,11 @@ Operators:
   dedup;
 - ``sessionize`` — custom stateful operator (gap-based sessions) via
   ``applyInPandasWithState``: the case built-ins genuinely cannot
-  express (per-key gap timeout emitting closed sessions).
+  express (per-key gap timeout emitting closed sessions);
+- ``sliding_event_stats_stream`` — overlapping sliding windows;
+- ``click_purchase_join_stream`` — watermarked stream-stream interval
+  join (attribution shape, bounded state);
+- ``enriched_event_stream`` — stream-static broadcast lookup join.
 """
 
 from __future__ import annotations
@@ -79,6 +83,99 @@ def hourly_event_stats_stream(events: DataFrame, watermark: str = "2 hours") -> 
             F.avg("value").alias("avg_value"),
         )
         .select(F.col("w.start").alias("ts_hour"), "n_events", "avg_value")
+    )
+
+
+def sliding_event_stats_stream(
+    events: DataFrame,
+    watermark: str = "2 hours",
+    window_len: str = "1 hour",
+    slide: str = "30 minutes",
+) -> DataFrame:
+    """Sliding-window event stats (overlapping windows).
+
+    Each event lands in ``window_len / slide`` windows; Spark expands it
+    to those window keys before the same watermarked aggregate as the
+    tumbling path. Scale: state rows = windows in flight x window keys,
+    bounded by the watermark; the expansion factor (here 2x) is the knob
+    to watch at 100 TB — prefer the longest slide the product tolerates.
+    Works identically in batch (``F.window`` is batch-legal), which is
+    what the twin test asserts.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_len, slide).alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.avg("value").alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+def click_purchase_join_stream(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    max_lag_minutes: int = 30,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: purchases within N minutes after a click
+    by the same user — the attribution-join shape.
+
+    Both sides carry watermarks and the join condition bounds event time
+    on both ends, so Spark can expire buffered state: a click is held at
+    most ``watermark + max_lag`` past its event time, a purchase at most
+    ``watermark``. Without the time-range predicate the state would grow
+    unboundedly — the planner rejects it in append mode for exactly that
+    reason. Scale: state is partitioned by user_id (the equi-key); the
+    batch twin is q36's range join (bucket + refine), and the twin test
+    holds this output equal to a plain batch join with the same
+    predicate.
+    """
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    lag = F.expr(f"INTERVAL {int(max_lag_minutes)} MINUTES")
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + lag),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
+    )
+
+
+def enriched_event_stream(events: DataFrame, type_dim: DataFrame) -> DataFrame:
+    """Stream-static join: enrich the stream with a dimension table.
+
+    The static side is planned per micro-batch (picking up dim updates
+    between batches) and broadcast when small — no watermark needed
+    because static rows never expire. This is the streaming form of the
+    reference's lookup-enrichment step (SURVEY §2.3 J1). Output stays
+    append-only: no aggregate, so every input row maps to exactly one
+    output row.
+    """
+    return events.join(F.broadcast(type_dim), "event_type").select(
+        "event_id", "ts", "user_id", "event_type", "type_category", "value"
     )
 
 

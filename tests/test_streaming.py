@@ -9,8 +9,11 @@ from pyspark.sql import functions as F
 
 from movie_data_pipeline_spark.plans import REGISTRY
 from movie_data_pipeline_spark.streaming import (
+    click_purchase_join_stream,
+    enriched_event_stream,
     hourly_event_stats_stream,
     sessionize,
+    sliding_event_stats_stream,
     stream_dedup,
     stream_events,
 )
@@ -75,3 +78,114 @@ def test_sessionize_stateful(spark):
     # at sf0.001 events span 30 days over ~50 users with 60-min gaps →
     # many closed sessions must have been emitted during the run
     assert len(rows) > 10
+
+
+def test_sliding_window_equals_batch(spark):
+    stream = stream_events(spark, TESTDATA_SF_DIR)
+    agg = sliding_event_stats_stream(stream)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sliding")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.win_start, r.win_end): (r.n_events, round(r.avg_value, 6))
+        for r in spark.table("sliding").collect()
+    }
+    # batch twin: F.window is batch-legal with identical semantics
+    batch_events = stream_events_batch_twin(spark)
+    want = {
+        (r.win_start, r.win_end): (r.n_events, round(r.avg_value, 6))
+        for r in (
+            batch_events.groupBy(
+                F.window("ts", "1 hour", "30 minutes").alias("w")
+            )
+            .agg(F.count("*").alias("n_events"), F.avg("value").alias("avg_value"))
+            .select(
+                F.col("w.start").alias("win_start"),
+                F.col("w.end").alias("win_end"),
+                "n_events",
+                "avg_value",
+            )
+            .collect()
+        )
+    }
+    assert got == want
+    # every event lands in exactly window_len/slide = 2 windows
+    n_events = batch_events.count()
+    assert sum(v[0] for v in got.values()) == 2 * n_events
+
+
+def stream_events_batch_twin(spark):
+    """Batch frame with the exact columns/types stream_events emits."""
+    from movie_data_pipeline_spark.schemas import TESTDATA_SCHEMAS
+    from movie_data_pipeline_spark.sources.registry import table_path
+
+    raw = spark.read.schema(TESTDATA_SCHEMAS["events"]).parquet(
+        table_path(TESTDATA_SF_DIR, "events")
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def test_stream_stream_join_equals_batch(spark):
+    stream = stream_events(spark, TESTDATA_SF_DIR)
+    clicks = stream.filter(F.col("event_type") == "click")
+    purchases = stream_events(spark, TESTDATA_SF_DIR).filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = click_purchase_join_stream(clicks, purchases, max_lag_minutes=30)
+    out = _run_available_now(joined, "attribution", spark)
+
+    b = stream_events_batch_twin(spark)
+    bc = b.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    bp = b.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    want = (
+        bc.join(
+            bp,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")
+            ),
+        )
+        .select("click_id", "purchase_id")
+        .collect()
+    )
+    got = {(r.click_id, r.purchase_id) for r in out.collect()}
+    assert got == {(r.click_id, r.purchase_id) for r in want}
+    assert len(got) > 0  # the synthetic stream must actually exercise it
+
+
+def test_stream_static_enrichment(spark):
+    stream = stream_events(spark, TESTDATA_SF_DIR)
+    type_dim = spark.createDataFrame(
+        [
+            ("click", "engagement"),
+            ("view", "engagement"),
+            ("purchase", "conversion"),
+            ("signup", "conversion"),
+            ("error", "ops"),
+        ],
+        ["event_type", "type_category"],
+    )
+    out = _run_available_now(
+        enriched_event_stream(stream, type_dim), "enriched", spark
+    )
+    b = stream_events_batch_twin(spark)
+    # inner join: only dim-covered types pass through, each exactly once
+    want = b.join(type_dim, "event_type").count()
+    assert out.count() == want
+    cats = {r.type_category for r in out.select("type_category").distinct().collect()}
+    assert cats <= {"engagement", "conversion", "ops"}
