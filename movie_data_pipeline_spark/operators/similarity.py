@@ -148,3 +148,130 @@ def cosine_topk_lsh(
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
         F.col("rank") <= k
     )
+
+def cell_centroids(
+    assigned: DataFrame,
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """(cell, centroid array): per-cell mean vectors, fully relational.
+
+    posexplode → avg per (cell, dim) → re-assemble the array ordered by
+    dim. This is the IVF codebook-refresh step (one Lloyd half-step).
+    Scale: one shuffle on (cell, dim); output is cells x dim values —
+    always tiny next to the corpus, hence broadcastable downstream.
+    """
+    exploded = assigned.select(
+        F.col(cell_col).alias("cell"),
+        F.posexplode(vec_col).alias("dim_idx", "v"),
+    )
+    per_dim = exploded.groupBy("cell", "dim_idx").agg(
+        F.avg(F.col("v").cast("double")).alias("c")
+    )
+    return (
+        per_dim.groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("dim_idx", "c"))).alias("pairs"))
+        .select(
+            "cell",
+            F.transform(F.col("pairs"), lambda p: p.getField("c")).alias("centroid"),
+        )
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus with a ``cell`` column: Voronoi assignment to seed vectors.
+
+    Seeds are the ``n_cells`` corpus vectors with the lowest md5(id) —
+    a deterministic pseudo-random draw (id order would be biased: data
+    is often written clustered, and adjacent ids would seed one region).
+    No RNG state, no iterative trainer (a k-means codebook can be
+    swapped in; the assignment shape is identical). Each vector goes to the seed
+    with the highest cosine. Scale: seeds are broadcast (n_cells x dim),
+    the corpus is scanned once, and the argmax is a per-row expression —
+    no shuffle at all; at deployment, write the result bucketed by cell
+    so probe joins are exchange-free.
+    """
+    seeds = (
+        corpus.orderBy(F.md5(F.col(id_col).cast("string")), id_col)
+        .limit(n_cells)
+        .select(
+            F.col(id_col).alias("seed_id"), F.col(vec_col).alias("seed_vec")
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("seed_sim"), F.asc("seed_rank"))
+    ranked_seeds = seeds.select(
+        F.col("seed_vec"),
+        (F.row_number().over(Window.orderBy("seed_id")) - 1).alias("seed_rank"),
+    )
+    return (
+        spread(corpus)
+        .crossJoin(F.broadcast(ranked_seeds))
+        .withColumn("seed_sim", cosine(F.col(vec_col), F.col("seed_vec")))
+        .withColumn("pick", F.row_number().over(w))
+        .filter(F.col("pick") == 1)
+        .select(*corpus.columns, F.col("seed_rank").alias("cell"))
+    )
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k via IVF (inverted-file) cell search.
+
+    The corpus is Voronoi-partitioned into ``n_cells`` cells
+    (``ivf_assign``); each query scores the cell centroids and probes
+    only its ``nprobe`` best cells, comparing against the inverted list
+    of those cells — the scan shrinks ~n_cells/nprobe-fold versus brute
+    force. nprobe = n_cells degenerates to exact search (asserted in
+    tests). Scale: centroids broadcast for probing; the candidate join
+    is a shuffle equi-join on cell — never a cross join against the full
+    corpus. Recall depends on how clustered the data is; the planted-
+    cluster test pins it ≥ 0.9 where real structure exists.
+    """
+    assigned = ivf_assign(corpus, n_cells, id_col, vec_col)
+    cents = cell_centroids(assigned, vec_col)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cell_sim"), F.asc("cell"))
+    probed = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "q_vec",
+            "cell",
+            cosine(F.col("q_vec"), F.col("centroid")).alias("cell_sim"),
+        )
+        .withColumn("cell_rank", F.row_number().over(wq))
+        .filter(F.col("cell_rank") <= nprobe)
+        .select("query_id", "q_vec", "cell")
+    )
+    c = assigned.select(
+        F.col("cell"),
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+    )
+    scored = (
+        c.join(F.broadcast(probed), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= k
+    )
