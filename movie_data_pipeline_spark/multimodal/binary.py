@@ -7,10 +7,11 @@ never a row-at-a-time UDF); metadata travels in typed columns next to
 the blob so filters/pruning stay JVM-side.
 
 The actual codecs (PIL/ffmpeg/librosa) are NOT in this container, so
-``decode_image``/``sample_frames`` are STUBS raising NotImplementedError
-with the integration point documented; everything Spark-side — schema,
+``decode_image``/``sample_frames`` take an injected ``decoder``/
+``sampler`` callable (default ``None`` raises NotImplementedError with
+the integration point documented); everything Spark-side — schema,
 batching, partitioning, UDF signatures, deterministic feature math — is
-real and tested.
+real and exercised in tests through deterministic fake codecs.
 """
 
 from __future__ import annotations
@@ -20,8 +21,10 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
     DoubleType,
+    FloatType,
     IntegerType,
     LongType,
     StringType,
@@ -109,30 +112,100 @@ def blob_features(blobs: DataFrame, batch_hint: int = 0) -> DataFrame:
     return spread(blobs).mapInPandas(extract, schema=FEATURE_SCHEMA)
 
 
-def decode_image(blobs: DataFrame, target_size: tuple[int, int] = (224, 224)) -> DataFrame:
-    """STUB — image decode/resize to fixed-size float arrays.
+DECODED_IMAGE_SCHEMA = StructType(
+    [
+        StructField("blob_id", LongType()),
+        StructField("height", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("pixels", ArrayType(FloatType())),
+    ]
+)
 
-    Integration point: replace ``_decode`` with PIL/turbojpeg inside the
-    same mapInPandas shape as :func:`blob_features` (schema:
-    blob_id LONG, pixels ARRAY<FLOAT>, height INT, width INT). The
-    container ships no image codecs, so this raises by design.
+FRAME_SCHEMA = StructType(
+    [
+        StructField("blob_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_ts", DoubleType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def decode_image(
+    blobs: DataFrame,
+    target_size: tuple[int, int] = (224, 224),
+    decoder=None,
+) -> DataFrame:
+    """Image decode/resize to fixed-size float arrays — codec injected.
+
+    ``decoder(payload: bytes, target_size) -> (height, width,
+    list[float])`` is the only codec-specific piece; everything
+    Spark-side (Arrow-batched mapInPandas, output schema, map-only
+    no-shuffle plan) is real and runs in tests via a deterministic fake
+    decoder. The container ships no image codecs, so the default
+    ``decoder=None`` raises with the integration point documented —
+    wire PIL/turbojpeg here in a real deployment.
     """
-    raise NotImplementedError(
-        "image codecs are not available in this environment; wire a "
-        "decoder into the blob_features mapInPandas pattern "
-        "(multimodal/binary.py)"
-    )
+    if decoder is None:
+        raise NotImplementedError(
+            "image codecs are not available in this environment; pass "
+            "decoder= (e.g. PIL-based) into the mapInPandas plumbing "
+            "(multimodal/binary.py)"
+        )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples():
+                h, w, px = decoder(bytes(r.content), target_size)
+                out.append(
+                    {"blob_id": r.blob_id, "height": h, "width": w, "pixels": px}
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in DECODED_IMAGE_SCHEMA.fields]
+            )
+
+    return spread(blobs).mapInPandas(run, schema=DECODED_IMAGE_SCHEMA)
 
 
-def sample_frames(blobs: DataFrame, every_n_seconds: float = 1.0) -> DataFrame:
-    """STUB — video frame sampling (one row per sampled frame).
+def sample_frames(
+    blobs: DataFrame,
+    every_n_seconds: float = 1.0,
+    sampler=None,
+) -> DataFrame:
+    """Video frame sampling (one row per sampled frame) — codec injected.
 
-    Integration point: ffmpeg/pyav inside mapInPandas, exploding each
-    video blob into (blob_id, frame_idx, frame_ts, frame binary) rows;
-    partitioning stays by blob so one worker decodes one video at a
-    time. Raises by design in this environment.
+    ``sampler(payload: bytes, every_n_seconds) -> iterable[(frame_idx,
+    frame_ts, frame_bytes)]`` is the codec hook (ffmpeg/pyav in a real
+    deployment); the Spark side explodes each video blob into frame rows
+    inside mapInPandas, keeping partitioning by blob so one worker
+    decodes one video at a time. Default ``sampler=None`` raises: no
+    video codecs ship in this container.
     """
-    raise NotImplementedError(
-        "video codecs are not available in this environment; wire a "
-        "frame sampler into the mapInPandas pattern (multimodal/binary.py)"
-    )
+    if sampler is None:
+        raise NotImplementedError(
+            "video codecs are not available in this environment; pass "
+            "sampler= — the frame sampler plugs into the mapInPandas "
+            "pattern (multimodal/binary.py)"
+        )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples():
+                for idx, ts, frame in sampler(bytes(r.content), every_n_seconds):
+                    out.append(
+                        {
+                            "blob_id": r.blob_id,
+                            "frame_idx": idx,
+                            "frame_ts": ts,
+                            "frame": frame,
+                        }
+                    )
+            yield pd.DataFrame(out, columns=[f.name for f in FRAME_SCHEMA.fields])
+
+    return spread(blobs).mapInPandas(run, schema=FRAME_SCHEMA)

@@ -190,32 +190,33 @@ def ivf_assign(
     a deterministic pseudo-random draw (id order would be biased: data
     is often written clustered, and adjacent ids would seed one region).
     No RNG state, no iterative trainer (a k-means codebook can be
-    swapped in; the assignment shape is identical). Each vector goes to the seed
-    with the highest cosine. Scale: seeds are broadcast (n_cells x dim),
-    the corpus is scanned once, and the argmax is a per-row expression —
-    no shuffle at all; at deployment, write the result bucketed by cell
-    so probe joins are exchange-free.
+    swapped in; the assignment shape is identical). Each vector goes to
+    the seed with the highest cosine (ties → lowest seed index).
+
+    Scale: the codebook is collected to the driver — n_cells x dim
+    floats, constant-size metadata exactly like any IVF codebook, NOT a
+    data collect — and compiled into a per-row argmax expression, so
+    assignment is a map-only plan: the corpus is scanned once, nothing
+    shuffles. (The earlier cross-join + window formulation shuffled
+    corpus x n_cells rows just to pick an argmax.) At deployment, write
+    the result bucketed by cell so probe joins are exchange-free.
     """
-    seeds = (
+    seed_rows = (
         corpus.orderBy(F.md5(F.col(id_col).cast("string")), id_col)
         .limit(n_cells)
-        .select(
-            F.col(id_col).alias("seed_id"), F.col(vec_col).alias("seed_vec")
-        )
+        .select(F.col(vec_col).alias("seed_vec"))
+        .collect()
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("seed_sim"), F.asc("seed_rank"))
-    ranked_seeds = seeds.select(
-        F.col("seed_vec"),
-        (F.row_number().over(Window.orderBy("seed_id")) - 1).alias("seed_rank"),
-    )
-    return (
-        spread(corpus)
-        .crossJoin(F.broadcast(ranked_seeds))
-        .withColumn("seed_sim", cosine(F.col(vec_col), F.col("seed_vec")))
-        .withColumn("pick", F.row_number().over(w))
-        .filter(F.col("pick") == 1)
-        .select(*corpus.columns, F.col("seed_rank").alias("cell"))
-    )
+    candidates = []
+    for i, row in enumerate(seed_rows):
+        seed_lit = F.array(*[F.lit(float(v)) for v in row.seed_vec])
+        sim = cosine(F.col(vec_col), seed_lit)
+        # struct compares lexicographically: sim first, then -index, so
+        # array_max picks the highest sim and breaks ties toward the
+        # LOWEST seed index.
+        candidates.append(F.struct(sim.alias("s"), F.lit(-i).alias("ni")))
+    best_cell = (-F.array_max(F.array(*candidates)).getField("ni")).cast("int")
+    return spread(corpus).withColumn("cell", best_cell)
 
 
 def cosine_topk_ivf(

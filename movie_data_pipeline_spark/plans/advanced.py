@@ -713,3 +713,129 @@ def q53_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_pairs"))
         .orderBy("p_brand", "name_a", "name_b")
     )
+
+
+# --------------------------------------------------------------------------
+# q54/q55 — bag-semantics set ops  (EXCEPT ALL / INTERSECT ALL)
+# --------------------------------------------------------------------------
+@query(
+    "q54_open_minus_finished_custkeys",
+    oracle="""
+    SELECT c, COUNT(*) AS n
+    FROM (
+        SELECT o_custkey AS c FROM orders WHERE o_orderstatus = 'O'
+        EXCEPT ALL
+        SELECT o_custkey AS c FROM orders WHERE o_orderstatus = 'F'
+    )
+    GROUP BY c
+    ORDER BY c
+    """,
+    tags=("parity", "setop", "except-all"),
+)
+def q54_open_minus_finished_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset difference: open-order multiplicity minus finished-order
+    multiplicity per customer.
+
+    EXCEPT ALL subtracts occurrence counts (bag semantics) — a customer
+    with 5 open and 2 finished orders survives 3 times, where EXCEPT
+    (q11) would drop them entirely. ``DataFrame.exceptAll`` plans this
+    as a counted aggregate + generate, one shuffle on the key — there is
+    no row-pairing join. The trailing aggregate makes the bag observable
+    as (key, multiplicity) for a stable comparison.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    opened = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("c")
+    )
+    finished = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c")
+    )
+    return (
+        opened.exceptAll(finished)
+        .groupBy("c")
+        .agg(F.count("*").alias("n"))
+        .orderBy("c")
+    )
+
+
+@query(
+    "q55_open_and_finished_custkeys",
+    oracle="""
+    SELECT c, COUNT(*) AS n
+    FROM (
+        SELECT o_custkey AS c FROM orders WHERE o_orderstatus = 'O'
+        INTERSECT ALL
+        SELECT o_custkey AS c FROM orders WHERE o_orderstatus = 'F'
+    )
+    GROUP BY c
+    ORDER BY c
+    """,
+    tags=("parity", "setop", "intersect-all"),
+)
+def q55_open_and_finished_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset intersection: min(open, finished) multiplicity per
+    customer — the bag twin of q45's INTERSECT."""
+    orders = load_table(spark, sf_dir, "orders")
+    opened = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("c")
+    )
+    finished = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c")
+    )
+    return (
+        opened.intersectAll(finished)
+        .groupBy("c")
+        .agg(F.count("*").alias("n"))
+        .orderBy("c")
+    )
+
+
+# --------------------------------------------------------------------------
+# q56 — first_value / last_value over an unbounded frame
+# --------------------------------------------------------------------------
+@query(
+    "q56_first_last_order_price",
+    oracle="""
+    SELECT DISTINCT o_custkey,
+           FIRST_VALUE(o_totalprice) OVER w AS first_price,
+           LAST_VALUE(o_totalprice) OVER w AS last_price,
+           COUNT(*) OVER w AS n_orders
+    FROM orders
+    WINDOW w AS (
+        PARTITION BY o_custkey
+        ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+    )
+    ORDER BY o_custkey
+    """,
+    tags=("parity", "window", "first-last"),
+)
+def q56_first_last_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each customer's first and last order price (chronological).
+
+    first_value/last_value over an explicitly UNBOUNDED frame — the
+    default window frame ends at CURRENT ROW, which silently turns
+    last_value into "current value"; pinning the frame is the classic
+    correctness trap this query documents. Values are picked, not
+    accumulated, so doubles compare exactly with no rounding. DISTINCT
+    collapses the per-row window output to one row per customer; Spark
+    plans it as an aggregate on the already-shuffled frame. (min_by/
+    max_by express the same thing aggregate-side; the window form is
+    the operator under test.)
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            F.first("o_totalprice").over(w).alias("first_price"),
+            F.last("o_totalprice").over(w).alias("last_price"),
+            F.count("*").over(w).alias("n_orders"),
+        )
+        .distinct()
+        .orderBy("o_custkey")
+    )

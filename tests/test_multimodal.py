@@ -41,3 +41,45 @@ def test_stubs_raise_with_integration_pointer(blobs):
         decode_image(blobs)
     with pytest.raises(NotImplementedError, match="frame sampler"):
         sample_frames(blobs)
+
+
+def _fake_decoder(payload: bytes, target_size):
+    """Deterministic stand-in for an image codec: bytes → fixed-size
+    grayscale 'pixels' by tiling the payload, normalized to [0,1]."""
+    h, w = 4, 4  # tiny fixed target for tests
+    n = h * w
+    src = payload if payload else b"\x00"
+    tiled = (src * (n // len(src) + 1))[:n]
+    return h, w, [b / 255.0 for b in tiled]
+
+
+def _fake_sampler(payload: bytes, every_n_seconds: float):
+    """Deterministic stand-in for a frame sampler: one 'frame' per
+    4-byte chunk, timestamped every_n_seconds apart."""
+    for i in range(0, len(payload), 4):
+        yield i // 4, (i // 4) * every_n_seconds, payload[i : i + 4]
+
+
+def test_decode_image_plumbing_with_injected_codec(blobs):
+    out = {r.blob_id: r for r in decode_image(blobs, decoder=_fake_decoder).collect()}
+    assert set(out) == {1, 2, 3}
+    r = out[1]
+    assert (r.height, r.width) == (4, 4)
+    assert len(r.pixels) == 16
+    # first pixel of blob 1 is 'h' / 255 (float32 round-trip tolerance)
+    assert abs(r.pixels[0] - ord("h") / 255.0) < 1e-6
+    # empty payload still decodes to the full target raster
+    assert len(out[2].pixels) == 16 and out[2].pixels[0] == 0.0
+
+
+def test_sample_frames_plumbing_with_injected_sampler(blobs):
+    rows = sample_frames(blobs, every_n_seconds=0.5, sampler=_fake_sampler).collect()
+    by_blob = {}
+    for r in rows:
+        by_blob.setdefault(r.blob_id, []).append(r)
+    # 11-byte payload → 3 frames; empty → 0; 4-byte → 1
+    assert len(by_blob[1]) == 3 and len(by_blob[3]) == 1 and 2 not in by_blob
+    f = sorted(by_blob[1], key=lambda r: r.frame_idx)
+    assert [r.frame_idx for r in f] == [0, 1, 2]
+    assert [r.frame_ts for r in f] == [0.0, 0.5, 1.0]
+    assert bytes(f[0].frame) == b"hell"
