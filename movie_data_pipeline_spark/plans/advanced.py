@@ -839,3 +839,49 @@ def q56_first_last_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("o_custkey")
     )
+
+
+# --------------------------------------------------------------------------
+# q57 — argmax aggregate  (max_by: single-pass "latest row per key")
+# --------------------------------------------------------------------------
+@query(
+    "q57_latest_event_per_user",
+    oracle="""
+    SELECT user_id,
+           arg_max(event_type,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S.%f') || '|'
+                   || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS last_type,
+           MAX(ts) AS last_ts,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("parity", "argmax", "aggregate"),
+)
+def q57_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each user's most recent event type — as an aggregate, not a window.
+
+    ``max_by`` answers "value of column A at the max of column B" in one
+    hash aggregate with map-side partial merge — no per-partition sort,
+    no window state, which is why it beats the q09-style row_number
+    window when only the argmax row is needed. Both engines order by a
+    composed sortable string (ISO-microsecond timestamp | zero-padded
+    event_id): lexicographic == chronological, and the id suffix makes
+    the argmax deterministic under timestamp ties.
+    """
+    events = load_table(spark, sf_dir, "events")
+    sort_key = F.concat(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+        F.lit("|"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        events.groupBy("user_id")
+        .agg(
+            F.max_by("event_type", sort_key).alias("last_type"),
+            F.max("ts").alias("last_ts"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
