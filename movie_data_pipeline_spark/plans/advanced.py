@@ -885,3 +885,65 @@ def q57_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q58 — unpivot / melt  (the inverse of q38's pivot)
+# --------------------------------------------------------------------------
+@query(
+    "q58_unpivot_status_counts",
+    oracle="""
+    WITH wide AS (
+        SELECT n_name,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending
+        FROM nation
+        JOIN customer ON c_nationkey = n_nationkey
+        JOIN orders   ON o_custkey = c_custkey
+        GROUP BY n_name
+    )
+    SELECT n_name, status_col, n FROM (
+        SELECT n_name, 'n_open' AS status_col, n_open AS n FROM wide
+        UNION ALL
+        SELECT n_name, 'n_finished', n_finished FROM wide
+        UNION ALL
+        SELECT n_name, 'n_pending', n_pending FROM wide
+    )
+    ORDER BY n_name, status_col
+    """,
+    tags=("parity", "unpivot", "reshape"),
+)
+def q58_unpivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide per-status counts melted back to long (n_name, status, n).
+
+    ``DataFrame.unpivot`` (a.k.a. melt) is the inverse reshape of q38's
+    pivot: each wide row becomes one row per value column — an Expand
+    node, zero shuffles beyond the aggregate that built the wide frame.
+    The oracle spells it as UNION ALL, which is exactly the semantics
+    (DuckDB's UNPIVOT would also work; the manual form keeps the
+    comparison engine-agnostic). Counts are exact BIGINTs — no rounding
+    concerns in either direction of the reshape.
+    """
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    wide = (
+        orders.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count_if(F.col("o_orderstatus") == "O").alias("n_open"),
+            F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
+            F.count_if(F.col("o_orderstatus") == "P").alias("n_pending"),
+        )
+    )
+    return (
+        wide.unpivot(
+            ids=["n_name"],
+            values=["n_open", "n_finished", "n_pending"],
+            variableColumnName="status_col",
+            valueColumnName="n",
+        )
+        .orderBy("n_name", "status_col")
+    )
