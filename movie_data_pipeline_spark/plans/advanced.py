@@ -947,3 +947,90 @@ def q58_unpivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name", "status_col")
     )
+
+
+# --------------------------------------------------------------------------
+# q59 — RANGE (value-based) window frame over event time
+# --------------------------------------------------------------------------
+@query(
+    "q59_events_in_last_hour",
+    oracle="""
+    SELECT event_id, user_id,
+           COUNT(*) OVER (
+               PARTITION BY user_id
+               ORDER BY epoch_us(ts)
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+           ) AS n_last_hour
+    FROM events
+    ORDER BY event_id
+    """,
+    tags=("parity", "window", "range-frame"),
+)
+def q59_events_in_last_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every event: how many events the same user produced in the
+    trailing hour (inclusive) — the rate-limit / burst-detection shape.
+
+    A RANGE frame is value-based: the boundary is "timestamp - 1 hour",
+    not "N rows back" (contrast q44's ROWS frame), and timestamp peers
+    share one frame on both engines, so ties need no tiebreak. Ordering
+    is pure epoch-microsecond NTZ arithmetic (timestampdiff from the
+    NTZ epoch == DuckDB epoch_us on naive timestamps) — no session
+    timezone anywhere. Scale: one shuffle on user_id; the frame is
+    evaluated with a sliding two-pointer over the sorted partition,
+    O(1) state per row.
+    """
+    events = load_table(spark, sf_dir, "events")
+    epoch_us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch_us)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return (
+        events.select(
+            "event_id",
+            "user_id",
+            F.count("*").over(w).alias("n_last_hour"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q60 — regexp_extract_all + explode_outer (lateral with empty matches)
+# --------------------------------------------------------------------------
+@query(
+    "q60_doc_st_terms_outer",
+    oracle="""
+    SELECT d.doc_id, t.term
+    FROM documents d
+    LEFT JOIN LATERAL (
+        SELECT UNNEST(regexp_extract_all(d.text, '\\bst\\w+')) AS term
+    ) t ON TRUE
+    ORDER BY doc_id, term
+    """,
+    tags=("parity", "lateral", "explode-outer"),
+)
+def q60_doc_st_terms_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All 'st…' terms per document, keeping documents with none.
+
+    ``explode_outer`` is the outer lateral: a document whose match list
+    is empty survives as a single NULL-term row — plain ``explode``
+    silently drops it, the classic lost-rows bug when a generator feeds
+    a left-join-shaped report. regexp_extract_all runs JVM-side
+    (codegen), one row in → matches-or-one rows out, no shuffle until
+    the final presentation sort. Spark (Java regex) and DuckDB (RE2)
+    agree on this pattern class (\\b, \\w are common semantics).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.explode_outer(
+                F.regexp_extract_all(F.col("text"), F.lit(r"\bst\w+"), 0)
+            ).alias("term"),
+        )
+        .orderBy("doc_id", "term")
+    )

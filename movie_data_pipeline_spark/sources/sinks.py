@@ -49,3 +49,26 @@ def write_bucketed(
 
 def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+def write_jsonl(
+    df: DataFrame, path: str, compression: str | None = "gzip"
+) -> None:
+    """Line-delimited JSON sink — the interchange format of
+    LLM-training-data pipelines (one document per line, gzip-friendly,
+    streamable). Spark's json sink IS JSONL (one object per line, one
+    file per partition); compression is codec metadata, splittability at
+    read time comes from having many files, not from the codec."""
+    writer = df.write.mode("overwrite")
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.json(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema) -> DataFrame:
+    """JSONL scan with an explicit schema — never schema inference
+    (inference is an extra full pass over 100 TB and type-unstable
+    between samples). Corrupt lines land in no row rather than failing
+    the job (PERMISSIVE mode, Spark's default); pair with a
+    _corrupt_record column in the schema when auditing bad input."""
+    return spark.read.schema(schema).json(path)
