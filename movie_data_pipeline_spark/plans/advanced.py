@@ -1034,3 +1034,76 @@ def q60_doc_st_terms_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "term")
     )
+
+
+# --------------------------------------------------------------------------
+# q61 — statistical aggregates from exact power sums (stddev, correlation)
+# --------------------------------------------------------------------------
+@query(
+    "q61_qty_price_statistics",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))
+                        * CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))
+                        * CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))
+                        * CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+        FROM lineitem
+        GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           n,
+           floor((sqrt((sxx - sx * sx / n) / (n - 1))) * 10000 + 0.5) / 10000
+               AS qty_stddev,
+           floor(((n * sxy - sx * sy)
+                  / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
+                 * 10000 + 0.5) / 10000 AS qty_price_corr
+    FROM s
+    ORDER BY l_returnflag
+    """,
+    tags=("parity", "statistics", "aggregate"),
+)
+def q61_qty_price_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample stddev of quantity and quantity-price correlation per flag.
+
+    Built-in STDDEV/CORR are accumulation-order-dependent doubles
+    (Welford/naive variants differ across engines and partitionings), so
+    they can never pass a bit-exact gate. Instead the five power sums
+    (n, Σx, Σx², Σy, Σy², Σxy) are aggregated as exact decimals — one
+    hash aggregate, map-side combinable, the textbook distributed-stats
+    shape — and the statistics are derived per group in double from
+    bit-identical inputs. This is also the right 100 TB design: power
+    sums merge associatively across any partitioning, which is exactly
+    why they (not Welford state) are what map-side partials should
+    carry when exactness matters.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(38,6)")
+    y = F.col("l_extendedprice").cast("decimal(38,6)")
+    s = lineitem.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
+    return (
+        s.select(
+            "l_returnflag",
+            "n",
+            round4(F.sqrt((sxx - sx * sx / n) / (n - 1))).alias("qty_stddev"),
+            round4(
+                (n * sxy - sx * sy)
+                / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+            ).alias("qty_price_corr"),
+        )
+        .orderBy("l_returnflag")
+    )
