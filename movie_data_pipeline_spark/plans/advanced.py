@@ -1107,3 +1107,51 @@ def q61_qty_price_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# --------------------------------------------------------------------------
+# q62 — array higher-order functions (filter / transform / fold)
+# --------------------------------------------------------------------------
+@query(
+    "q62_embedding_array_stats",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+           CAST(list_max(embedding) AS DOUBLE) AS max_val,
+           floor((list_reduce(
+                     list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+                     (a, b) -> a + b))
+                 * 10000 + 0.5) / 10000 AS l1_norm
+    FROM embeddings
+    ORDER BY vec_id
+    """,
+    tags=("parity", "array-hof", "lambda"),
+)
+def q62_embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector array statistics via lambda higher-order functions.
+
+    filter → size (positive-dimension count), array_max (an exact pick,
+    no arithmetic), and a sequential left fold for the L1 norm —
+    Spark's ``F.aggregate`` and DuckDB's ``list_reduce`` both fold
+    left-to-right in double, so the sums are bit-identical (the same
+    reason operators/similarity.dot uses this shape). All three run
+    JVM-side inside codegen: arrays never explode to rows, so the only
+    shuffle in the plan is the presentation sort. This is the
+    array-native alternative to q29's posexplode-then-aggregate — the
+    right choice when the aggregation stays within one row.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    as_double = F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+    return (
+        emb.select(
+            "vec_id",
+            F.size(F.filter(F.col("embedding"), lambda x: x > 0))
+            .cast("bigint")
+            .alias("n_pos"),
+            F.array_max(F.col("embedding")).cast("double").alias("max_val"),
+            round4(
+                F.aggregate(as_double, F.lit(0.0), lambda a, v: a + v)
+            ).alias("l1_norm"),
+        )
+        .orderBy("vec_id")
+    )
