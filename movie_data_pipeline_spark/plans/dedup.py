@@ -23,6 +23,7 @@ from movie_data_pipeline_spark.operators.dedup import (
     minhash_signatures_long,
     simhash,
 )
+from movie_data_pipeline_spark.operators.graph import duplicate_clusters
 from movie_data_pipeline_spark.plans.core import query, r4, round4
 from movie_data_pipeline_spark.sources.registry import load_table
 
@@ -186,3 +187,56 @@ def q21_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit occurrence-weighted SimHash fingerprint per document."""
     docs = load_table(spark, sf_dir, "documents")
     return simhash(docs).orderBy("doc_id")
+
+
+@query(
+    "q63_duplicate_clusters",
+    oracle=f"""
+    WITH RECURSIVE
+    {_SHINGLES_CTE},
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM shingles a JOIN shingles b
+        ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT doc_a, doc_b FROM common
+      JOIN counts ca ON ca.doc_id = doc_a
+      JOIN counts cb ON cb.doc_id = doc_b
+      WHERE n_common * 1.0 / (ca.n + cb.n - n_common) >= 0.2),
+    e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach(id, node) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.id, e.dst FROM reach r JOIN e ON e.src = r.node),
+    comp AS (SELECT id AS doc_id, MIN(node) AS cluster_id FROM reach GROUP BY id),
+    sized AS (SELECT doc_id, cluster_id,
+                     COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+              FROM comp)
+    SELECT doc_id, cluster_id, cluster_size
+    FROM sized WHERE cluster_size > 1
+    ORDER BY doc_id
+    """,
+    tags=("extension", "dedup", "graph", "connected-components"),
+)
+def q63_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate clusters: connected components over q18's pairs.
+
+    The clustering step every dedup pipeline needs after pair
+    generation: transitive closure of the ≥0.2-Jaccard relation, each
+    document labelled with its cluster's canonical id (min doc_id) and
+    the cluster size — the keep-one-per-cluster filter consumes exactly
+    this. Spark side: iterative min-label propagation
+    (operators/graph.py) — two shuffles per round, lineage cut per
+    round, O(diameter) rounds (near-dup clusters are dense, diameter
+    2-3). The oracle expresses the same fixpoint as a recursive CTE,
+    which DuckDB can afford at sf0.01 (it materialises every
+    (node, reachable-node) pair — O(Σ component²) rows, fine for planted
+    clusters of 2-4 docs, unrunnable at 100 TB where the propagation
+    loop is the scale path).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, threshold=0.2).select("doc_a", "doc_b")
+    return duplicate_clusters(pairs, docs).orderBy("doc_id")
