@@ -1,0 +1,445 @@
+"""Time-series and analytic completions: LOCF gap-fill, deterministic
+mode, fixed-width histograms, distribution windows, regression
+aggregates, null-aware NOT IN, and stratified sampling (q64-q70).
+
+These extend the catalog families started earlier: q49's date spine →
+q64's forward-filled time series; q40's ntile / q33's quantiles → q66's
+fixed-width histogram; q61's power-sum statistics → q68's regression
+aggregates; q39's deterministic sampling → q70's stratified variant;
+q07/q41's anti/semi joins → q69's null-aware NOT IN.
+
+Cross-engine invariants as in :mod:`.relational`: aligned aliases,
+``round4``/``exact_sum`` (never engine ROUND / raw double SUM over large
+groups), BIGINT casts on counts, explicit total orderings, identical
+IEEE-754 expression shapes on both sides wherever doubles are derived.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from movie_data_pipeline_spark.plans.core import (
+    exact_sum,
+    exact_sum_sql,
+    query,
+    round4,
+)
+from movie_data_pipeline_spark.sources.registry import load_table
+
+
+# --------------------------------------------------------------------------
+# q64 — hourly spine + LOCF forward fill (time-series gap fill)
+# --------------------------------------------------------------------------
+@query(
+    "q64_hourly_locf",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour,
+             {exact_sum_sql('value')} AS hour_value
+      FROM events GROUP BY 1, 2),
+    spans AS (SELECT user_id, MIN(hour) AS h0, MAX(hour) AS h1
+              FROM hourly GROUP BY user_id),
+    spine AS (SELECT user_id,
+                     unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+              FROM spans),
+    joined AS (SELECT s.user_id, s.hour, h.hour_value
+               FROM spine s LEFT JOIN hourly h USING (user_id, hour))
+    SELECT user_id, hour,
+           last_value(hour_value IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS value_filled,
+           hour_value IS NOT NULL AS observed
+    FROM joined
+    ORDER BY user_id, hour
+    """,
+    tags=("extension", "timeseries", "gap-fill", "locf"),
+)
+def q64_hourly_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hourly series with gaps forward-filled (LOCF).
+
+    The resample-and-fill shape every time-series store exposes
+    (``LOCF``/``prev``): aggregate events to observed hours, generate
+    each user's dense hourly spine between their first and last hour
+    (``sequence`` + ``explode`` — q49's spine, per key), left-join
+    observations onto the spine, and carry the last observation forward
+    with ``last(..., ignorenulls=True)`` over a running ROWS frame. The
+    leading row is always observed (the spine starts at each user's
+    first event hour), so no initial-null policy is needed. Hour sums
+    are exact decimals (engine-order-independent), and the fill copies
+    those bit-identical doubles. Scale: one shuffle on (user_id, hour)
+    for the aggregate, then everything — span, spine, join, window —
+    stays partitioned by user_id; spine width is bounded by observed
+    span, not global min/max, so one long-lived user cannot explode
+    every user's series.
+    """
+    events = load_table(spark, sf_dir, "events")
+    hourly = (
+        events.groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(exact_sum(F.col("value")).alias("hour_value"))
+    )
+    spine = (
+        hourly.groupBy("user_id")
+        .agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(hourly, ["user_id", "hour"], "left")
+        .select(
+            "user_id",
+            "hour",
+            F.last("hour_value", ignorenulls=True).over(w).alias("value_filled"),
+            F.col("hour_value").isNotNull().alias("observed"),
+        )
+        .orderBy("user_id", "hour")
+    )
+
+
+# --------------------------------------------------------------------------
+# q65 — deterministic MODE (most frequent value, ties broken low)
+# --------------------------------------------------------------------------
+@query(
+    "q65_quantity_mode",
+    oracle="""
+    WITH counts AS (
+      SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS qty,
+             COUNT(*) AS n_occ
+      FROM lineitem GROUP BY 1, 2),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+                 PARTITION BY l_returnflag
+                 ORDER BY n_occ DESC, qty ASC) AS rn
+      FROM counts)
+    SELECT l_returnflag, qty AS mode_qty, n_occ
+    FROM ranked WHERE rn = 1
+    ORDER BY l_returnflag
+    """,
+    tags=("parity", "aggregate", "mode"),
+)
+def q65_quantity_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most frequent quantity per return flag, smallest value on ties.
+
+    Built-in ``mode()`` exists in both engines but is
+    implementation-defined on ties — unusable under a bit-exact gate
+    (and nondeterministic across cluster layouts, which is the same bug
+    at 100 TB). The portable form is count-then-rank: a hash aggregate
+    on (group, value) followed by a per-group row_number with an
+    explicit (count DESC, value ASC) tiebreak. Scale: the aggregate is
+    map-side combinable; the window partition carries only distinct
+    (group, value) pairs — cardinality of the value domain, not of the
+    fact table.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    counts = (
+        lineitem.groupBy(
+            "l_returnflag", F.col("l_quantity").cast("double").alias("qty")
+        )
+        .agg(F.count("*").alias("n_occ"))
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.desc("n_occ"), F.asc("qty")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_returnflag", F.col("qty").alias("mode_qty"), "n_occ")
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# q66 — fixed-width histogram (width_bucket semantics, portable form)
+# --------------------------------------------------------------------------
+_HIST_LO, _HIST_HI, _HIST_N = 0.0, 600000.0, 10
+
+
+@query(
+    "q66_price_histogram",
+    oracle=f"""
+    WITH binned AS (
+      SELECT CASE
+               WHEN o_totalprice < {_HIST_LO} THEN 0
+               WHEN o_totalprice >= {_HIST_HI} THEN {_HIST_N} + 1
+               ELSE CAST(floor((o_totalprice - {_HIST_LO})
+                               / ({_HIST_HI} - {_HIST_LO})
+                               * {_HIST_N}) AS BIGINT) + 1
+             END AS bucket,
+             o_totalprice
+      FROM orders)
+    SELECT bucket, COUNT(*) AS n,
+           floor((MIN(o_totalprice)) * 10000 + 0.5) / 10000 AS lo_seen,
+           floor((MAX(o_totalprice)) * 10000 + 0.5) / 10000 AS hi_seen
+    FROM binned GROUP BY bucket ORDER BY bucket
+    """,
+    tags=("parity", "histogram", "width-bucket"),
+)
+def q66_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order prices in 10 equal-width bins over [0, 600k) + overflow bins.
+
+    ``width_bucket`` semantics (bucket 0 below range, n+1 at/above)
+    spelled as an explicit CASE so both engines run the *identical*
+    IEEE-754 expression — the built-in exists in Spark but its internal
+    arithmetic shape is not specified to match another engine's at bin
+    boundaries, and a row landing one bin over is a silent hash
+    mismatch. Scale: binning is a map-side expression inside codegen;
+    the aggregate carries ≤ 12 groups. This is the fixed-boundary
+    complement of q40's equal-count ntile and q33's exact quantiles.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    p = F.col("o_totalprice")
+    bucket = (
+        F.when(p < _HIST_LO, F.lit(0))
+        .when(p >= _HIST_HI, F.lit(_HIST_N + 1))
+        .otherwise(
+            F.floor((p - _HIST_LO) / (_HIST_HI - _HIST_LO) * _HIST_N).cast(
+                "bigint"
+            )
+            + 1
+        )
+    )
+    return (
+        orders.select(bucket.alias("bucket"), p)
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            round4(F.min(p)).alias("lo_seen"),
+            round4(F.max(p)).alias("hi_seen"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# q67 — cume_dist + nth_value (distribution windows)
+# --------------------------------------------------------------------------
+@query(
+    "q67_balance_distribution",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           floor((cume_dist() OVER w) * 10000 + 0.5) / 10000 AS balance_cume,
+           nth_value(c_acctbal, 3) OVER (
+               PARTITION BY c_mktsegment
+               ORDER BY c_acctbal DESC, c_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS third_highest
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    ORDER BY c_custkey
+    """,
+    tags=("parity", "window", "cume-dist", "nth-value"),
+)
+def q67_balance_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each customer's balance percentile within their segment, plus the
+    segment's third-highest balance on every row.
+
+    Completes the ranking-window family (row_number q09, percent_rank
+    q47, ntile q40): ``cume_dist`` over a tie-broken total order is
+    rank/n — a ratio of exact integers, identical in both engines —
+    and ``nth_value`` needs the explicit UNBOUNDED FOLLOWING frame
+    (the default frame stops at CURRENT ROW, so rows ranked 1-2 would
+    see NULL — same default-frame trap q56 documents for last_value).
+    Scale: one shuffle on c_mktsegment; both windows share the same
+    sort, so Catalyst evaluates them in a single Window operator.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    w_full = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        customer.select(
+            "c_custkey",
+            "c_mktsegment",
+            round4(F.cume_dist().over(w)).alias("balance_cume"),
+            F.nth_value("c_acctbal", 3).over(w_full).alias("third_highest"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# q68 — regression aggregates (covar, slope, intercept) via power sums
+# --------------------------------------------------------------------------
+@query(
+    "q68_price_drift_regression",
+    oracle="""
+    WITH s AS (
+        SELECT o_orderpriority,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(date_diff('day', TIMESTAMP '1992-01-01',
+                                       o_orderdate) AS DECIMAL(38,6)))
+                    AS DOUBLE) AS sx,
+               CAST(SUM(CAST(date_diff('day', TIMESTAMP '1992-01-01',
+                                       o_orderdate) AS DECIMAL(38,6))
+                        * CAST(date_diff('day', TIMESTAMP '1992-01-01',
+                                         o_orderdate) AS DECIMAL(38,6)))
+                    AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(date_diff('day', TIMESTAMP '1992-01-01',
+                                       o_orderdate) AS DECIMAL(38,6))
+                        * CAST(o_totalprice AS DECIMAL(38,6)))
+                    AS DOUBLE) AS sxy
+        FROM orders
+        GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, n,
+           floor(((sxy - sx * sy / n) / (n - 1)) * 10000 + 0.5) / 10000
+               AS covar_day_price,
+           floor(((n * sxy - sx * sy) / (n * sxx - sx * sx)) * 10000 + 0.5)
+               / 10000 AS slope_per_day,
+           floor(((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n)
+                 * 10000 + 0.5) / 10000 AS intercept
+    FROM s
+    ORDER BY o_orderpriority
+    """,
+    tags=("parity", "statistics", "regression"),
+)
+def q68_price_drift_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority least-squares drift of order price over order date:
+    sample covariance, slope per day, and intercept.
+
+    Completes q61's statistics family with the REGR_* /COVAR_SAMP
+    surface, built the same way: built-in COVAR/REGR aggregates are
+    accumulation-order-dependent doubles, so the four power sums
+    (n, Σx, Σx², Σy, Σxy) are aggregated as exact decimals — one
+    map-side-combinable hash aggregate whose partials merge
+    associatively under any partitioning — and the estimators are
+    derived per group from bit-identical inputs. x is integer days
+    since a fixed epoch (Spark ``datediff`` == DuckDB ``date_diff`` on
+    day boundaries), so Σx/Σx² are exact integers.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    x = F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")).cast(
+        "decimal(38,6)"
+    )
+    y = F.col("o_totalprice").cast("decimal(38,6)")
+    s = orders.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sy, sxy = F.col("sy"), F.col("sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return (
+        s.select(
+            "o_orderpriority",
+            "n",
+            round4((sxy - sx * sy / n) / (n - 1)).alias("covar_day_price"),
+            round4(slope).alias("slope_per_day"),
+            round4((sy - slope * sx) / n).alias("intercept"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# q69 — null-aware NOT IN (the anti-join variant q07 is not)
+# --------------------------------------------------------------------------
+@query(
+    "q69_customers_never_finalized",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_customers
+    FROM customer
+    WHERE c_custkey NOT IN (
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    )
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    tags=("parity", "subquery", "null-aware-anti-join"),
+)
+def q69_customers_never_finalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no finalized ('F') order, counted per segment.
+
+    NOT IN is *not* the left-anti join q07 uses for NOT EXISTS: under
+    ANSI three-valued logic one NULL in the subquery makes every NOT IN
+    row UNKNOWN (the whole result empties), so Spark plans a null-aware
+    anti join — kept here as SQL because that plan shape is only
+    produced by the NOT IN predicate, exercising the spark.sql entry
+    path end-to-end. Scale note: the null-aware variant must broadcast
+    the subquery side (streamed rows need the *complete* null
+    verdict); when the key is provably non-null — as o_custkey is
+    here — rewrite to left_anti, which shuffles instead of broadcasting
+    and scales to unbounded build sides.
+    """
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "q69_customer"
+    )
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("q69_orders")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, COUNT(*) AS n_customers
+        FROM q69_customer
+        WHERE c_custkey NOT IN (
+            SELECT o_custkey FROM q69_orders WHERE o_orderstatus = 'F'
+        )
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# q70 — stratified deterministic sampling (per-stratum rates)
+# --------------------------------------------------------------------------
+@query(
+    "q70_stratified_sample",
+    oracle="""
+    WITH sampled AS (
+      SELECT * FROM orders
+      WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+                 AS BIGINT) % 100
+            < CASE WHEN o_orderpriority = '1-URGENT' THEN 50 ELSE 10 END)
+    SELECT o_orderpriority, COUNT(*) AS n_sampled,
+           CAST(MIN(o_orderkey) AS BIGINT) AS first_key
+    FROM sampled GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=("extension", "sampling", "stratified"),
+)
+def q70_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sample: 50% of urgent orders, 10% of
+    the rest — q39's reshard-stable md5-bucket sampling with a
+    per-group rate, the class-rebalancing primitive of training-data
+    curation (upweight rare strata without replicating rows).
+    ``sampleBy``/``TABLESAMPLE`` draw partition-order-dependent
+    randomness; hashing the key keeps membership stable across runs,
+    engines, and relayouts. Scale: filter is map-side (hash + compare,
+    no shuffle); the id hash also means re-sampling after appends never
+    flips membership of existing rows.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    rate = F.when(F.col("o_orderpriority") == "1-URGENT", 50).otherwise(10)
+    return (
+        orders.filter(bucket < rate)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.min("o_orderkey").alias("first_key"),
+        )
+        .orderBy("o_orderpriority")
+    )
