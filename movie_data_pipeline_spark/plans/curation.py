@@ -1,0 +1,258 @@
+"""End-to-end curation queries over ``documents``: the composite
+keep/drop decision (q71), sequence packing into context windows (q72),
+and intra-document repetition metrics (q73).
+
+These compose the per-signal operators (q24 quality, q25 lang-ID, q17+
+dedup family) into the artifacts a training-data pipeline actually
+ships: a per-document curation verdict with a reason, packing slots for
+batch construction, and the repetition features quality filters key on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from movie_data_pipeline_spark.functions.text import tokens
+from movie_data_pipeline_spark.operators.packing import pack_documents
+from movie_data_pipeline_spark.plans.core import query, r4, round4
+from movie_data_pipeline_spark.plans.text import (
+    ENGLISH_STOPWORDS,
+    LANG_PICK_SQL,
+    LANG_SCORES_SQL,
+    _in_list_sql,
+    lang_pick_col,
+    lang_score_cols,
+    stopword_count,
+)
+from movie_data_pipeline_spark.sources.registry import load_table
+
+# Curation thresholds. Ratios are exact integer quotients evaluated with
+# the same IEEE division on both engines; thresholds are binary
+# fractions so comparisons can't straddle a representation gap.
+MIN_TOKENS = 20
+MAX_TOP_TOKEN_SHARE = 0.125
+MIN_STOPWORD_RATIO = 0.05
+
+_EN_SET = _in_list_sql(ENGLISH_STOPWORDS)
+
+# Non-distinct word 3-grams + top-token occurrence share, as SQL
+# (mirrors the Spark expressions in _repetition_cols).
+_REP_SQL = """
+      CASE WHEN len(t) >= 3
+        THEN list_transform(generate_series(1, len(t) - 2),
+                            i -> array_to_string(t[i:i+2], ' '))
+        ELSE [array_to_string(t, ' ')] END AS grams,
+      list_max(list_transform(list_distinct(t),
+                              w -> len(list_filter(t, x -> x = w)))) AS top_cnt
+"""
+
+
+def _grams_col():
+    """Non-distinct word 3-grams (keeps repeats — unlike
+    functions.text.word_shingles, which deduplicates for set-Jaccard)."""
+    t = tokens(F.col("text"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - 2),
+        lambda i: F.array_join(F.slice(t, i, 3), " "),
+    )
+    return F.when(F.size(t) >= 3, grams).otherwise(
+        F.array(F.array_join(t, " "))
+    )
+
+
+def _top_token_count():
+    """Highest single-token occurrence count (O(|distinct|·|t|) inside
+    codegen — documents are bounded; arrays never explode to rows)."""
+    t = tokens(F.col("text"))
+    return F.array_max(
+        F.transform(
+            F.array_distinct(t),
+            lambda w: F.size(F.filter(t, lambda x: x == w)),
+        )
+    ).cast("long")
+
+
+# --------------------------------------------------------------------------
+# q71 — composite curation decision (keep/drop + reason)
+# --------------------------------------------------------------------------
+@query(
+    "q71_curation_decisions",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+      FROM documents),
+    feat AS (
+      SELECT doc_id,
+             CAST(len(t) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(t, w -> w IN {_EN_SET})) AS BIGINT) AS n_stop,
+             list_max(list_transform(list_distinct(t),
+                      w -> len(list_filter(t, x -> x = w)))) AS top_cnt,
+             {LANG_SCORES_SQL}
+      FROM toks),
+    pick AS (SELECT *, {LANG_PICK_SQL} AS predicted_lang FROM feat)
+    SELECT doc_id,
+           CASE WHEN n_tokens < {MIN_TOKENS} THEN 'drop'
+                WHEN predicted_lang <> 'en' THEN 'drop'
+                WHEN top_cnt * 1.0 / n_tokens > {MAX_TOP_TOKEN_SHARE} THEN 'drop'
+                WHEN n_stop * 1.0 / n_tokens < {MIN_STOPWORD_RATIO} THEN 'drop'
+                ELSE 'keep' END AS decision,
+           CASE WHEN n_tokens < {MIN_TOKENS} THEN 'too_short'
+                WHEN predicted_lang <> 'en' THEN 'non_english'
+                WHEN top_cnt * 1.0 / n_tokens > {MAX_TOP_TOKEN_SHARE} THEN 'repetitive'
+                WHEN n_stop * 1.0 / n_tokens < {MIN_STOPWORD_RATIO} THEN 'low_quality'
+           END AS drop_reason
+    FROM pick
+    ORDER BY doc_id
+    """,
+    tags=("extension", "curation", "composite"),
+)
+def q71_curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keep/drop verdict with the first failing rule as the
+    reason: length floor → language gate → repetition cap → stopword
+    (gibberish) floor.
+
+    This is the shipping artifact of a curation pipeline — every
+    per-signal operator (q24's quality features, q25's lang-ID, q73's
+    repetition metrics) composed into one decision column, with rule
+    order made explicit so a document failing several gates reports
+    deterministically. Everything is a pure map stage (one pass,
+    whole-stage codegen, zero shuffles before the presentation sort):
+    filters that READ like four queries fuse into one scan at any
+    scale. Rules and thresholds live in module constants, mirrored
+    verbatim into the oracle SQL.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    feat = docs.select(
+        "doc_id",
+        F.size(t).cast("long").alias("n_tokens"),
+        stopword_count(t, ENGLISH_STOPWORDS).alias("n_stop"),
+        _top_token_count().alias("top_cnt"),
+        *lang_score_cols(t),
+    ).withColumn("predicted_lang", lang_pick_col())
+
+    n_tok = F.col("n_tokens")
+    rules = [
+        (n_tok < MIN_TOKENS, "too_short"),
+        (F.col("predicted_lang") != "en", "non_english"),
+        (F.col("top_cnt") * 1.0 / n_tok > MAX_TOP_TOKEN_SHARE, "repetitive"),
+        (F.col("n_stop") * 1.0 / n_tok < MIN_STOPWORD_RATIO, "low_quality"),
+    ]
+    reason = None
+    for cond, label in rules:
+        reason = F.when(cond, label) if reason is None else reason.when(cond, label)
+    return feat.select(
+        "doc_id",
+        F.when(reason.isNotNull(), "drop").otherwise("keep").alias("decision"),
+        reason.alias("drop_reason"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# q72 — sequence packing (greedy next-fit per deterministic shard)
+# --------------------------------------------------------------------------
+_PACK_CAPACITY = 256
+_PACK_SHARDS = 8
+
+
+@query(
+    "q72_sequence_packing",
+    oracle=f"""
+    WITH RECURSIVE
+    toks AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % {_PACK_SHARDS} AS shard,
+             CAST(len(string_split_regex(lower(trim(text)), '\\s+'))
+                  AS BIGINT) AS n_tokens
+      FROM documents),
+    ordered AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+      FROM toks),
+    pack AS (
+      SELECT shard, rn, doc_id, n_tokens,
+             CAST(0 AS BIGINT) AS bin_in_shard, n_tokens AS fill
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.shard, o.rn, o.doc_id, o.n_tokens,
+             CASE WHEN p.fill + o.n_tokens > {_PACK_CAPACITY}
+                  THEN p.bin_in_shard + 1 ELSE p.bin_in_shard END,
+             CASE WHEN p.fill + o.n_tokens > {_PACK_CAPACITY}
+                  THEN o.n_tokens ELSE p.fill + o.n_tokens END
+      FROM pack p JOIN ordered o ON o.shard = p.shard AND o.rn = p.rn + 1)
+    SELECT doc_id, shard, bin_in_shard, n_tokens
+    FROM pack
+    ORDER BY doc_id
+    """,
+    tags=("extension", "curation", "packing", "pandas-udf"),
+)
+def q72_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into 256-token context windows: greedy next-fit
+    in doc_id order within 8 deterministic md5 shards
+    (operators/packing.py).
+
+    The batch-construction step after curation. The per-shard fold has
+    loop-carried state (current bin fill) that no relational operator
+    expresses, so it runs as an Arrow-batched ``applyInPandas`` — the
+    justified Pandas-UDF case — while sharding keeps it embarrassingly
+    parallel (shard count scales with the cluster; next-fit wastes less
+    than one max-document per bin). The oracle spells the identical
+    fold as a recursive CTE advancing every shard one row per step —
+    feasible at oracle scale, and a proof the Python loop implements
+    exactly that recurrence.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    with_tokens = docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    return pack_documents(
+        with_tokens, capacity=_PACK_CAPACITY, n_shards=_PACK_SHARDS
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# q73 — intra-document repetition metrics (quality-filter features)
+# --------------------------------------------------------------------------
+@query(
+    "q73_repetition_metrics",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+      FROM documents),
+    rep AS (
+      SELECT doc_id, t,
+      {_REP_SQL}
+      FROM toks)
+    SELECT doc_id,
+           CAST(len(grams) AS BIGINT) AS n_grams,
+           CAST(len(grams) - len(list_distinct(grams)) AS BIGINT) AS n_dup_grams,
+           {r4('(len(grams) - len(list_distinct(grams))) * 1.0 / len(grams)')}
+               AS dup_gram_ratio,
+           {r4('top_cnt * 1.0 / len(t)')} AS top_token_share
+    FROM rep
+    ORDER BY doc_id
+    """,
+    tags=("extension", "curation", "repetition"),
+)
+def q73_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition features: duplicated-3-gram count/ratio
+    and the highest single-token occurrence share — the signals
+    repetition quality filters threshold on (q71 consumes the token
+    share). Note the grams here keep repeats, unlike the *distinct*
+    shingles the Jaccard/MinHash family uses: dedup wants set
+    semantics, repetition measurement wants bag semantics. All array
+    expressions inside codegen; a pure map stage at any scale.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    grams = _grams_col()
+    n_grams = F.size(grams).cast("long")
+    n_dup = (F.size(grams) - F.size(F.array_distinct(grams))).cast("long")
+    return docs.select(
+        "doc_id",
+        n_grams.alias("n_grams"),
+        n_dup.alias("n_dup_grams"),
+        round4(n_dup * 1.0 / n_grams).alias("dup_gram_ratio"),
+        round4(_top_token_count() * 1.0 / F.size(t)).alias("top_token_share"),
+    ).orderBy("doc_id")

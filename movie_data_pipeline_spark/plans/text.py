@@ -5,7 +5,7 @@ column expressions with exact DuckDB oracles.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from movie_data_pipeline_spark.functions.text import tokens
@@ -88,17 +88,46 @@ def q24_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # q25 — language identification (stopword-voting heuristic)
 # --------------------------------------------------------------------------
-_LANG_SCORES_SQL = ",\n           ".join(
+# Shared with q71 (curation): the SQL fragments and Spark column
+# builders below are one source of truth for the lang-ID heuristic.
+LANG_SCORES_SQL = ",\n           ".join(
     f"CAST(len(list_filter(t, w -> w IN {_in_list_sql(words)})) AS BIGINT) AS score_{lang}"
     for lang, words in sorted(LANG_STOPWORDS.items())
 )
 _LANG_GREATEST_SQL = "GREATEST(" + ", ".join(
     f"score_{lang}" for lang in sorted(LANG_STOPWORDS)
 ) + ")"
-_LANG_PICK_SQL = "CASE " + " ".join(
+LANG_PICK_SQL = "CASE " + " ".join(
     f"WHEN score_{lang} = {_LANG_GREATEST_SQL} THEN '{lang}'"
     for lang in sorted(LANG_STOPWORDS)
 ) + " END"
+
+
+def stopword_count(t: Column, words: tuple[str, ...]) -> Column:
+    """Occurrences of ``words`` in token array ``t`` (single-arg lambda —
+    a default arg would make PySpark treat it as the 2-arg form)."""
+    arr = F.array(*[F.lit(x) for x in words])
+    return F.size(F.filter(t, lambda w: F.array_contains(arr, w))).cast("long")
+
+
+def lang_score_cols(t: Column) -> list[Column]:
+    """One ``score_{lang}`` column per language, sorted by code."""
+    return [
+        stopword_count(t, words).alias(f"score_{lang}")
+        for lang, words in sorted(LANG_STOPWORDS.items())
+    ]
+
+
+def lang_pick_col() -> Column:
+    """Argmax over ``score_{lang}`` columns, alphabetical tie-break
+    (CASE evaluates languages in sorted order, mirroring LANG_PICK_SQL)."""
+    langs = sorted(LANG_STOPWORDS)
+    greatest = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    expr = None
+    for lang in langs:
+        cond = F.col(f"score_{lang}") == greatest
+        expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
+    return expr
 
 
 @query(
@@ -109,9 +138,9 @@ _LANG_PICK_SQL = "CASE " + " ".join(
       FROM documents),
     scored AS (
       SELECT doc_id, lang,
-           {_LANG_SCORES_SQL}
+           {LANG_SCORES_SQL}
       FROM toks)
-    SELECT doc_id, lang AS labeled_lang, {_LANG_PICK_SQL} AS predicted_lang
+    SELECT doc_id, lang AS labeled_lang, {LANG_PICK_SQL} AS predicted_lang
     FROM scored
     ORDER BY doc_id
     """,
@@ -127,29 +156,13 @@ def q25_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     t = tokens(F.col("text"))
-
-    def stop_counter(words: tuple[str, ...]):
-        # single-arg lambda (a default arg would make PySpark treat it
-        # as the 2-arg (element, index) lambda form)
-        arr = F.array(*[F.lit(x) for x in words])
-        return F.size(F.filter(t, lambda w: F.array_contains(arr, w))).cast("long")
-
     scored = docs.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
-        *[
-            stop_counter(words).alias(f"score_{lang}")
-            for lang, words in sorted(LANG_STOPWORDS.items())
-        ],
+        *lang_score_cols(t),
     )
-    langs = sorted(LANG_STOPWORDS)
-    greatest = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
-    expr = None
-    for lang in langs:
-        cond = F.col(f"score_{lang}") == greatest
-        expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
     return scored.select(
-        "doc_id", "labeled_lang", expr.alias("predicted_lang")
+        "doc_id", "labeled_lang", lang_pick_col().alias("predicted_lang")
     ).orderBy("doc_id")
 
 
