@@ -7,3 +7,7 @@ from movie_data_pipeline_spark.streaming.events import (  # noqa: F401
     stream_dedup,
     stream_events,
 )
+from movie_data_pipeline_spark.streaming.sinks import (  # noqa: F401
+    start_upsert_stream,
+    upsert_batch_writer,
+)

@@ -1,0 +1,78 @@
+"""Streaming sinks beyond the built-ins: incremental upsert into a
+parquet key-value table via ``foreachBatch``.
+
+Structured Streaming's file sink is append-only; maintaining a *keyed*
+table (latest aggregate per key, latest row per entity) needs MERGE.
+On a lakehouse that is Delta/Iceberg ``MERGE INTO`` inside
+``foreachBatch``; without a table format the same row semantics come
+from :func:`operators.merge.upsert` — each micro-batch's rows replace
+key-matched rows and insert the rest.
+
+Scale/consistency notes:
+
+- ``foreachBatch`` gives at-least-once batch delivery; the upsert is
+  idempotent per (key, value) so replays converge — the standard
+  recipe for exactly-once *effects* on a keyed sink.
+- The merged frame is materialized (``localCheckpoint``) BEFORE the
+  overwrite: the plan reads the same files the write replaces, and
+  overwriting a lazily-read input is the classic self-overwrite
+  corruption. A table format does this with snapshot isolation; a real
+  deployment at 100 TB should also partition the table and use
+  dynamic-partition overwrite so each batch rewrites only touched
+  partitions (see operators/merge.py).
+- With an update-mode aggregation upstream, each batch carries only
+  keys whose aggregate changed — the write is proportional to churn,
+  not table size (modulo the no-format full-file rewrite above).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.utils import AnalysisException
+
+from movie_data_pipeline_spark.operators.merge import upsert
+
+
+def upsert_batch_writer(
+    path: str, keys: Sequence[str]
+) -> Callable[[DataFrame, int], None]:
+    """The per-micro-batch MERGE: returns the function ``foreachBatch``
+    invokes with (batch_df, batch_id). Exposed separately so tests can
+    drive it with hand-built batches."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            existing = spark.read.parquet(path)
+        except AnalysisException:  # first batch: table does not exist yet
+            existing = None
+        merged = (
+            batch_df
+            if existing is None
+            else upsert(existing, batch_df, keys)
+        )
+        # Materialize before overwriting the files the plan reads.
+        merged = merged.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(path)
+
+    return _apply
+
+
+def start_upsert_stream(
+    updates: DataFrame,
+    path: str,
+    checkpoint: str,
+    keys: Sequence[str],
+) -> StreamingQuery:
+    """Continuously maintain a keyed parquet table from a streaming
+    update-mode DataFrame (e.g. a watermarked aggregation)."""
+    return (
+        updates.writeStream.foreachBatch(upsert_batch_writer(path, keys))
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
