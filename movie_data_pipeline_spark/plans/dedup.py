@@ -23,6 +23,7 @@ from movie_data_pipeline_spark.operators.dedup import (
     minhash_signatures_long,
     simhash,
 )
+from movie_data_pipeline_spark.functions.text import base_hash32, tokens
 from movie_data_pipeline_spark.operators.graph import duplicate_clusters
 from movie_data_pipeline_spark.plans.core import query, r4, round4
 from movie_data_pipeline_spark.sources.registry import load_table
@@ -187,6 +188,105 @@ def q21_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit occurrence-weighted SimHash fingerprint per document."""
     docs = load_table(spark, sf_dir, "documents")
     return simhash(docs).orderBy("doc_id")
+
+
+@query(
+    "q74_winnowing_fingerprints",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+      FROM documents),
+    grams AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3
+               THEN list_transform(generate_series(1, len(t) - 2),
+                                   i -> array_to_string(t[i:i+2], ' '))
+               ELSE [array_to_string(t, ' ')] END AS gs
+      FROM toks),
+    hashed AS (
+      SELECT doc_id,
+             list_transform(gs, g -> {_BH_SQL.format(col='g')}) AS hs
+      FROM grams),
+    pairs AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, len(hs)),
+                            i -> {{'h': hs[i], 'p': i}}) AS ps,
+             len(hs) AS n
+      FROM hashed),
+    sel AS (
+      SELECT doc_id,
+             list_transform(
+               generate_series(1, greatest(1, n - 3)),
+               k -> list_reduce(ps[k:k+3],
+                     (a, e) -> CASE WHEN e.h < a.h
+                                      OR (e.h = a.h AND e.p > a.p)
+                                    THEN e ELSE a END)) AS fps
+      FROM pairs)
+    SELECT DISTINCT doc_id, u.fp.h AS fp_hash, CAST(u.fp.p AS BIGINT) AS gram_pos
+    FROM sel, unnest(fps) u(fp)
+    ORDER BY doc_id, gram_pos
+    """,
+    tags=("extension", "dedup", "fingerprint", "winnowing"),
+)
+def q74_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed document fingerprints: per sliding window of 4
+    consecutive word-3-gram hashes, select the minimum hash (rightmost
+    on ties), dedup selections — the local fingerprinting algorithm of
+    Schleimer/Wilkerson/Aiken (SIGMOD '03, the MOSS detector), which
+    guarantees any shared run of ≥ 6 words produces a shared selected
+    fingerprint while keeping ~2/(w+1) ≈ 40% of grams.
+
+    This is the positional complement of MinHash (q19): MinHash
+    estimates whole-document similarity; winnowing finds *where*
+    overlap occurs (plagiarism spans, quote detection, partial-overlap
+    dedup). Everything is array lambdas inside codegen — tokenize,
+    hash, window-fold, dedup all happen within each row; the only
+    shuffles are the output distinct and presentation sort. The
+    rightmost-tie rule is one struct comparison: minimizing (h, -p)
+    lexicographically IS "smallest hash, then rightmost position".
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    grams = F.when(
+        F.size(t) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 2),
+            lambda i: F.array_join(F.slice(t, i, 3), " "),
+        ),
+    ).otherwise(F.array(F.array_join(t, " ")))
+    hs = F.transform(grams, base_hash32)
+    pairs = F.transform(
+        hs,
+        lambda x, i: F.struct(
+            x.alias("h"), (i + 1).cast("long").alias("p")
+        ),
+    )
+    n = F.size(hs)
+    init = F.struct(
+        F.lit(2**63 - 1).cast("long").alias("h"),
+        F.lit(0).cast("long").alias("p"),
+    )
+    sel = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.lit(1), n - 3)),
+        lambda k: F.aggregate(
+            F.slice(pairs, k, 4),
+            init,
+            lambda a, e: F.when(
+                (e["h"] < a["h"]) | ((e["h"] == a["h"]) & (e["p"] > a["p"])),
+                e,
+            ).otherwise(a),
+        ),
+    )
+    return (
+        docs.select("doc_id", F.explode(sel).alias("fp"))
+        .select(
+            "doc_id",
+            F.col("fp.h").alias("fp_hash"),
+            F.col("fp.p").alias("gram_pos"),
+        )
+        .distinct()
+        .orderBy("doc_id", "gram_pos")
+    )
 
 
 @query(
