@@ -138,3 +138,60 @@ def q29_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "dim_idx")
     )
+
+
+# --------------------------------------------------------------------------
+# q75 — int8 vector quantization (embedding compression)
+# --------------------------------------------------------------------------
+@query(
+    "q75_int8_quantization",
+    oracle="""
+    WITH scaled AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding,
+                      x -> abs(CAST(x AS DOUBLE)))) AS mx
+      FROM embeddings),
+    quant AS (
+      SELECT vec_id,
+             CASE WHEN mx > 0 THEN 127.0 / mx ELSE 1.0 END AS scale,
+             list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE)
+                                 * (CASE WHEN mx > 0 THEN 127.0 / mx
+                                         ELSE 1.0 END) + 0.5) AS BIGINT)) AS qs
+      FROM scaled)
+    SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim_idx, qs[i] AS q
+    FROM quant, unnest(generate_series(1, len(qs))) t(i)
+    ORDER BY vec_id, dim_idx
+    """,
+    tags=("extension", "similarity", "quantization"),
+)
+def q75_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding column:
+    scale = 127 / max|x|, q_i = round_half_up(x_i * scale) — the storage
+    /serving compression step of an embedding pipeline (4x smaller than
+    float32; dot products stay rank-faithful within quantization error).
+
+    Determinism: float32 → double is an exact widening; max|x| is an
+    exact pick; the scale division and multiply are the identical IEEE
+    ops on both engines, and the quantizer is the same floor(v + 0.5)
+    primitive as round4 (half-up toward +inf, negatives included —
+    symmetric quantizers tolerate the half-a-ulp asymmetry). All array
+    lambdas map-side; the long (vec_id, dim_idx, q) output keeps the
+    result relational for the oracle, where a production sink would
+    write the packed array±scale instead.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    mx = F.array_max(
+        F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+    )
+    scaled = emb.select("vec_id", "embedding", mx.alias("mx"))
+    scale = F.when(F.col("mx") > 0, 127.0 / F.col("mx")).otherwise(F.lit(1.0))
+    qs = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * scale + 0.5).cast("bigint"),
+    )
+    return (
+        scaled.select("vec_id", F.posexplode(qs).alias("dim_idx", "q"))
+        .select("vec_id", F.col("dim_idx").cast("long").alias("dim_idx"), "q")
+        .orderBy("vec_id", "dim_idx")
+    )
