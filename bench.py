@@ -50,7 +50,15 @@ def run_query(spark, name: str, sf_dir: str) -> float:
     t0 = time.perf_counter()
     df = REGISTRY[name].build(spark, sf_dir)
     df.write.format("noop").mode("overwrite").save()
-    return time.perf_counter() - t0
+    elapsed = time.perf_counter() - t0
+    # Isolation: some builders persist intermediates (e.g. the shingle
+    # frame in jaccard_pairs) that outlive the query. Left in place they
+    # bleed memory pressure into every later measurement (observed 3-10x
+    # inflation on queries run after the dedup family). Clearing between
+    # queries measures each plan on a quiet executor, as the driver's
+    # per-query runs would.
+    spark.catalog.clearCache()
+    return elapsed
 
 
 REFERENCE_DATA = "/root/reference/data"
