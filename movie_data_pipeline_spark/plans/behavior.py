@@ -1,0 +1,256 @@
+"""User-behavior analytics over ``events``: weekly cohort retention
+(q76), strict-order funnel conversion (q77), and the event-transition
+matrix (q78).
+
+These are the session/user-level rollups an events warehouse serves
+(the reference's ratings analytics are the movie-domain analogue:
+per-user aggregates, SURVEY.md §2.4 A2-A5). All three are pure
+DataFrame compositions — joins, windows, conditional aggregates — so
+Catalyst plans them whole-stage and every count is exact.
+
+Cross-engine invariants: week bucketing stays TIMESTAMP on both
+engines (DuckDB's date_trunc('week') yields DATE, cast back to
+TIMESTAMP in the oracle — see :func:`_week`); ratios are exact-integer
+IEEE divisions under ``round4``/``r4``; ties in event ordering break
+on ``event_id``.
+
+Scale notes (100 TB events):
+- q76 joins the per-user first-week frame to the per-user activity
+  weeks — both sides are already aggregated to at most |users| and
+  |users|x|weeks| rows and share the ``user_id`` shuffle key, so AQE
+  plans a co-partitioned join with no extra exchange.
+- q77's three funnel stages are successive semi-structured joins that
+  shrink monotonically (clickers ⊆ viewers, buyers ⊆ clickers); each
+  stage keys on ``user_id`` so the shuffle partitioning is reused.
+- q78's lead() window shuffles once on ``user_id``; the transition
+  grid after aggregation is |event_types|² rows, so the share window
+  over ``from_type`` is trivially small.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from movie_data_pipeline_spark.plans.core import query, r4, round4
+from movie_data_pipeline_spark.sources.registry import load_table
+
+
+def _week(col) -> F.Column:
+    """Monday-start week bucket as TIMESTAMP.
+
+    DuckDB's date_trunc('week', ts) returns a DATE while Spark returns
+    a timestamp; DATE additionally collects as python ``date`` objects
+    (dtype object) on the Spark side vs datetime64 on the DuckDB side,
+    which the driver's comparison sees as different values. Keeping
+    both engines on TIMESTAMP (oracle: CAST(.. AS TIMESTAMP)) makes the
+    collected frames dtype-identical.
+    """
+    return F.date_trunc("week", col)
+
+
+# --------------------------------------------------------------------------
+# q76 — weekly cohort retention grid
+# --------------------------------------------------------------------------
+@query(
+    "q76_weekly_cohort_retention",
+    oracle=f"""
+    WITH firsts AS (
+      SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cohort_week
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS activity_week
+      FROM events),
+    joined AS (
+      SELECT f.cohort_week, a.activity_week, a.user_id
+      FROM activity a JOIN firsts f USING (user_id)),
+    grid AS (
+      SELECT cohort_week,
+             CAST(date_diff('day', cohort_week, activity_week) // 7 AS BIGINT)
+               AS weeks_since,
+             COUNT(DISTINCT user_id) AS active_users
+      FROM joined GROUP BY 1, 2),
+    sizes AS (
+      SELECT cohort_week, COUNT(*) AS cohort_size FROM firsts GROUP BY 1)
+    SELECT g.cohort_week, g.weeks_since, g.active_users, s.cohort_size,
+           {r4('g.active_users * 1.0 / s.cohort_size')} AS retention
+    FROM grid g JOIN sizes s USING (cohort_week)
+    ORDER BY cohort_week, weeks_since
+    """,
+    tags=("extension", "behavior", "cohort", "retention"),
+)
+def q76_weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort-retention triangle: users bucketed by first-seen
+    week, retention = share of the cohort active N weeks later.
+
+    Both inputs reduce to per-user frames before the join (first-event
+    week; distinct activity weeks), so the join input is bounded by
+    |users|·|weeks|, not |events|, and both sides share the ``user_id``
+    shuffle partitioning. ``weeks_since`` is an exact integer because
+    both endpoints are Monday-start week dates.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    firsts = ev.groupBy("user_id").agg(
+        _week(F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", _week(F.col("ts")).alias("activity_week")
+    ).distinct()
+    joined = activity.join(firsts, "user_id")
+    grid = joined.groupBy(
+        "cohort_week",
+        F.expr("CAST(datediff(activity_week, cohort_week) div 7 AS BIGINT)").alias(
+            "weeks_since"
+        ),
+    ).agg(F.count_distinct("user_id").alias("active_users"))
+    sizes = firsts.groupBy("cohort_week").agg(
+        F.count("*").alias("cohort_size")
+    )
+    return (
+        grid.join(sizes, "cohort_week")
+        .select(
+            "cohort_week",
+            "weeks_since",
+            "active_users",
+            "cohort_size",
+            round4(F.col("active_users") * F.lit(1.0) / F.col("cohort_size")).alias(
+                "retention"
+            ),
+        )
+        .orderBy("cohort_week", "weeks_since")
+    )
+
+
+# --------------------------------------------------------------------------
+# q77 — strict-order funnel conversion
+# --------------------------------------------------------------------------
+@query(
+    "q77_funnel_conversion",
+    oracle=f"""
+    WITH viewers AS (
+      SELECT user_id, MIN(ts) AS view_ts
+      FROM events WHERE event_type = 'view' GROUP BY user_id),
+    clickers AS (
+      SELECT e.user_id, MIN(e.ts) AS click_ts
+      FROM events e JOIN viewers v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.view_ts
+      GROUP BY e.user_id),
+    buyers AS (
+      SELECT e.user_id, MIN(e.ts) AS purchase_ts
+      FROM events e JOIN clickers c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+      GROUP BY e.user_id)
+    SELECT (SELECT COUNT(*) FROM viewers)  AS n_viewed,
+           (SELECT COUNT(*) FROM clickers) AS n_clicked,
+           (SELECT COUNT(*) FROM buyers)   AS n_purchased,
+           {r4('(SELECT COUNT(*) FROM clickers) * 1.0 / (SELECT COUNT(*) FROM viewers)')}
+             AS view_to_click,
+           {r4('(SELECT COUNT(*) FROM buyers) * 1.0 / (SELECT COUNT(*) FROM clickers)')}
+             AS click_to_purchase,
+           {r4('(SELECT COUNT(*) FROM buyers) * 1.0 / (SELECT COUNT(*) FROM viewers)')}
+             AS overall
+    """,
+    tags=("extension", "behavior", "funnel"),
+)
+def q77_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → purchase funnel with STRICT event ordering: a
+    click only counts after the user's first view, a purchase only
+    after that first qualifying click.
+
+    Each stage is a per-user MIN aggregate semi-joined to the previous
+    stage's survivors — the stages shrink monotonically and all key on
+    ``user_id``, so one shuffle partitioning carries through the whole
+    funnel. The final single-row combine is three scalar aggregates
+    cross-joined (broadcast, no data movement).
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    viewers = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("view_ts"))
+    )
+    clickers = (
+        ev.filter(F.col("event_type") == "click")
+        .join(viewers, "user_id")
+        .filter(F.col("ts") > F.col("view_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    buyers = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(clickers, "user_id")
+        .filter(F.col("ts") > F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    nv = viewers.agg(F.count("*").alias("n_viewed"))
+    nc = clickers.agg(F.count("*").alias("n_clicked"))
+    np_ = buyers.agg(F.count("*").alias("n_purchased"))
+    return nv.crossJoin(nc).crossJoin(np_).select(
+        "n_viewed",
+        "n_clicked",
+        "n_purchased",
+        round4(F.col("n_clicked") * F.lit(1.0) / F.col("n_viewed")).alias(
+            "view_to_click"
+        ),
+        round4(F.col("n_purchased") * F.lit(1.0) / F.col("n_clicked")).alias(
+            "click_to_purchase"
+        ),
+        round4(F.col("n_purchased") * F.lit(1.0) / F.col("n_viewed")).alias("overall"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q78 — event-transition matrix (first-order Markov counts)
+# --------------------------------------------------------------------------
+@query(
+    "q78_event_transitions",
+    oracle=f"""
+    WITH seq AS (
+      SELECT event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events),
+    pairs AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             COUNT(*) AS n_transitions
+      FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2)
+    SELECT from_type, to_type, n_transitions,
+           {r4('n_transitions * 1.0 / SUM(n_transitions) OVER (PARTITION BY from_type)')}
+             AS share
+    FROM pairs ORDER BY from_type, to_type
+    """,
+    tags=("extension", "behavior", "markov", "window"),
+)
+def q78_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order transition matrix over each user's event stream:
+    count of (event → next event) pairs plus the per-source share (the
+    empirical Markov transition probability).
+
+    ``lead()`` shuffles once on ``user_id`` (tie-break ``event_id`` for
+    a deterministic sequence); the aggregated grid is bounded by
+    |event_types|² rows, so the share window over ``from_type`` runs on
+    a trivially small frame — the single-partition-window trap doesn't
+    apply.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("next_type", F.lead("event_type").over(w))
+    pairs = (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count("*").alias("n_transitions"))
+    )
+    share_w = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        round4(
+            F.col("n_transitions") * F.lit(1.0) / F.sum("n_transitions").over(share_w)
+        ).alias("share"),
+    ).orderBy("from_type", "to_type")
