@@ -255,3 +255,64 @@ def simhash(
     return votes.select(
         F.col(id_col), fingerprint.cast("long").alias("simhash")
     )
+
+
+def simhash_hamming_pairs(
+    sh: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "simhash",
+    bands: int = 4,
+    band_bits: int = 8,
+    max_hamming: int = 8,
+) -> DataFrame:
+    """Near-duplicate pairs from SimHash fingerprints: banded candidate
+    generation + exact Hamming verification.
+
+    The fingerprint's ``bands * band_bits`` bits split into byte bands;
+    two documents become a candidate pair iff they agree on at least one
+    band (pigeonhole: any pair with Hamming distance < ``bands`` is
+    guaranteed caught; more distant pairs are caught when their
+    differing bits cluster). Candidates are verified with the exact
+    popcount of the XOR and kept when ``hamming <= max_hamming``.
+
+    Scale: the shuffle key is the (band_idx, band_val) pair — 4 rows per
+    document, never a cross join. A degenerate band value shared by many
+    documents is the skew risk (same as LSH buckets); AQE skew-join
+    splits it, and the candidate count stays bounded because each
+    document carries only ``bands`` band rows. Verification is integer
+    XOR+popcount inside codegen — no Python, no second shuffle (the
+    fingerprints travel with the band rows).
+    """
+    band_structs = [
+        F.struct(
+            F.lit(i).alias("band_idx"),
+            F.expr(f"({hash_col} div {1 << (band_bits * i)}) % {1 << band_bits}").alias(
+                "band_val"
+            ),
+        )
+        for i in range(bands)
+    ]
+    band_rows = sh.select(
+        F.col(id_col), F.col(hash_col), F.explode(F.array(*band_structs)).alias("band")
+    ).select(id_col, hash_col, "band.band_idx", "band.band_val")
+    a, b = band_rows.alias("a"), band_rows.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col(f"a.{hash_col}").alias("sh_a"),
+            F.col(f"b.{hash_col}").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.expr("CAST(bit_count(sh_a ^ sh_b) AS BIGINT)"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -254,3 +254,84 @@ def q78_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_transitions") * F.lit(1.0) / F.sum("n_transitions").over(share_w)
         ).alias("share"),
     ).orderBy("from_type", "to_type")
+
+
+# --------------------------------------------------------------------------
+# q86 — hourly volume anomalies (z-score vs trailing 24 observed hours)
+# --------------------------------------------------------------------------
+# Shared arithmetic, spelled identically in both engines: integer frame
+# sums (exact in any order) -> mean/variance/z via the same IEEE ops.
+_Z_MIN_HOURS = 12
+
+
+@query(
+    "q86_hourly_anomalies",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+             COUNT(*) AS c
+      FROM events GROUP BY 1, 2),
+    framed AS (
+      SELECT event_type, hour, c,
+             COUNT(c) OVER w AS n,
+             SUM(c) OVER w AS s1,
+             SUM(c * c) OVER w AS s2
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+    SELECT event_type, hour, c AS n_events,
+           CASE WHEN n >= {_Z_MIN_HOURS}
+                 AND (s2 - s1 * s1 * 1.0 / n) / (n - 1) > 0
+                THEN {r4('(c - s1 * 1.0 / n) / sqrt((s2 - s1 * s1 * 1.0 / n) / (n - 1))')}
+           END AS zscore,
+           CASE WHEN n >= {_Z_MIN_HOURS}
+                 AND (s2 - s1 * s1 * 1.0 / n) / (n - 1) > 0
+                THEN CAST(abs((c - s1 * 1.0 / n)
+                          / sqrt((s2 - s1 * s1 * 1.0 / n) / (n - 1))) > 2.0
+                     AS BIGINT)
+           END AS is_anomaly
+    FROM framed ORDER BY event_type, hour
+    """,
+    tags=("extension", "behavior", "anomaly", "window"),
+)
+def q86_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: each (event_type, hour) bucket scored
+    against the mean/stddev of its trailing 24 *observed* hours — the
+    monitoring rollup an events warehouse feeds to alerting.
+
+    The trailing statistics come from integer power sums (COUNT/SUM/
+    SUM(c*c)) over a ROWS frame — exact in any accumulation order, so
+    the derived mean/variance/z are bit-identical across engines (the
+    q61/q68 discipline applied to a moving frame). One shuffle on
+    event_type for both the hourly aggregate and the window; warm-up
+    rows (< {_Z_MIN_HOURS} trailing hours) and zero-variance frames
+    yield NULL scores rather than infinities.
+    """
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count("*").alias("c"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-24, -1)
+    )
+    framed = hourly.select(
+        "event_type",
+        "hour",
+        "c",
+        F.count("c").over(w).alias("n"),
+        F.sum("c").over(w).alias("s1"),
+        F.sum(F.col("c") * F.col("c")).over(w).alias("s2"),
+    )
+    n, s1, s2, c = (F.col(x) for x in ("n", "s1", "s2", "c"))
+    var = (s2 - s1 * s1 * F.lit(1.0) / n) / (n - F.lit(1))
+    z = (c - s1 * F.lit(1.0) / n) / F.sqrt(var)
+    ok = (n >= F.lit(_Z_MIN_HOURS)) & (var > F.lit(0.0))
+    return framed.select(
+        "event_type",
+        "hour",
+        c.alias("n_events"),
+        F.when(ok, round4(z)).alias("zscore"),
+        F.when(ok, (F.abs(z) > F.lit(2.0)).cast("long")).alias("is_anomaly"),
+    ).orderBy("event_type", "hour")

@@ -274,3 +274,76 @@ def q73_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         round4(n_dup * 1.0 / n_grams).alias("dup_gram_ratio"),
         round4(_top_token_count() * 1.0 / F.size(t)).alias("top_token_share"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# q85 — corpus mixing weights (source-balanced token budget)
+# --------------------------------------------------------------------------
+# Fraction of total corpus tokens the mixed output may contain. A binary
+# fraction, so budget arithmetic is exact IEEE on both engines.
+MIX_BUDGET_FRACTION = 0.5
+
+_PER_SOURCE_SQL = """
+  per AS (
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split_regex(lower(trim(text)), '\\s+'))) AS BIGINT)
+             AS n_tokens
+    FROM documents GROUP BY source),
+  tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total,
+                 COUNT(*) AS n_src FROM per)
+"""
+
+_MIX_RATE_SQL = "LEAST(1.0, (total * 0.5 / n_src) / n_tokens)"
+
+
+@query(
+    "q85_source_mixing_weights",
+    oracle=f"""
+    WITH {_PER_SOURCE_SQL}
+    SELECT source, n_docs, n_tokens,
+           {r4('n_tokens * 1.0 / total')} AS corpus_share,
+           {r4(_MIX_RATE_SQL)} AS mix_rate,
+           CAST(floor({_MIX_RATE_SQL} * n_tokens) AS BIGINT) AS sampled_tokens
+    FROM per CROSS JOIN tot ORDER BY source
+    """,
+    tags=("extension", "curation", "mixing"),
+)
+def q85_source_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mixing plan: per-source sampling rates that rebalance the
+    corpus toward equal source shares under a 50%-of-total token
+    budget — the computation behind every training-mixture config
+    (rates to feed q70's deterministic per-stratum sampler).
+
+    Over-represented sources get rate = budget_share / their_tokens;
+    under-represented sources cap at 1.0 (never upsampled — epochs are
+    a trainer decision, not a sampler decision). Everything after the
+    one per-source aggregate is arithmetic on an |sources|-row frame
+    joined to a 1-row broadcast total: the whole query costs one
+    shuffle regardless of corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokens(F.col("text")))).alias("n_tokens"),
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("total"), F.count("*").alias("n_src")
+    )
+    rate = F.least(
+        F.lit(1.0),
+        (F.col("total") * F.lit(0.5) / F.col("n_src")) / F.col("n_tokens"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            round4(F.col("n_tokens") * F.lit(1.0) / F.col("total")).alias(
+                "corpus_share"
+            ),
+            round4(rate).alias("mix_rate"),
+            F.floor(rate * F.col("n_tokens")).cast("long").alias("sampled_tokens"),
+        )
+        .orderBy("source")
+    )

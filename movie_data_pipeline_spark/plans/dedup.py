@@ -22,9 +22,13 @@ from movie_data_pipeline_spark.operators.dedup import (
     minhash_coeffs,
     minhash_signatures_long,
     simhash,
+    simhash_hamming_pairs,
 )
 from movie_data_pipeline_spark.functions.text import base_hash32, tokens
-from movie_data_pipeline_spark.operators.graph import duplicate_clusters
+from movie_data_pipeline_spark.operators.graph import (
+    connected_components,
+    duplicate_clusters,
+)
 from movie_data_pipeline_spark.plans.core import query, r4, round4
 from movie_data_pipeline_spark.sources.registry import load_table
 
@@ -163,24 +167,30 @@ def q20_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(sigs).orderBy("doc_a", "doc_b")
 
 
+_SIMHASH_CTES = f"""
+  toks AS (
+    SELECT doc_id, unnest({_TOKS_SQL}) AS token FROM documents
+  ),
+  hashed AS (SELECT doc_id, {_BH_SQL.format(col='token')} AS bh FROM toks),
+  bits AS (SELECT j AS bit_idx, CAST(2 ** j AS BIGINT) AS pow2
+           FROM generate_series(0, 31) t(j)),
+  votes AS (
+    SELECT doc_id, bit_idx, pow2,
+           SUM(CASE WHEN (bh // pow2) % 2 = 1 THEN 1 ELSE -1 END) AS vote
+    FROM hashed CROSS JOIN bits
+    GROUP BY doc_id, bit_idx, pow2),
+  fingerprints AS (
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN vote > 0 THEN pow2 ELSE 0 END) AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id)
+"""
+
+
 @query(
     "q21_simhash",
     oracle=f"""
-    WITH toks AS (
-      SELECT doc_id, unnest({_TOKS_SQL}) AS token FROM documents
-    ),
-    hashed AS (SELECT doc_id, {_BH_SQL.format(col='token')} AS bh FROM toks),
-    bits AS (SELECT j AS bit_idx, CAST(2 ** j AS BIGINT) AS pow2
-             FROM generate_series(0, 31) t(j)),
-    votes AS (
-      SELECT doc_id, bit_idx, pow2,
-             SUM(CASE WHEN (bh // pow2) % 2 = 1 THEN 1 ELSE -1 END) AS vote
-      FROM hashed CROSS JOIN bits
-      GROUP BY doc_id, bit_idx, pow2)
-    SELECT doc_id,
-           CAST(SUM(CASE WHEN vote > 0 THEN pow2 ELSE 0 END) AS BIGINT) AS simhash
-    FROM votes GROUP BY doc_id
-    ORDER BY doc_id
+    WITH {_SIMHASH_CTES}
+    SELECT doc_id, simhash FROM fingerprints ORDER BY doc_id
     """,
     tags=("extension", "dedup", "simhash"),
 )
@@ -289,10 +299,10 @@ def q74_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q63_duplicate_clusters",
-    oracle=f"""
-    WITH RECURSIVE
+# Recursive-CTE transitive closure of the >= 0.2-Jaccard relation, ending
+# in `sized(doc_id, cluster_id, cluster_size)`. Shared by q63 (cluster
+# members) and q82 (kept canonical corpus). Requires WITH RECURSIVE.
+_CLUSTER_CTES = f"""
     {_SHINGLES_CTE},
     counts AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
     common AS (
@@ -315,6 +325,14 @@ def q74_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized AS (SELECT doc_id, cluster_id,
                      COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
               FROM comp)
+"""
+
+
+@query(
+    "q63_duplicate_clusters",
+    oracle=f"""
+    WITH RECURSIVE
+    {_CLUSTER_CTES}
     SELECT doc_id, cluster_id, cluster_size
     FROM sized WHERE cluster_size > 1
     ORDER BY doc_id
@@ -340,3 +358,150 @@ def q63_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = jaccard_pairs(docs, threshold=0.2).select("doc_a", "doc_b")
     return duplicate_clusters(pairs, docs).orderBy("doc_id")
+
+
+@query(
+    "q79_simhash_hamming_pairs",
+    oracle=f"""
+    WITH {_SIMHASH_CTES},
+    bands AS (
+      SELECT doc_id, simhash, b AS band_idx,
+             (simhash // CAST(2 ** (8 * b) AS BIGINT)) % 256 AS band_val
+      FROM fingerprints CROSS JOIN generate_series(0, 3) t(b)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sh_a, b.simhash AS sh_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sh_a, sh_b)) <= 8
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("extension", "dedup", "simhash", "lsh"),
+)
+def q79_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate PAIRS: byte-banded candidates verified by
+    exact Hamming distance (<= 8 of 32 bits).
+
+    Completes the SimHash story: q21 computes fingerprints, this query
+    turns them into a bounded candidate join the way an index would —
+    agree on >= 1 of 4 byte bands — then verifies with XOR+popcount in
+    codegen. Any pair within Hamming distance 3 is caught by pigeonhole;
+    the <= 8 keep-filter is applied identically in both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_hamming_pairs(simhash(docs)).orderBy("doc_a", "doc_b")
+
+
+@query(
+    "q82_dedup_kept_corpus",
+    oracle=f"""
+    WITH RECURSIVE
+    {_CLUSTER_CTES}
+    SELECT doc_id, cluster_size, cluster_size - 1 AS n_dropped
+    FROM sized WHERE doc_id = cluster_id
+    ORDER BY doc_id
+    """,
+    tags=("extension", "dedup", "graph", "curation"),
+)
+def q82_dedup_kept_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's final artifact: the KEPT corpus — one
+    canonical document per near-duplicate cluster (min doc_id),
+    singletons included, with how many copies each kept doc absorbed.
+
+    Composes the whole dedup chain end-to-end: shingle Jaccard pairs
+    (q18) → connected components (q63) → keep-one-per-cluster. The
+    keep rule ``doc_id == component`` needs no extra join or window —
+    the component label IS the canonical id, so the filter is free;
+    only the cluster-size aggregate adds a (tiny, post-clustering)
+    shuffle keyed on the component id.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, threshold=0.2).select("doc_a", "doc_b")
+    comp = connected_components(
+        pairs, nodes=docs.select("doc_id"), src="doc_a", dst="doc_b"
+    )
+    sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return (
+        comp.filter(F.col("node") == F.col("component"))
+        .join(sizes, "component")
+        .select(
+            F.col("node").alias("doc_id"),
+            "cluster_size",
+            (F.col("cluster_size") - F.lit(1)).alias("n_dropped"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q84_duplicated_span_share",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(t) - 4),
+                                   i -> array_to_string(t[i:i+4], ' '))) AS g
+      FROM toks WHERE len(t) >= 5),
+    gd AS (SELECT g, COUNT(DISTINCT doc_id) AS nd FROM grams GROUP BY g),
+    per AS (
+      SELECT doc_id,
+             COUNT(*) AS n_grams,
+             COUNT(CASE WHEN nd > 1 THEN 1 END) AS n_dup_grams
+      FROM grams JOIN gd USING (g)
+      GROUP BY doc_id)
+    SELECT doc_id, n_grams, n_dup_grams,
+           {r4('n_dup_grams * 1.0 / n_grams')} AS dup_span_share
+    FROM per ORDER BY doc_id
+    """,
+    tags=("extension", "dedup", "substring"),
+)
+def q84_duplicated_span_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span detection: per document, the share
+    of word 5-gram positions whose 5-gram also occurs in at least one
+    OTHER document (the signal behind exact-substring dedup, Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better").
+
+    Shape: explode each doc into its 5-gram bag (positions preserved as
+    multiplicity), aggregate the cross-doc document-frequency per gram,
+    join back, count flagged positions per doc. Two shuffles, both
+    keyed on the gram; at 100 TB the join key should be the 8-byte
+    gram hash (base_hash32 over the gram) rather than the string — the
+    string form here keeps the oracle exactly mirrorable. Repeats
+    within a single document do NOT count as duplicated (document
+    frequency, not raw frequency).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    grams = (
+        docs.select("doc_id", t.alias("t"))
+        .filter(F.size("t") >= 5)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - F.lit(4)),
+                    lambda i: F.array_join(F.slice(F.col("t"), i, 5), " "),
+                )
+            ).alias("g"),
+        )
+    )
+    gd = grams.groupBy("g").agg(F.count_distinct("doc_id").alias("nd"))
+    per = (
+        grams.join(gd, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count(F.when(F.col("nd") > 1, 1)).alias("n_dup_grams"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_grams",
+        "n_dup_grams",
+        round4(F.col("n_dup_grams") * F.lit(1.0) / F.col("n_grams")).alias(
+            "dup_span_share"
+        ),
+    ).orderBy("doc_id")

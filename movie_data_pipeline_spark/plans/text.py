@@ -206,3 +206,189 @@ def q26_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, c: (acc * FINGERPRINT_BASE + c) % FINGERPRINT_MOD,
     )
     return docs.select("doc_id", fp.alias("fingerprint")).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# q80 — lexical diversity (type-token ratio, hapax share)
+# --------------------------------------------------------------------------
+@query(
+    "q80_lexical_diversity",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, list_sort(string_split_regex(lower(trim(text)), '\\s+')) AS s
+      FROM documents),
+    feat AS (
+      SELECT doc_id,
+             CAST(len(s) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(s)) AS BIGINT) AS n_distinct_tokens,
+             CAST(len(list_filter(generate_series(1, len(s)), i ->
+                    (i = 1 OR s[i] <> s[i-1])
+                AND (i = len(s) OR s[i] <> s[i+1]))) AS BIGINT) AS n_hapax
+      FROM toks)
+    SELECT doc_id, n_tokens, n_distinct_tokens, n_hapax,
+           {r4('n_distinct_tokens * 1.0 / n_tokens')} AS ttr,
+           {r4('n_hapax * 1.0 / n_tokens')} AS hapax_share
+    FROM feat ORDER BY doc_id
+    """,
+    tags=("extension", "text", "quality", "lexical"),
+)
+def q80_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity quality features: type-token ratio (distinct
+    tokens / tokens) and hapax share (tokens occurring exactly once).
+
+    Low TTR / low hapax share flags template or boilerplate text —
+    complements q73's repetition metrics. Counting hapaxes on the
+    SORTED token array makes it a linear neighbor scan (a run of length
+    1 is a position differing from both neighbors) instead of the
+    quadratic count-each-distinct-token form; all lambdas are codegen'd
+    array ops, so the whole query is a shuffle-free map stage at any
+    scale. Out-of-range neighbor probes use 0-based ``get`` (NULL, no
+    ANSI error) with the same i=1 / i=n guards as the oracle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    s = F.array_sort(tokens(F.col("text")))
+    n = F.size(s)
+    idx = F.sequence(F.lit(1), n)
+
+    def _is_hapax(i):
+        cur = F.element_at(s, i)
+        prev_ne = (i == F.lit(1)) | F.coalesce(
+            F.get(s, i - F.lit(2)) != cur, F.lit(True)
+        )
+        next_ne = (i == n) | F.coalesce(F.get(s, i) != cur, F.lit(True))
+        return prev_ne & next_ne
+
+    n_tokens = n.cast("long")
+    n_distinct = F.size(F.array_distinct(s)).cast("long")
+    n_hapax = F.size(F.filter(idx, _is_hapax)).cast("long")
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_distinct.alias("n_distinct_tokens"),
+        n_hapax.alias("n_hapax"),
+        round4(n_distinct * F.lit(1.0) / n_tokens).alias("ttr"),
+        round4(n_hapax * F.lit(1.0) / n_tokens).alias("hapax_share"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# q81 — benchmark-contamination probe scan
+# --------------------------------------------------------------------------
+# Probe phrases a training pipeline would ship as "known benchmark
+# strings"; substring match, not tokenized, as contamination checks do.
+CONTAMINATION_PROBES = (
+    "spark window window",
+    "hash scan join",
+    "batch batch batch",
+)
+
+_PROBE_PRED = " OR ".join(
+    f"contains(text, '{p}')" for p in CONTAMINATION_PROBES
+)
+
+
+@query(
+    "q81_contamination_probes",
+    oracle=f"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(CASE WHEN {_PROBE_PRED} THEN 1 END) AS n_contaminated,
+           {r4(f'COUNT(CASE WHEN {_PROBE_PRED} THEN 1 END) * 1.0 / COUNT(*)')}
+             AS contamination_rate
+    FROM documents GROUP BY source ORDER BY source
+    """,
+    tags=("extension", "text", "contamination"),
+)
+def q81_contamination_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: per source, how many documents
+    contain any of a fixed list of probe phrases (exact substring).
+
+    The decontamination primitive every training pipeline runs before
+    shipping a corpus. Probes are literal `contains` predicates —
+    codegen'd, shuffle only on the tiny (source) aggregation key. At
+    real scale with thousands of probes this becomes a broadcast join
+    against a shingle index (the q18/q20 machinery); the fixed-list
+    form is the common small-probe-set fast path.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    hit = None
+    for p in CONTAMINATION_PROBES:
+        c = F.contains(F.col("text"), F.lit(p))
+        hit = c if hit is None else (hit | c)
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count(F.when(hit, 1)).alias("n_contaminated"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_contaminated",
+            round4(F.col("n_contaminated") * F.lit(1.0) / F.col("n_docs")).alias(
+                "contamination_rate"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# q83 — unigram surprisal (LM-free perplexity proxy)
+# --------------------------------------------------------------------------
+@query(
+    "q83_unigram_surprisal",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+      FROM documents),
+    counts AS (SELECT token, COUNT(*) AS c FROM toks GROUP BY token),
+    total AS (SELECT SUM(c) AS n FROM counts),
+    per AS (
+      SELECT doc_id, COUNT(*) AS n_tokens, SUM(-ln(c * 1.0 / n)) AS s
+      FROM toks JOIN counts USING (token) CROSS JOIN total
+      GROUP BY doc_id)
+    SELECT doc_id, n_tokens, {r4('s / n_tokens')} AS avg_surprisal
+    FROM per ORDER BY doc_id
+    """,
+    tags=("extension", "text", "quality", "language-model"),
+)
+def q83_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average unigram surprisal (nats/token) under the
+    corpus's own unigram distribution — the language-model-free
+    perplexity proxy quality filters use (the CCNet recipe scores docs
+    with a KenLM; the unigram form is its degenerate, corpus-derivable
+    case). Boilerplate made of globally common tokens scores low;
+    token-salad scores high.
+
+    Shape: one explode, one token-keyed count aggregate, one join of
+    the token stream back to its own frequency table, one per-doc
+    aggregate. The frequency table is vocabulary-sized (Heaps' law:
+    ~millions of rows at 100 TB, broadcastable after pruning to the
+    tokens actually present per partition is NOT possible — so this
+    join shuffles on the token; the skew risk is stopword keys, which
+    is exactly what AQE skew-split handles). The grand-total N is a
+    1-row broadcast. ln() is evaluated on identical doubles on both
+    engines; per-doc sums are ~dozens of terms, far below the drift
+    magnitude that would cross a round4 boundary.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    counts = toks.groupBy("token").agg(F.count("*").alias("c"))
+    total = counts.agg(F.sum("c").alias("n"))
+    per = (
+        toks.join(counts, "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(-F.log(F.col("c") * F.lit(1.0) / F.col("n"))).alias("s"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_tokens",
+        round4(F.col("s") / F.col("n_tokens")).alias("avg_surprisal"),
+    ).orderBy("doc_id")
