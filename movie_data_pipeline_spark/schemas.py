@@ -82,12 +82,22 @@ TESTDATA_SCHEMAS: dict[str, StructType] = {
         ("l_linestatus", StringType()),
         ("l_shipdate", TimestampNTZType()),
     ),
-    # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects
-    # as a timestamp type; we read the raw INT64 nanos and convert to
-    # TIMESTAMP_NTZ arithmetically in the loader (timezone-free).
+    # events.ts encoding varies across driver generations: TIMESTAMP(NANOS)
+    # (which Spark's reader rejects as a timestamp type — read the raw INT64
+    # nanos and convert arithmetically in the loader) or plain
+    # TIMESTAMP(MICROS) (read directly as NTZ). The loader sniffs the
+    # parquet footer and picks the matching schema.
     "events": _st(
         ("event_id", LongType()),
         ("ts", LongType()),
+        ("user_id", LongType()),
+        ("event_type", StringType()),
+        ("value", DoubleType()),
+        ("props", StringType()),
+    ),
+    "events_ntz": _st(
+        ("event_id", LongType()),
+        ("ts", TimestampNTZType()),
         ("user_id", LongType()),
         ("event_type", StringType()),
         ("value", DoubleType()),

@@ -10,6 +10,7 @@ scan via Catalyst, so operators never pre-filter manually.
 from __future__ import annotations
 
 import os
+from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -36,24 +37,45 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+@lru_cache(maxsize=None)
+def _events_ts_is_nanos(path: str) -> bool:
+    """Sniff the parquet footer: True when ts is TIMESTAMP(NANOS).
+
+    The driver has shipped events.parquet with either TIMESTAMP(NANOS)
+    (unreadable as a Spark timestamp — handled as raw INT64 nanos) or
+    TIMESTAMP(MICROS) (a plain NTZ read). A footer read is metadata-only
+    (no row groups touched), cached per path, and at cluster scale would
+    run once on the driver — never per task.
+    """
+    import pyarrow.parquet as pq
+
+    t = pq.read_schema(path).field("ts").type
+    return getattr(t, "unit", None) == "ns"
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TESTDATA_TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TESTDATA_TABLES}")
-    # Explicit schema: no inference scan, and timestamps are pinned to NTZ
-    # so semantics match the naive-timestamp oracle in any session timezone.
-    df = spark.read.schema(TESTDATA_SCHEMAS[name]).parquet(table_path(sf_dir, name))
     if name == "events":
-        # Parquet TIMESTAMP(NANOS) is read as raw INT64 (see schemas.py);
-        # rebuild a TIMESTAMP_NTZ by pure epoch arithmetic — truncation to
-        # micros matches the oracle engine's ns→µs cast, and no session
-        # timezone is involved.
-        df = df.withColumn(
+        path = table_path(sf_dir, name)
+        if not _events_ts_is_nanos(path):
+            # TIMESTAMP(MICROS): direct NTZ read — timezone-free, matching
+            # the naive-timestamp oracle in any session timezone.
+            return spark.read.schema(TESTDATA_SCHEMAS["events_ntz"]).parquet(path)
+        # Parquet TIMESTAMP(NANOS) is rejected by Spark's timestamp reader;
+        # read the raw INT64 (see schemas.py) and rebuild a TIMESTAMP_NTZ by
+        # pure epoch arithmetic — truncation to micros matches the oracle
+        # engine's ns→µs cast, and no session timezone is involved.
+        df = spark.read.schema(TESTDATA_SCHEMAS["events"]).parquet(path)
+        return df.withColumn(
             "ts",
             F.expr(
                 "timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
             ),
         )
-    return df
+    # Explicit schema: no inference scan, and timestamps are pinned to NTZ
+    # so semantics match the naive-timestamp oracle in any session timezone.
+    return spark.read.schema(TESTDATA_SCHEMAS[name]).parquet(table_path(sf_dir, name))
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -38,7 +38,7 @@ from pyspark.sql.types import (
 )
 
 from movie_data_pipeline_spark.schemas import TESTDATA_SCHEMAS
-from movie_data_pipeline_spark.sources.registry import table_path
+from movie_data_pipeline_spark.sources.registry import _events_ts_is_nanos, table_path
 
 SESSION_SCHEMA = StructType(
     [
@@ -64,8 +64,12 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Watermarks require TIMESTAMP (instant) — epoch-micros conversion;
     # with the session timezone pinned to UTC (session.py) the wall values
-    # match the batch loader's NTZ timestamps.
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # match the batch loader's NTZ timestamps. The LongType read yields
+    # raw nanos or micros depending on the file's encoding (the streaming
+    # reader, like the batch one, hands back the physical INT64); sniff
+    # the footer once to pick the right scale.
+    micros = "ts div 1000" if _events_ts_is_nanos(table_path(sf_dir, "events")) else "ts"
+    return raw.withColumn("ts", F.timestamp_micros(F.expr(micros)))
 
 
 def hourly_event_stats_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:

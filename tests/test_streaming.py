@@ -122,12 +122,15 @@ def test_sliding_window_equals_batch(spark):
 def stream_events_batch_twin(spark):
     """Batch frame with the exact columns/types stream_events emits."""
     from movie_data_pipeline_spark.schemas import TESTDATA_SCHEMAS
-    from movie_data_pipeline_spark.sources.registry import table_path
-
-    raw = spark.read.schema(TESTDATA_SCHEMAS["events"]).parquet(
-        table_path(TESTDATA_SF_DIR, "events")
+    from movie_data_pipeline_spark.sources.registry import (
+        _events_ts_is_nanos,
+        table_path,
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    path = table_path(TESTDATA_SF_DIR, "events")
+    raw = spark.read.schema(TESTDATA_SCHEMAS["events"]).parquet(path)
+    micros = "ts div 1000" if _events_ts_is_nanos(path) else "ts"
+    return raw.withColumn("ts", F.timestamp_micros(F.expr(micros)))
 
 
 def test_stream_stream_join_equals_batch(spark):
