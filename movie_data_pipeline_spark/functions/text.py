@@ -38,3 +38,34 @@ def word_shingles(text: Column, n: int = 3) -> Column:
 def base_hash32(col: Column) -> Column:
     """Deterministic 32-bit hash as BIGINT, identical across engines."""
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+# PII redaction patterns — ASCII-anchored so the Java (Spark) and RE2
+# (DuckDB oracle) regex engines agree exactly. Order matters: emails
+# first (their local part can contain digits/dots a later pass would
+# chew on), then phones, then bare IPv4s.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    (r"\d{3}-\d{3}-\d{4}", "[PHONE]"),
+    (r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}", "[IP]"),
+)
+
+
+def redact_pii(col: Column) -> Column:
+    """Mask emails, phone numbers, and IPv4 addresses with typed
+    placeholders. A chain of JVM-side ``regexp_replace`` calls — no
+    Python in the path, so redaction runs at scan speed inside
+    whole-stage codegen (the shape of every at-scale PII scrub pass).
+    """
+    out = col
+    for pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_counts(col: Column) -> list[Column]:
+    """Per-kind PII match counts (email, phone, ipv4) as columns."""
+    return [
+        F.size(F.regexp_extract_all(col, F.lit(pat), 0)).cast("long")
+        for pat, _ in PII_PATTERNS
+    ]

@@ -1155,3 +1155,161 @@ def q62_embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q90 — multi-correlated EXISTS / NOT EXISTS, decorrelated (TPC-H Q21 shape)
+# --------------------------------------------------------------------------
+@query(
+    "q90_sole_blame_suppliers",
+    oracle="""
+    WITH fl AS (
+      SELECT l_orderkey, l_suppkey, l_shipdate
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F'),
+    om AS (SELECT l_orderkey, max(l_shipdate) AS maxship
+           FROM fl GROUP BY l_orderkey),
+    cand AS (
+      SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+      FROM fl l1 JOIN om ON om.l_orderkey = l1.l_orderkey
+      WHERE l1.l_shipdate = om.maxship),
+    blamed AS (
+      SELECT c.l_orderkey, c.l_suppkey FROM cand c
+      WHERE EXISTS (SELECT 1 FROM fl l2
+                    WHERE l2.l_orderkey = c.l_orderkey
+                      AND l2.l_suppkey <> c.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM cand c2
+                        WHERE c2.l_orderkey = c.l_orderkey
+                          AND c2.l_suppkey <> c.l_suppkey))
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS waiting_orders
+    FROM blamed JOIN supplier ON s_suppkey = l_suppkey
+    GROUP BY s_name
+    ORDER BY waiting_orders DESC, s_name
+    LIMIT 20
+    """,
+    tags=("parity", "subquery", "decorrelation", "semi-join", "anti-join"),
+)
+def q90_sole_blame_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers solely responsible for the latest shipment in
+    multi-supplier finished orders — the TPC-H Q21 shape (one EXISTS +
+    one NOT EXISTS, both correlated to the outer row) adapted to this
+    schema's columns (no commit/receipt dates; "blame" = holding the
+    order's max ship date alone).
+
+    The Spark build decorrelates by hand into ONE l_orderkey shuffle
+    that serves every correlated predicate: a single whole-partition
+    window computes the order's max ship date, its distinct-supplier
+    set size (``EXISTS other-supplier`` → ``n_suppliers > 1``), and the
+    distinct set of suppliers holding the max (``NOT EXISTS
+    other-supplier-at-max`` → that set has size 1) in one pass. The
+    (orderkey, suppkey) dedup rides the same partitioning — a window
+    keyed on (l_orderkey, l_suppkey) is satisfied by the existing
+    l_orderkey clustering, so it adds a sort but NO exchange. No
+    repeated subquery scans of the fact table, which at 100 TB is the
+    difference between one co-partitioned pass and three. The supplier
+    dim is broadcast; the final top-k is TakeOrderedAndProject (no
+    global sort).
+    """
+    orders_f = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    fl = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(F.broadcast(orders_f), F.col("l_orderkey") == F.col("o_orderkey"))
+        .drop("o_orderkey")
+    )
+    w = Window.partitionBy("l_orderkey")
+    per_line = (
+        fl.withColumn(
+            "at_max", F.col("l_shipdate") == F.max("l_shipdate").over(w)
+        )
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            "at_max",
+            F.size(F.collect_set("l_suppkey").over(w)).alias("n_suppliers"),
+            F.size(
+                F.collect_set(F.when(F.col("at_max"), F.col("l_suppkey"))).over(w)
+            ).alias("n_at_max"),
+        )
+    )
+    w_pair = Window.partitionBy("l_orderkey", "l_suppkey").orderBy(F.lit(1))
+    blamed = (
+        per_line.filter(
+            F.col("at_max") & (F.col("n_suppliers") > 1) & (F.col("n_at_max") == 1)
+        )
+        .withColumn("rn", F.row_number().over(w_pair))
+        .filter(F.col("rn") == 1)
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        blamed.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").cast("long").alias("waiting_orders"))
+        .orderBy(F.col("waiting_orders").desc(), F.col("s_name"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# q91 — global scalar threshold + NOT EXISTS (TPC-H Q22 shape)
+# --------------------------------------------------------------------------
+@query(
+    "q91_dormant_rich_customers",
+    oracle=f"""
+    WITH thr AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE)
+               / COUNT(*) AS avg_bal
+      FROM customer WHERE c_acctbal > 0)
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           {r4(exact_sum_sql("c_acctbal"))} AS total_acctbal
+    FROM customer, thr
+    WHERE c_acctbal > avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    tags=("parity", "subquery", "anti-join", "scalar-subquery"),
+)
+def q91_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with above-average positive balance and no orders,
+    grouped by market segment — the TPC-H Q22 shape (uncorrelated
+    scalar threshold subquery + correlated NOT EXISTS).
+
+    Decorrelation: the scalar average folds to a one-row aggregate
+    cross-joined in via broadcast (a literal by the time the filter
+    runs); NOT EXISTS becomes a left-anti join against the single
+    o_custkey column of orders. Scale: the anti join is the only real
+    shuffle — both sides hash on custkey; the orders build side is
+    projected to one column before the exchange. The threshold is an
+    exact decimal SUM / COUNT so both engines compare against
+    bit-identical doubles (a raw double AVG drifts with partition
+    order and can flip rows at the boundary).
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    thr = (
+        customer.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (exact_sum(F.col("c_acctbal")) / F.count("*")).alias("avg_bal")
+        )
+    )
+    orders_keys = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        customer.crossJoin(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            orders_keys,
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            round4(exact_sum(F.col("c_acctbal"))).alias("total_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )

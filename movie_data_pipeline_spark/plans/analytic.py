@@ -24,6 +24,7 @@ from movie_data_pipeline_spark.plans.core import (
     exact_sum,
     exact_sum_sql,
     query,
+    r4,
     round4,
 )
 from movie_data_pipeline_spark.sources.registry import load_table
@@ -442,4 +443,148 @@ def q70_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("o_orderkey").alias("first_key"),
         )
         .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# q93 — RFM customer segmentation (quintile scores + segment label)
+# --------------------------------------------------------------------------
+@query(
+    "q93_rfm_segments",
+    oracle=f"""
+    WITH cust AS (
+      SELECT o_custkey,
+             date_diff('day', CAST(max(o_orderdate) AS DATE),
+                       (SELECT CAST(max(o_orderdate) AS DATE) FROM orders))
+               AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             {exact_sum_sql('o_totalprice')} AS monetary
+      FROM orders GROUP BY o_custkey),
+    scored AS (
+      SELECT *,
+             ntile(5) OVER (ORDER BY recency_days DESC, o_custkey) AS r_score,
+             ntile(5) OVER (ORDER BY frequency ASC, o_custkey) AS f_score,
+             ntile(5) OVER (ORDER BY monetary ASC, o_custkey) AS m_score
+      FROM cust)
+    SELECT o_custkey AS custkey, recency_days, frequency,
+           {r4('monetary')} AS monetary,
+           r_score, f_score, m_score,
+           CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+             || CAST(m_score AS VARCHAR) AS segment
+    FROM scored ORDER BY custkey
+    """,
+    tags=("extension", "analytic", "segmentation", "window"),
+)
+def q93_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer recency (days since last order,
+    relative to the corpus max order date), frequency (order count),
+    monetary (exact total), each scored into quintiles (5 = best) with
+    a composed segment label — the classic churn/LTV rollup.
+
+    Ties at every quintile boundary are broken by custkey, so ntile is
+    fully deterministic on both engines. The single-partition ntile
+    windows are the small-result path (one row per customer after a
+    co-partitioned aggregate); at 100 TB the same scores come from the
+    q40-documented quantile-boundary route (approx_percentile boundaries
+    broadcast, then a codegen'd CASE per row) — no global sort needed.
+    The reference-date scalar folds to a broadcast literal, as q91.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    ref = orders.agg(F.max(F.col("o_orderdate").cast("date")).alias("ref_date"))
+    cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+            F.count("*").alias("frequency"),
+            exact_sum(F.col("o_totalprice")).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(ref))
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.datediff("ref_date", "last_order").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    w_r = Window.orderBy(F.col("recency_days").desc(), F.col("custkey"))
+    w_f = Window.orderBy(F.col("frequency").asc(), F.col("custkey"))
+    w_m = Window.orderBy(F.col("monetary").asc(), F.col("custkey"))
+    return (
+        cust.select(
+            "custkey",
+            "recency_days",
+            "frequency",
+            round4(F.col("monetary")).alias("monetary"),
+            F.ntile(5).over(w_r).alias("r_score"),
+            F.ntile(5).over(w_f).alias("f_score"),
+            F.ntile(5).over(w_m).alias("m_score"),
+        )
+        .withColumn(
+            "segment",
+            F.concat(
+                F.col("r_score").cast("string"),
+                F.col("f_score").cast("string"),
+                F.col("m_score").cast("string"),
+            ),
+        )
+        .orderBy("custkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# q94 — part co-occurrence (market-basket pair counts)
+# --------------------------------------------------------------------------
+@query(
+    "q94_part_cooccurrence",
+    oracle="""
+    WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM p a JOIN p b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT 50
+    """,
+    tags=("extension", "analytic", "cooccurrence", "self-join"),
+)
+def q94_part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top part pairs ordered together (market-basket co-occurrence —
+    the count matrix item-similarity and embedding pipelines start
+    from).
+
+    The oracle spells it as the textbook self-join; the Spark build
+    avoids self-joining the fact table entirely: one groupBy(l_orderkey)
+    collects each order's sorted distinct part set, then the pairs are
+    generated map-side with nested array transforms (codegen; baskets
+    are small — bounded per-order fan-out) and counted. That's two
+    shuffles total — basket build and pair count — versus the
+    self-join's duplicate full-table exchange; at 100 TB the
+    basket-size bound (pairs grow quadratically per basket, not per
+    table) is what keeps this tractable, and a hot-pair skew would ride
+    the AQE skew-join/salting path documented in operators/skew.py.
+    The final top-k is TakeOrderedAndProject.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    baskets = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+    )
+    a = F.col("parts")
+    pairs = F.flatten(
+        F.transform(
+            a,
+            lambda x, i: F.transform(
+                F.slice(a, i + 2, F.size(a) - i - 1),
+                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+            ),
+        )
+    )
+    return (
+        baskets.select(F.explode(pairs).alias("pr"))
+        .select(F.col("pr.part_a"), F.col("pr.part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").cast("long").alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(50)
     )

@@ -1,0 +1,324 @@
+"""Corpus-preparation queries over ``documents``: context-window
+chunking with stride (q87), benchmark n-gram decontamination (q88), and
+out-of-vocabulary rate against the corpus top-K vocabulary (q89).
+
+These are the remaining document-level transforms a training-data
+pipeline runs between curation (q71) and packing (q72): split kept
+documents into model-context-sized overlapping chunks, drop documents
+that leak evaluation benchmarks, and feature-ize vocabulary coverage.
+
+Reference scope note: the reference (pradeepsoftdev04/movie-data-pipeline)
+has no text-corpus surface — these queries are part of the LLM-pipeline
+extension mandated by the build brief, following the same oracle
+discipline as §2 parity queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from movie_data_pipeline_spark.functions.text import tokens, word_shingles
+from movie_data_pipeline_spark.plans.core import query, r4, round4
+from movie_data_pipeline_spark.sources.registry import load_table
+
+_TOKS_SQL = "string_split_regex(lower(trim(text)), '\\s+')"
+
+# Chunking geometry: 32-token windows advancing 24 tokens → 8-token
+# overlap (the stride-overlap shape HF tokenizers use for long docs).
+# Small values on purpose: the synthetic docs average ~60 tokens, so the
+# multi-chunk + tail-chunk paths are both exercised.
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24
+
+# Documents whose doc_id is divisible by BENCH_MOD play the "held-out
+# benchmark" role in q88; the rest are the training corpus.
+BENCH_MOD = 25
+DECONTAM_NGRAM = 3
+
+# Vocabulary size for q89's OOV rate. The synthetic corpus has ~31
+# distinct tokens, so K=15 splits occurrence mass roughly in half —
+# both the in-vocab and OOV branches carry signal at every sf.
+VOCAB_TOP_K = 15
+
+
+# --------------------------------------------------------------------------
+# q87 — fixed-size token chunking with stride
+# --------------------------------------------------------------------------
+@query(
+    "q87_token_chunks",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    starts AS (
+      SELECT doc_id, t,
+             unnest(list_filter(generate_series(1, len(t), {CHUNK_STRIDE}),
+                    s -> s = 1 OR s - {CHUNK_STRIDE} + {CHUNK_TOKENS - 1} < len(t))) AS s
+      FROM toks)
+    SELECT doc_id,
+           CAST((s - 1) / {CHUNK_STRIDE} AS INTEGER) AS chunk_id,
+           CAST(len(t[s:s + {CHUNK_TOKENS - 1}]) AS BIGINT) AS n_chunk_tokens,
+           array_to_string(t[s:s + {CHUNK_TOKENS - 1}], ' ') AS chunk_text
+    FROM starts
+    ORDER BY doc_id, chunk_id
+    """,
+    tags=("extension", "corpus", "chunking"),
+)
+def q87_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split each document into {CHUNK_TOKENS}-token chunks advancing
+    by {CHUNK_STRIDE} (overlapping context windows).
+
+    Start offsets are generated per row (``sequence(1, n, stride)``)
+    and pruned so a start is kept only if the previous chunk did not
+    already reach the end of the document — i.e. exactly
+    ``max(1, ceil((n - chunk) / stride) + 1)`` chunks, the standard
+    stride-chunking count; the final chunk may be short. Everything up
+    to the oracle-determinism sort is a pure map stage: array lambdas in
+    codegen, one explode, no shuffle — at 100 TB this chunker runs at
+    scan speed with zero exchanges, and the explode multiplies rows only
+    by the per-doc chunk count (bounded by doc length / stride).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    n = F.size(t)
+    stride = F.lit(CHUNK_STRIDE)
+    starts = F.filter(
+        F.sequence(F.lit(1), n, stride),
+        lambda s: (s == F.lit(1)) | (s - stride + F.lit(CHUNK_TOKENS - 1) < n),
+    )
+    chunk = F.slice(F.col("t"), F.col("s"), CHUNK_TOKENS)
+    return (
+        docs.select("doc_id", t.alias("t"), F.explode(starts).alias("s"))
+        .select(
+            "doc_id",
+            ((F.col("s") - 1) / CHUNK_STRIDE).cast("int").alias("chunk_id"),
+            F.size(chunk).cast("long").alias("n_chunk_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q88 — benchmark n-gram decontamination scan
+# --------------------------------------------------------------------------
+@query(
+    "q88_benchmark_decontamination",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    shingles AS (
+      SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id,
+               CASE WHEN len(t) >= {DECONTAM_NGRAM}
+                 THEN unnest(list_transform(
+                        generate_series(1, len(t) - {DECONTAM_NGRAM - 1}),
+                        i -> array_to_string(t[i:i + {DECONTAM_NGRAM - 1}], ' ')))
+                 ELSE array_to_string(t, ' ')
+               END AS sh
+        FROM toks)),
+    bench AS (SELECT DISTINCT sh FROM shingles WHERE doc_id % {BENCH_MOD} = 0),
+    counts AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+               FROM shingles WHERE doc_id % {BENCH_MOD} <> 0 GROUP BY doc_id)
+    SELECT s.doc_id,
+           counts.n_grams,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_grams,
+           {r4('COUNT(*) * 1.0 / counts.n_grams')} AS contaminated_share
+    FROM shingles s
+    JOIN bench USING (sh)
+    JOIN counts ON counts.doc_id = s.doc_id
+    WHERE s.doc_id % {BENCH_MOD} <> 0
+    GROUP BY s.doc_id, counts.n_grams
+    ORDER BY s.doc_id
+    """,
+    tags=("extension", "corpus", "decontamination", "dedup"),
+)
+def q88_benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training documents sharing at least one word {DECONTAM_NGRAM}-gram
+    with the held-out benchmark set (doc_id % {BENCH_MOD} == 0), with the
+    shared-gram count and share — the GPT-3-style n-gram
+    decontamination filter (production pipelines use 8-13-grams; the
+    parameter is a module constant).
+
+    Plan shape: the benchmark side collapses to its DISTINCT gram set —
+    at real scale an eval suite is a few thousand documents, so this set
+    is dimension-sized and is explicitly ``broadcast()``; the training
+    corpus then streams through a broadcast hash join with NO shuffle of
+    the corpus itself. Only the matched grams (a tiny fraction) reach
+    the per-doc aggregation exchange. The per-doc gram totals ride along
+    from the same shingle expression, so the corpus is tokenized once.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", word_shingles(F.col("text"), DECONTAM_NGRAM).alias("grams")
+    )
+    is_bench = F.col("doc_id") % BENCH_MOD == 0
+    bench = (
+        sh.filter(is_bench)
+        .select(F.explode("grams").alias("sh"))
+        .distinct()
+    )
+    train = sh.filter(~is_bench).select(
+        "doc_id",
+        F.size("grams").cast("long").alias("n_grams"),
+        F.explode("grams").alias("sh"),
+    )
+    return (
+        train.join(F.broadcast(bench), "sh")
+        .groupBy("doc_id", "n_grams")
+        .agg(F.count("*").cast("long").alias("n_shared_grams"))
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_shared_grams",
+            round4(F.col("n_shared_grams") * F.lit(1.0) / F.col("n_grams")).alias(
+                "contaminated_share"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q89 — out-of-vocabulary rate vs corpus top-K vocabulary
+# --------------------------------------------------------------------------
+@query(
+    "q89_oov_rate",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    vocab AS (
+      SELECT list_sort(list(w)) AS v FROM (
+        SELECT w FROM (SELECT unnest(t) AS w FROM toks)
+        GROUP BY w ORDER BY COUNT(*) DESC, w ASC LIMIT {VOCAB_TOP_K})),
+    feat AS (
+      SELECT doc_id,
+             CAST(len(t) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(t, x -> NOT list_contains(v, x)))
+                  AS BIGINT) AS n_oov
+      FROM toks CROSS JOIN vocab)
+    SELECT doc_id, n_tokens, n_oov,
+           {r4('n_oov * 1.0 / n_tokens')} AS oov_rate
+    FROM feat ORDER BY doc_id
+    """,
+    tags=("extension", "corpus", "quality", "vocabulary"),
+)
+def q89_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document out-of-vocabulary token share against the corpus
+    top-{VOCAB_TOP_K} vocabulary (count desc, token asc tie-break) — the
+    tokenizer-coverage feature quality filters use to flag documents a
+    fixed vocabulary would shred into rare pieces.
+
+    Two-pass plan: pass 1 builds the vocabulary (explode + count — one
+    shuffle whose output is K rows) and folds it to a single sorted
+    array; pass 2 cross-joins that one-row array via ``broadcast`` and
+    scores every document with an ``array_contains`` filter inside
+    codegen — no explode, no shuffle of the corpus. At 100 TB the vocab
+    pass is the only exchange and its payload is trivially small; a
+    realistic 50k-token vocabulary still broadcasts at ~1 MB.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    vocab = (
+        docs.select(F.explode(t).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("w").asc())
+        .limit(VOCAB_TOP_K)
+        .agg(F.sort_array(F.collect_list("w")).alias("v"))
+    )
+    n = F.size("t").cast("long")
+    n_oov = F.size(
+        F.filter(F.col("t"), lambda x: ~F.array_contains(F.col("v"), x))
+    ).cast("long")
+    return (
+        docs.select("doc_id", t.alias("t"))
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            n.alias("n_tokens"),
+            n_oov.alias("n_oov"),
+            round4(n_oov * F.lit(1.0) / n).alias("oov_rate"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q92 — PII redaction scrub pass
+# --------------------------------------------------------------------------
+# The synthetic documents carry no PII, so the scrub is demonstrated on a
+# deterministic contact string derived from `customer` — the operator
+# (functions.text.redact_pii) is the reusable piece; this query proves the
+# regex semantics match the oracle engine byte-for-byte.
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\d{3}-\d{3}-\d{4}"
+_IP_RE = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+
+_CONTACT_SQL = """
+      c_name || ' <user' || CAST(c_custkey AS VARCHAR)
+             || '@example.com> call 555-'
+             || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-'
+             || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+             || ' ip 10.0.' || CAST(c_custkey % 256 AS VARCHAR)
+             || '.' || CAST((c_custkey // 256) % 256 AS VARCHAR)
+"""
+
+
+@query(
+    "q92_pii_redaction",
+    oracle=f"""
+    WITH blob AS (
+      SELECT c_custkey, {_CONTACT_SQL} AS contact
+      FROM customer),
+    red AS (
+      SELECT c_custkey,
+             regexp_replace(regexp_replace(regexp_replace(contact,
+               '{_EMAIL_RE}', '[EMAIL]', 'g'),
+               '{_PHONE_RE}', '[PHONE]', 'g'),
+               '{_IP_RE}', '[IP]', 'g') AS redacted,
+             CAST(len(regexp_extract_all(contact, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+             CAST(len(regexp_extract_all(contact, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+             CAST(len(regexp_extract_all(contact, '{_IP_RE}')) AS BIGINT) AS n_ips
+      FROM blob)
+    SELECT c_custkey, redacted, n_emails, n_phones, n_ips
+    FROM red ORDER BY c_custkey
+    """,
+    tags=("extension", "corpus", "pii", "redaction"),
+)
+def q92_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass: mask emails, phone numbers, and IPv4s with typed
+    placeholders and count matches per kind (the audit columns a
+    compliance pipeline logs alongside the scrub).
+
+    Built on ``functions.text.redact_pii`` — a chain of JVM-side
+    ``regexp_replace`` inside whole-stage codegen, so the scrub runs at
+    scan speed with zero shuffles (the orderBy here is oracle
+    determinism only). Patterns are ASCII-anchored so the Java and RE2
+    regex engines agree byte-for-byte.
+    """
+    from movie_data_pipeline_spark.functions.text import pii_counts, redact_pii
+
+    customer = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    contact = F.concat(
+        F.col("c_name"),
+        F.lit(" <user"),
+        k.cast("string"),
+        F.lit("@example.com> call 555-"),
+        F.lpad((k % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((k % 10000).cast("string"), 4, "0"),
+        F.lit(" ip 10.0."),
+        (k % 256).cast("string"),
+        F.lit("."),
+        ((k / 256).cast("long") % 256).cast("string"),
+    )
+    n_email, n_phone, n_ip = pii_counts(contact)
+    return (
+        customer.select(
+            "c_custkey",
+            redact_pii(contact).alias("redacted"),
+            n_email.alias("n_emails"),
+            n_phone.alias("n_phones"),
+            n_ip.alias("n_ips"),
+        )
+        .orderBy("c_custkey")
+    )
