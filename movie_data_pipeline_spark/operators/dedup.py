@@ -145,6 +145,30 @@ def jaccard_pairs(
     )
 
 
+def minhash_signatures_wide(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = NUM_HASHES,
+) -> DataFrame:
+    """MinHash signatures in wide format: (id, h0..h{k-1}) — one row per
+    document, one min() aggregate per hash of the family over the
+    shingle hashes (a single shuffle whose rows are k+1 columns wide).
+    The preferred input for banding: band signatures become map-side
+    column concats with no further aggregation.
+    """
+    sh = doc_shingles(df, id_col, text_col, n).withColumn(
+        "bh", base_hash32(F.col("shingle"))
+    )
+    return sh.groupBy(id_col).agg(
+        *[
+            F.min((F.lit(a) * F.col("bh") + F.lit(b)) % MINHASH_P).alias(f"h{i}")
+            for i, a, b in minhash_coeffs(num_hashes)
+        ]
+    )
+
+
 def minhash_signatures_long(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -161,15 +185,7 @@ def minhash_signatures_long(
     after the aggregate. Long format keeps every step relational — the
     driver oracle reproduces it in pure SQL.
     """
-    sh = doc_shingles(df, id_col, text_col, n).withColumn(
-        "bh", base_hash32(F.col("shingle"))
-    )
-    wide = sh.groupBy(id_col).agg(
-        *[
-            F.min((F.lit(a) * F.col("bh") + F.lit(b)) % MINHASH_P).alias(f"h{i}")
-            for i, a, b in minhash_coeffs(num_hashes)
-        ]
-    )
+    wide = minhash_signatures_wide(df, id_col, text_col, n, num_hashes)
     stack = "stack({n}, {args}) AS (h_idx, min_hash)".format(
         n=num_hashes,
         args=", ".join(
@@ -188,10 +204,16 @@ def lsh_candidate_pairs(
 
     Docs sharing an identical band signature (all ``band_rows`` hashes
     equal) become a candidate pair. The band signature is a group-concat
-    string so the bucket join key is a single scalar; the self-join is a
-    plain equi-join on (band, band_sig) — shuffle-partitionable, and at
-    scale the band join replaces the O(n²) pair enumeration a
-    brute-force Jaccard would need.
+    string so the bucket key is a single scalar. Buckets are built with
+    ONE groupBy over the band rows and pairs are generated map-side from
+    each bucket's sorted id array (nested array transforms in codegen) —
+    no self-join, so the MinHash pipeline underneath is computed once,
+    not twice, and the only shuffles are the bucket build and the final
+    cross-band distinct. At scale the band buckets replace the O(n²)
+    pair enumeration a brute-force Jaccard would need; a pathological
+    bucket (mass-duplicated corpus) grows pairs quadratically in BUCKET
+    size only — the same blowup the equivalent self-join would hit — and
+    is the signal to tighten band_rows.
     """
     bands = (
         signatures_long.withColumn("band", (F.col("h_idx") / band_rows).cast("long"))
@@ -206,19 +228,67 @@ def lsh_candidate_pairs(
             ).alias("band_sig")
         )
     )
-    x, y = bands.alias("x"), bands.alias("y")
+    return _bucket_pairs(bands, id_col)
+
+
+def _bucket_pairs(bands: DataFrame, id_col: str) -> DataFrame:
+    """(band, band_sig, id) rows → distinct candidate (doc_a, doc_b)
+    pairs via bucket arrays and map-side pair generation."""
+    buckets = (
+        bands.groupBy("band", "band_sig")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    ids = F.col("ids")
+    pairs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids) - i - 1),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
     return (
-        x.join(
-            y,
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.band_sig") == F.col("y.band_sig"))
-            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
-        )
-        .select(
-            F.col(f"x.{id_col}").alias("doc_a"), F.col(f"y.{id_col}").alias("doc_b")
-        )
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.doc_a"), F.col("p.doc_b"))
         .distinct()
     )
+
+
+def lsh_candidate_pairs_wide(
+    signatures_wide: DataFrame,
+    id_col: str = "doc_id",
+    band_rows: int = LSH_BAND_ROWS,
+    num_hashes: int = NUM_HASHES,
+) -> DataFrame:
+    """Banded LSH candidates straight from WIDE signatures — the fast
+    path. Band signatures are map-side column concats (no aggregation:
+    the wide row already holds all k hashes), exploded as (band,
+    band_sig) structs; the only shuffles in the whole operator are the
+    bucket groupBy and the final distinct. Identical output to
+    ``lsh_candidate_pairs`` on the stacked equivalent.
+    """
+    n_bands = num_hashes // band_rows
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("long").alias("band"),
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"h{b * band_rows + r}").cast("string")
+                        for r in range(band_rows)
+                    ],
+                ).alias("band_sig"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bands = signatures_wide.select(
+        F.col(id_col), F.explode(band_structs).alias("bs")
+    ).select(id_col, F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig"))
+    return _bucket_pairs(bands, id_col)
 
 
 def simhash(

@@ -588,3 +588,68 @@ def q94_part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
         .limit(50)
     )
+
+
+# --------------------------------------------------------------------------
+# q95 — native session windows (built-in session_window operator)
+# --------------------------------------------------------------------------
+@query(
+    "q95_session_window_stats",
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR date_diff('microsecond', LAG(ts) OVER w, ts)
+                       >= 900000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    numbered AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked)
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 15 MINUTE AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {r4(exact_sum_sql('value'))} AS total_value
+    FROM numbered
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+    tags=("extension", "sessionization", "session-window", "streaming-twin"),
+)
+def q95_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session stats via Spark's NATIVE ``session_window``
+    operator (15-minute gap) — the built-in alternative to q34's manual
+    gaps-and-islands and to the applyInPandasWithState sessionizer.
+
+    Native semantics differ from q34 at the exact boundary: an event at
+    precisely prev + gap falls outside the ``[ts, ts+gap)`` extension,
+    so a new session starts on gap >= 15 min (q34 uses strict >); the
+    oracle mirrors that with a microsecond-exact >= comparison, and
+    session_end is last_event + gap (the native window's end), not the
+    last event time. Scale: session_window is a first-class aggregation
+    — one user_id shuffle, sessions merged inside the aggregate with no
+    window-function sort pass, and the same expression runs unchanged
+    under ``readStream`` with a watermark (streaming/events.py
+    ``session_window_stats_stream``), where state eviction is handled
+    by the engine instead of hand-rolled timers.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id", F.session_window("ts", "15 minutes"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            round4(exact_sum(F.col("value"))).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("user_id", "session_start")
+    )

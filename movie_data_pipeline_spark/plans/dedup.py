@@ -19,8 +19,10 @@ from movie_data_pipeline_spark.operators.dedup import (
     exact_duplicates,
     jaccard_pairs,
     lsh_candidate_pairs,
+    lsh_candidate_pairs_wide,
     minhash_coeffs,
     minhash_signatures_long,
+    minhash_signatures_wide,
     simhash,
     simhash_hamming_pairs,
 )
@@ -159,12 +161,16 @@ def q20_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded-LSH candidate pairs (4 bands × 4 rows) from q19 signatures.
 
     Scale: this is the sub-quadratic path — docs only meet inside a
-    band bucket, so the join is a plain equi-join on (band, band_sig)
-    instead of an all-pairs comparison.
+    band bucket. The Spark build takes the WIDE signature frame: band
+    signatures are map-side column concats (no re-aggregation of the
+    stacked rows), buckets are one groupBy, and pairs are generated
+    from each bucket's sorted id array in codegen — no self-join, so
+    the MinHash pipeline is computed once. The oracle keeps the
+    textbook band self-join spelling as the semantic spec.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sigs = minhash_signatures_long(docs)
-    return lsh_candidate_pairs(sigs).orderBy("doc_a", "doc_b")
+    sigs = minhash_signatures_wide(docs)
+    return lsh_candidate_pairs_wide(sigs).orderBy("doc_a", "doc_b")
 
 
 _SIMHASH_CTES = f"""

@@ -2,6 +2,7 @@ from movie_data_pipeline_spark.streaming.events import (  # noqa: F401
     click_purchase_join_stream,
     enriched_event_stream,
     hourly_event_stats_stream,
+    session_window_stats_stream,
     sessionize,
     sliding_event_stats_stream,
     stream_dedup,

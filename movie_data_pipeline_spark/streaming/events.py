@@ -280,3 +280,32 @@ def sessionize(
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+def session_window_stats_stream(
+    events: DataFrame, gap: str = "15 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming twin of the batch q95 plan: NATIVE session windows.
+
+    Unlike the applyInPandasWithState sessionizer (``sessionize``), the
+    engine owns the session state: windows merge inside the streaming
+    aggregation and are finalized/evicted once the watermark passes the
+    session end — no hand-rolled timeout bookkeeping, no Python in the
+    path. Scale: state is partitioned by (user_id), one row per open
+    session per user.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )

@@ -192,3 +192,51 @@ def test_stream_static_enrichment(spark):
     assert out.count() == want
     cats = {r.type_category for r in out.select("type_category").distinct().collect()}
     assert cats <= {"engagement", "conversion", "ops"}
+
+
+def test_session_window_stream_equals_batch(spark):
+    from movie_data_pipeline_spark.streaming.events import (
+        session_window_stats_stream,
+    )
+
+    stream = stream_events(spark, TESTDATA_SF_DIR)
+    agg = session_window_stats_stream(stream)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("native_sessions")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.session_start, r.session_end): (
+            r.n_events,
+            round(r.total_value, 6),
+        )
+        for r in spark.table("native_sessions").collect()
+    }
+    # batch twin: the same native session_window aggregation is
+    # batch-legal (q95 is the oracle-checked NTZ variant; here both
+    # sides use the stream loader's instant timestamps so keys align).
+    batch_events = stream_events_batch_twin(spark)
+    want = {
+        (r.user_id, r.session_start, r.session_end): (
+            r.n_events,
+            round(r.total_value, 6),
+        )
+        for r in (
+            batch_events.groupBy("user_id", F.session_window("ts", "15 minutes"))
+            .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+            .select(
+                "user_id",
+                F.col("session_window.start").alias("session_start"),
+                F.col("session_window.end").alias("session_end"),
+                "n_events",
+                "total_value",
+            )
+            .collect()
+        )
+    }
+    assert got == want
+    assert sum(v[0] for v in got.values()) == batch_events.count()
