@@ -40,6 +40,9 @@ HEADLINE = [
     "q64_hourly_locf",
     "q71_curation_decisions",
     "q72_sequence_packing",
+    "q87_token_chunks",
+    "q90_sole_blame_suppliers",
+    "q94_part_cooccurrence",
 ]
 
 

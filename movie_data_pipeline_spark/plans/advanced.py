@@ -1313,3 +1313,192 @@ def q91_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# --------------------------------------------------------------------------
+# q96 — IN over a grouped HAVING subquery (TPC-H Q18 shape)
+# --------------------------------------------------------------------------
+Q96_MIN_QTY = 300
+
+
+@query(
+    "q96_large_quantity_orders",
+    oracle=f"""
+    WITH big AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(30,6))) > {Q96_MIN_QTY})
+    SELECT c_name, o_orderkey, {r4('o_totalprice')} AS total_price,
+           {r4('sum_qty')} AS sum_qty
+    FROM orders
+    JOIN big ON l_orderkey = o_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+    tags=("parity", "subquery", "semi-join", "having"),
+)
+def q96_large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders whose total lineitem quantity exceeds {Q96_MIN_QTY}, with
+    customer name — the TPC-H Q18 shape (``o_orderkey IN (SELECT ...
+    GROUP BY ... HAVING SUM(...) > N)``).
+
+    The IN-subquery decorrelates to a plain join against the HAVING'd
+    aggregate: the aggregate's output is tiny (the HAVING prunes ~all
+    orders map-side after partial aggregation), so the join back to
+    orders broadcasts the filtered side. The threshold compare runs on
+    the exact decimal sum — never the rounded double — so both engines
+    keep/drop identical boundary rows. Scale: one l_orderkey shuffle
+    for the aggregate; the orders and customer joins are broadcasts of
+    the shrunken side; top-k is TakeOrderedAndProject.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(30,6)")).alias("qty_dec"))
+        .filter(F.col("qty_dec") > Q96_MIN_QTY)
+        .select("l_orderkey", F.col("qty_dec").cast("double").alias("sum_qty"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(customer), F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            round4(F.col("o_totalprice")).alias("total_price"),
+            round4(F.col("sum_qty")).alias("sum_qty"),
+            "o_totalprice",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(20)
+        .drop("o_totalprice")
+    )
+
+
+# --------------------------------------------------------------------------
+# q97 — group share vs global scalar threshold (TPC-H Q11 shape)
+# --------------------------------------------------------------------------
+Q97_FRACTION = "0.0005"  # of global revenue, as an exact decimal literal
+
+
+@query(
+    "q97_important_parts",
+    oracle=f"""
+    WITH pv AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS val_dec
+      FROM lineitem GROUP BY l_partkey),
+    total AS (SELECT SUM(val_dec) AS total_dec FROM pv)
+    SELECT l_partkey AS partkey,
+           {r4('CAST(val_dec AS DOUBLE)')} AS part_value
+    FROM pv, total
+    WHERE val_dec > total_dec * {Q97_FRACTION}
+    ORDER BY CAST(val_dec AS DOUBLE) DESC, l_partkey
+    """,
+    tags=("parity", "subquery", "scalar-subquery", "having"),
+)
+def q97_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts whose total lineitem revenue exceeds a fixed fraction of
+    the global total — the TPC-H Q11 shape (grouped aggregate filtered
+    against an uncorrelated scalar aggregate of the same relation).
+
+    The global total is the SUM of the per-part sums — computed from
+    the grouped aggregate itself (a second tiny aggregate over the
+    group results, not a second scan of the fact table), then cross-
+    joined in as a broadcast literal. The whole comparison runs in
+    exact decimal arithmetic; doubles appear only in the projected
+    output. Scale: ONE l_partkey shuffle; the rollup to the scalar
+    reduces the already-aggregated frame.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    pv = lineitem.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(30,6)")).alias("val_dec")
+    )
+    total = pv.agg(F.sum("val_dec").alias("total_dec"))
+    return (
+        pv.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("val_dec")
+            > (F.col("total_dec") * F.expr(f"CAST({Q97_FRACTION} AS DECIMAL(10,6))"))
+        )
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            round4(F.col("val_dec").cast("double")).alias("part_value"),
+            F.col("val_dec").cast("double").alias("_ord"),
+        )
+        .orderBy(F.col("_ord").desc(), "partkey")
+        .drop("_ord")
+    )
+
+
+# --------------------------------------------------------------------------
+# q98 — bilateral volume between nation pairs (TPC-H Q7 shape)
+# --------------------------------------------------------------------------
+@query(
+    "q98_bilateral_shipping_volume",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           {r4(exact_sum_sql("l_extendedprice * (1 - l_discount)"))} AS revenue
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON n1.n_nationkey = s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY supp_nation, cust_nation, ship_year
+    ORDER BY supp_nation, cust_nation, ship_year
+    """,
+    tags=("parity", "star-join", "multi-dim"),
+)
+def q98_bilateral_shipping_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yearly shipping volume between two nations, both directions —
+    the TPC-H Q7 shape (fact ⋈ two independent dimension chains with an
+    OR'd cross-dimension pair predicate).
+
+    Both nation chains collapse to broadcasts (supplier/customer/nation
+    are dimension-sized), so the only shuffle is the lineitem⋈orders
+    key exchange followed by the final group-by — and the nation-pair
+    predicate cannot be pushed below the joins (it spans both chains),
+    exactly the case where join ORDER matters: dims first, then the
+    OR filter, then the aggregate. Year extraction on the NTZ shipdate
+    is calendar arithmetic identical in both engines.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            round4(
+                exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue"),
+        )
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
