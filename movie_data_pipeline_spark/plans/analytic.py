@@ -653,3 +653,129 @@ def q95_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+# --------------------------------------------------------------------------
+# q99 / q100 — skew mitigation operators, oracle-proven
+# --------------------------------------------------------------------------
+# The salted plans MUST produce byte-identical results to the plain
+# spelling — that is the whole point of salting — so the oracle is the
+# plain SQL, and the driver's hash-compare proves the mitigation does
+# not change semantics (the unit tests in test_skew.py additionally pin
+# behavior on an adversarially 90%-hot corpus).
+
+
+@query(
+    "q99_salted_event_type_stats",
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           {r4(exact_sum_sql('value'))} AS total_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("extension", "skew", "salted-aggregate"),
+)
+def q99_salted_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type stats computed through the SALTED two-stage
+    aggregate (operators/skew.salted_aggregate) — partials on
+    (event_type, salt), merge on event_type.
+
+    event_type has ~5 values over the whole corpus: every key is hot,
+    the worst case for a naive groupBy whose 5 reducers would each
+    swallow 20% of 100 TB. Salting spreads each key's partial state
+    over 64 buckets; the merge handles 5 x 64 tiny rows. COUNT and SUM
+    merge trivially; COUNT(DISTINCT) merges as distinct-of-union of the
+    partial sets — still bounded by true cardinality per key, spread
+    across salts during the heavy phase. The oracle is the PLAIN
+    aggregate: hash-equality proves salting changes nothing.
+    """
+    from movie_data_pipeline_spark.operators.skew import (
+        deterministic_salt,
+        salted_aggregate,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    out = salted_aggregate(
+        events,
+        ["event_type"],
+        partial_aggs=lambda: [
+            F.count("*").alias("pc"),
+            F.collect_set("user_id").alias("us"),
+            F.sum(F.col("value").cast("decimal(30,6)")).alias("pv"),
+        ],
+        merge_aggs=lambda: [
+            F.sum("pc").cast("long").alias("n_events"),
+            F.size(F.array_distinct(F.flatten(F.collect_list("us"))))
+            .cast("long")
+            .alias("n_users"),
+            F.sum("pv").alias("v_dec"),
+        ],
+        salt=deterministic_salt("event_id", 64),
+        n_salts=64,
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        "n_users",
+        round4(F.col("v_dec").cast("double")).alias("total_value"),
+    ).orderBy("event_type")
+
+
+@query(
+    "q100_salted_category_rollup",
+    oracle=f"""
+    WITH dim AS (
+      SELECT DISTINCT event_type,
+             CASE WHEN event_type IN ('click', 'view') THEN 'engagement'
+                  WHEN event_type IN ('purchase', 'signup') THEN 'conversion'
+                  ELSE 'ops' END AS category
+      FROM events)
+    SELECT category,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {r4(exact_sum_sql('value'))} AS total_value
+    FROM events JOIN dim USING (event_type)
+    GROUP BY category
+    ORDER BY category
+    """,
+    tags=("extension", "skew", "salted-join"),
+)
+def q100_salted_category_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Category rollup through the SALTED join (operators/skew.
+    salted_join): the events fact (every event_type key hot) joins a
+    derived category dim on (event_type, salt), the dim replicated
+    8 ways so each hot key spreads over 8 tasks.
+
+    This is the fallback for when the small side is NOT broadcastable
+    (here it is — q13/q10 take the broadcast path; this query
+    deliberately exercises the shuffle-join mitigation on the same
+    data so the oracle can prove equivalence). The oracle is the plain
+    join + rollup: hash-equality shows replication neither drops nor
+    duplicates rows.
+    """
+    from movie_data_pipeline_spark.operators.skew import salted_join
+
+    events = load_table(spark, sf_dir, "events")
+    dim = (
+        events.select("event_type")
+        .distinct()
+        .withColumn(
+            "category",
+            F.when(F.col("event_type").isin("click", "view"), "engagement")
+            .when(F.col("event_type").isin("purchase", "signup"), "conversion")
+            .otherwise("ops"),
+        )
+    )
+    joined = salted_join(
+        events, dim, key="event_type", salt_unique_col="event_id", n_salts=8
+    )
+    return (
+        joined.groupBy("category")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            round4(exact_sum(F.col("value"))).alias("total_value"),
+        )
+        .orderBy("category")
+    )

@@ -72,3 +72,31 @@ def read_jsonl(spark: SparkSession, path: str, schema) -> DataFrame:
     the job (PERMISSIVE mode, Spark's default); pair with a
     _corrupt_record column in the schema when auditing bad input."""
     return spark.read.schema(schema).json(path)
+
+
+def write_sorted_for_skipping(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    target_files: int | None = None,
+) -> None:
+    """Range-partition + sort-within-partitions write: the data-skipping
+    layout (z-order-lite for a single sort dimension).
+
+    ``repartitionByRange`` gives each output file a DISJOINT value range
+    of ``sort_cols``; the within-partition sort tightens every parquet
+    row group's min/max statistics. A later filtered read skips whole
+    files (footer min/max) and row groups — the same mechanism
+    Delta/Iceberg data-skipping relies on, available in plain parquet.
+    At 100 TB this is the difference between scanning every file for a
+    point/range predicate on the sort key and touching only the files
+    whose range intersects it. Cost: one range exchange at write time
+    (sampled boundaries, skew-resistant), paid once, amortized over
+    every subsequent selective read.
+    """
+    out = (
+        df.repartitionByRange(target_files, *sort_cols)
+        if target_files
+        else df.repartitionByRange(*sort_cols)
+    )
+    out.sortWithinPartitions(*sort_cols).write.mode("overwrite").parquet(path)

@@ -49,3 +49,40 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+
+
+def test_write_sorted_for_skipping_disjoint_file_ranges(spark, tmp_path):
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from movie_data_pipeline_spark.sources.registry import load_table
+    from movie_data_pipeline_spark.sources.sinks import write_sorted_for_skipping
+
+    path = str(tmp_path / "orders_sorted")
+    orders = load_table(spark, TESTDATA_SF_DIR, "orders")
+    write_sorted_for_skipping(orders, path, ["o_totalprice"], target_files=8)
+
+    # every parquet file must hold a disjoint o_totalprice range, and
+    # row-group stats must be present (that's what read-time skipping uses)
+    import glob
+
+    ranges = []
+    for f in sorted(glob.glob(f"{path}/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        idx = next(
+            i for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "o_totalprice"
+        )
+        stats = [md.row_group(g).column(idx).statistics for g in range(md.num_row_groups)]
+        assert all(s is not None and s.has_min_max for s in stats)
+        ranges.append((min(s.min for s in stats), max(s.max for s in stats)))
+    ranges.sort()
+    assert len(ranges) >= 2
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges: {hi1} > {lo2}"
+
+    # round trip: nothing lost, and a selective read prunes at planning
+    back = spark.read.parquet(path)
+    assert back.count() == orders.count()
+    sel = back.filter(F.col("o_totalprice") < 100.0)
+    assert sel.count() == orders.filter(F.col("o_totalprice") < 100.0).count()
