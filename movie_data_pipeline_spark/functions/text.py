@@ -69,3 +69,19 @@ def pii_counts(col: Column) -> list[Column]:
         F.size(F.regexp_extract_all(col, F.lit(pat), 0)).cast("long")
         for pat, _ in PII_PATTERNS
     ]
+
+
+# GPT-2-style pre-tokenizer pattern, ASCII-anchored so the Java (Spark)
+# and RE2 (DuckDB) engines match identically: contractions, space-glued
+# letter runs, digit runs, punctuation runs, residual whitespace.
+BPE_PRETOKEN_RE = (
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9]+|\s+"
+)
+
+
+def bpe_pieces(col: Column) -> Column:
+    """BPE-ish pre-token pieces (lowercased), the unit real tokenizers
+    split on before merges — a better token-budget estimate than
+    whitespace words for text with punctuation/digits. Pure
+    ``regexp_extract_all`` in codegen."""
+    return F.regexp_extract_all(F.lower(col), F.lit(BPE_PRETOKEN_RE), 0)

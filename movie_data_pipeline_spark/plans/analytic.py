@@ -779,3 +779,141 @@ def q100_salted_category_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("category")
     )
+
+
+# --------------------------------------------------------------------------
+# q101 — data-quality audit report (constraint + coverage checks)
+# --------------------------------------------------------------------------
+@query(
+    "q101_data_quality_audit",
+    oracle="""
+    SELECT 'customers_dormant' AS check_name,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS n_checked,
+           CAST(COUNT(*) AS BIGINT) AS n_flagged
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    UNION ALL
+    SELECT 'lineitem_dangling_orderkey',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'lineitem_discount_range',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem WHERE l_discount < 0 OR l_discount > 0.5
+    UNION ALL
+    SELECT 'lineitem_nonpositive_qty',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem WHERE l_quantity <= 0
+    UNION ALL
+    SELECT 'orders_childless',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+           CAST(COUNT(*) AS BIGINT)
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+    UNION ALL
+    SELECT 'orders_dangling_custkey',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+           CAST(COUNT(*) AS BIGINT)
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'orders_duplicate_pk',
+           (SELECT CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders),
+           CAST(COALESCE(SUM(cnt), 0) AS BIGINT)
+    FROM (SELECT COUNT(*) AS cnt FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)
+    ORDER BY check_name
+    """,
+    tags=("extension", "quality", "audit", "anti-join"),
+)
+def q101_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-shot data-quality audit: referential integrity (dangling
+    FKs), uniqueness (duplicate PKs), domain ranges (discount, qty),
+    and coverage signals (childless orders, dormant customers) as a
+    (check, n_checked, n_flagged) report — the constraint suite Spark
+    does not enforce declaratively (SURVEY §2.3 J5: FKs are
+    informational), run as a batch audit instead.
+
+    Every integrity check is an anti join on a single projected key
+    column (shuffle payload = keys only); domain checks are pushed-down
+    scan predicates; the per-table totals are broadcast scalars. The
+    checks share table scans at most pairwise, so at 100 TB the audit
+    runs as a handful of independent single-pass jobs unioned at the
+    end — schedule-parallel, no cross-check dependencies.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+
+    def report(name: str, checked: DataFrame, flagged: DataFrame) -> DataFrame:
+        return flagged.agg(F.count("*").cast("long").alias("n_flagged")).crossJoin(
+            F.broadcast(checked.agg(F.count("*").cast("long").alias("n_checked")))
+        ).select(F.lit(name).alias("check_name"), "n_checked", "n_flagged")
+
+    o_keys = orders.select("o_orderkey")
+    l_keys = lineitem.select("l_orderkey")
+    c_keys = customer.select("c_custkey")
+
+    checks = [
+        report(
+            "customers_dormant",
+            customer,
+            c_keys.join(
+                orders.select("o_custkey"),
+                F.col("c_custkey") == F.col("o_custkey"),
+                "left_anti",
+            ),
+        ),
+        report(
+            "lineitem_dangling_orderkey",
+            lineitem,
+            l_keys.join(
+                o_keys, F.col("l_orderkey") == F.col("o_orderkey"), "left_anti"
+            ),
+        ),
+        report(
+            "lineitem_discount_range",
+            lineitem,
+            lineitem.filter((F.col("l_discount") < 0) | (F.col("l_discount") > 0.5)),
+        ),
+        report(
+            "lineitem_nonpositive_qty",
+            lineitem,
+            lineitem.filter(F.col("l_quantity") <= 0),
+        ),
+        report(
+            "orders_childless",
+            orders,
+            o_keys.join(
+                l_keys, F.col("o_orderkey") == F.col("l_orderkey"), "left_anti"
+            ),
+        ),
+        report(
+            "orders_dangling_custkey",
+            orders,
+            orders.select("o_custkey").join(
+                c_keys, F.col("o_custkey") == F.col("c_custkey"), "left_anti"
+            ),
+        ),
+    ]
+    dup = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") > 1)
+        .agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n_flagged"))
+        .crossJoin(
+            F.broadcast(
+                orders.agg(
+                    F.countDistinct("o_orderkey").cast("long").alias("n_checked")
+                )
+            )
+        )
+        .select(F.lit("orders_duplicate_pk").alias("check_name"), "n_checked", "n_flagged")
+    )
+    out = checks[0]
+    for c in checks[1:] + [dup]:
+        out = out.unionByName(c)
+    return out.orderBy("check_name")

@@ -322,3 +322,62 @@ def q92_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+# --------------------------------------------------------------------------
+# q102 — token accounting: whitespace words vs BPE-ish pieces
+# --------------------------------------------------------------------------
+@query(
+    "q102_token_accounting",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id,
+             CAST(len({_TOKS_SQL}) AS BIGINT) AS n_words,
+             CAST(len(regexp_extract_all(lower(text),
+                  '''s|''t|''re|''ve|''m|''ll|''d| ?[a-z]+| ?[0-9]+| ?[^\\sa-z0-9]+|\\s+'))
+                  AS BIGINT) AS n_pieces,
+             CAST(length(text) AS BIGINT) AS n_chars
+      FROM documents)
+    SELECT doc_id, n_words, n_pieces, n_chars,
+           CASE WHEN n_pieces > 0
+                THEN {r4('n_chars * 1.0 / n_pieces')} END AS chars_per_piece
+    FROM feat ORDER BY doc_id
+    """,
+    tags=("extension", "corpus", "tokenization", "budget"),
+)
+def q102_token_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget accounting per document: whitespace word count vs
+    BPE-ish pre-token piece count (functions.text.bpe_pieces — the
+    GPT-2 pre-tokenizer split) and chars-per-piece, the fertility
+    proxy data pipelines use to convert corpus bytes into model token
+    budgets (q85's mixing weights consume exactly such counts).
+
+    Pure map stage: two regex passes per document inside codegen, no
+    explode, no shuffle but the presentation sort. The piece pattern is
+    ASCII-anchored so the Java and RE2 regex engines agree
+    byte-for-byte (the real GPT-2 pattern's \\p{{L}} classes agree too,
+    but ASCII keeps the oracle portable). Empty documents yield zero
+    pieces and a NULL ratio on both engines.
+    """
+    from movie_data_pipeline_spark.functions.text import bpe_pieces
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = F.size(tokens(F.col("text"))).cast("long")
+    n_pieces = F.size(bpe_pieces(F.col("text"))).cast("long")
+    n_chars = F.length("text").cast("long")
+    return (
+        docs.select(
+            "doc_id",
+            n_words.alias("n_words"),
+            n_pieces.alias("n_pieces"),
+            n_chars.alias("n_chars"),
+        )
+        .withColumn(
+            "chars_per_piece",
+            F.when(
+                F.col("n_pieces") > 0,
+                round4(F.col("n_chars") * F.lit(1.0) / F.col("n_pieces")),
+            ),
+        )
+        .orderBy("doc_id")
+    )
