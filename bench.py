@@ -43,6 +43,9 @@ HEADLINE = [
     "q87_token_chunks",
     "q90_sole_blame_suppliers",
     "q94_part_cooccurrence",
+    "q103_pagerank_trade_graph",
+    "q105_doc_cosine_pairs",
+    "q108_trailing_distinct_users",
 ]
 
 

@@ -1502,3 +1502,262 @@ def q98_bilateral_shipping_volume(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("supp_nation", "cust_nation", "ship_year")
     )
+
+
+# --------------------------------------------------------------------------
+# q109 — customer order-count distribution (TPC-H Q13 shape)
+# --------------------------------------------------------------------------
+@query(
+    "q109_customer_distribution",
+    oracle="""
+    WITH c_orders AS (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey)
+    SELECT CAST(c_count AS BIGINT) AS c_count,
+           COUNT(*) AS custdist
+    FROM c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    tags=("parity", "outer-join", "double-aggregate", "tpch-q13"),
+)
+def q109_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many customers placed how many (non-urgent) orders, zero
+    included — the TPC-H Q13 shape: LEFT OUTER join with an extra
+    non-equi condition *inside the join* (so unmatched customers
+    survive with count 0, which a WHERE would destroy), then a
+    two-level aggregation (per-customer count, then histogram of
+    counts).
+
+    COUNT(o_orderkey) — not COUNT(*) — is what makes the zero bucket
+    appear: null join results count as 0. Scale: the first aggregate
+    rides the join's c_custkey shuffle (AQE reuses the partitioning);
+    the second groups on the tiny count domain, so it collapses to a
+    near-driver-sized exchange after partial aggregation.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = customer.join(
+        orders,
+        (F.col("c_custkey") == F.col("o_custkey"))
+        & (F.col("o_orderpriority") != "1-URGENT"),
+        "left",
+    )
+    c_orders = joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("c_count")
+    )
+    return (
+        c_orders.groupBy(F.col("c_count").cast("long").alias("c_count"))
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q110 — top supplier(s) by quarterly revenue (TPC-H Q15 shape)
+# --------------------------------------------------------------------------
+@query(
+    "q110_top_supplier",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)))
+               AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-04-01 00:00:00'
+      GROUP BY l_suppkey),
+    mx AS (SELECT MAX(total_rev) AS m FROM rev)
+    SELECT s_suppkey, s_name,
+           {r4('CAST(total_rev AS DOUBLE)')} AS total_rev
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey CROSS JOIN mx
+    WHERE total_rev = mx.m
+    ORDER BY s_suppkey
+    """,
+    tags=("parity", "scalar-subquery", "argmax", "tpch-q15"),
+)
+def q110_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The supplier(s) with maximum revenue in 1998Q1 — the TPC-H Q15
+    shape (a view-style grouped aggregate compared against its own MAX,
+    keeping ties).
+
+    The revenue view is aggregated once and reused for both the scalar
+    MAX and the equality filter — no second fact scan, the rollup is a
+    tiny re-aggregate broadcast back. The max-vs-value comparison runs
+    entirely in DECIMAL so revenue ties (the reason Q15 says "the
+    supplier*s*") are exact, never float-blurred. The date range prunes
+    at the parquet scan (min/max row-group skipping on l_shipdate).
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    rev = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.expr("TIMESTAMP_NTZ '1998-01-01 00:00:00'"))
+            & (F.col("l_shipdate") < F.expr("TIMESTAMP_NTZ '1998-04-01 00:00:00'"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
+                    "decimal(30,6)"
+                )
+            ).alias("total_rev")
+        )
+    )
+    mx = rev.agg(F.max("total_rev").alias("m"))
+    return (
+        supplier.join(rev, F.col("s_suppkey") == F.col("l_suppkey"))
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("m"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            round4(F.col("total_rev").cast("double")).alias("total_rev"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# q111 — disjunctive multi-attribute join predicate (TPC-H Q19 shape)
+# --------------------------------------------------------------------------
+@query(
+    "q111_disjunctive_revenue",
+    oracle=f"""
+    SELECT p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           {r4(exact_sum_sql('l_extendedprice * (1 - l_discount)'))} AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30
+           AND l_quantity BETWEEN 20 AND 30)
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+    tags=("parity", "disjunctive-predicate", "pushdown", "tpch-q19"),
+)
+def q111_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue under an OR of three brand/size/quantity condition blocks
+    — the TPC-H Q19 shape, the canonical test of disjunctive predicate
+    pushdown.
+
+    Catalyst factors the OR: the part-only disjunction
+    (brand ∧ size OR'd across blocks) pushes to the part scan, the
+    lineitem-only disjunction (quantity ranges) pushes to the lineitem
+    scan, and only the cross-table residual evaluates at the join —
+    so both scans prune before any shuffle even though no single
+    conjunct applies to every row. Verify with .explain(): both
+    FileScans show PushedFilters with Or(...) trees.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = lineitem.join(part, F.col("p_partkey") == F.col("l_partkey"))
+    blocks = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 20)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 30)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        joined.filter(blocks)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_lines"),
+            round4(
+                exact_sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+            ).alias("revenue"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+# --------------------------------------------------------------------------
+# q112 — nested semi-join chain (TPC-H Q20 shape)
+# --------------------------------------------------------------------------
+@query(
+    "q112_ramping_suppliers",
+    oracle="""
+    WITH wid AS (SELECT p_partkey FROM part WHERE p_name LIKE 'large%'),
+    shipped AS (
+      SELECT l_suppkey, l_partkey,
+             SUM(CAST(l_quantity AS DECIMAL(30,6))) AS total_qty,
+             SUM(CASE WHEN year(l_shipdate) >= 1999
+                      THEN CAST(l_quantity AS DECIMAL(30,6))
+                      ELSE CAST(0 AS DECIMAL(30,6)) END) AS recent_qty
+      FROM lineitem JOIN wid ON l_partkey = p_partkey
+      GROUP BY l_suppkey, l_partkey),
+    ramping AS (
+      SELECT DISTINCT l_suppkey FROM shipped
+      WHERE recent_qty > total_qty * CAST(0.5 AS DECIMAL(10,6)))
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (SELECT l_suppkey FROM ramping)
+    ORDER BY s_suppkey
+    """,
+    tags=("parity", "semi-join", "nested-subquery", "tpch-q20"),
+)
+def q112_ramping_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who shipped more than half their all-time volume of
+    'large…' parts since 1999 — the TPC-H Q20 shape: a filter subquery
+    (part name prefix) feeding a grouped threshold subquery feeding a
+    semi join into the outer dimension table.
+
+    Each nesting level becomes one narrowing step: the part filter is a
+    broadcast semi join that prunes lineitem BEFORE its (suppkey,
+    partkey) aggregate; the recent-vs-total comparison is a conditional
+    aggregate over the same single pass (no second scan, no self-join);
+    the final IN is a left-semi broadcast of the few surviving supplier
+    keys. All quantity math in exact DECIMAL — the 0.5× threshold can
+    tie exactly, and > must agree bitwise across engines.
+    """
+    part = load_table(spark, sf_dir, "part")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    wid = part.filter(F.col("p_name").startswith("large")).select("p_partkey")
+    qty_dec = F.col("l_quantity").cast("decimal(30,6)")
+    zero_dec = F.lit(0).cast("decimal(30,6)")
+    shipped = (
+        lineitem.join(
+            F.broadcast(wid), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(qty_dec).alias("total_qty"),
+            F.sum(
+                F.when(F.year("l_shipdate") >= 1999, qty_dec).otherwise(zero_dec)
+            ).alias("recent_qty"),
+        )
+    )
+    ramping = (
+        shipped.filter(
+            F.col("recent_qty")
+            > F.col("total_qty") * F.expr("CAST(0.5 AS DECIMAL(10,6))")
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supplier.join(
+            F.broadcast(ramping),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )

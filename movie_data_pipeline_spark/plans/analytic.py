@@ -917,3 +917,62 @@ def q101_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:] + [dup]:
         out = out.unionByName(c)
     return out.orderBy("check_name")
+
+
+# --------------------------------------------------------------------------
+# q108 — trailing-24h sliding distinct users (expansion-join rewrite)
+# --------------------------------------------------------------------------
+@query(
+    "q108_trailing_distinct_users",
+    oracle="""
+    WITH pres AS (
+      SELECT DISTINCT date_trunc('hour', ts) AS hr, user_id FROM events),
+    tgt AS (
+      SELECT pres.hr + g.i * INTERVAL 1 HOUR AS t_hr, user_id
+      FROM pres, unnest(generate_series(0, 23)) AS g(i)),
+    roll AS (SELECT t_hr, COUNT(DISTINCT user_id) AS u24
+             FROM tgt GROUP BY t_hr),
+    cur AS (SELECT hr, COUNT(DISTINCT user_id) AS u1 FROM pres GROUP BY hr)
+    SELECT cur.hr AS ts_hour,
+           CAST(cur.u1 AS BIGINT) AS users_this_hour,
+           CAST(roll.u24 AS BIGINT) AS users_trailing_24h
+    FROM cur JOIN roll ON cur.hr = roll.t_hr
+    ORDER BY ts_hour
+    """,
+    tags=("extension", "time", "sliding-distinct"),
+)
+def q108_trailing_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users in the trailing 24 hours, reported for every hour
+    with activity — the sliding-window COUNT(DISTINCT) that window
+    functions cannot express (no DISTINCT over a RANGE frame in Spark
+    or ANSI SQL).
+
+    Rewrite: dedup to hourly presence (hour, user), then *forward-map*
+    each presence row to the ≤24 window ends it can serve via an
+    exploded 0..23 hour-offset sequence, and count distinct per window
+    end. This turns a range self-join (quadratic blowup, unbounded
+    skew) into one bounded 24× row expansion feeding a plain hash
+    aggregate — partial aggregation and AQE apply as usual. At 100 TB
+    the expansion factor is the window/slide ratio, independent of data
+    volume; the exact-distinct final aggregate is the knob to swap for
+    HLL sketches (operators/approx.py) when user cardinality per window
+    no longer fits an exact hash set.
+    """
+    events = load_table(spark, sf_dir, "events")
+    pres = events.select(
+        F.date_trunc("hour", F.col("ts")).alias("hr"), "user_id"
+    ).distinct()
+    tgt = pres.select(
+        "hr", "user_id", F.explode(F.sequence(F.lit(0), F.lit(23))).alias("i")
+    ).select(F.expr("timestampadd(HOUR, i, hr)").alias("t_hr"), "user_id")
+    roll = tgt.groupBy("t_hr").agg(F.countDistinct("user_id").alias("u24"))
+    cur = pres.groupBy("hr").agg(F.countDistinct("user_id").alias("u1"))
+    return (
+        cur.join(roll, cur.hr == roll.t_hr)
+        .select(
+            F.col("hr").alias("ts_hour"),
+            F.col("u1").cast("long").alias("users_this_hour"),
+            F.col("u24").cast("long").alias("users_trailing_24h"),
+        )
+        .orderBy("ts_hour")
+    )

@@ -381,3 +381,60 @@ def q102_token_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q107 — Simpson token diversity (log-free concentration metrics)
+# --------------------------------------------------------------------------
+@query(
+    "q107_simpson_diversity",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents),
+    cnt AS (SELECT doc_id, term, COUNT(*) AS c FROM toks GROUP BY doc_id, term),
+    per AS (SELECT doc_id,
+                   SUM(c) AS n_tokens,
+                   COUNT(*) AS n_types,
+                   SUM(c * c) AS ssq
+            FROM cnt GROUP BY doc_id)
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_types AS BIGINT) AS n_types,
+           {r4('1.0 - CAST(ssq AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE))')} AS simpson,
+           {r4('(CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)) / CAST(ssq AS DOUBLE)')} AS eff_types
+    FROM per ORDER BY doc_id
+    """,
+    tags=("extension", "corpus", "quality", "diversity"),
+)
+def q107_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token concentration as Simpson's index (1 - Σp²) and
+    the order-2 Hill number ("effective token types", 1/Σp²) — the
+    log-free cousins of entropy used as repetition/quality features
+    (complements q73's duplicated-n-gram ratio and q80's TTR).
+
+    Log-free matters for the oracle: entropy needs ln(), whose last-ulp
+    behavior differs per libm; Simpson is pure integer power sums
+    (exact in int64 — a doc would need ~3B tokens to overflow) with two
+    IEEE divisions at the end, bit-identical on both engines. Plan: one
+    (doc_id, term) hash aggregate with map-side partials, then a per-doc
+    re-aggregate that rides the same hash partitioning — for the
+    shuffle-free alternative over a sorted token array see q80's
+    neighbor-scan pattern.
+    """
+    from movie_data_pipeline_spark.operators.util import spread
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = spread(docs).select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    cnt = toks.groupBy("doc_id", "term").agg(F.count("*").alias("c"))
+    per = cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_types"),
+        F.sum(F.col("c") * F.col("c")).alias("ssq"),
+    )
+    n_d = F.col("n_tokens").cast("double")
+    return per.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_types").cast("long").alias("n_types"),
+        round4(F.lit(1.0) - F.col("ssq").cast("double") / (n_d * n_d)).alias("simpson"),
+        round4((n_d * n_d) / F.col("ssq").cast("double")).alias("eff_types"),
+    ).orderBy("doc_id")

@@ -1,0 +1,308 @@
+"""Iterative distributed algorithms as DataFrame loops: PageRank over a
+relationally-derived graph and Lloyd k-means over the embedding corpus.
+
+Both are *fixed-iteration* specifications so a SQL oracle can unroll the
+same number of steps; the convergence-loop variants differ only in the
+Python ``for`` bound. Numeric discipline follows q61/q62: per-term
+double math is mirrored expression-for-expression on both engines and
+every order-sensitive reduction (SUM across rows, fold across array
+elements) goes through exact DECIMAL accumulation or a sequential fold
+proven bit-identical (list_reduce == F.aggregate).
+
+Reference parity note: the reference (etl1.py) has no iterative
+operators at all; these extend SURVEY §7 phase 5 (north-star
+extensions) — the duplicate-cluster label propagation in
+operators/graph.py is the third member of this family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from movie_data_pipeline_spark.plans.core import query, r4, round4
+from movie_data_pipeline_spark.sources.registry import load_table
+
+_PR_ITERS = 3
+_PR_DAMP = 0.85
+_KMEANS_K = 4
+_KMEANS_ITERS = 2
+
+
+def _pagerank_oracle() -> str:
+    """Unroll _PR_ITERS PageRank steps as chained CTEs.
+
+    Every scalar expression mirrors the Spark plan token-for-token:
+    w = 1.0 / CAST(outdeg AS DOUBLE) (reciprocal once, then multiply),
+    contributions summed as DECIMAL(38,18), rank update
+    0.15 / n + 0.85 * COALESCE(m, 0.0) in doubles.
+    """
+    parts = [
+        """
+    WITH base AS (
+      SELECT DISTINCT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    edges AS (SELECT src, dst FROM base
+              UNION ALL
+              SELECT dst AS src, src AS dst FROM base),
+    deg AS (SELECT src, COUNT(*) AS outdeg,
+                   1.0 / CAST(COUNT(*) AS DOUBLE) AS w
+            FROM edges GROUP BY src),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    r0 AS (SELECT node, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn)"""
+    ]
+    for i in range(1, _PR_ITERS + 1):
+        parts.append(f""",
+    c{i} AS (
+      SELECT e.dst AS node,
+             CAST(SUM(CAST(r{i-1}.r * deg.w AS DECIMAL(38,18))) AS DOUBLE) AS m
+      FROM edges e
+      JOIN r{i-1} ON e.src = r{i-1}.node
+      JOIN deg ON e.src = deg.src
+      GROUP BY e.dst),
+    r{i} AS (
+      SELECT nodes.node, 0.15 / nn.n + 0.85 * COALESCE(c{i}.m, 0.0) AS r
+      FROM nodes CROSS JOIN nn LEFT JOIN c{i} ON nodes.node = c{i}.node)"""
+        )
+    parts.append(f"""
+    SELECT CASE WHEN r.node % 2 = 0 THEN 's' || CAST(r.node // 2 AS VARCHAR)
+                ELSE 'c' || CAST((r.node - 1) // 2 AS VARCHAR) END AS node,
+           {r4('r.r * nn.n')} AS rel_rank,
+           CAST(deg.outdeg AS BIGINT) AS degree
+    FROM r{_PR_ITERS} r
+    CROSS JOIN nn
+    JOIN deg ON r.node = deg.src
+    ORDER BY rel_rank DESC, r.node
+    LIMIT 30
+    """)
+    return "".join(parts)
+
+
+@query(
+    "q103_pagerank_trade_graph",
+    oracle=_pagerank_oracle(),
+    tags=("extension", "iterative", "graph", "pagerank"),
+)
+def q103_pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 fixed iterations, d=0.85) over the symmetric
+    supplier↔customer trade graph derived from lineitem⋈orders,
+    reported as rank relative to uniform (r·N) for the top 30 nodes.
+
+    The loop is a DataFrame-level Pregel: each iteration is one join of
+    the rank vector with the weighted edge list (shuffle on src) and one
+    aggregation of contributions (shuffle on dst) — the exact
+    computation GraphX/Pregel schedules, expressed relationally so
+    Catalyst/AQE own the physical plan. Symmetrizing the bipartite graph
+    removes dangling-node mass correction (every node has out-edges).
+
+    Scale: the rank vector is (node, double) — tiny next to the edge
+    list, which is scanned once per iteration and never mutated; at real
+    iteration counts persist the edge list and checkpoint ranks every
+    ~5 iterations to truncate lineage. Per-row products stay in doubles;
+    cross-row sums accumulate in DECIMAL(38,18) so partition order
+    cannot perturb results (q61 discipline).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_orderkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    base = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            # Numeric node ids (supplier=even, customer=odd): long-keyed
+            # shuffles/distincts run several× faster than string keys at
+            # this edge volume; labels are rendered only for the final
+            # 30-row report.
+            (F.col("l_suppkey") * 2).alias("src"),
+            (F.col("o_custkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    # Loop invariants: persisted so each iteration (and each of its two
+    # uses per iteration) reads the materialized edge list instead of
+    # re-deriving the join+distinct lineage — without this, iteration k
+    # recomputes iterations 1..k-1 and the build is O(iters²).
+    edges = base.unionByName(
+        base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    deg = edges.groupBy("src").agg(
+        F.count("*").alias("outdeg"),
+        (F.lit(1.0) / F.count("*").cast("double")).alias("w"),
+    ).persist()
+    nodes = edges.select(F.col("src").alias("node")).distinct().persist()
+    nn = nodes.agg(F.count("*").cast("double").alias("n"))
+    ranks = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("r")
+    )
+    for _ in range(_PR_ITERS):
+        rk = ranks.select(F.col("node").alias("rk_node"), "r")
+        contrib = (
+            edges.join(rk, F.col("src") == F.col("rk_node"))
+            .join(deg, "src")
+            .groupBy("dst")
+            .agg(
+                F.sum((F.col("r") * F.col("w")).cast("decimal(38,18)"))
+                .cast("double")
+                .alias("m")
+            )
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(nn))
+            .join(contrib, F.col("node") == F.col("dst"), "left")
+            .select(
+                "node",
+                (
+                    F.lit(0.15) / F.col("n")
+                    + F.lit(0.85) * F.coalesce(F.col("m"), F.lit(0.0))
+                ).alias("r"),
+            )
+        )
+    label = F.when(
+        F.col("node") % 2 == 0,
+        F.concat(F.lit("s"), F.expr("node div 2").cast("string")),
+    ).otherwise(
+        F.concat(F.lit("c"), F.expr("(node - 1) div 2").cast("string"))
+    )
+    return (
+        ranks.crossJoin(F.broadcast(nn))
+        .join(deg, F.col("node") == F.col("src"))
+        .withColumn("rel_rank", round4(F.col("r") * F.col("n")))
+        .orderBy(F.desc("rel_rank"), "node")
+        .limit(30)
+        .select(
+            label.alias("node"),
+            "rel_rank",
+            F.col("outdeg").cast("long").alias("degree"),
+        )
+    )
+
+
+def _kmeans_oracle() -> str:
+    """Unroll _KMEANS_ITERS Lloyd steps: assign (argmin over the
+    sequential squared-distance fold) then re-center (exact decimal
+    per-dimension means)."""
+    dist = (
+        "list_reduce(list_transform(generate_series(1, len({v}.arr)), "
+        "i -> ({v}.arr[i] - {c}.cvec[i]) * ({v}.arr[i] - {c}.cvec[i])), "
+        "(acc, x) -> acc + x)"
+    )
+    parts = [
+        f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS arr FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, arr AS cvec FROM v ORDER BY vec_id LIMIT {_KMEANS_K})"""
+    ]
+    for i in range(1, _KMEANS_ITERS + 1):
+        parts.append(f""",
+    d{i} AS (SELECT v.vec_id, v.arr, c{i-1}.cid,
+                    {dist.format(v='v', c=f'c{i-1}')} AS dist2
+             FROM v CROSS JOIN c{i-1}),
+    a{i} AS (SELECT vec_id, arr, cid FROM (
+               SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                            ORDER BY dist2, cid) AS rn
+               FROM d{i}) WHERE rn = 1),
+    m{i} AS (SELECT cid, i - 1 AS dim_idx,
+                    CAST(SUM(CAST(arr[i] AS DECIMAL(38,18))) AS DOUBLE)
+                      / CAST(COUNT(*) AS DOUBLE) AS val
+             FROM a{i}, unnest(generate_series(1, len(arr))) AS t(i)
+             GROUP BY cid, dim_idx),
+    c{i} AS (SELECT cid, list(val ORDER BY dim_idx) AS cvec
+             FROM m{i} GROUP BY cid)"""
+        )
+    last = _KMEANS_ITERS
+    parts.append(f"""
+    SELECT m.cid, CAST(m.dim_idx AS BIGINT) AS dim_idx,
+           {r4('m.val')} AS centroid, s.n_vecs
+    FROM m{last} m
+    JOIN (SELECT cid, COUNT(*) AS n_vecs FROM a{last} GROUP BY cid) s
+      USING (cid)
+    ORDER BY cid, dim_idx
+    """)
+    return "".join(parts)
+
+
+@query(
+    "q104_kmeans_centroids",
+    oracle=_kmeans_oracle(),
+    tags=("extension", "iterative", "ml", "clustering"),
+)
+def q104_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd k-means (k=4, 2 fixed iterations) over the embedding corpus
+    with deterministic seeding (the k lowest vec_ids), reporting final
+    per-dimension centroids and cluster sizes.
+
+    The IVF coarse quantizer trainer (operators/similarity.py uses these
+    cells): assignment is a broadcast cross join of the corpus against k
+    centroid rows with the squared-L2 fold evaluated in codegen
+    (zip_with + sequential aggregate — bit-identical to the oracle's
+    list_reduce, per q62); re-centering is one (cid, dim) hash aggregate
+    over posexplode with DECIMAL(38,18) sums. Ties in the argmin break
+    on centroid id on both engines.
+
+    Scale: each iteration shuffles only (cid, dim, partial-sum) — the
+    corpus itself never reshuffles; centroids stay broadcast-sized
+    (k×dim doubles). More iterations = longer plan; checkpoint the
+    assignment every few rounds as in q103.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("arr"),
+    )
+    cents = (
+        vecs.orderBy("vec_id")
+        .limit(_KMEANS_K)
+        .select(F.col("vec_id").alias("cid"), F.col("arr").alias("cvec"))
+    )
+
+    def assign(cents: DataFrame) -> DataFrame:
+        d = vecs.crossJoin(F.broadcast(cents)).withColumn(
+            "dist2",
+            F.aggregate(
+                F.zip_with("arr", "cvec", lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        w = Window.partitionBy("vec_id").orderBy("dist2", "cid")
+        return (
+            d.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "arr", "cid")
+        )
+
+    def recenter(assigned: DataFrame) -> DataFrame:
+        return (
+            assigned.select("cid", F.posexplode("arr").alias("dim_idx", "x"))
+            .groupBy("cid", "dim_idx")
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(38,18)")).cast("double")
+                    / F.count("*").cast("double")
+                ).alias("val")
+            )
+        )
+
+    assigned = None
+    for _ in range(_KMEANS_ITERS):
+        # persist: the last assignment feeds three consumers (recenter,
+        # sizes, output); k-row centroid frames cost nothing to cache
+        # and cut each iteration's recursive lineage.
+        assigned = assign(cents).persist()
+        means = recenter(assigned)
+        cents = means.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim_idx", "val"))),
+                lambda s: s.getField("val"),
+            ).alias("cvec")
+        ).persist()
+    sizes = assigned.groupBy("cid").agg(F.count("*").alias("n_vecs"))
+    final_means = recenter(assigned)
+    return (
+        final_means.join(sizes, "cid")
+        .select(
+            "cid",
+            F.col("dim_idx").cast("long").alias("dim_idx"),
+            round4(F.col("val")).alias("centroid"),
+            "n_vecs",
+        )
+        .orderBy("cid", "dim_idx")
+    )

@@ -1253,3 +1253,67 @@ def q40_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("quartile")
     )
+
+
+# --------------------------------------------------------------------------
+# q106 — weighted deterministic sampling (sequential Poisson / Ohlsson)
+# --------------------------------------------------------------------------
+@query(
+    "q106_weighted_sample",
+    oracle="""
+    WITH pri AS (
+      SELECT o_orderkey, o_totalprice,
+             (CAST(CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+                   AS BIGINT) AS DOUBLE) / 4294967296.0)
+               / CAST(o_totalprice AS DOUBLE) AS priority
+      FROM orders),
+    ranked AS (
+      SELECT o_orderkey, o_totalprice, priority,
+             ROW_NUMBER() OVER (ORDER BY priority, o_orderkey) AS rnk
+      FROM pri)
+    SELECT CAST(rnk AS BIGINT) AS rnk, o_orderkey, o_totalprice,
+           floor((priority * 10000000.0) * 10000 + 0.5) / 10000 AS priority_scaled
+    FROM ranked WHERE rnk <= 50
+    ORDER BY rnk
+    """,
+    tags=("extension", "sampling", "weighted"),
+)
+def q106_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted-without-replacement sample of 50 orders, probability
+    proportional to o_totalprice, via sequential Poisson sampling
+    (Ohlsson 1998): priority = u/w with u a deterministic md5-derived
+    uniform in [0,1), keep the k smallest priorities.
+
+    Same reproducibility contract as q39's unweighted sampler — the
+    selected set is a pure function of row identity and weight, stable
+    across engines, runs, resharding, and appends (new rows can only
+    displace, never reshuffle, survivors). One TakeOrderedAndProject
+    job at scale: no full sort, no rand(), no partition-order
+    dependence. The md5→uint32→[0,1) bridge is the engine-portable
+    hash established by functions/text.base_hash32.
+    """
+    from movie_data_pipeline_spark.functions.text import base_hash32
+
+    orders = load_table(spark, sf_dir, "orders")
+    u = base_hash32(F.col("o_orderkey").cast("string")).cast("double") / F.lit(
+        4294967296.0
+    )
+    pri = orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        (u / F.col("o_totalprice").cast("double")).alias("priority"),
+    )
+    # Top-k first (TakeOrderedAndProject — no global sort, no global
+    # window), then rank only the k survivors.
+    top = pri.orderBy("priority", "o_orderkey").limit(50)
+    w = Window.orderBy("priority", "o_orderkey")
+    return (
+        top.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .select(
+            "rnk",
+            "o_orderkey",
+            "o_totalprice",
+            round4(F.col("priority") * F.lit(10000000.0)).alias("priority_scaled"),
+        )
+        .orderBy("rnk")
+    )

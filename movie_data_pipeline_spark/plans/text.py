@@ -392,3 +392,104 @@ def q83_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         round4(F.col("s") / F.col("n_tokens")).alias("avg_surprisal"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# q105 — pairwise document cosine similarity via sparse inverted index
+# --------------------------------------------------------------------------
+_TOKS_SQL = "string_split_regex(lower(trim(text)), '\\s+')"
+
+
+@query(
+    "q105_doc_cosine_pairs",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+    w AS (SELECT tf.doc_id, tf.term,
+                 tf.tf * ln(n.n_docs / CAST(df.df AS DOUBLE)) AS w
+          FROM tf JOIN df USING (term) CROSS JOIN n
+          WHERE CAST(df.df AS DOUBLE) <= n.n_docs / 2.0),
+    norms AS (SELECT doc_id,
+                     sqrt(CAST(SUM(CAST(w * w AS DECIMAL(38,18))) AS DOUBLE)) AS nrm
+              FROM w GROUP BY doc_id),
+    dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    CAST(SUM(CAST(a.w * b.w AS DECIMAL(38,18))) AS DOUBLE) AS dot,
+                    COUNT(*) AS n_shared_terms
+             FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+             GROUP BY doc_a, doc_b)
+    SELECT doc_a, doc_b,
+           {r4('d.dot / (na.nrm * nb.nrm)')} AS cos_sim,
+           n_shared_terms
+    FROM dots d
+    JOIN norms na ON d.doc_a = na.doc_id
+    JOIN norms nb ON d.doc_b = nb.doc_id
+    ORDER BY cos_sim DESC, doc_a, doc_b
+    LIMIT 20
+    """,
+    tags=("extension", "text", "similarity", "inverted-index"),
+)
+def q105_doc_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most textually similar document pairs by TF-IDF cosine,
+    computed through a sparse inverted index — the lexical near-dup /
+    diversity-audit primitive that complements embedding cosine (q23)
+    and MinHash Jaccard (q18/q20).
+
+    No document-pair cross join exists anywhere in the plan: the only
+    wide operation is the self-equi-join of the term-weight table on
+    ``term`` (the inverted index), whose output is bounded by
+    sum(df²) over retained terms. Terms appearing in more than half the
+    corpus are pruned first (mirrored in the oracle) — the standard
+    stop-term cutoff that keeps posting lists short; at 100 TB the same
+    pruning is what makes this join feasible, optionally sharpened to
+    DF-proportional prefix filtering (ppjoin). Per-term weight products
+    stay in doubles; cross-term sums accumulate in DECIMAL(38,18)
+    (q61 discipline), and sqrt is IEEE-exact on both engines.
+    """
+    from movie_data_pipeline_spark.operators.util import spread
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = float(docs.count())
+    toks = spread(docs).select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    w = (
+        tf.join(F.broadcast(dfreq), "term")
+        .filter(F.col("df").cast("double") <= F.lit(n_docs) / F.lit(2.0))
+        .select(
+            "doc_id",
+            "term",
+            (F.col("tf") * F.log(F.lit(n_docs) / F.col("df").cast("double"))).alias("w"),
+        )
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum((F.col("w") * F.col("w")).cast("decimal(38,18)")).cast("double")).alias("nrm")
+    )
+    a = w.select(F.col("doc_id").alias("doc_a"), "term", F.col("w").alias("wa"))
+    b = w.select(F.col("doc_id").alias("doc_b"), "term", F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum((F.col("wa") * F.col("wb")).cast("decimal(38,18)"))
+            .cast("double")
+            .alias("dot"),
+            F.count("*").alias("n_shared_terms"),
+        )
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            round4(F.col("dot") / (F.col("na") * F.col("nb"))).alias("cos_sim"),
+            "n_shared_terms",
+        )
+        .orderBy(F.desc("cos_sim"), "doc_a", "doc_b")
+        .limit(20)
+    )

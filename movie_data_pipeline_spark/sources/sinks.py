@@ -100,3 +100,20 @@ def write_sorted_for_skipping(
         else df.repartitionByRange(*sort_cols)
     )
     out.sortWithinPartitions(*sort_cols).write.mode("overwrite").parquet(path)
+
+
+def write_orc(df: DataFrame, path: str, compression: str = "zstd") -> None:
+    """ORC sink (built-in columnar alternative to parquet; same
+    predicate-pushdown + column-pruning + min/max skipping contract,
+    preferred by Hive-heritage warehouses). zstd default: parquet-class
+    compression at faster decode than zlib."""
+    df.write.mode("overwrite").option("compression", compression).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """ORC scan; pass the explicit schema where known (same
+    no-inference-scan discipline as read_jsonl)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)

@@ -86,3 +86,31 @@ def test_write_sorted_for_skipping_disjoint_file_ranges(spark, tmp_path):
     assert back.count() == orders.count()
     sel = back.filter(F.col("o_totalprice") < 100.0)
     assert sel.count() == orders.filter(F.col("o_totalprice") < 100.0).count()
+
+
+def test_orc_roundtrip_identical(spark, tmp_path):
+    from movie_data_pipeline_spark.sources.sinks import read_orc, write_orc
+
+    orders = load_table(spark, TESTDATA_SF_DIR, "orders")
+    path = str(tmp_path / "orders_orc")
+    write_orc(orders, path)
+    back = read_orc(spark, path, orders.schema)
+    assert back.schema == orders.schema
+    assert back.count() == orders.count()
+    # Value-identical: anti-join both directions is empty.
+    assert back.exceptAll(orders).count() == 0
+    assert orders.exceptAll(back).count() == 0
+
+
+def test_orc_pushdown_reaches_scan(spark, tmp_path):
+    from movie_data_pipeline_spark.sources.sinks import read_orc, write_orc
+
+    orders = load_table(spark, TESTDATA_SF_DIR, "orders")
+    path = str(tmp_path / "orders_orc_pd")
+    write_orc(orders, path)
+    sel = read_orc(spark, path, orders.schema).filter(
+        F.col("o_orderkey") == 1
+    ).select("o_orderkey", "o_totalprice")
+    plan = sel._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "o_orderkey" in plan.split("PushedFilters")[1][:80]
+    assert sel.count() == orders.filter(F.col("o_orderkey") == 1).count()
