@@ -976,3 +976,64 @@ def q108_trailing_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ts_hour")
     )
+
+
+
+# --------------------------------------------------------------------------
+# q114 — running COUNT(DISTINCT) via first-occurrence flags
+# --------------------------------------------------------------------------
+@query(
+    "q114_cumulative_distinct_types",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN ROW_NUMBER() OVER (
+                    PARTITION BY user_id, event_type
+                    ORDER BY ts, event_id) = 1
+                  THEN 1 ELSE 0 END AS first_seen
+      FROM events)
+    SELECT user_id, event_id,
+           CAST(SUM(first_seen) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS distinct_types_so_far
+    FROM flagged
+    ORDER BY user_id, event_id
+    """,
+    tags=("extension", "window", "distinct-rewrite"),
+)
+def q114_cumulative_distinct_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running number of distinct event types each user has produced as
+    of every event — the windowed COUNT(DISTINCT), which no engine
+    supports directly over a running frame, rewritten as
+    first-occurrence flags (row_number = 1 per (user, type)) summed by
+    a running window.
+
+    The two windows partition differently ((user, type) vs user), but
+    hash-partitioning on user_id alone satisfies BOTH clustering
+    requirements (partition keys ⊆ clustering keys), so the explicit
+    user_id repartition below collapses the plan to ONE exchange and
+    two in-partition sorts — without it, EnsureRequirements inserts an
+    exchange per window. The flag trick generalizes to any
+    distinct-over-window: sessions, first purchases, vocabulary growth
+    curves over a token stream.
+    """
+    events = load_table(spark, sf_dir, "events").repartition("user_id")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = events.withColumn(
+        "first_seen",
+        F.when(F.row_number().over(w_first) == 1, F.lit(1)).otherwise(F.lit(0)),
+    )
+    return (
+        flagged.select(
+            "user_id",
+            "event_id",
+            F.sum("first_seen").over(w_run).cast("long").alias("distinct_types_so_far"),
+        )
+        .orderBy("user_id", "event_id")
+    )

@@ -493,3 +493,92 @@ def q105_doc_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos_sim"), "doc_a", "doc_b")
         .limit(20)
     )
+
+
+
+# --------------------------------------------------------------------------
+# q113 — classifier evaluation: lang-ID confusion + per-class P/R/F1
+# --------------------------------------------------------------------------
+@query(
+    "q113_langid_eval",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\\s+') AS t
+      FROM documents),
+    scored AS (
+      SELECT doc_id, lang,
+           {LANG_SCORES_SQL}
+      FROM toks),
+    pred AS (SELECT lang AS labeled, {LANG_PICK_SQL} AS predicted FROM scored),
+    classes AS (SELECT DISTINCT labeled AS c FROM pred),
+    sup AS (SELECT labeled AS c, COUNT(*) AS n_sup FROM pred GROUP BY 1),
+    prd AS (SELECT predicted AS c, COUNT(*) AS n_pred FROM pred GROUP BY 1),
+    cor AS (SELECT labeled AS c, COUNT(*) AS n_cor FROM pred
+            WHERE labeled = predicted GROUP BY 1)
+    SELECT classes.c AS lang_class,
+           COALESCE(sup.n_sup, 0) AS support,
+           COALESCE(prd.n_pred, 0) AS n_predicted,
+           COALESCE(cor.n_cor, 0) AS n_correct,
+           CASE WHEN COALESCE(prd.n_pred, 0) > 0
+                THEN {r4('CAST(COALESCE(cor.n_cor, 0) AS DOUBLE) / CAST(prd.n_pred AS DOUBLE)')} END AS precision,
+           CASE WHEN COALESCE(sup.n_sup, 0) > 0
+                THEN {r4('CAST(COALESCE(cor.n_cor, 0) AS DOUBLE) / CAST(sup.n_sup AS DOUBLE)')} END AS recall
+    FROM classes
+    LEFT JOIN sup ON classes.c = sup.c
+    LEFT JOIN prd ON classes.c = prd.c
+    LEFT JOIN cor ON classes.c = cor.c
+    ORDER BY lang_class
+    """,
+    tags=("extension", "text", "eval", "confusion-matrix"),
+)
+def q113_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-evaluation rollup for the q25 language-ID heuristic
+    against the labeled ``lang`` column: per-class support, prediction
+    count, hits, precision and recall — the confusion-matrix summary a
+    data pipeline computes when validating any cheap heuristic against
+    a labeled sample before running it over the full corpus.
+
+    Predictions are one map stage (q25's stopword-vote argmax); the
+    three count frames (support, predicted, correct) are tiny per-class
+    aggregates joined on the class code — at 100 TB each is a
+    partial-aggregated shuffle of |classes| rows. Ratios are exact
+    integer-to-IEEE divisions (no libm), NULL where undefined.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    pred = docs.select(
+        F.col("lang").alias("labeled"), *lang_score_cols(t)
+    ).select("labeled", lang_pick_col().alias("predicted"))
+    classes = pred.select(F.col("labeled").alias("c")).distinct()
+    sup = pred.groupBy(F.col("labeled").alias("c")).agg(F.count("*").alias("n_sup"))
+    prd = pred.groupBy(F.col("predicted").alias("c")).agg(
+        F.count("*").alias("n_pred")
+    )
+    cor = (
+        pred.filter(F.col("labeled") == F.col("predicted"))
+        .groupBy(F.col("labeled").alias("c"))
+        .agg(F.count("*").alias("n_cor"))
+    )
+    n_sup = F.coalesce(F.col("n_sup"), F.lit(0))
+    n_prd = F.coalesce(F.col("n_pred"), F.lit(0))
+    n_cor = F.coalesce(F.col("n_cor"), F.lit(0))
+    return (
+        classes.join(sup.withColumnRenamed("c", "cs"), F.col("c") == F.col("cs"), "left")
+        .join(prd.withColumnRenamed("c", "cp"), F.col("c") == F.col("cp"), "left")
+        .join(cor.withColumnRenamed("c", "cc"), F.col("c") == F.col("cc"), "left")
+        .select(
+            F.col("c").alias("lang_class"),
+            n_sup.alias("support"),
+            n_prd.alias("n_predicted"),
+            n_cor.alias("n_correct"),
+            F.when(
+                n_prd > 0,
+                round4(n_cor.cast("double") / F.col("n_pred").cast("double")),
+            ).alias("precision"),
+            F.when(
+                n_sup > 0,
+                round4(n_cor.cast("double") / F.col("n_sup").cast("double")),
+            ).alias("recall"),
+        )
+        .orderBy("lang_class")
+    )

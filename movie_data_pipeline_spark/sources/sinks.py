@@ -20,6 +20,7 @@ distributed write whose *layout* is the optimization surface:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_overwrite(df: DataFrame, path: str) -> None:
@@ -117,3 +118,63 @@ def read_orc(spark: SparkSession, path: str, schema=None) -> DataFrame:
     if schema is not None:
         reader = reader.schema(schema)
     return reader.orc(path)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 8,
+    target_files: int | None = None,
+) -> None:
+    """Z-order (Morton-curve) multi-dimensional data-skipping write —
+    what ``write_sorted_for_skipping`` is for one sort dimension, for
+    2-4 dimensions at once (the Delta/Iceberg OPTIMIZE ZORDER layout,
+    in plain parquet).
+
+    Each column is quantile-bucketed into 2^bits ranks (boundaries from
+    ``approxQuantile`` — a driver-side array of ≤2^bits doubles, i.e.
+    sketch-sized regardless of table size; quantile ranks, not raw
+    values, so skew cannot collapse the curve). The per-column ranks
+    are bit-interleaved into one Morton key; range-partitioning + an
+    in-partition sort on that key gives every output file a compact
+    hyper-rectangle of the value space, so parquet footer min/max stats
+    stay tight on EVERY z-ordered column and a selective predicate on
+    any of them skips most files. Cost: one quantile sketch pass + one
+    range exchange — same write-side shape as the 1-D sorted layout.
+
+    Columns must be numeric (cast timestamps to epoch first). bits=8 →
+    256 ranks/dim; with k dims the Morton key uses k·bits ≤ 63 bits.
+    """
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    k = len(cols)
+    if k * bits > 63:
+        raise ValueError(f"{k} cols x {bits} bits exceeds a signed 64-bit key")
+    n_bounds = (1 << bits) - 1
+    probs = [(i + 1) / (n_bounds + 1) for i in range(n_bounds)]
+    casted = df.select(
+        "*", *[F.col(c).cast("double").alias(f"__z_{c}") for c in cols]
+    )
+    bounds = {c: casted.stat.approxQuantile(f"__z_{c}", probs, 0.01) for c in cols}
+
+    def rank(c: str) -> "F.Column":
+        arr = F.array(*[F.lit(float(b)) for b in bounds[c]])
+        return F.size(F.filter(arr, lambda b: b <= F.col(f"__z_{c}")))
+
+    z = F.lit(0)
+    for i in range(bits):
+        for j, c in enumerate(cols):
+            bit = F.shiftright(rank(c), i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * k + (k - 1 - j)))
+    keyed = casted.withColumn("__zkey", z.cast("long")).drop(
+        *[f"__z_{c}" for c in cols]
+    )
+    out = (
+        keyed.repartitionByRange(target_files, "__zkey")
+        if target_files
+        else keyed.repartitionByRange("__zkey")
+    )
+    out.sortWithinPartitions("__zkey").drop("__zkey").write.mode(
+        "overwrite"
+    ).parquet(path)

@@ -1,6 +1,7 @@
 from movie_data_pipeline_spark.streaming.events import (  # noqa: F401
     click_purchase_join_stream,
     enriched_event_stream,
+    hourly_distinct_users_stream,
     hourly_event_stats_stream,
     session_window_stats_stream,
     sessionize,

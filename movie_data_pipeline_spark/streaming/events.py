@@ -309,3 +309,32 @@ def session_window_stats_stream(
             "total_value",
         )
     )
+
+
+def hourly_distinct_users_stream(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Exact distinct users per tumbling hour, streaming — the
+    streaming face of q108's same-hour distinct count.
+
+    Streaming aggregates cannot hold a COUNT(DISTINCT) hash set per
+    window, so the standard two-stage rewrite applies: (1) watermarked
+    ``dropDuplicates`` on (user_id, hour) — state is one row per live
+    (user, hour) pair, expired by the watermark; (2) a plain
+    count-per-window aggregate over the survivors. Both stages shuffle
+    on keys that include the hour, so state distributes evenly even
+    when one user floods events. Swap stage 1+2 for
+    approx_count_distinct in a single aggregate when per-window user
+    cardinality makes exact state too large (same trade as batch
+    q108 → operators/approx.py).
+    """
+    dedup = (
+        events.withColumn("hr", F.date_trunc("hour", F.col("ts")))
+        .withWatermark("ts", watermark)
+        .dropDuplicates(["user_id", "hr"])
+    )
+    return (
+        dedup.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n_users"))
+        .select(F.col("w.start").alias("ts_hour"), "n_users")
+    )

@@ -64,3 +64,43 @@ def test_dynamic_partition_pruning(spark, part_orders_path):
     )
     rows = {r["o_orderpriority"]: r["count"] for r in joined.collect()}
     assert set(rows) == {"1-URGENT"}
+
+
+def test_runtime_bloom_filter_join_pruning(spark):
+    """Runtime bloom-filter join pruning (on by default, thresholds
+    sized for clusters: creation side ≤10MB, application side ≥10GB
+    scan). At test scale the application side never qualifies, so this
+    test lowers the thresholds to prove the mechanism: a selective dim
+    filter must inject a BloomFilterMightContain probe into the fact
+    scan side of a shuffle join."""
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            str(64 * 1024 * 1024),
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        lineitem = load_table(spark, SF_DIR, "lineitem")
+        part = load_table(spark, SF_DIR, "part").filter(F.col("p_size") <= 2)
+        joined = (
+            lineitem.join(part, F.col("l_partkey") == F.col("p_partkey"))
+            .groupBy("p_brand")
+            .count()
+        )
+        optimized = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom" in optimized.lower(), optimized
+        assert joined.count() > 0
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

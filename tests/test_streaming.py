@@ -240,3 +240,26 @@ def test_session_window_stream_equals_batch(spark):
     }
     assert got == want
     assert sum(v[0] for v in got.values()) == batch_events.count()
+
+
+def test_streaming_distinct_users_equals_batch(spark):
+    from movie_data_pipeline_spark.streaming import hourly_distinct_users_stream
+
+    stream = stream_events(spark, TESTDATA_SF_DIR)
+    q = (
+        hourly_distinct_users_stream(stream)
+        .writeStream.format("memory")
+        .queryName("du_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.ts_hour: r.n_users for r in spark.table("du_stream").collect()}
+    batch = (
+        REGISTRY["q108_trailing_distinct_users"]
+        .build(spark, TESTDATA_SF_DIR)
+        .collect()
+    )
+    want = {r.ts_hour: r.users_this_hour for r in batch}
+    assert got == want and got
