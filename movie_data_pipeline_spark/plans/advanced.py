@@ -1761,3 +1761,100 @@ def q112_ramping_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")
     )
+
+
+# --------------------------------------------------------------------------
+# q117 — SCD2 point-in-time join (probe facts against interval history)
+# --------------------------------------------------------------------------
+@query(
+    "q117_point_in_time_join",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM event_type
+                    THEN 1 ELSE 0 END AS chg
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    seg AS (
+        SELECT user_id, ts, event_type,
+               SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS version
+        FROM ordered
+    ),
+    spans AS (
+        SELECT user_id, CAST(version AS BIGINT) AS version, event_type,
+               MIN(ts) AS valid_from
+        FROM seg GROUP BY user_id, version, event_type
+    ),
+    iv AS (
+        SELECT user_id, version, event_type, valid_from,
+               LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+                   AS valid_to
+        FROM spans
+    ),
+    probes AS (
+        SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase')
+    SELECT p.user_id, p.event_id, p.ts, iv.version,
+           iv.event_type AS regime
+    FROM probes p
+    JOIN iv ON p.user_id = iv.user_id
+           AND iv.valid_from <= p.ts
+           AND (iv.valid_to IS NULL OR p.ts < iv.valid_to)
+    ORDER BY p.user_id, p.event_id
+    """,
+    tags=("parity", "scd2", "temporal-join", "as-of"),
+)
+def q117_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase event joined to the SCD2 regime (q51's interval
+    table) valid at its timestamp — the warehouse point-in-time /
+    BETWEEN-join every versioned dimension needs, with half-open
+    [valid_from, valid_to) semantics.
+
+    The oracle spells the textbook range join; the Spark plan refuses
+    it (range joins explode on hot keys and defeat hash partitioning)
+    and uses the q35 as-of machinery instead: interval starts and
+    probes union into one stream, one user_id window carries the last
+    seen version forward (boundaries sort before probes on ties —
+    kind 0 < 1 — and same-timestamp boundary ties resolve to the
+    highest version, which is exactly the interval the half-open range
+    matches). One shuffle + one sort, output rows = probe rows, no
+    multiplicity from overlapping candidates.
+    """
+    iv = q51_user_type_history(spark, sf_dir)
+    events = load_table(spark, sf_dir, "events")
+    bounds = iv.select(
+        "user_id",
+        F.col("valid_from").alias("ts"),
+        F.lit(0).alias("kind"),
+        "version",
+        F.col("event_type").alias("regime"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    probes = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("long").alias("version"),
+        F.lit(None).cast("string").alias("regime"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "version")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        bounds.unionByName(probes)
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            "kind",
+            F.last("version", ignorenulls=True).over(w).alias("version"),
+            F.last("regime", ignorenulls=True).over(w).alias("regime"),
+        )
+        .filter(F.col("kind") == 1)
+        .select("user_id", "event_id", "ts", "version", "regime")
+        .orderBy("user_id", "event_id")
+    )

@@ -1037,3 +1037,88 @@ def q114_cumulative_distinct_types(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("user_id", "event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q115 — rolling correlation of two event series (windowed regression)
+# --------------------------------------------------------------------------
+@query(
+    "q115_rolling_view_purchase_corr",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hour,
+             SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS x,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+      FROM events GROUP BY 1),
+    framed AS (
+      SELECT hour, x, y,
+             COUNT(*)   OVER w AS n,
+             SUM(x)     OVER w AS sx,
+             SUM(y)     OVER w AS sy,
+             SUM(x * x) OVER w AS sxx,
+             SUM(y * y) OVER w AS syy,
+             SUM(x * y) OVER w AS sxy
+      FROM hourly
+      WINDOW w AS (ORDER BY hour ROWS BETWEEN 24 PRECEDING AND CURRENT ROW))
+    SELECT hour, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                THEN floor((CAST(n * sxy - sx * sy AS DOUBLE)
+                            / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                               * sqrt(CAST(n * syy - sy * sy AS DOUBLE))))
+                           * 10000 + 0.5) / 10000
+           END AS corr_24h
+    FROM framed
+    ORDER BY hour
+    """,
+    tags=("extension", "timeseries", "window", "correlation"),
+)
+def q115_rolling_view_purchase_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-25-hour Pearson correlation between hourly view and
+    purchase volumes — the windowed form of q68's regression aggregates
+    (q86's anomaly z-scores are the single-series version of the same
+    power-sum discipline).
+
+    Both series are integer counts, so every windowed sum (Σx, Σy, Σx²,
+    Σy², Σxy) is exact int64 arithmetic over the ROWS frame; doubles
+    appear only in the final correlation expression, mirrored
+    shape-for-shape in the oracle (sqrt is IEEE-exact). Degenerate
+    frames (either variance zero) yield NULL on both engines. One
+    window spec serves all six aggregates — Catalyst evaluates them in
+    a single Window operator. The series is already aggregated to hours
+    before the window, so the unpartitioned sort carries |hours| rows,
+    not |events| (the same contract as q86); partition by coarser
+    calendar units if a century of hours ever matters.
+    """
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("y"),
+    )
+    w = Window.orderBy("hour").rowsBetween(-24, Window.currentRow)
+    framed = hourly.select(
+        "hour",
+        "x",
+        "y",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+    )
+    dx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    return framed.select(
+        "hour",
+        F.col("x").cast("long").alias("x"),
+        F.col("y").cast("long").alias("y"),
+        F.when(
+            (dx > 0) & (dy > 0),
+            round4(
+                num / (F.sqrt(dx.cast("double")) * F.sqrt(dy.cast("double")))
+            ),
+        ).alias("corr_24h"),
+    ).orderBy("hour")

@@ -306,3 +306,128 @@ def q104_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cid", "dim_idx")
     )
+
+
+# --------------------------------------------------------------------------
+# q116 — triangle counting + local clustering coefficient
+# --------------------------------------------------------------------------
+_TRI_MIN_CO = 2  # co-occurrence support threshold defining an edge
+
+
+@query(
+    "q116_copurchase_triangles",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+             COUNT(DISTINCT a.l_orderkey) AS n_co
+      FROM lineitem a
+      JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2),
+    edges AS (SELECT pa, pb FROM pairs WHERE n_co >= {_TRI_MIN_CO}),
+    tris AS (
+      SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+      FROM edges e1
+      JOIN edges e2 ON e2.pa = e1.pb
+      JOIN edges e3 ON e3.pa = e1.pa AND e3.pb = e2.pb),
+    node_tris AS (
+      SELECT node, COUNT(*) AS n_tri FROM (
+        SELECT a AS node FROM tris
+        UNION ALL SELECT b FROM tris
+        UNION ALL SELECT c FROM tris)
+      GROUP BY node),
+    deg AS (
+      SELECT node, COUNT(*) AS degree FROM (
+        SELECT pa AS node FROM edges
+        UNION ALL SELECT pb FROM edges)
+      GROUP BY node)
+    SELECT deg.node, CAST(deg.degree AS BIGINT) AS degree,
+           CAST(COALESCE(node_tris.n_tri, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN deg.degree >= 2
+                THEN floor((CAST(2 * COALESCE(node_tris.n_tri, 0) AS DOUBLE)
+                            / CAST(deg.degree * (deg.degree - 1) AS DOUBLE))
+                           * 10000 + 0.5) / 10000
+           END AS clustering_coeff
+    FROM deg LEFT JOIN node_tris ON deg.node = node_tris.node
+    ORDER BY deg.node
+    """,
+    tags=("extension", "graph", "triangles", "clustering-coefficient"),
+)
+def q116_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts and local clustering coefficients on the
+    part co-purchase graph (edge = two parts ordered together in ≥2
+    orders) — the graph-analytics companion to q103's PageRank and
+    q63's connected components.
+
+    Edge construction reuses q94's basket pattern (collect_set +
+    map-side pair generation — the fact table never self-joins); the
+    oracle spells the textbook self-join. Triangles are enumerated once
+    each via the ordered (a < b < c) two-hop join: wedge generation
+    (e1⋈e2 on the shared middle node) closed by an equi-join back into
+    the edge list. Scale: wedge count is Σdeg² — the quantity to manage,
+    standard degree-ordering (orienting edges low→high degree) bounds
+    it; here a<b<c ordering plays that role. Coefficients are exact
+    integer ratios in IEEE doubles; every count is engine-exact, so the
+    whole topology hash-matches.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    baskets = lineitem.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    arr = F.col("parts")
+    pair_gen = F.flatten(
+        F.transform(
+            arr,
+            lambda x, i: F.transform(
+                F.slice(arr, i + 2, F.size(arr) - i - 1),
+                lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+            ),
+        )
+    )
+    edges = (
+        baskets.select(F.explode(pair_gen).alias("pr"))
+        .select("pr.pa", "pr.pb")
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("n_co"))
+        .filter(F.col("n_co") >= _TRI_MIN_CO)
+        .select("pa", "pb")
+        .persist()  # consumed by two wedge sides, the closing probe, and degrees
+    )
+    e1 = edges.select(F.col("pa").alias("a"), F.col("pb").alias("b"))
+    e2 = edges.select(F.col("pa").alias("b2"), F.col("pb").alias("c"))
+    e3 = edges.select(F.col("pa").alias("a3"), F.col("pb").alias("c3"))
+    tris = (
+        e1.join(e2, F.col("b") == F.col("b2"))
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .select("a", "b", "c")
+    )
+    node_tris = (
+        tris.select(F.col("a").alias("node"))
+        .unionAll(tris.select(F.col("b").alias("node")))
+        .unionAll(tris.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_tri"))
+    )
+    deg = (
+        edges.select(F.col("pa").alias("node"))
+        .unionAll(edges.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    n_tri = F.coalesce(F.col("n_tri"), F.lit(0))
+    return (
+        deg.join(node_tris, "node", "left")
+        .select(
+            "node",
+            F.col("degree").cast("long").alias("degree"),
+            n_tri.cast("long").alias("n_triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                round4(
+                    (F.lit(2) * n_tri).cast("double")
+                    / (F.col("degree") * (F.col("degree") - F.lit(1))).cast("double")
+                ),
+            ).alias("clustering_coeff"),
+        )
+        .orderBy("node")
+    )
