@@ -1858,3 +1858,166 @@ def q117_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_id", "ts", "version", "regime")
         .orderBy("user_id", "event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q118 — market share of one supplier nation within a region (TPC-H Q8)
+# --------------------------------------------------------------------------
+@query(
+    "q118_market_share",
+    oracle=f"""
+    WITH region_orders AS (
+      SELECT year(o.o_orderdate) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+      JOIN region r   ON n1.n_regionkey = r.r_regionkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+      WHERE r.r_name = 'ASIA')
+    SELECT CAST(o_year AS INTEGER) AS o_year,
+           {r4(f'''CAST(SUM(CASE WHEN supp_nation = 'NATION_2'
+                     THEN CAST(volume AS DECIMAL(30,6))
+                     ELSE CAST(0 AS DECIMAL(30,6)) END) AS DOUBLE)
+             / CAST(SUM(CAST(volume AS DECIMAL(30,6))) AS DOUBLE)''')} AS mkt_share,
+           {r4(exact_sum_sql('volume'))} AS total_volume
+    FROM region_orders
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+    tags=("parity", "star-join", "market-share", "tpch-q8"),
+)
+def q118_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATION_2's share of supplier revenue into ASIA customers per
+    order year — the TPC-H Q8 shape: a 6-table star join feeding a
+    conditional-over-total ratio per group.
+
+    The share is one pass: numerator and denominator are a conditional
+    and an unconditional sum over the SAME aggregate (no second scan,
+    no join of two aggregates). All dimension chains (customer→nation→
+    region, supplier→nation) broadcast; the only real shuffle is
+    lineitem⋈orders and the final year group-by. Both sums accumulate
+    in DECIMAL(30,6) and the ratio divides the two exact totals as
+    doubles — engine- and partition-order-independent.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    asia = region.filter(F.col("r_name") == "ASIA").select(
+        F.col("r_regionkey").alias("c_rkey")
+    )
+    vol_dec = (
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    ).cast("decimal(30,6)")
+    zero_dec = F.lit(0).cast("decimal(30,6)")
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nkey"))
+        .join(F.broadcast(asia), "c_rkey")
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nkey"))
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_2", vol_dec).otherwise(
+                        zero_dec
+                    )
+                ).cast("double")
+                / F.sum(vol_dec).cast("double")
+            ).alias("share_raw"),
+            exact_sum(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+            ).alias("tv_raw"),
+        )
+        .select(
+            "o_year",
+            round4(F.col("share_raw")).alias("mkt_share"),
+            round4(F.col("tv_raw")).alias("total_volume"),
+        )
+        .orderBy("o_year")
+    )
+
+
+# --------------------------------------------------------------------------
+# q119 — product-line profit by supplier nation and year (TPC-H Q9 shape)
+# --------------------------------------------------------------------------
+@query(
+    "q119_product_profit",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           {r4(exact_sum_sql(
+               'l.l_extendedprice * (1 - l.l_discount)'
+               ' - 0.6 * p.p_retailprice * l.l_quantity'))} AS profit
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+    tags=("parity", "star-join", "profit", "tpch-q9"),
+)
+def q119_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profit on widget parts by supplier nation and order year — the
+    TPC-H Q9 shape: a product-name substring filter driving a 5-table
+    join with a derived profit measure aggregated on two dimensions.
+    (The schema has no partsupp table, so supply cost is modeled as
+    60% of p_retailprice — the shape, filter, and measure arithmetic
+    are Q9's.)
+
+    The '%widget%' infix filter cannot push as a parquet predicate
+    (contains → scan filter), but it prunes part BEFORE the join, and
+    the runtime bloom filter / DPP machinery (tests/test_pruning.py)
+    is what carries that selectivity into the lineitem side at cluster
+    scale. Profit terms mix two products per row; the whole expression
+    is computed per-row in doubles and summed in DECIMAL(30,6)
+    (q61 discipline) — subtraction makes cancellation error a real
+    hazard for naive double sums at 100 TB row counts.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    widgets = part.filter(F.col("p_name").contains("widget")).select(
+        "p_partkey", "p_retailprice"
+    )
+    profit_term = (
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+        - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(widgets), F.col("l_partkey") == F.col("p_partkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(nation.select("n_nationkey", F.col("n_name").alias("nation"))),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("nation", F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.count("*").alias("n_lines"),
+            round4(exact_sum(profit_term)).alias("profit"),
+        )
+        .orderBy("nation", F.desc("o_year"))
+    )
