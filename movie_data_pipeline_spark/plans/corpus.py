@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from movie_data_pipeline_spark.functions.text import tokens, word_shingles
 from movie_data_pipeline_spark.plans.core import query, r4, round4
@@ -438,3 +439,75 @@ def q107_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         round4(F.lit(1.0) - F.col("ssq").cast("double") / (n_d * n_d)).alias("simpson"),
         round4((n_d * n_d) / F.col("ssq").cast("double")).alias("eff_types"),
     ).orderBy("doc_id")
+
+
+
+# --------------------------------------------------------------------------
+# q120 — vocabulary growth curve (Heaps' law observation points)
+# --------------------------------------------------------------------------
+@query(
+    "q120_vocab_growth",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents),
+    per_doc AS (SELECT doc_id, COUNT(*) AS n_toks FROM toks GROUP BY doc_id),
+    firsts AS (SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_first
+               FROM (SELECT term, MIN(doc_id) AS doc_id FROM toks GROUP BY term)
+               GROUP BY doc_id),
+    curve AS (
+      SELECT per_doc.doc_id,
+             per_doc.n_toks,
+             COALESCE(firsts.n_first, 0) AS n_new_types,
+             SUM(per_doc.n_toks) OVER (ORDER BY per_doc.doc_id
+                                       ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+             SUM(COALESCE(firsts.n_first, 0)) OVER (ORDER BY per_doc.doc_id
+                                       ROWS UNBOUNDED PRECEDING) AS cum_types
+      FROM per_doc LEFT JOIN firsts ON per_doc.doc_id = firsts.doc_id)
+    SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+           CAST(n_new_types AS BIGINT) AS n_new_types,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens,
+           CAST(cum_types AS BIGINT) AS cum_types
+    FROM curve ORDER BY doc_id
+    """,
+    tags=("extension", "corpus", "vocabulary", "heaps-law"),
+)
+def q120_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve in corpus (doc_id) order: tokens seen vs
+    distinct types seen after each document — the Heaps'-law
+    observation series tokenizer and vocab-size decisions are fit
+    against.
+
+    q114's first-occurrence rewrite lifted from event streams to the
+    corpus: each type's birth doc is a tiny (term → min doc_id)
+    aggregate, re-aggregated to births-per-doc, then one running-sum
+    window over the per-doc frame (|docs| rows, not |tokens|) produces
+    both cumulative series. No collect, no loop over docs; the token
+    explode happens exactly once and feeds both the per-doc counts and
+    the birth aggregate. The unpartitioned window rides the already-
+    collapsed per-document frame (same contract as q86/q115).
+    """
+    from movie_data_pipeline_spark.operators.util import spread
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = spread(docs).select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    per_doc = toks.groupBy("doc_id").agg(F.count("*").alias("n_toks"))
+    firsts = (
+        toks.groupBy("term")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_first"))
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    n_new = F.coalesce(F.col("n_first"), F.lit(0))
+    return (
+        per_doc.join(firsts, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_toks").cast("long").alias("n_toks"),
+            n_new.cast("long").alias("n_new_types"),
+            F.sum("n_toks").over(w).cast("long").alias("cum_tokens"),
+            F.sum(n_new).over(w).cast("long").alias("cum_types"),
+        )
+        .orderBy("doc_id")
+    )

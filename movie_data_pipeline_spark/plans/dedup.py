@@ -511,3 +511,90 @@ def q84_duplicated_span_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_span_share"
         ),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# q121 — LSH candidate quality audit (precision/recall vs exact Jaccard)
+# --------------------------------------------------------------------------
+_AUDIT_J = "0.5"  # truth threshold; 4x4 banding's s-curve is steep here
+
+
+@query(
+    "q121_lsh_quality_audit",
+    oracle=f"""
+    WITH {_MINHASH_LONG_CTES},
+    bands AS (
+      SELECT doc_id, h_idx // {LSH_BAND_ROWS} AS band,
+             string_agg(CAST(min_hash AS VARCHAR), ',' ORDER BY h_idx) AS band_sig
+      FROM sigs GROUP BY doc_id, band),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bands x JOIN bands y
+        ON x.band = y.band AND x.band_sig = y.band_sig AND x.doc_id < y.doc_id),
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM shingles a JOIN shingles b
+        ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    truth AS (
+      SELECT doc_a, doc_b FROM common
+      JOIN counts ca ON ca.doc_id = doc_a
+      JOIN counts cb ON cb.doc_id = doc_b
+      WHERE n_common * 1.0 / (ca.n + cb.n - n_common) >= {_AUDIT_J}),
+    hits AS (SELECT * FROM cand INTERSECT SELECT * FROM truth)
+    SELECT (SELECT COUNT(*) FROM cand) AS n_candidates,
+           (SELECT COUNT(*) FROM truth) AS n_true_pairs,
+           (SELECT COUNT(*) FROM hits) AS n_hits,
+           CASE WHEN (SELECT COUNT(*) FROM cand) > 0
+                THEN floor((CAST((SELECT COUNT(*) FROM hits) AS DOUBLE)
+                            / CAST((SELECT COUNT(*) FROM cand) AS DOUBLE))
+                           * 10000 + 0.5) / 10000 END AS precision,
+           CASE WHEN (SELECT COUNT(*) FROM truth) > 0
+                THEN floor((CAST((SELECT COUNT(*) FROM hits) AS DOUBLE)
+                            / CAST((SELECT COUNT(*) FROM truth) AS DOUBLE))
+                           * 10000 + 0.5) / 10000 END AS recall
+    """,
+    tags=("extension", "dedup", "lsh", "audit"),
+)
+def q121_lsh_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality audit: banded-LSH candidate pairs (q20) scored
+    against exact Jaccard ≥ 0.5 ground truth (q18's machinery) —
+    precision, recall, and the three underlying counts in one row.
+
+    This is the calibration report a dedup pipeline produces on a
+    sample before committing to an LSH configuration at full scale:
+    recall tells you what the banding misses (false negatives are
+    silent data leaks downstream), precision bounds the wasted exact
+    verifications. Every input is deterministic (md5 MinHash, exact
+    integer Jaccard), so even this meta-query hash-matches. Scale: the
+    audit runs on a deterministic sample (q39's bucket sampler)
+    upstream; counts and ratios aggregate to a single row — the
+    expensive parts are exactly q18+q20, already bounded by the
+    stop-shingle cap and banding.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cand = lsh_candidate_pairs_wide(minhash_signatures_wide(docs)).select(
+        "doc_a", "doc_b"
+    )
+    truth = jaccard_pairs(docs, threshold=float(_AUDIT_J)).select("doc_a", "doc_b")
+    hits = cand.join(truth, ["doc_a", "doc_b"], "left_semi")
+    n_c = cand.agg(F.count("*").alias("n_candidates"))
+    n_t = truth.agg(F.count("*").alias("n_true_pairs"))
+    n_h = hits.agg(F.count("*").alias("n_hits"))
+    out = n_c.crossJoin(F.broadcast(n_t)).crossJoin(F.broadcast(n_h))
+    prec = F.when(
+        F.col("n_candidates") > 0,
+        round4(F.col("n_hits").cast("double") / F.col("n_candidates").cast("double")),
+    )
+    rec = F.when(
+        F.col("n_true_pairs") > 0,
+        round4(F.col("n_hits").cast("double") / F.col("n_true_pairs").cast("double")),
+    )
+    return out.select(
+        "n_candidates",
+        "n_true_pairs",
+        "n_hits",
+        prec.alias("precision"),
+        rec.alias("recall"),
+    )
