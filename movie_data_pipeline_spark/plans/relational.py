@@ -1317,3 +1317,63 @@ def q106_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# q124 — FILTER-clause aggregates + set aggregation per group
+# --------------------------------------------------------------------------
+@query(
+    "q124_nation_segment_profile",
+    oracle="""
+    SELECT n.n_name AS nation,
+           COUNT(*) AS n_customers,
+           COUNT(*) FILTER (WHERE c.c_acctbal > 0) AS n_positive_bal,
+           COUNT(DISTINCT c.c_mktsegment) AS n_segments,
+           array_to_string(list_sort(list(DISTINCT c.c_mktsegment)), ',')
+             AS segments,
+           floor((CAST(COUNT(*) FILTER (WHERE c.c_acctbal > 0) AS DOUBLE)
+                  / CAST(COUNT(*) AS DOUBLE)) * 10000 + 0.5) / 10000
+             AS positive_share
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY nation
+    ORDER BY nation
+    """,
+    tags=("parity", "aggregate", "filter-clause", "set-agg"),
+)
+def q124_nation_segment_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation customer profile: FILTER-clause conditional counts,
+    COUNT(DISTINCT), and the distinct segment set aggregated to one
+    sorted string — the remaining ANSI aggregate modifiers (FILTER,
+    set-valued aggregation) in one group-by.
+
+    Spark has no FILTER clause on DataFrame aggregates; the exact
+    equivalent is count(when(pred, 1)) — null-skipping count, identical
+    semantics including all-false groups. The set aggregate is
+    collect_set → sort_array → array_join (same determinism rule as
+    q03's GROUP_CONCAT: impose the order, never trust engine
+    aggregation order). All one hash aggregate with map-side partials;
+    the string join renders group-local tiny arrays (bounded by the
+    segment domain, 5 values), not data-sized state.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    n_pos = F.count(F.when(F.col("c_acctbal") > 0, 1))
+    return (
+        customer.join(
+            F.broadcast(nation.select("n_nationkey", F.col("n_name").alias("nation"))),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("nation")
+        .agg(
+            F.count("*").alias("n_customers"),
+            n_pos.alias("n_positive_bal"),
+            F.countDistinct("c_mktsegment").alias("n_segments"),
+            F.array_join(
+                F.sort_array(F.collect_set("c_mktsegment")), ","
+            ).alias("segments"),
+            round4(
+                n_pos.cast("double") / F.count("*").cast("double")
+            ).alias("positive_share"),
+        )
+        .orderBy("nation")
+    )
