@@ -1122,3 +1122,56 @@ def q115_rolling_view_purchase_corr(spark: SparkSession, sf_dir: str) -> DataFra
             ),
         ).alias("corr_24h"),
     ).orderBy("hour")
+
+
+# --------------------------------------------------------------------------
+# q125 — weekday × hour activity heatmap (calendar bucketing)
+# --------------------------------------------------------------------------
+@query(
+    "q125_weekday_hour_heatmap",
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(isodow(ts) AS BIGINT) AS iso_weekday,
+             CAST(hour(ts) AS BIGINT) AS hour_of_day,
+             COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2),
+    total AS (SELECT SUM(n_events) AS t FROM cells)
+    SELECT iso_weekday, hour_of_day, n_events,
+           floor((CAST(n_events AS DOUBLE) / CAST(total.t AS DOUBLE))
+                 * 10000 + 0.5) / 10000 AS share
+    FROM cells CROSS JOIN total
+    ORDER BY iso_weekday, hour_of_day
+    """,
+    tags=("extension", "time", "calendar", "heatmap"),
+)
+def q125_weekday_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event volume by ISO weekday (1=Monday) × hour of day, with each
+    cell's share of total traffic — the calendar heatmap behind
+    capacity planning and anomaly baselines (q86's z-scores assume a
+    flat baseline; this is the seasonal one).
+
+    Calendar-function portability is the point: Spark's dayofweek() is
+    1=Sunday while DuckDB's isodow() is 1=Monday — the engine-stable
+    spelling is Spark weekday() (0=Monday) + 1 == isodow. NTZ
+    timestamps keep both engines bucketing the same wall-clock time in
+    any session timezone. The 168-cell aggregate is map-side partial;
+    the total is a broadcast rollup of the cells, not a second scan.
+    """
+    events = load_table(spark, sf_dir, "events")
+    cells = events.groupBy(
+        (F.weekday("ts") + F.lit(1)).cast("long").alias("iso_weekday"),
+        F.hour("ts").cast("long").alias("hour_of_day"),
+    ).agg(F.count("*").alias("n_events"))
+    total = cells.agg(F.sum("n_events").alias("t"))
+    return (
+        cells.crossJoin(F.broadcast(total))
+        .select(
+            "iso_weekday",
+            "hour_of_day",
+            "n_events",
+            round4(
+                F.col("n_events").cast("double") / F.col("t").cast("double")
+            ).alias("share"),
+        )
+        .orderBy("iso_weekday", "hour_of_day")
+    )
