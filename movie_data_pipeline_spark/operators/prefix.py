@@ -1,0 +1,149 @@
+"""Distributed prefix sums and global ranks.
+
+The classic scale-killer is ``Window.orderBy(key)`` with no
+``partitionBy``: Spark funnels the whole frame through ONE task to
+satisfy the global order (the ``WindowExec: No Partition Defined``
+warning).  The standard distributed alternative — the same scheme as
+Spark's own ``zipWithIndex`` — is two passes:
+
+1. range-partition the frame on the order key (a parallel sort, the
+   same exchange a global ``orderBy`` would use),
+2. compute each partition's LOCAL running sum / row number with a
+   window partitioned by ``spark_partition_id()`` (fully parallel),
+3. aggregate one row of per-partition totals, collect them to the
+   driver (#partitions rows — pure metadata, same licence as the IVF
+   codebook in ``operators/similarity.py``), turn them into EXCLUSIVE
+   prefix offsets, and broadcast-join the offsets back on partition id.
+
+``global = local + offset_of_my_partition``.  No task ever holds more
+than one partition, the only extra cost over the parallel sort is a
+metadata-sized aggregate, and the result is deterministic because the
+range-partitioned frame is persisted, so the totals job and the main
+job read the SAME partitioning (range boundaries come from sampling
+and are otherwise not stable across re-evaluation).
+
+Reference parity: the reference has no analogue (pandas ``cumsum`` is
+single-core by construction); this module is the 100 TB form of the
+running-sum semantics specified by q120/q123's oracle SQL and the
+NTILE semantics of q40/q93.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
+from pyspark.storagelevel import StorageLevel
+
+_PID = "__prefix_pid"
+
+
+def _as_columns(order_by: list[Column | str]) -> list[Column]:
+    return [F.col(c) if isinstance(c, str) else c for c in order_by]
+
+
+def attach_running_sums(
+    df: DataFrame,
+    order_by: list[Column | str],
+    sums: dict[str, Column | str],
+    partitions: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Add one INCLUSIVE global running-sum column per ``sums`` entry
+    (``out_name -> summed expression``), ordered by ``order_by``.
+
+    ``order_by`` must be a total order (include a tie-break key);
+    descending keys are fine (pass ``F.col(c).desc()``).  ``sums`` keys
+    must not collide with existing column names.  Returns ``(frame,
+    n_rows)`` — the total row count falls out of the offsets pass for
+    free, and NTILE-style callers need it.  Row order of the returned
+    frame is unspecified; callers sort for presentation.
+    """
+    spark = df.sparkSession
+    n_parts = partitions or spark.sparkContext.defaultParallelism
+    keys = _as_columns(order_by)
+    sum_cols = {
+        out: (F.col(c) if isinstance(c, str) else c) for out, c in sums.items()
+    }
+
+    ranged = (
+        df.repartitionByRange(n_parts, *keys)
+        .withColumn(_PID, F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    totals_df = ranged.groupBy(_PID).agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[F.sum(c).alias(out) for out, c in sum_cols.items()],
+    )
+    totals = sorted(totals_df.collect(), key=lambda r: r[_PID])
+
+    # Exclusive prefix of per-partition totals → broadcast offsets.
+    acc: dict[str, object] = dict.fromkeys(sum_cols)
+    n_rows, offset_rows = 0, []
+    for row in totals:
+        offset_rows.append((row[_PID], *[acc[out] for out in sum_cols]))
+        n_rows += row["__n"]
+        for out in sum_cols:
+            v = row[out]
+            if v is not None:
+                acc[out] = v if acc[out] is None else acc[out] + v
+    off_schema = StructType(
+        [totals_df.schema[_PID]]
+        + [
+            StructField(out, totals_df.schema[out].dataType, nullable=True)
+            for out in sum_cols
+        ]
+    )
+    offsets = spark.createDataFrame(offset_rows, schema=off_schema)
+
+    w_local = (
+        Window.partitionBy(_PID)
+        .orderBy(*keys)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out_df = ranged.join(F.broadcast(offsets), _PID)
+    for out, c in sum_cols.items():
+        # After the join, `out` names the offset column (sums keys must
+        # be fresh names, asserted by the join not duplicating them).
+        out_df = out_df.withColumn(
+            f"__glob_{out}",
+            F.sum(c).over(w_local) + F.coalesce(F.col(out), F.lit(0)),
+        )
+    out_df = out_df.drop(_PID)
+    for out in sum_cols:
+        out_df = out_df.drop(out).withColumnRenamed(f"__glob_{out}", out)
+    return out_df, n_rows
+
+
+def attach_global_row_number(
+    df: DataFrame,
+    order_by: list[Column | str],
+    out: str = "rn",
+    partitions: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Global 1-based ROW_NUMBER over ``order_by`` without a
+    single-partition window: local ``row_number`` per range partition
+    plus broadcast partition-count offsets.  Returns ``(frame, n_rows)``.
+    """
+    return attach_running_sums(
+        df, order_by, {out: F.lit(1).cast("long")}, partitions=partitions
+    )
+
+
+def ntile_from_row_number(rn: Column, n_rows: int, k: int) -> Column:
+    """Exact SQL NTILE(k) bucket from a global 1-based row number.
+
+    Standard semantics: with ``n`` rows, the first ``n mod k`` buckets
+    get ``n div k + 1`` rows, the rest ``n div k`` — identical on Spark
+    and DuckDB, so hash-compared results match an NTILE oracle while
+    the plan stays free of global windows.
+    """
+    if n_rows <= 0:
+        return F.lit(1).cast("int")
+    q, r = divmod(n_rows, k)
+    if q == 0:  # fewer rows than tiles: bucket i holds exactly row i
+        return rn.cast("int")
+    big = r * (q + 1)  # rows living in the (q+1)-sized leading buckets
+    in_big = F.floor((rn - F.lit(1)) / F.lit(q + 1)) + F.lit(1)
+    in_small = F.lit(r) + F.floor((rn - F.lit(big) - F.lit(1)) / F.lit(q)) + F.lit(1)
+    return F.when(rn <= F.lit(big), in_big).otherwise(in_small).cast("int")

@@ -481,14 +481,20 @@ def q93_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     monetary (exact total), each scored into quintiles (5 = best) with
     a composed segment label — the classic churn/LTV rollup.
 
-    Ties at every quintile boundary are broken by custkey, so ntile is
-    fully deterministic on both engines. The single-partition ntile
-    windows are the small-result path (one row per customer after a
-    co-partitioned aggregate); at 100 TB the same scores come from the
-    q40-documented quantile-boundary route (approx_percentile boundaries
-    broadcast, then a codegen'd CASE per row) — no global sort needed.
-    The reference-date scalar folds to a broadcast literal, as q91.
+    Ties at every quintile boundary are broken by custkey, so the
+    scores are fully deterministic on both engines. No global NTILE
+    window: each score comes from a distributed global row number
+    (``operators/prefix.py`` — range partition, local row_number,
+    broadcast partition-count offsets) fed through the exact NTILE
+    bucket formula, so every pass is parallel and the plan matches the
+    oracle's NTILE semantics bucket-for-bucket at any scale. The
+    reference-date scalar folds to a broadcast literal, as q91.
     """
+    from movie_data_pipeline_spark.operators.prefix import (
+        attach_global_row_number,
+        ntile_from_row_number,
+    )
+
     orders = load_table(spark, sf_dir, "orders")
     ref = orders.agg(F.max(F.col("o_orderdate").cast("date")).alias("ref_date"))
     cust = (
@@ -506,18 +512,24 @@ def q93_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
-    w_r = Window.orderBy(F.col("recency_days").desc(), F.col("custkey"))
-    w_f = Window.orderBy(F.col("frequency").asc(), F.col("custkey"))
-    w_m = Window.orderBy(F.col("monetary").asc(), F.col("custkey"))
+    ranked, n_cust = attach_global_row_number(
+        cust, [F.col("recency_days").desc(), F.col("custkey")], "rn_r"
+    )
+    ranked, _ = attach_global_row_number(
+        ranked, [F.col("frequency").asc(), F.col("custkey")], "rn_f"
+    )
+    ranked, _ = attach_global_row_number(
+        ranked, [F.col("monetary").asc(), F.col("custkey")], "rn_m"
+    )
     return (
-        cust.select(
+        ranked.select(
             "custkey",
             "recency_days",
             "frequency",
             round4(F.col("monetary")).alias("monetary"),
-            F.ntile(5).over(w_r).alias("r_score"),
-            F.ntile(5).over(w_f).alias("f_score"),
-            F.ntile(5).over(w_m).alias("m_score"),
+            ntile_from_row_number(F.col("rn_r"), n_cust, 5).alias("r_score"),
+            ntile_from_row_number(F.col("rn_f"), n_cust, 5).alias("f_score"),
+            ntile_from_row_number(F.col("rn_m"), n_cust, 5).alias("m_score"),
         )
         .withColumn(
             "segment",

@@ -17,7 +17,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from movie_data_pipeline_spark.functions.text import tokens, word_shingles
 from movie_data_pipeline_spark.plans.core import query, r4, round4
@@ -478,13 +477,15 @@ def q120_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     q114's first-occurrence rewrite lifted from event streams to the
     corpus: each type's birth doc is a tiny (term → min doc_id)
-    aggregate, re-aggregated to births-per-doc, then one running-sum
-    window over the per-doc frame (|docs| rows, not |tokens|) produces
-    both cumulative series. No collect, no loop over docs; the token
-    explode happens exactly once and feeds both the per-doc counts and
-    the birth aggregate. The unpartitioned window rides the already-
-    collapsed per-document frame (same contract as q86/q115).
+    aggregate, re-aggregated to births-per-doc; both cumulative series
+    then come from ONE distributed prefix-sum pass over the per-doc
+    frame (``operators/prefix.py``: range-partition on doc_id, local
+    running sums per partition, broadcast partition offsets) — no
+    single-partition window anywhere, so the plan scales to an
+    unbounded corpus. The token explode happens exactly once and feeds
+    both the per-doc counts and the birth aggregate.
     """
+    from movie_data_pipeline_spark.operators.prefix import attach_running_sums
     from movie_data_pipeline_spark.operators.util import spread
 
     docs = load_table(spark, sf_dir, "documents")
@@ -498,16 +499,17 @@ def q120_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_first"))
     )
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
     n_new = F.coalesce(F.col("n_first"), F.lit(0))
-    return (
-        per_doc.join(firsts, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.col("n_toks").cast("long").alias("n_toks"),
-            n_new.cast("long").alias("n_new_types"),
-            F.sum("n_toks").over(w).cast("long").alias("cum_tokens"),
-            F.sum(n_new).over(w).cast("long").alias("cum_types"),
-        )
-        .orderBy("doc_id")
+    joined = per_doc.join(firsts, "doc_id", "left")
+    curve, _ = attach_running_sums(
+        joined,
+        ["doc_id"],
+        {"cum_tokens": F.col("n_toks"), "cum_types": n_new},
     )
+    return curve.select(
+        "doc_id",
+        F.col("n_toks").cast("long").alias("n_toks"),
+        n_new.cast("long").alias("n_new_types"),
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        F.col("cum_types").cast("long").alias("cum_types"),
+    ).orderBy("doc_id")

@@ -7,7 +7,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from movie_data_pipeline_spark.multimodal.binary import blob_features, make_blob_table
 from movie_data_pipeline_spark.plans.core import query, r4, round4
@@ -133,22 +132,24 @@ def q123_blob_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     (training loaders want shards of bounded bytes, assignment must be
     reproducible across runs and reshards).
 
-    shard_id = floor(bytes-before-me / budget): one running-sum window
-    computes it without a sequential loop, shards can only split AFTER
-    an oversized blob (never mid-blob), and appending new blobs never
-    reassigns existing ones (same contract as q39/q106 sampling). The
-    greedy bin-packing alternative that also respects a count budget is
-    q72's applyInPandas fold; this spelling stays entirely in codegen.
-    At 100 TB the unpartitioned running sum becomes a two-pass
-    per-partition-offset scan (sum partition totals, broadcast prefix
-    offsets) — the standard distributed prefix-sum; the window spelling
-    here is the semantic spec.
+    shard_id = floor(bytes-before-me / budget): a distributed
+    prefix-sum (``operators/prefix.py``: range-partition on blob_id,
+    local running sums, broadcast partition offsets) computes it
+    without a sequential loop or a single-partition window; shards can
+    only split AFTER an oversized blob (never mid-blob), and appending
+    new blobs never reassigns existing ones (same contract as
+    q39/q106 sampling). The greedy bin-packing alternative that also
+    respects a count budget is q72's applyInPandas fold.
     """
+    from movie_data_pipeline_spark.operators.prefix import attach_running_sums
+
     docs = load_table(spark, sf_dir, "documents")
     sized = make_blob_table(docs).select("blob_id", "n_bytes")
-    w = Window.orderBy("blob_id").rowsBetween(Window.unboundedPreceding, 0)
+    summed, _ = attach_running_sums(
+        sized, ["blob_id"], {"cum_bytes": F.col("n_bytes")}
+    )
     return (
-        sized.withColumn("cum_bytes", F.sum("n_bytes").over(w))
+        summed
         .select(
             "blob_id",
             "n_bytes",

@@ -1233,16 +1233,31 @@ def q39_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("parity", "window", "ntile"),
 )
 def q40_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equal-count quartile buckets over order prices via NTILE, with
-    per-bucket ranges. Ties broken by o_orderkey so bucket boundaries
-    are engine-independent. Scale note: a global NTILE needs a total
-    order — for 100 TB use range-partitioned bucketing by pre-computed
-    quantile boundaries (q33) instead; this form is for bounded inputs.
+    """Equal-count quartile buckets over order prices with per-bucket
+    ranges, NTILE semantics. Ties broken by o_orderkey so bucket
+    boundaries are engine-independent. No global NTILE window: the
+    bucket comes from a distributed global row number
+    (``operators/prefix.py`` — range partition on (price, orderkey),
+    local row_number, broadcast partition-count offsets) through the
+    exact NTILE bucket formula, so the total order is computed by a
+    parallel range sort, never a single task.
     """
+    from movie_data_pipeline_spark.operators.prefix import (
+        attach_global_row_number,
+        ntile_from_row_number,
+    )
+
     orders = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    tiled = orders.select(
-        "o_totalprice", F.ntile(4).over(w).cast("long").alias("quartile")
+    ranked, n_orders = attach_global_row_number(
+        orders.select("o_totalprice", "o_orderkey"),
+        ["o_totalprice", "o_orderkey"],
+        "rn",
+    )
+    tiled = ranked.select(
+        "o_totalprice",
+        ntile_from_row_number(F.col("rn"), n_orders, 4)
+        .cast("long")
+        .alias("quartile"),
     )
     return (
         tiled.groupBy("quartile")
