@@ -46,7 +46,29 @@ HEADLINE = [
     "q103_pagerank_trade_graph",
     "q105_doc_cosine_pairs",
     "q108_trailing_distinct_users",
+    # round-2 additions: newest families (analytic windows, graph,
+    # SCD2, profile rollup, calendar heatmap)
+    "q115_rolling_view_purchase_corr",
+    "q116_copurchase_triangles",
+    "q117_point_in_time_join",
+    "q124_nation_segment_profile",
+    "q125_weekday_hour_heatmap",
 ]
+
+
+def _previous_round() -> tuple[str | None, dict[str, float] | None]:
+    """Latest BENCH_r*.json in the repo root → (name, per-query secs);
+    the driver records one per round, so this is last round's bench."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    files = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    if not files:
+        return None, None
+    with open(files[-1]) as fh:
+        data = json.load(fh)
+    queries = (data.get("parsed") or {}).get("queries") or data.get("queries")
+    return os.path.basename(files[-1]), queries
 
 
 def run_query(spark, name: str, sf_dir: str) -> float:
@@ -136,6 +158,25 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+
+    # Round-over-round regression diff vs the last recorded round
+    # (stderr — stdout stays the one-JSON-line driver contract).
+    prev_name, prev = _previous_round()
+    if prev:
+        print(f"\n# regression diff vs {prev_name}", file=sys.stderr)
+        print(f"# {'query':38s} {'prev':>8s} {'now':>8s} {'delta':>8s}", file=sys.stderr)
+        for name, now in timings.items():
+            was = prev.get(name)
+            if was:
+                pct = (now - was) / was * 100
+                flag = "  <-- regression" if pct > 25 else ""
+                print(
+                    f"# {name:38s} {was:8.3f} {now:8.3f} {pct:+7.1f}%{flag}",
+                    file=sys.stderr,
+                )
+            else:
+                print(f"# {name:38s} {'new':>8s} {now:8.3f}", file=sys.stderr)
+
     print(json.dumps(out))
     spark.stop()
 

@@ -33,12 +33,45 @@ def _parser() -> argparse.ArgumentParser:
     ex.add_argument("--sf-dir", default="/root/testdata/sf0.01")
 
     etl = sub.add_parser(
-        "run-etl", help="MovieLens CSVs -> 4-table parquet warehouse"
+        "run-etl", help="MovieLens CSVs -> 4-table warehouse (parquet and/or JDBC)"
     )
     etl.add_argument("--data", required=True, help="dir with movies/ratings/links.csv")
-    etl.add_argument("--out", required=True, help="warehouse output dir")
+    etl.add_argument("--out", help="parquet warehouse output dir")
     etl.add_argument("--limit", type=int, default=400, help="enrichment budget")
+    etl.add_argument(
+        "--faithful-ids",
+        action="store_true",
+        help="global-sort rating_id parity with the reference AUTO_INCREMENT "
+        "(single-partition window; off = scalable monotonic ids)",
+    )
+    # JDBC load — the reference's actual sink. Credentials follow the
+    # reference's .env contract (DB_USER/DB_PASSWORD, etl1.py:19-24):
+    # they are read from the environment, never from argv (visible in ps).
+    etl.add_argument(
+        "--jdbc-url",
+        help="JDBC url, e.g. jdbc:mysql://$DB_HOST/$DB_NAME "
+        "(user/password from DB_USER/DB_PASSWORD env; driver from DB_DRIVER)",
+    )
+    etl.add_argument("--jdbc-batchsize", type=int, default=1000)
+    etl.add_argument(
+        "--jdbc-partitions", type=int, default=None,
+        help="cap on concurrent JDBC connections",
+    )
     return p
+
+
+def _jdbc_properties() -> dict[str, str]:
+    """Reference .env contract (etl1.py:19-24): DB_USER / DB_PASSWORD
+    (+ DB_DRIVER for the JVM driver class)."""
+    import os
+
+    props = {
+        "user": os.getenv("DB_USER", "your_user"),
+        "password": os.getenv("DB_PASSWORD", "your_password"),
+    }
+    if os.getenv("DB_DRIVER"):
+        props["driver"] = os.environ["DB_DRIVER"]
+    return props
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -69,6 +102,7 @@ def main(argv: list[str] | None = None) -> int:
             from movie_data_pipeline_spark.pipeline.movies_etl import (
                 build_warehouse,
                 write_warehouse,
+                write_warehouse_jdbc,
             )
             from movie_data_pipeline_spark.sources.movielens import (
                 read_links,
@@ -76,6 +110,9 @@ def main(argv: list[str] | None = None) -> int:
                 read_ratings,
             )
 
+            if not args.out and not args.jdbc_url:
+                print("run-etl needs --out and/or --jdbc-url", file=sys.stderr)
+                return 2
             wh, missing = build_warehouse(
                 spark,
                 read_movies(spark, args.data),
@@ -83,10 +120,21 @@ def main(argv: list[str] | None = None) -> int:
                 read_links(spark, args.data),
                 enrichment=None,
                 api_request_limit=args.limit,
+                faithful_rating_ids=args.faithful_ids,
             )
-            write_warehouse(wh, args.out)
-            for t in ("movies", "genres", "movie_genres", "ratings"):
-                print(f"{t}: {spark.read.parquet(f'{args.out}/{t}').count()} rows")
+            if args.out:
+                write_warehouse(wh, args.out)
+                for t in ("movies", "genres", "movie_genres", "ratings"):
+                    print(f"{t}: {spark.read.parquet(f'{args.out}/{t}').count()} rows")
+            if args.jdbc_url:
+                write_warehouse_jdbc(
+                    wh,
+                    args.jdbc_url,
+                    batchsize=args.jdbc_batchsize,
+                    num_partitions=args.jdbc_partitions,
+                    properties=_jdbc_properties(),
+                )
+                print(f"loaded 4 tables via JDBC -> {args.jdbc_url}")
         return 0
     finally:
         spark.stop()

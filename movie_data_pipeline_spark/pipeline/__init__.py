@@ -5,4 +5,5 @@ from movie_data_pipeline_spark.pipeline.movies_etl import (  # noqa: F401
     transform_movies,
     transform_ratings,
     write_warehouse,
+    write_warehouse_jdbc,
 )

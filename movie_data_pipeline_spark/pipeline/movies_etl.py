@@ -67,9 +67,10 @@ def transform_ratings(ratings_raw: DataFrame) -> DataFrame:
     (userId, movieId) row rank — the AUTO_INCREMENT order of the
     reference's input file (SURVEY.md §2.9). The global window for it is
     the one deliberately non-scalable construct here, kept for id
-    fidelity; callers that don't need faithful ids should use
-    ``with_ids=False`` (monotonically_increasing_id — embarrassingly
-    parallel).
+    fidelity — it is OPT-IN: ``build_warehouse`` defaults to
+    ``ratings_with_fast_ids`` (monotonically_increasing_id —
+    embarrassingly parallel) and only routes here when
+    ``faithful_rating_ids=True`` is requested explicitly.
     """
     coerced = ratings_raw.select(
         F.col("userId").try_cast("int").alias("user_id"),
@@ -164,7 +165,7 @@ def build_warehouse(
     links_raw: DataFrame,
     enrichment: DataFrame | None = None,
     api_request_limit: int = 400,
-    faithful_rating_ids: bool = True,
+    faithful_rating_ids: bool = False,
 ) -> tuple[Warehouse, DataFrame]:
     """Full pipeline → (warehouse tables, missing-movies side output).
 
@@ -172,6 +173,13 @@ def build_warehouse(
     pipeline/enrichment.py); None runs the offline path (all enrichment
     columns null, no missing log) — correctness never depends on live
     HTTP (SURVEY.md §7 "hard parts").
+
+    ``faithful_rating_ids`` defaults to False: the scale path assigns
+    rating ids with monotonically_increasing_id (no shuffle, no global
+    sort). No documented reference query depends on rating_id *values*
+    (SURVEY.md §2.9) — pass True only for oracle-fidelity runs that hash
+    ids, which routes through the deliberately single-partition
+    ``transform_ratings`` window.
     """
     from movie_data_pipeline_spark.pipeline.enrichment import enrich_movies
 
@@ -200,3 +208,50 @@ def write_warehouse(wh: Warehouse, out_dir: str) -> None:
     subsumed by the distributed write."""
     for name in WAREHOUSE_TABLES:
         getattr(wh, name).write.mode("overwrite").parquet(f"{out_dir}/{name}")
+
+
+def write_warehouse_jdbc(
+    wh: Warehouse,
+    url: str,
+    batchsize: int = 1000,
+    truncate: bool = True,
+    num_partitions: int | None = None,
+    properties: dict[str, str] | None = None,
+) -> None:
+    """Full-refresh load into an RDBMS over JDBC — the reference's
+    actual sink (SQLAlchemy → MySQL/Postgres/SQLite, etl1.py:380-406,
+    483-506; DDL schema.sql:8-46), distributed.
+
+    Semantics mapped 1:1:
+    - ``truncate=True`` + mode('overwrite') → Spark issues TRUNCATE/
+      DELETE and re-INSERTs into the EXISTING table, preserving the
+      DDL (types, PKs, indexes) exactly like the reference's
+      ``DELETE FROM t`` + insert loop (etl1.py:380-383) — not a
+      DROP/CREATE, which would lose schema.sql's constraints.
+    - ``batchsize=1000`` → executeBatch flush size, the reference's
+      1000-row insert chunks (etl1.py:497-506), but issued from every
+      partition in parallel instead of one driver loop.
+    - Tables load parent-first (movies, genres before movie_genres,
+      ratings) so FK constraints (schema.sql:29-31, 40-44) hold during
+      the load; on engines that validate FKs during TRUNCATE, run with
+      deferred constraints or session-level FK checks off, as the
+      reference's delete-children-first pass implies.
+    - ``num_partitions`` caps write parallelism (max concurrent JDBC
+      connections) — size to the database's connection budget, not the
+      cluster's core count.
+
+    ``properties`` carries driver/user/password (the reference reads
+    these from .env, etl1.py:552-561); sandbox has no RDBMS, so the
+    contract test asserts the writer plumbing, not a live roundtrip.
+    """
+    props = {
+        "batchsize": str(batchsize),
+        "truncate": str(truncate).lower(),
+        "isolationLevel": "READ_COMMITTED",
+        **(properties or {}),
+    }
+    if num_partitions is not None:
+        props["numPartitions"] = str(num_partitions)
+    for name in WAREHOUSE_TABLES:
+        df = getattr(wh, name)
+        df.write.jdbc(url, name, mode="overwrite", properties=props)

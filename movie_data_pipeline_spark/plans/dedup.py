@@ -567,9 +567,13 @@ def q121_lsh_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall tells you what the banding misses (false negatives are
     silent data leaks downstream), precision bounds the wasted exact
     verifications. Every input is deterministic (md5 MinHash, exact
-    integer Jaccard), so even this meta-query hash-matches. Scale: the
-    audit runs on a deterministic sample (q39's bucket sampler)
-    upstream; counts and ratios aggregate to a single row — the
+    integer Jaccard), so even this meta-query hash-matches. Scale: as
+    registered the audit runs over the FULL documents table — fine at
+    test scale and required for the oracle hash; at corpus scale,
+    compose the same plan over a deterministic sample first (q39's
+    bucket sampler: ``docs.filter(crc32(doc_id) % N == 0)``) since the
+    exact-Jaccard ground truth is the quadratic-ish part the banding
+    exists to avoid. Counts and ratios aggregate to a single row — the
     expensive parts are exactly q18+q20, already bounded by the
     stop-shingle cap and banding.
     """

@@ -37,16 +37,23 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-@lru_cache(maxsize=None)
 def _events_ts_is_nanos(path: str) -> bool:
     """Sniff the parquet footer: True when ts is TIMESTAMP(NANOS).
 
     The driver has shipped events.parquet with either TIMESTAMP(NANOS)
     (unreadable as a Spark timestamp — handled as raw INT64 nanos) or
     TIMESTAMP(MICROS) (a plain NTZ read). A footer read is metadata-only
-    (no row groups touched), cached per path, and at cluster scale would
-    run once on the driver — never per task.
+    (no row groups touched), and at cluster scale would run once on the
+    driver — never per task. The cache key includes (mtime, size) so a
+    file regenerated in place with a different encoding is re-sniffed
+    rather than served the stale answer.
     """
+    st = os.stat(path)
+    return _sniff_ts_unit_is_nanos(path, st.st_mtime_ns, st.st_size)
+
+
+@lru_cache(maxsize=None)
+def _sniff_ts_unit_is_nanos(path: str, mtime_ns: int, size: int) -> bool:
     import pyarrow.parquet as pq
 
     t = pq.read_schema(path).field("ts").type

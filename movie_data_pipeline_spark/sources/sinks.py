@@ -156,19 +156,29 @@ def write_zordered(
     casted = df.select(
         "*", *[F.col(c).cast("double").alias(f"__z_{c}") for c in cols]
     )
-    bounds = {c: casted.stat.approxQuantile(f"__z_{c}", probs, 0.01) for c in cols}
+    # single multi-column sketch pass (one job, not one scan per column)
+    all_bounds = casted.stat.approxQuantile(
+        [f"__z_{c}" for c in cols], probs, 0.01
+    )
+    bounds = dict(zip(cols, all_bounds))
 
     def rank(c: str) -> "F.Column":
         arr = F.array(*[F.lit(float(b)) for b in bounds[c]])
         return F.size(F.filter(arr, lambda b: b <= F.col(f"__z_{c}")))
 
+    # materialize each column's rank ONCE; the bit-interleave loop then
+    # references the projected rank column instead of re-instantiating
+    # the 2^bits-literal array filter bits x cols times in the plan
+    ranked = casted.select(
+        "*", *[rank(c).alias(f"__zr_{c}") for c in cols]
+    )
     z = F.lit(0)
     for i in range(bits):
         for j, c in enumerate(cols):
-            bit = F.shiftright(rank(c), i).bitwiseAND(F.lit(1))
+            bit = F.shiftright(F.col(f"__zr_{c}"), i).bitwiseAND(F.lit(1))
             z = z.bitwiseOR(F.shiftleft(bit, i * k + (k - 1 - j)))
-    keyed = casted.withColumn("__zkey", z.cast("long")).drop(
-        *[f"__z_{c}" for c in cols]
+    keyed = ranked.withColumn("__zkey", z.cast("long")).drop(
+        *[f"__z_{c}" for c in cols], *[f"__zr_{c}" for c in cols]
     )
     out = (
         keyed.repartitionByRange(target_files, "__zkey")

@@ -320,21 +320,28 @@ def hourly_distinct_users_stream(
     Streaming aggregates cannot hold a COUNT(DISTINCT) hash set per
     window, so the standard two-stage rewrite applies: (1) watermarked
     ``dropDuplicates`` on (user_id, hour) — state is one row per live
-    (user, hour) pair, expired by the watermark; (2) a plain
-    count-per-window aggregate over the survivors. Both stages shuffle
-    on keys that include the hour, so state distributes evenly even
-    when one user floods events. Swap stage 1+2 for
+    (user, hour) pair; (2) a plain count-per-window aggregate over the
+    survivors. The watermark is attached to the truncated ``hr`` column
+    itself, not the raw ``ts``: dropDuplicates only evicts state for
+    keys whose *event-time column in the dedup key set* falls behind
+    the watermark, so watermarking ``ts`` while keying on derived
+    ``hr`` retains every (user, hour) pair forever (state operator
+    numRowsRemoved stays 0). Truncation widens the effective lateness
+    allowance by up to one hour — max(hr) trails max(ts) by < 1 h —
+    which only admits more late data, never drops early. Both stages
+    shuffle on keys that include the hour, so state distributes evenly
+    even when one user floods events. Swap stage 1+2 for
     approx_count_distinct in a single aggregate when per-window user
     cardinality makes exact state too large (same trade as batch
     q108 → operators/approx.py).
     """
     dedup = (
         events.withColumn("hr", F.date_trunc("hour", F.col("ts")))
-        .withWatermark("ts", watermark)
+        .withWatermark("hr", watermark)
         .dropDuplicates(["user_id", "hr"])
     )
     return (
-        dedup.groupBy(F.window("ts", "1 hour").alias("w"))
+        dedup.groupBy(F.window("hr", "1 hour").alias("w"))
         .agg(F.count("*").alias("n_users"))
         .select(F.col("w.start").alias("ts_hour"), "n_users")
     )

@@ -1,0 +1,47 @@
+"""CI plan audit (VERDICT r1 item 8): every catalog query's physical
+plan is checked for the three scale smells — row-at-a-time Python UDFs
+(BatchEvalPython), cartesian products, and unpartitioned windows outside
+the documented bounded-frame allowlist — so the r1 global-window fixes
+(q40/q93/q120/q123, faithful-id default) can't regress silently.
+
+Analysis-only: plans are built and explained at sf0.001, never executed
+(iterative builders do run their plan-time jobs)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+from audit_plans import audit_all  # noqa: E402
+
+from tests.conftest import TESTDATA_SF_DIR
+
+
+def test_no_plan_smells(spark):
+    problems = audit_all(spark, TESTDATA_SF_DIR)
+    assert problems == []
+
+
+def test_movielens_etl_default_has_no_global_window(spark):
+    """The DEFAULT warehouse build must not single-partition the
+    ratings fact (VERDICT r1 'What's wrong' #1)."""
+    from audit_plans import _UNPARTITIONED_WINDOW, explain_formatted
+
+    from movie_data_pipeline_spark.pipeline.movies_etl import build_warehouse
+    from movie_data_pipeline_spark.sources.movielens import (
+        read_links,
+        read_movies,
+        read_ratings,
+    )
+
+    fixture = os.path.join(os.path.dirname(__file__), "fixtures", "movielens")
+    wh, _ = build_warehouse(
+        spark,
+        read_movies(spark, fixture),
+        read_ratings(spark, fixture),
+        read_links(spark, fixture),
+        enrichment=None,
+    )
+    assert not _UNPARTITIONED_WINDOW.search(explain_formatted(wh.ratings))

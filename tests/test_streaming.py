@@ -263,3 +263,60 @@ def test_streaming_distinct_users_equals_batch(spark):
     )
     want = {r.ts_hour: r.users_this_hour for r in batch}
     assert got == want and got
+
+
+def test_distinct_users_dedup_state_evicts(spark, tmp_path):
+    """The dropDuplicates state must actually expire: the watermark is
+    attached to the derived ``hr`` dedup-key column (not raw ``ts``),
+    otherwise every (user, hour) pair is retained forever. Feed three
+    hour-separated micro-batches and assert the state operator reports
+    removed rows once the watermark passes hour 0."""
+    import json as _json
+    import time
+
+    from movie_data_pipeline_spark.streaming import hourly_distinct_users_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    base = "2024-01-01T{h:02d}:00:{s:02d}"
+    batches = [
+        [(1, 0, 5), (2, 0, 10)],  # hour 0
+        [(1, 3, 5), (3, 3, 6)],  # hour 3 → watermark advances past hour 0
+        [(2, 4, 5)],  # hour 4 → hour-0 state evicted this batch
+    ]
+    for i, rows in enumerate(batches):
+        p = src / f"b{i}.json"
+        p.write_text(
+            "\n".join(
+                _json.dumps({"user_id": u, "ts": base.format(h=h, s=s)})
+                for u, h, s in rows
+            )
+        )
+        # file-source ordering is by modification time
+        ts = time.time() + i
+        import os as _os
+
+        _os.utime(p, (ts, ts))
+
+    stream = (
+        spark.readStream.schema("user_id INT, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        hourly_distinct_users_stream(stream, watermark="0 seconds")
+        .writeStream.format("memory")
+        .queryName("du_evict")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    removed = sum(
+        op["numRowsRemoved"]
+        for prog in q.recentProgress
+        for op in prog["stateOperators"]
+    )
+    assert removed > 0, "dedup state never evicted — watermark not on the dedup key"
+    got = {r.ts_hour.hour: r.n_users for r in spark.table("du_evict").collect()}
+    assert got == {0: 2, 3: 2, 4: 1}

@@ -1,53 +1,98 @@
 #!/usr/bin/env python
 """Dump `explain(formatted)` for every catalog query and flag plan
-smells: scans without pushed filters reading all columns, Python
-row-UDFs (BatchEvalPython), cartesian products, and single-partition
-windows outside known-small dimensions.
+smells: Python row-UDFs (BatchEvalPython), cartesian products, and
+single-partition windows outside the documented bounded-frame
+allowlist.
 
 Usage: python tools/audit_plans.py [sf_dir] > plans.txt
+
+The same audit runs in CI as tests/test_plan_audit.py so the smells
+can't regress silently.
 """
 
 from __future__ import annotations
 
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-from movie_data_pipeline_spark.plans import REGISTRY  # noqa: E402
-from movie_data_pipeline_spark.session import get_spark
 
 SMELLS = {
     "BatchEvalPython": "row-at-a-time Python UDF in plan",
     "CartesianProduct": "cartesian product (unbucketed cross join)",
 }
-# Queries where a single-partition window is the intended design
-# (tiny-dimension surrogate keys, SURVEY §2.9).
-WINDOW_OK = {"q10_event_type_dim"}
+
+# An unpartitioned windowspecdefinition starts with an ORDER expression
+# (`col ASC/DESC NULLS ...`) or, for the unordered whole-frame case,
+# directly with specifiedwindowframe. Partitioned windows lead with
+# plain partition columns, which carry no ASC/DESC.
+_UNPARTITIONED_WINDOW = re.compile(
+    r"windowspecdefinition\(\s*(?:[^,()]*\s(?:ASC|DESC)|specifiedwindowframe)"
+)
+
+# Queries where a single-partition window is the intended design: the
+# windowed frame is provably bounded, independent of fact-table size.
+WINDOW_OK = {
+    # tiny-dimension surrogate keys (SURVEY §2.9): frame = |event types|
+    "q10_event_type_dim",
+    # whole-frame share-of-total over the per-status aggregate:
+    # frame = |order statuses| (3)
+    "q50_status_revenue_share",
+    # rank-the-survivors after TakeOrderedAndProject: frame = k (50)
+    "q106_weighted_sample",
+    # rolling stats over the per-hour aggregate: frame = |hours in the
+    # retention window| — bounded by calendar, not by row count
+    "q115_rolling_view_purchase_corr",
+}
+
+
+def audit_plan(name: str, plan: str) -> list[str]:
+    """Smell list for one query's formatted plan string."""
+    problems = [
+        f"{name}: {why}" for marker, why in SMELLS.items() if marker in plan
+    ]
+    if name not in WINDOW_OK and _UNPARTITIONED_WINDOW.search(plan):
+        problems.append(f"{name}: unpartitioned window over full data")
+    return problems
+
+
+def explain_formatted(df) -> str:
+    em = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(em)
+
+
+def audit_all(spark, sf_dir: str, emit=None) -> list[str]:
+    from movie_data_pipeline_spark.plans import REGISTRY
+
+    problems: list[str] = []
+    for name, spec in sorted(REGISTRY.items()):
+        df = spec.build(spark, sf_dir)
+        plan = explain_formatted(df)
+        if emit:
+            emit(f"{'=' * 30} {name}\n{plan}")
+        problems.extend(audit_plan(name, plan))
+        # builders that persist intermediates (dedup family) must not
+        # bleed cache into later plans
+        spark.catalog.clearCache()
+    return problems
 
 
 def main() -> int:
+    from movie_data_pipeline_spark.session import get_spark
+
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark(app_name="plan-audit")
-    em = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-    problems = []
-    for name, spec in sorted(REGISTRY.items()):
-        df = spec.build(spark, sf_dir)
-        plan = df._jdf.queryExecution().explainString(em)
-        print(f"{'=' * 30} {name}\n{plan}")
-        for marker, why in SMELLS.items():
-            if marker in plan:
-                problems.append(f"{name}: {why}")
-        if (
-            name not in WINDOW_OK
-            and "windowspecdefinition()" in plan.replace(" ", "")
-        ):
-            problems.append(f"{name}: unpartitioned window over full data")
+    problems = audit_all(spark, sf_dir, emit=print)
     print(f"\n{'=' * 30} SUMMARY")
     if problems:
         for p in problems:
             print("SMELL:", p)
         return 1
+    from movie_data_pipeline_spark.plans import REGISTRY
+
     print(f"{len(REGISTRY)} plans audited, no smells")
     return 0
 
