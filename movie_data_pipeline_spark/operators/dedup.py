@@ -281,6 +281,20 @@ def lsh_candidate_pairs_wide(
     bucket groupBy and the final distinct. Identical output to
     ``lsh_candidate_pairs`` on the stacked equivalent.
     """
+    bands = band_signatures(signatures_wide, id_col, band_rows, num_hashes)
+    return _bucket_pairs(bands, id_col)
+
+
+def band_signatures(
+    signatures_wide: DataFrame,
+    id_col: str = "doc_id",
+    band_rows: int = LSH_BAND_ROWS,
+    num_hashes: int = NUM_HASHES,
+) -> DataFrame:
+    """(id, band, band_sig) frame from WIDE signatures — map-side column
+    concats + one explode, no aggregation. This is both the self-join
+    input (``lsh_candidate_pairs_wide``) and the storable *index* format
+    for incremental dedup (``incremental_lsh_matches``)."""
     n_bands = num_hashes // band_rows
     band_structs = F.array(
         *[
@@ -297,10 +311,45 @@ def lsh_candidate_pairs_wide(
             for b in range(n_bands)
         ]
     )
-    bands = signatures_wide.select(
+    return signatures_wide.select(
         F.col(id_col), F.explode(band_structs).alias("bs")
     ).select(id_col, F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig"))
-    return _bucket_pairs(bands, id_col)
+
+
+def incremental_lsh_matches(
+    batch_wide: DataFrame,
+    corpus_wide: DataFrame,
+    id_col: str = "doc_id",
+    band_rows: int = LSH_BAND_ROWS,
+    num_hashes: int = NUM_HASHES,
+) -> DataFrame:
+    """Incremental dedup: distinct (batch_id, corpus_id) LSH collisions
+    of a NEW batch against an EXISTING corpus signature index — the
+    production shape of continuous crawl ingestion, where the corpus
+    index is precomputed and stored (``band_signatures`` is the storable
+    layout) and only the new batch is signed per run.
+
+    The collision check is a plain equi-join on (band, band_sig): the
+    corpus side shuffles (or is bucket-pruned when the index is written
+    bucketed by band_sig), the batch side is typically orders of
+    magnitude smaller. No self-join, no signature recompute over the
+    corpus — cost per run is O(|batch|) signing + one key join, vs the
+    full self-join's O(|corpus|) recompute. Candidate blowup on hot
+    band buckets (boilerplate) is bounded the same way as
+    ``jaccard_pairs``'s document-frequency cap — drop band_sig buckets
+    above a corpus-frequency threshold before the join at real scale.
+    """
+    bb = band_signatures(batch_wide, id_col, band_rows, num_hashes).select(
+        F.col(id_col).alias("batch_id"), "band", "band_sig"
+    )
+    cb = band_signatures(corpus_wide, id_col, band_rows, num_hashes).select(
+        F.col(id_col).alias("corpus_id"), "band", "band_sig"
+    )
+    return (
+        bb.join(cb, ["band", "band_sig"])
+        .select("batch_id", "corpus_id")
+        .distinct()
+    )
 
 
 def simhash(

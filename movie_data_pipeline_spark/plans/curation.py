@@ -10,7 +10,7 @@ batch construction, and the repetition features quality filters key on.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from movie_data_pipeline_spark.functions.text import tokens
@@ -346,4 +346,60 @@ def q85_source_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(rate * F.col("n_tokens")).cast("long").alias("sampled_tokens"),
         )
         .orderBy("source")
+    )
+
+
+@query(
+    "q127_training_shard_manifest",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':epoch0'),
+                                  1, 8)) AS BIGINT) AS hv,
+             len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens
+      FROM documents)
+    SELECT doc_id,
+           hv % 16 AS shard,
+           ROW_NUMBER() OVER (PARTITION BY hv % 16
+                              ORDER BY hv, doc_id) AS pos_in_shard,
+           CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM h ORDER BY shard, pos_in_shard
+    """,
+    tags=("extension", "training", "shuffle"),
+)
+def q127_training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training shuffle + shard manifest: every
+    document gets an epoch-salted hash, a balanced shard (hash mod 16),
+    and its read position within the shard — the manifest a training
+    loader consumes for a reproducible random-order epoch.
+
+    Scale: this is the 100 TB-safe spelling of "shuffle the corpus" —
+    no global sort, no global window. The hash is embarrassingly
+    parallel; the position window partitions BY SHARD, so its frame is
+    |corpus|/16 and each shard ranks in parallel (a different salt
+    re-permutes everything next epoch). The actual epoch files fall out
+    of ``repartition(shard) + sortWithinPartitions(hv)`` — one exchange,
+    then streaming writes; pair with q72's packing inside each shard.
+    The md5-derived hash is the engine-portable uniform established by
+    ``functions/text.base_hash32``.
+    """
+    from movie_data_pipeline_spark.functions.text import base_hash32
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id",
+        base_hash32(
+            F.concat(F.col("doc_id").cast("string"), F.lit(":epoch0"))
+        ).alias("hv"),
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    ).withColumn("shard", F.col("hv") % 16)
+    w = Window.partitionBy("shard").orderBy("hv", "doc_id")
+    return (
+        h.select(
+            "doc_id",
+            "shard",
+            F.row_number().over(w).cast("long").alias("pos_in_shard"),
+            "n_tokens",
+        )
+        .orderBy("shard", "pos_in_shard")
     )

@@ -17,6 +17,7 @@ from movie_data_pipeline_spark.operators.dedup import (
     LSH_BAND_ROWS,
     MINHASH_P,
     exact_duplicates,
+    incremental_lsh_matches,
     jaccard_pairs,
     lsh_candidate_pairs,
     lsh_candidate_pairs_wide,
@@ -601,4 +602,54 @@ def q121_lsh_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_hits",
         prec.alias("precision"),
         rec.alias("recall"),
+    )
+
+
+@query(
+    "q126_incremental_dedup",
+    oracle=f"""
+    WITH {_MINHASH_LONG_CTES},
+    bands AS (
+      SELECT doc_id, h_idx // {LSH_BAND_ROWS} AS band,
+             string_agg(CAST(min_hash AS VARCHAR), ',' ORDER BY h_idx) AS band_sig
+      FROM sigs GROUP BY doc_id, band),
+    m AS (
+      SELECT DISTINCT b.doc_id AS new_doc_id, c.doc_id AS corpus_doc_id
+      FROM bands b JOIN bands c
+        ON b.band = c.band AND b.band_sig = c.band_sig
+      WHERE b.doc_id % 10 = 0 AND c.doc_id % 10 <> 0)
+    SELECT new_doc_id,
+           COUNT(*) AS n_corpus_matches,
+           MIN(corpus_doc_id) AS first_match
+    FROM m GROUP BY new_doc_id ORDER BY new_doc_id
+    """,
+    tags=("extension", "dedup", "lsh", "incremental"),
+)
+def q126_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (batch-vs-corpus) near-dup detection: the new crawl
+    batch (doc_id % 10 == 0 stands in for 'today's ingest') is MinHash-
+    signed and LSH-joined against the EXISTING corpus index — per new
+    doc: how many corpus docs it collides with and the first match.
+
+    This is the shape continuous ingestion actually runs — the full
+    self-join (q20) is the bootstrap; after that, each increment signs
+    only the new batch and equi-joins it against the stored band index
+    (``operators/dedup.band_signatures`` is the storable layout,
+    bucket-write it by band_sig to make this join exchange-free on the
+    corpus side). Per-run cost is O(|batch|) signing + one key join; no
+    corpus re-signing, no self-join. Collisions, not verified
+    duplicates: the downstream exact-Jaccard verify (q18) runs on this
+    candidate set only.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    batch_sigs = minhash_signatures_wide(docs.filter(F.col("doc_id") % 10 == 0))
+    corpus_sigs = minhash_signatures_wide(docs.filter(F.col("doc_id") % 10 != 0))
+    m = incremental_lsh_matches(batch_sigs, corpus_sigs)
+    return (
+        m.groupBy(F.col("batch_id").alias("new_doc_id"))
+        .agg(
+            F.count("*").alias("n_corpus_matches"),
+            F.min("corpus_id").alias("first_match"),
+        )
+        .orderBy("new_doc_id")
     )

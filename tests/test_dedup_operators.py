@@ -72,3 +72,32 @@ def test_simhash_hamming_ordering(corpus):
 
     assert fp[0] == fp[1]  # identical text → identical fingerprint
     assert hamming(fp[0], fp[2]) < hamming(fp[0], fp[3])
+
+
+def test_incremental_matches_equal_cross_split_self_join(corpus):
+    """incremental_lsh_matches(batch, corpus) must produce exactly the
+    cross-split subset of the full self-join's candidate pairs — i.e.
+    incremental ingestion finds the same duplicates the bootstrap
+    self-join would, restricted to (new, existing) pairs."""
+    from movie_data_pipeline_spark.operators.dedup import (
+        incremental_lsh_matches,
+        lsh_candidate_pairs_wide,
+        minhash_signatures_wide,
+    )
+
+    batch = corpus.filter(F.col("doc_id") % 2 == 0)
+    existing = corpus.filter(F.col("doc_id") % 2 == 1)
+    got = {
+        (r.batch_id, r.corpus_id)
+        for r in incremental_lsh_matches(
+            minhash_signatures_wide(batch), minhash_signatures_wide(existing)
+        ).collect()
+    }
+    full = lsh_candidate_pairs_wide(minhash_signatures_wide(corpus)).collect()
+    want = set()
+    for r in full:
+        if r.doc_a % 2 == 0 and r.doc_b % 2 == 1:
+            want.add((r.doc_a, r.doc_b))
+        elif r.doc_b % 2 == 0 and r.doc_a % 2 == 1:
+            want.add((r.doc_b, r.doc_a))
+    assert got == want and got  # non-trivial: planted dup pair crosses the split

@@ -2,7 +2,11 @@
 __spark_entry__ query vs its DuckDB oracle at sf0.01, order-insensitive
 value-hash compare (sort columns by name, then rows, then hash CSV).
 
-Usage: python tools/driver_sim.py [sf_dir]
+Usage: python tools/driver_sim.py [sf_dir] [--only SUBSTR[,SUBSTR...]]
+
+--only restricts the sweep to queries whose name contains any given
+substring — the incremental loop while building one query; the full
+sweep stays the pre-commit/pre-round gate.
 """
 
 from __future__ import annotations
@@ -28,7 +32,13 @@ def value_hash(pdf) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = sys.argv[1:]
+    only: list[str] = []
+    if "--only" in args:
+        i = args.index("--only")
+        only = args[i + 1].split(",")
+        args = args[:i] + args[i + 2 :]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
     spark = (
         SparkSession.builder.master("local[8]")
         .appName("driver-sim")
@@ -49,6 +59,10 @@ def main() -> int:
     print(f"entry(): {n} rows OK", flush=True)
 
     queries, oracles = e.queries(), e.oracle_sql()
+    if only:
+        queries = {
+            n: f for n, f in queries.items() if any(s in n for s in only)
+        }
     failures = []
     for i, (name, fn) in enumerate(sorted(queries.items())):
         try:
