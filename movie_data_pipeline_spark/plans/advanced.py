@@ -2021,3 +2021,214 @@ def q119_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation", F.desc("o_year"))
     )
+
+
+# --------------------------------------------------------------------------
+# q128 — unshipped-order shipping priority  (TPC-H Q3 shape)
+# --------------------------------------------------------------------------
+@query(
+    "q128_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey, o_orderdate, o_orderpriority,
+           {r4(exact_sum_sql('l_extendedprice * (1 - l_discount)'))} AS revenue
+    FROM customer
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-07-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    tags=("parity", "tpch-q3", "join", "topk"),
+)
+def q128_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 highest-revenue orders placed before but (partly) shipped
+    after the cutoff, for one market segment — TPC-H Q3.
+
+    Scale: the segment filter prunes customer BEFORE the join (pushed
+    to the scan); both date filters push into their fact scans
+    (row-group skipping on o_orderdate / l_shipdate); the final top-10
+    is TakeOrderedAndProject over the per-order aggregate, never a
+    global sort. Revenue ranks on the exact-decimal sum (q61
+    discipline) so the cross-engine top-10 cut is tie-stable, with
+    l_orderkey as the deterministic tie-break.
+    """
+    customer = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.expr("TIMESTAMP_NTZ '1998-07-01 00:00:00'")
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.expr("TIMESTAMP_NTZ '1998-07-01 00:00:00'")
+    )
+    return (
+        customer.join(orders, F.col("o_custkey") == F.col("c_custkey"))
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            round4(
+                exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# q129 — forecasting revenue change  (TPC-H Q6 shape)
+# --------------------------------------------------------------------------
+@query(
+    "q129_forecast_revenue_delta",
+    oracle=f"""
+    SELECT COUNT(*) AS n_lineitems,
+           {r4(exact_sum_sql('l_extendedprice * l_discount'))} AS forgone_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("parity", "tpch-q6", "scan-agg"),
+)
+def q129_forecast_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue that would be gained by eliminating mid-range discounts
+    on small orders in one year — TPC-H Q6, the canonical pure
+    scan-aggregate.
+
+    Scale: everything pushes to the scan (date range, discount band,
+    quantity cap → PushedFilters + row-group skipping); the aggregate
+    is a map-side partial + one-row exchange. The discount band
+    compares stored doubles against the same literal doubles on both
+    engines — no epsilon needed.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.expr("TIMESTAMP_NTZ '1997-01-01 00:00:00'"))
+            & (F.col("l_shipdate") < F.expr("TIMESTAMP_NTZ '1998-01-01 00:00:00'"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            round4(exact_sum(F.col("l_extendedprice") * F.col("l_discount"))).alias(
+                "forgone_revenue"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q130 — returned-item reporting  (TPC-H Q10 shape)
+# --------------------------------------------------------------------------
+@query(
+    "q130_returned_item_customers",
+    oracle=f"""
+    SELECT c_custkey, c_name, n_name,
+           {r4('c_acctbal')} AS acctbal,
+           {r4(exact_sum_sql('l_extendedprice * (1 - l_discount)'))} AS lost_revenue
+    FROM customer
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON n_nationkey = c_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-10-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY c_custkey, c_name, n_name, c_acctbal
+    ORDER BY lost_revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    tags=("parity", "tpch-q10", "join", "topk"),
+)
+def q130_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 customers by revenue lost to returns in one quarter —
+    TPC-H Q10.
+
+    Scale: the quarter filter prunes orders at the scan; the
+    returnflag filter prunes lineitem at the scan (dictionary +
+    min/max); nation broadcasts; the only big exchange is
+    lineitem⋈orders on orderkey, then a per-customer aggregate.
+    Top-20 is TakeOrderedAndProject with c_custkey tie-break.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.expr("TIMESTAMP_NTZ '1997-10-01 00:00:00'"))
+        & (F.col("o_orderdate") < F.expr("TIMESTAMP_NTZ '1998-01-01 00:00:00'"))
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        customer.join(orders, F.col("o_custkey") == F.col("c_custkey"))
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(nation, F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(
+            round4(
+                exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("lost_revenue")
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            round4(F.col("c_acctbal")).alias("acctbal"),
+            "lost_revenue",
+        )
+        .orderBy(F.desc("lost_revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# q131 — promotion revenue effect  (TPC-H Q14 shape)
+# --------------------------------------------------------------------------
+@query(
+    "q131_promo_revenue_share",
+    oracle=f"""
+    WITH j AS (
+      SELECT p_type, l_extendedprice, l_discount
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00')
+    SELECT COUNT(*) AS n_lineitems,
+           {r4("100.0 * " + exact_sum_sql(
+               "CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")
+             + " / " + exact_sum_sql('l_extendedprice * (1 - l_discount)'))}
+             AS promo_share_pct
+    FROM j
+    """,
+    tags=("parity", "tpch-q14", "join", "conditional-agg"),
+)
+def q131_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of one month's revenue that came from PROMO-type parts —
+    TPC-H Q14's conditional-aggregate-over-join.
+
+    Scale: the month filter prunes lineitem at the scan; part is a
+    broadcast dim; numerator and denominator are ONE aggregate pass
+    (conditional term inside the same exact-decimal sum), so the fact
+    scans once. The ratio divides two exact decimals in IEEE doubles —
+    identical on both engines — then rounds.
+    """
+    part = F.broadcast(load_table(spark, sf_dir, "part").select("p_partkey", "p_type"))
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.expr("TIMESTAMP_NTZ '1997-09-01 00:00:00'"))
+        & (F.col("l_shipdate") < F.expr("TIMESTAMP_NTZ '1997-10-01 00:00:00'"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        lineitem.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            round4(
+                F.lit(100.0) * exact_sum(promo_rev) / exact_sum(rev)
+            ).alias("promo_share_pct"),
+        )
+    )
