@@ -12,7 +12,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from movie_data_pipeline_spark.operators.similarity import cosine, cosine_topk
+from movie_data_pipeline_spark.operators.similarity import (
+    _hyperplane,
+    cosine,
+    cosine_topk,
+    cosine_topk_lsh,
+)
 from movie_data_pipeline_spark.plans.core import query, r4, round4
 from movie_data_pipeline_spark.sources.registry import load_table
 
@@ -194,4 +199,103 @@ def q75_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         scaled.select("vec_id", F.posexplode(qs).alias("dim_idx", "q"))
         .select("vec_id", F.col("dim_idx").cast("long").alias("dim_idx"), "q")
         .orderBy("vec_id", "dim_idx")
+    )
+
+
+# --- q132: ANN recall audit -------------------------------------------------
+# The hyperplane coefficients are rendered into the oracle from the SAME
+# Python constants the Spark operator uses (single source of truth, like
+# the MinHash coefficient VALUES in plans/dedup.py). The bucket sign
+# uses the sequential-fold dot product in BOTH engines (Spark
+# F.aggregate; DuckDB list_reduce) so a near-zero dot cannot flip sides.
+_ANN_DIM = 64
+_ANN_PLANES = 8
+
+
+def _ann_bucket_sql(arr: str) -> str:
+    terms = []
+    for i in range(_ANN_PLANES):
+        plane = _hyperplane(_ANN_DIM, i)
+        lit = "[" + ", ".join(repr(v) for v in plane) + "]::DOUBLE[]"
+        dot = (
+            f"list_reduce(list_transform(generate_series(1, {_ANN_DIM}), "
+            f"i -> {arr}[i] * ({lit})[i]), (acc, x) -> acc + x)"
+        )
+        terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << i} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+@query(
+    "q132_ann_recall_audit",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS arr FROM embeddings),
+    q AS (SELECT vec_id, arr FROM v WHERE {_QUERY_PRED}),
+    ex AS (
+      SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(v.arr, q.arr) DESC, v.vec_id) AS rn
+      FROM q CROSS JOIN v WHERE v.vec_id <> q.vec_id),
+    exact AS (SELECT query_id, neighbor_id FROM ex WHERE rn <= 10),
+    b AS (SELECT vec_id, arr, {_ann_bucket_sql('arr')} AS bucket FROM v),
+    qb AS (SELECT vec_id, arr, bucket FROM b WHERE {_QUERY_PRED}),
+    cd AS (
+      SELECT qb.vec_id AS query_id, b.vec_id AS neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY qb.vec_id
+               ORDER BY list_cosine_similarity(b.arr, qb.arr) DESC, b.vec_id) AS rn
+      FROM qb JOIN b ON qb.bucket = b.bucket AND b.vec_id <> qb.vec_id),
+    approx AS (SELECT query_id, neighbor_id FROM cd WHERE rn <= 10),
+    hits AS (SELECT * FROM approx INTERSECT SELECT * FROM exact)
+    SELECT (SELECT COUNT(*) FROM q) AS n_queries,
+           (SELECT COUNT(*) FROM exact) AS n_exact_pairs,
+           (SELECT COUNT(*) FROM approx) AS n_approx_pairs,
+           (SELECT COUNT(*) FROM hits) AS n_hits,
+           CASE WHEN (SELECT COUNT(*) FROM exact) > 0
+                THEN {r4("CAST((SELECT COUNT(*) FROM hits) AS DOUBLE) / CAST((SELECT COUNT(*) FROM exact) AS DOUBLE)")}
+           END AS recall
+    """,
+    tags=("extension", "similarity", "ann", "audit"),
+)
+def q132_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN calibration audit: single-probe hyperplane-LSH top-10 scored
+    against exact cosine top-10 ground truth — recall@10 plus the raw
+    pair counts, one row. The similarity-stack counterpart of q121's
+    LSH-vs-Jaccard dedup audit: the number you check on a sample
+    BEFORE committing an index configuration at corpus scale (raise
+    recall by lowering n_planes, adding multi-probe, or switching to
+    the IVF path with more probes).
+
+    Determinism: hyperplanes are md5-derived constants rendered into
+    the oracle from the same Python table; the bucket sign uses the
+    identical sequential-fold dot in both engines, so bucket ids are
+    bit-equal and the candidate sets match exactly. Rankings reuse
+    q22's established cosine tie-break discipline. Scale: exact truth
+    is |queries| x corpus with a broadcast query set (never corpus x
+    corpus); the LSH side is the equi-join on bucket.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.expr(_QUERY_PRED))
+    exact = cosine_topk(emb, queries, k=10).select("query_id", "neighbor_id")
+    approx = cosine_topk_lsh(
+        emb, queries, k=10, n_planes=_ANN_PLANES, dim=_ANN_DIM
+    ).select("query_id", "neighbor_id")
+    hits = approx.join(exact, ["query_id", "neighbor_id"], "left_semi")
+    n_q = queries.agg(F.count("*").alias("n_queries"))
+    n_e = exact.agg(F.count("*").alias("n_exact_pairs"))
+    n_a = approx.agg(F.count("*").alias("n_approx_pairs"))
+    n_h = hits.agg(F.count("*").alias("n_hits"))
+    out = (
+        n_q.crossJoin(F.broadcast(n_e))
+        .crossJoin(F.broadcast(n_a))
+        .crossJoin(F.broadcast(n_h))
+    )
+    recall = F.when(
+        F.col("n_exact_pairs") > 0,
+        round4(F.col("n_hits").cast("double") / F.col("n_exact_pairs").cast("double")),
+    )
+    return out.select(
+        "n_queries",
+        "n_exact_pairs",
+        "n_approx_pairs",
+        "n_hits",
+        recall.alias("recall"),
     )

