@@ -209,3 +209,160 @@ def sample_frames(
             yield pd.DataFrame(out, columns=[f.name for f in FRAME_SCHEMA.fields])
 
     return spread(blobs).mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+IMAGE_HEADER_SCHEMA = StructType(
+    [
+        StructField("blob_id", LongType()),
+        StructField("img_format", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def _be_u32(col: "F.Column", pos: int) -> "F.Column":
+    """Big-endian uint32 at 1-based byte offset ``pos`` of a binary
+    column — hex-slice + base conversion, all JVM codegen."""
+    return F.conv(F.hex(F.substring(col, pos, 4)), 16, 10).cast("long")
+
+
+def _le_u16(col: "F.Column", pos: int) -> "F.Column":
+    b0 = F.conv(F.hex(F.substring(col, pos, 1)), 16, 10).cast("long")
+    b1 = F.conv(F.hex(F.substring(col, pos + 1, 1)), 16, 10).cast("long")
+    return b0 + b1 * 256
+
+
+def _le_i32(col: "F.Column", pos: int) -> "F.Column":
+    b = [
+        F.conv(F.hex(F.substring(col, pos + i, 1)), 16, 10).cast("long")
+        for i in range(4)
+    ]
+    raw = b[0] + b[1] * 256 + b[2] * 65536 + b[3] * 16777216
+    # BMP height may be negative (top-down DIB): two's complement
+    return F.when(raw >= F.lit(1 << 31), raw - F.lit(1 << 32)).otherwise(raw)
+
+
+def image_header_expr(content: "F.Column") -> "F.Column":
+    """(format, width, height) struct parsed from fixed-offset image
+    headers — PNG / GIF / BMP — as pure JVM expressions (hex-slice
+    arithmetic inside whole-stage codegen; no Python worker, no image
+    library). JPEG needs a variable-offset segment walk → see
+    ``image_dimensions`` for the Arrow-batched fallback; unknown
+    formats yield a null struct.
+
+    This is the 100 TB metadata-extraction contract in action: width/
+    height/format land in typed columns straight off the scan, so size
+    filters (``width >= 256``) prune BEFORE any decoder ever runs —
+    scan + filter never leave the JVM.
+    """
+    magic8 = F.hex(F.substring(content, 1, 8))
+    png = magic8 == "89504E470D0A1A0A"
+    gif = F.substring(content, 1, 4).cast("string").isin("GIF8")
+    bmp = F.substring(content, 1, 2).cast("string") == "BM"
+    return (
+        F.when(
+            png,
+            F.struct(
+                F.lit("png").alias("img_format"),
+                _be_u32(content, 17).cast("int").alias("width"),
+                _be_u32(content, 21).cast("int").alias("height"),
+            ),
+        )
+        .when(
+            gif,
+            F.struct(
+                F.lit("gif").alias("img_format"),
+                _le_u16(content, 7).cast("int").alias("width"),
+                _le_u16(content, 9).cast("int").alias("height"),
+            ),
+        )
+        .when(
+            bmp,
+            F.struct(
+                F.lit("bmp").alias("img_format"),
+                _le_i32(content, 19).cast("int").alias("width"),
+                F.abs(_le_i32(content, 23)).cast("int").alias("height"),
+            ),
+        )
+        .otherwise(
+            F.struct(
+                F.lit(None).cast("string").alias("img_format"),
+                F.lit(None).cast("int").alias("width"),
+                F.lit(None).cast("int").alias("height"),
+            )
+        )
+    )
+
+
+def _jpeg_dimensions(b: bytes) -> tuple[int, int] | None:
+    """Pure-stdlib JPEG SOF segment walk (no image library): scan
+    marker segments until a start-of-frame carries the dimensions."""
+    if len(b) < 4 or b[0] != 0xFF or b[1] != 0xD8:
+        return None
+    i = 2
+    while i + 9 <= len(b):
+        if b[i] != 0xFF:
+            return None
+        marker = b[i + 1]
+        if marker == 0xFF:  # fill byte
+            i += 1
+            continue
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD9:  # standalone
+            i += 2
+            continue
+        seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+        if seg_len < 2:
+            return None
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            height = int.from_bytes(b[i + 5 : i + 7], "big")
+            width = int.from_bytes(b[i + 7 : i + 9], "big")
+            return (width, height)
+        i += 2 + seg_len
+    return None
+
+
+def image_dimensions(blobs: DataFrame) -> DataFrame:
+    """(blob_id, img_format, width, height) for every blob: PNG/GIF/BMP
+    resolve via the codegen header expressions; JPEGs take one
+    Arrow-batched ``mapInPandas`` pass over only the rows the JVM path
+    could not classify (the variable-offset SOF walk needs imperative
+    code, but still zero external libraries). Unknown payloads keep
+    null dimensions.
+
+    Scale: the expression path touches only the first ~26 bytes of each
+    blob inside codegen; the Python fallback sees just the JPEG subset
+    and ships (id, content) — never the already-parsed rows.
+    """
+    parsed = blobs.select(
+        "blob_id", "content", image_header_expr(F.col("content")).alias("h")
+    )
+    fixed = parsed.filter(F.col("h.img_format").isNotNull()).select(
+        "blob_id",
+        F.col("h.img_format").alias("img_format"),
+        F.col("h.width").alias("width"),
+        F.col("h.height").alias("height"),
+    )
+    rest = parsed.filter(F.col("h.img_format").isNull()).select("blob_id", "content")
+
+    def walk(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples():
+                dims = _jpeg_dimensions(bytes(r.content))
+                out.append(
+                    {
+                        "blob_id": r.blob_id,
+                        "img_format": "jpeg" if dims else None,
+                        "width": dims[0] if dims else None,
+                        "height": dims[1] if dims else None,
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=["blob_id", "img_format", "width", "height"]
+            )
+
+    jpegs = rest.mapInPandas(walk, schema=IMAGE_HEADER_SCHEMA)
+    return fixed.unionByName(jpegs)

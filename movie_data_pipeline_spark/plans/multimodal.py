@@ -162,3 +162,80 @@ def q123_blob_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("blob_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q133 — image-header metadata extraction, closed-form oracle
+# --------------------------------------------------------------------------
+@query(
+    "q133_image_metadata",
+    oracle=f"""
+    WITH dims AS (
+      SELECT doc_id AS blob_id,
+             CAST(doc_id % 1000 + 16 AS INTEGER) AS width,
+             CAST(doc_id % 700 + 9 AS INTEGER) AS height
+      FROM documents)
+    SELECT blob_id, 'png' AS img_format, width, height,
+           {r4('width * height / 1000000.0')} AS megapixels,
+           CASE WHEN width >= 256 AND height >= 256 THEN true ELSE false END
+             AS train_eligible
+    FROM dims ORDER BY blob_id
+    """,
+    tags=("extension", "multimodal", "image-metadata"),
+)
+def q133_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image metadata extraction, end to end and REAL on the Spark
+    side: every document id is turned into an actual PNG byte stream
+    (signature + IHDR, dimensions encoded big-endian via
+    hex/unhex — all codegen), then ``image_header_expr`` parses the
+    binary back and the size filter a training pipeline runs
+    (``width/height >= 256``) is evaluated on the parsed columns.
+
+    The oracle is the closed form of the same dimensions — it never
+    parses bytes, so any error in the byte construction OR the header
+    parser breaks the hash. This is the q27 pattern (fake decode,
+    real plumbing) upgraded to a real format: the JVM-only parse path
+    is also plan-asserted in tests/test_multimodal.py, and real PNG /
+    GIF / BMP / JPEG fixtures are parsed in the same test file.
+
+    Scale: construction + parse + filter all live in one codegen
+    stage over a scan — blob metadata never needs a Python worker or
+    a decoder, which is exactly why size/format pruning belongs
+    BEFORE any decode stage at 100 TB.
+    """
+    from movie_data_pipeline_spark.multimodal.binary import image_header_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = (F.col("doc_id") % 1000 + 16).cast("int")
+    h = (F.col("doc_id") % 700 + 9).cast("int")
+
+    def be4(col):
+        return F.unhex(F.lpad(F.hex(col), 8, "0"))
+
+    png = F.concat(
+        F.lit(bytes([0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A])),
+        be4(F.lit(13)),
+        F.lit(b"IHDR"),
+        be4(w),
+        be4(h),
+        F.lit(bytes([8, 2, 0, 0, 0])),
+    )
+    blobs = docs.select(F.col("doc_id").alias("blob_id"), png.alias("content"))
+    parsed = blobs.select(
+        "blob_id", image_header_expr(F.col("content")).alias("hd")
+    )
+    return (
+        parsed.select(
+            "blob_id",
+            F.col("hd.img_format").alias("img_format"),
+            F.col("hd.width").alias("width"),
+            F.col("hd.height").alias("height"),
+            round4(
+                F.col("hd.width") * F.col("hd.height") / F.lit(1000000.0)
+            ).alias("megapixels"),
+            ((F.col("hd.width") >= 256) & (F.col("hd.height") >= 256)).alias(
+                "train_eligible"
+            ),
+        )
+        .orderBy("blob_id")
+    )

@@ -83,3 +83,81 @@ def test_sample_frames_plumbing_with_injected_sampler(blobs):
     assert [r.frame_idx for r in f] == [0, 1, 2]
     assert [r.frame_ts for r in f] == [0.0, 0.5, 1.0]
     assert bytes(f[0].frame) == b"hell"
+
+
+def _png(w, h):
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + (13).to_bytes(4, "big") + b"IHDR"
+        + w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + b"\x08\x02\x00\x00\x00" + b"\x00" * 4
+    )
+
+
+def _gif(w, h):
+    return b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00" * 6
+
+
+def _bmp(w, h):
+    # BITMAPINFOHEADER: dims at byte offsets 18 (width) / 22 (height)
+    return (
+        b"BM" + b"\x00" * 16
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + b"\x00" * 10
+    )
+
+
+def _jpeg(w, h):
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
+    sof0 = (
+        b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+        + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+        + b"\x03" + b"\x00" * 9
+    )
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def test_image_dimensions_all_formats(spark):
+    """Real header parsing with zero image libraries: PNG/GIF/BMP via
+    JVM hex-slice expressions, JPEG via the pure-stdlib SOF walk; junk
+    stays null."""
+    from movie_data_pipeline_spark.multimodal import image_dimensions
+
+    rows = [
+        (1, _png(640, 480)),
+        (2, _gif(320, 200)),
+        (3, _bmp(1024, 768)),
+        (4, _bmp(800, -600)),  # top-down DIB: negative stored height
+        (5, _jpeg(1920, 1080)),
+        (6, b"not an image at all"),
+    ]
+    blobs = spark.createDataFrame(rows, "blob_id LONG, content BINARY")
+    got = {
+        r.blob_id: (r.img_format, r.width, r.height)
+        for r in image_dimensions(blobs).collect()
+    }
+    assert got == {
+        1: ("png", 640, 480),
+        2: ("gif", 320, 200),
+        3: ("bmp", 1024, 768),
+        4: ("bmp", 800, 600),
+        5: ("jpeg", 1920, 1080),
+        6: (None, None, None),
+    }
+
+
+def test_image_header_expr_is_jvm_only(spark):
+    """The fixed-offset path must stay inside codegen — no Python
+    worker stage (BatchEvalPython/MapInPandas) in its plan."""
+    from movie_data_pipeline_spark.multimodal import image_header_expr
+    from pyspark.sql import functions as F
+
+    blobs = spark.createDataFrame(
+        [(1, _png(8, 9))], "blob_id LONG, content BINARY"
+    )
+    df = blobs.select("blob_id", image_header_expr(F.col("content")).alias("h"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    r = df.collect()[0]
+    assert (r.h.img_format, r.h.width, r.h.height) == ("png", 8, 9)
