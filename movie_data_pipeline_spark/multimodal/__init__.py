@@ -5,4 +5,5 @@ from movie_data_pipeline_spark.multimodal.binary import (  # noqa: F401
     image_header_expr,
     make_blob_table,
     sample_frames,
+    wav_header_expr,
 )

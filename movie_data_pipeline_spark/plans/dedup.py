@@ -653,3 +653,32 @@ def q126_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("new_doc_id")
     )
+
+
+@query(
+    "q134_duplicate_clusters_star",
+    oracle=f"""
+    WITH RECURSIVE
+    {_CLUSTER_CTES}
+    SELECT doc_id, cluster_id, cluster_size
+    FROM sized WHERE cluster_size > 1
+    ORDER BY doc_id
+    """,
+    tags=("extension", "dedup", "graph", "star-contraction"),
+)
+def q134_duplicate_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q63's duplicate clusters computed by the OTHER physical
+    algorithm: alternating large-star/small-star contraction (Kiveris
+    et al. SoCC '14, ``operators/graph.connected_components_star``)
+    instead of min-label propagation — O(log² n) rounds vs O(diameter).
+
+    Registered deliberately with q63's exact oracle: the scale-path
+    algorithm itself sits under the driver's hash gate, not just unit
+    tests, so "the high-diameter fallback produces identical clusters"
+    is a verified claim. Use this path when borderline near-dup chains
+    stretch cluster diameters (template families, boilerplate ladders);
+    q63's propagation wins on the dense low-diameter common case.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, threshold=0.2).select("doc_a", "doc_b")
+    return duplicate_clusters(pairs, docs, algorithm="star").orderBy("doc_id")

@@ -161,3 +161,42 @@ def test_image_header_expr_is_jvm_only(spark):
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
     r = df.collect()[0]
     assert (r.h.img_format, r.h.width, r.h.height) == ("png", 8, 9)
+
+
+def _wav(channels, rate, bits, data_bytes):
+    import struct as _s
+
+    body = b"\x00" * data_bytes
+    fmt = _s.pack("<HHIIHH", 1, channels, rate,
+                  rate * channels * bits // 8, channels * bits // 8, bits)
+    return (
+        b"RIFF" + _s.pack("<I", 36 + data_bytes) + b"WAVE"
+        + b"fmt " + _s.pack("<I", 16) + fmt
+        + b"data" + _s.pack("<I", data_bytes) + body
+    )
+
+
+def test_wav_header_expr(spark):
+    from movie_data_pipeline_spark.multimodal.binary import wav_header_expr
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, _wav(2, 44100, 16, 44100 * 2 * 2)),  # 1.0s stereo 16-bit
+        (2, _wav(1, 16000, 8, 8000)),  # 0.5s mono 8-bit
+        (3, b"RIFFxxxxNOPE" + b"\x00" * 40),
+        (4, b"junk"),
+    ]
+    blobs = spark.createDataFrame(rows, "blob_id LONG, content BINARY")
+    df = blobs.select("blob_id", wav_header_expr(F.col("content")).alias("h"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    got = {
+        r.blob_id: (
+            r.h.audio_format, r.h.n_channels, r.h.sample_rate,
+            r.h.bits_per_sample, r.h.duration_sec,
+        )
+        for r in df.collect()
+    }
+    assert got[1] == ("wav-pcm", 2, 44100, 16, 1.0)
+    assert got[2] == ("wav-pcm", 1, 16000, 8, 0.5)
+    assert got[3][0] is None and got[4][0] is None
