@@ -582,3 +582,62 @@ def q113_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang_class")
     )
+
+
+# --------------------------------------------------------------------------
+# q135 — readability scoring (Flesch reading ease from pure counts)
+# --------------------------------------------------------------------------
+@query(
+    "q135_readability",
+    oracle=f"""
+    WITH c AS (
+      SELECT doc_id,
+             len(string_split_regex(lower(trim(text)), '\\s+')) AS n_words,
+             GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
+             len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables
+      FROM documents)
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_sentences AS BIGINT) AS n_sentences,
+           CAST(n_syllables AS BIGINT) AS n_syllables,
+           CASE WHEN n_words > 0 THEN
+             {r4('206.835 - 1.015 * (n_words * 1.0 / n_sentences)'
+                 ' - 84.6 * (n_syllables * 1.0 / n_words)')}
+           END AS flesch_ease
+    FROM c ORDER BY doc_id
+    """,
+    tags=("extension", "text", "quality", "readability"),
+)
+def q135_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document from pure integer counts:
+    whitespace words, [.!?]-run sentences (floored at 1 — the synthetic
+    corpus has no terminal punctuation, real corpora do), and
+    vowel-group syllable approximations — the classic readability
+    feature a quality-filter stack computes next to q24's
+    length/punct/stopword ratios.
+
+    Determinism: all three counts are exact integers from regex runs
+    that Java and RE2-style engines tokenize identically (literal
+    classes, greedy +); the formula is then fixed-order IEEE double
+    arithmetic on exact ints, so both engines produce bit-identical
+    scores before round4. Scale: one codegen map over the scan — no
+    shuffle at all until the presentation sort.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = F.size(tokens(F.col("text")))
+    n_sentences = F.greatest(
+        F.regexp_count(F.col("text"), F.lit(r"[.!?]+")), F.lit(1)
+    )
+    n_syllables = F.regexp_count(F.lower(F.col("text")), F.lit(r"[aeiouy]+"))
+    ease = (
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words.cast("double") / n_sentences.cast("double"))
+        - F.lit(84.6) * (n_syllables.cast("double") / n_words.cast("double"))
+    )
+    return docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        n_sentences.cast("long").alias("n_sentences"),
+        n_syllables.cast("long").alias("n_syllables"),
+        F.when(n_words > 0, round4(ease)).alias("flesch_ease"),
+    ).orderBy("doc_id")
