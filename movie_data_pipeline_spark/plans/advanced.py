@@ -2232,3 +2232,92 @@ def q131_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("promo_share_pct"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q136 — snapshot diff (CDC derivation: the inverse of MERGE)
+# --------------------------------------------------------------------------
+@query(
+    "q136_snapshot_diff",
+    oracle=f"""
+    WITH snap_a AS (
+      SELECT c_custkey, c_name, c_acctbal FROM customer),
+    snap_b AS (
+      SELECT c_custkey, c_name,
+             CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0
+                  ELSE c_acctbal END AS c_acctbal
+      FROM customer WHERE c_custkey % 11 <> 0
+      UNION ALL
+      SELECT c_custkey + 10000000, c_name, c_acctbal
+      FROM customer WHERE c_custkey % 13 = 0)
+    SELECT COALESCE(a.c_custkey, b.c_custkey) AS custkey,
+           CASE WHEN a.c_custkey IS NULL THEN 'insert'
+                WHEN b.c_custkey IS NULL THEN 'delete'
+                ELSE 'update' END AS op,
+           {r4('a.c_acctbal')} AS old_acctbal,
+           {r4('b.c_acctbal')} AS new_acctbal
+    FROM snap_a a FULL OUTER JOIN snap_b b ON a.c_custkey = b.c_custkey
+    WHERE a.c_custkey IS NULL OR b.c_custkey IS NULL
+       OR a.c_acctbal <> b.c_acctbal OR a.c_name <> b.c_name
+    ORDER BY custkey
+    """,
+    tags=("extension", "cdc", "snapshot-diff", "full-outer-join"),
+)
+def q136_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — derive the CDC stream (insert/update/delete rows)
+    between two versions of a table: the inverse of the MERGE operator
+    (operators/merge.py applies such a stream; this produces one). The
+    'new' snapshot is built deterministically in-query (deletes every
+    11th key, bumps balances on every 7th, clones every 13th under a
+    fresh key) so the oracle states the expected diff in closed form.
+
+    This is warehouse reconciliation at its core: full outer join on
+    the key, null-sides classify insert/delete, attribute inequality
+    classifies update, unchanged rows drop. Scale: one key-partitioned
+    shuffle join (AQE-skew-safe); attribute compare is codegen. On real
+    tables, compare a precomputed row digest instead of N columns so
+    wide rows diff on 16 bytes — same plan shape.
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    snap_a = cust.select(
+        F.col("c_custkey").alias("a_key"),
+        F.col("c_name").alias("a_name"),
+        F.col("c_acctbal").alias("a_bal"),
+    )
+    kept = cust.filter(F.col("c_custkey") % 11 != 0).select(
+        F.col("c_custkey").alias("b_key"),
+        F.col("c_name").alias("b_name"),
+        F.when(F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + 100.0)
+        .otherwise(F.col("c_acctbal"))
+        .alias("b_bal"),
+    )
+    cloned = cust.filter(F.col("c_custkey") % 13 == 0).select(
+        (F.col("c_custkey") + 10000000).alias("b_key"),
+        F.col("c_name").alias("b_name"),
+        F.col("c_acctbal").alias("b_bal"),
+    )
+    snap_b = kept.unionByName(cloned)
+    joined = snap_a.join(snap_b, snap_a.a_key == snap_b.b_key, "full_outer")
+    op = (
+        F.when(F.col("a_key").isNull(), F.lit("insert"))
+        .when(F.col("b_key").isNull(), F.lit("delete"))
+        .otherwise(F.lit("update"))
+    )
+    changed = (
+        F.col("a_key").isNull()
+        | F.col("b_key").isNull()
+        | (F.col("a_bal") != F.col("b_bal"))
+        | (F.col("a_name") != F.col("b_name"))
+    )
+    return (
+        joined.filter(changed)
+        .select(
+            F.coalesce(F.col("a_key"), F.col("b_key")).alias("custkey"),
+            op.alias("op"),
+            round4(F.col("a_bal")).alias("old_acctbal"),
+            round4(F.col("b_bal")).alias("new_acctbal"),
+        )
+        .orderBy("custkey")
+    )
