@@ -170,13 +170,15 @@ def main() -> None:
         print(f"# {'query':38s} {'prev':>8s} {'now':>8s} {'delta':>8s}", file=sys.stderr)
         for name, now in timings.items():
             was = prev.get(name)
-            if was:
+            if was:  # positive prior timing (0.0 has no meaningful ratio)
                 pct = (now - was) / was * 100
                 flag = "  <-- regression" if pct > 25 else ""
                 print(
                     f"# {name:38s} {was:8.3f} {now:8.3f} {pct:+7.1f}%{flag}",
                     file=sys.stderr,
                 )
+            elif was == 0.0:
+                print(f"# {name:38s} {was:8.3f} {now:8.3f}      n/a", file=sys.stderr)
             else:
                 print(f"# {name:38s} {'new':>8s} {now:8.3f}", file=sys.stderr)
 

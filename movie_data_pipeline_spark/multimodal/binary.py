@@ -351,7 +351,12 @@ def image_dimensions(blobs: DataFrame) -> DataFrame:
         for pdf in batches:
             out = []
             for r in pdf.itertuples():
-                dims = _jpeg_dimensions(bytes(r.content))
+                # NULL payloads must yield null dims, not kill the stage
+                dims = (
+                    _jpeg_dimensions(bytes(r.content))
+                    if r.content is not None
+                    else None
+                )
                 out.append(
                     {
                         "blob_id": r.blob_id,
@@ -411,7 +416,8 @@ def wav_header_expr(content: "F.Column") -> "F.Column":
         (F.substring(content, 1, 4).cast("string") == "RIFF")
         & (F.substring(content, 9, 4).cast("string") == "WAVE")
         & (F.substring(content, 13, 4).cast("string") == "fmt ")
-        & (_le_u32(content, 17) == 16)  # PCM fmt body, no extension
+        & (_le_u32(content, 17) == 16)  # 16-byte fmt body, no extension
+        & (_le_u16(content, 21) == 1)  # wFormatTag 1 = integer PCM only
         & (F.substring(content, 37, 4).cast("string") == "data")
     )
     channels = _le_u16(content, 23).cast("int")

@@ -187,6 +187,14 @@ def connected_components_star(
         )
         if changed == 0:
             break
+    else:
+        # Exhausting the round budget without a fixpoint means the edge
+        # set is NOT a star forest and the read-off below would silently
+        # under-merge components — fail loudly instead.
+        raise RuntimeError(
+            f"star contraction did not converge within {max_rounds} rounds; "
+            "raise max_rounds (bound is O(log^2 n) alternating rounds)"
+        )
 
     # star forest: every remaining directed edge points member -> root
     members = (
@@ -215,6 +223,10 @@ def duplicate_clusters(
     log-round star contraction for graphs where chains of borderline
     near-dups stretch the diameter.
     """
+    if algorithm not in ("propagation", "star"):
+        raise ValueError(
+            f"algorithm must be 'propagation' or 'star', got {algorithm!r}"
+        )
     cc = connected_components if algorithm == "propagation" else connected_components_star
     comp = cc(
         pairs.select("doc_a", "doc_b"),

@@ -65,6 +65,13 @@ def attach_running_sums(
         out: (F.col(c) if isinstance(c, str) else c) for out, c in sums.items()
     }
 
+    # MEMORY_AND_DISK cache: required so the totals job and the main job
+    # read the SAME range partitioning (boundaries come from sampling).
+    # Cached blocks are LRU-evictable storage, not a pin — repeated
+    # calls in one session (q93 ranks three metrics) stay bounded by the
+    # executor storage fraction; sweeps that want a clean slate between
+    # queries call spark.catalog.clearCache() (bench.py and
+    # tools/driver_sim.py both do).
     ranged = (
         df.repartitionByRange(n_parts, *keys)
         .withColumn(_PID, F.spark_partition_id())
@@ -105,9 +112,19 @@ def attach_running_sums(
     for out, c in sum_cols.items():
         # After the join, `out` names the offset column (sums keys must
         # be fresh names, asserted by the join not duplicating them).
+        # SQL running-SUM nullability is preserved exactly: NULL only
+        # when the entire global inclusive prefix holds no non-null
+        # value — i.e. the local prefix sum is NULL (all-null so far in
+        # this partition) AND the carried offset is NULL (no prior
+        # partition contributed). A NULL local prefix with a non-null
+        # carry must yield the carry, not NULL.
+        local = F.sum(c).over(w_local)
+        off = F.col(out)
         out_df = out_df.withColumn(
             f"__glob_{out}",
-            F.sum(c).over(w_local) + F.coalesce(F.col(out), F.lit(0)),
+            F.when(local.isNull() & off.isNull(), F.lit(None)).otherwise(
+                F.coalesce(local, F.lit(0)) + F.coalesce(off, F.lit(0))
+            ),
         )
     out_df = out_df.drop(_PID)
     for out in sum_cols:

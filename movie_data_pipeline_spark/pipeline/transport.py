@@ -96,10 +96,14 @@ class OmdbTransport:
         self._session = None
         self._last_call = 0.0
 
-    # -- pickling: drop the live session; workers re-create their own --
+    # -- pickling: drop the live session; workers re-create their own.
+    # _last_call is a time.monotonic() value — meaningless in another
+    # process (monotonic clocks are per-boot), so reset it or a shipped
+    # transport could compute an absurd throttle wait on the worker.
     def __getstate__(self):
         state = dict(self.__dict__)
         state["_session"] = None
+        state["_last_call"] = 0.0
         return state
 
     def _get_session(self):

@@ -274,10 +274,18 @@ def q132_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.expr(_QUERY_PRED))
-    exact = cosine_topk(emb, queries, k=10).select("query_id", "neighbor_id")
-    approx = cosine_topk_lsh(
-        emb, queries, k=10, n_planes=_ANN_PLANES, dim=_ANN_DIM
-    ).select("query_id", "neighbor_id")
+    # Both top-k frames feed two consumers each (their count + the hits
+    # semi-join) — persist so the exact ground-truth ranking (the
+    # expensive part this audit exists to keep affordable) and the
+    # bucket join run once, not twice.
+    exact = (
+        cosine_topk(emb, queries, k=10).select("query_id", "neighbor_id").persist()
+    )
+    approx = (
+        cosine_topk_lsh(emb, queries, k=10, n_planes=_ANN_PLANES, dim=_ANN_DIM)
+        .select("query_id", "neighbor_id")
+        .persist()
+    )
     hits = approx.join(exact, ["query_id", "neighbor_id"], "left_semi")
     n_q = queries.agg(F.count("*").alias("n_queries"))
     n_e = exact.agg(F.count("*").alias("n_exact_pairs"))

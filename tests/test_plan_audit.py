@@ -27,7 +27,7 @@ def test_no_plan_smells(spark):
 def test_movielens_etl_default_has_no_global_window(spark):
     """The DEFAULT warehouse build must not single-partition the
     ratings fact (VERDICT r1 'What's wrong' #1)."""
-    from audit_plans import _UNPARTITIONED_WINDOW, explain_formatted
+    from audit_plans import unpartitioned_window_count
 
     from movie_data_pipeline_spark.pipeline.movies_etl import build_warehouse
     from movie_data_pipeline_spark.sources.movielens import (
@@ -44,4 +44,26 @@ def test_movielens_etl_default_has_no_global_window(spark):
         read_links(spark, fixture),
         enrichment=None,
     )
-    assert not _UNPARTITIONED_WINDOW.search(explain_formatted(wh.ratings))
+    assert unpartitioned_window_count(wh.ratings) == 0
+
+
+def test_structural_window_detector(spark):
+    """The JSON-plan detector must catch global windows whose order
+    expression contains parens/commas (the regex fallback's blind
+    spot) and pass partitioned windows."""
+    from audit_plans import unpartitioned_window_count
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.range(10).withColumn("d", F.col("id") % 3)
+    sneaky = df.withColumn(
+        "s",
+        F.sum("id").over(
+            Window.orderBy(F.expr("pmod(id, cast(3 as bigint))"), "id")
+        ),
+    )
+    assert unpartitioned_window_count(sneaky) == 1
+    fine = df.withColumn(
+        "s", F.sum("id").over(Window.partitionBy("d").orderBy("id"))
+    )
+    assert unpartitioned_window_count(fine) == 0

@@ -84,3 +84,30 @@ def test_row_number_is_dense_and_unique(frame):
     ranked, n = attach_global_row_number(frame, ["id"], "rn", partitions=8)
     rns = sorted(r["rn"] for r in ranked.select("rn").collect())
     assert rns == list(range(1, n + 1))
+
+
+def test_running_sum_null_semantics_match_sql_window(spark):
+    """SQL running-SUM nullability: NULL only while the whole inclusive
+    prefix is null; a null value AFTER non-null carries must yield the
+    carry (this is exactly the partition-head case the offset join must
+    get right)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from movie_data_pipeline_spark.operators.prefix import attach_running_sums
+
+    rows = [(1, None), (2, None), (3, 5.0), (4, None), (5, 2.0), (6, None)]
+    df = spark.createDataFrame(rows, "k INT, v DOUBLE")
+    got, n = attach_running_sums(df, ["k"], {"rs": F.col("v")}, partitions=3)
+    assert n == 6
+    want = {
+        r.k: r.rs
+        for r in df.withColumn(
+            "rs",
+            F.sum("v").over(
+                Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        ).collect()
+    }
+    assert {r.k: r.rs for r in got.collect()} == want
+    assert want[1] is None and want[4] == 5.0  # the two tricky cases

@@ -23,13 +23,31 @@ SMELLS = {
     "CartesianProduct": "cartesian product (unbucketed cross join)",
 }
 
-# An unpartitioned windowspecdefinition starts with an ORDER expression
+# Fallback string detector (used only when no DataFrame is available):
+# an unpartitioned windowspecdefinition starts with an ORDER expression
 # (`col ASC/DESC NULLS ...`) or, for the unordered whole-frame case,
 # directly with specifiedwindowframe. Partitioned windows lead with
-# plain partition columns, which carry no ASC/DESC.
+# plain partition columns, which carry no ASC/DESC. NOTE: this regex
+# misses order expressions containing parens/commas (e.g.
+# date_trunc(...) ASC) — the structural check below is authoritative.
 _UNPARTITIONED_WINDOW = re.compile(
     r"windowspecdefinition\(\s*(?:[^,()]*\s(?:ASC|DESC)|specifiedwindowframe)"
 )
+
+
+def unpartitioned_window_count(df) -> int:
+    """Authoritative detector: walk the optimized logical plan as JSON
+    and count Window nodes whose partitionSpec is empty — immune to how
+    the order expressions render (parens, commas, nested functions)."""
+    import json
+
+    nodes = json.loads(df._jdf.queryExecution().optimizedPlan().toJSON())
+    return sum(
+        1
+        for n in nodes
+        if n.get("class", "").endswith(".logical.Window")
+        and not n.get("partitionSpec")
+    )
 
 # Queries where a single-partition window is the intended design: the
 # windowed frame is provably bounded, independent of fact-table size.
@@ -47,13 +65,21 @@ WINDOW_OK = {
 }
 
 
-def audit_plan(name: str, plan: str) -> list[str]:
-    """Smell list for one query's formatted plan string."""
+def audit_plan(name: str, plan: str, df=None) -> list[str]:
+    """Smell list for one query: string markers from the formatted
+    physical plan, plus the structural unpartitioned-window check when
+    the DataFrame is available (regex fallback otherwise)."""
     problems = [
         f"{name}: {why}" for marker, why in SMELLS.items() if marker in plan
     ]
-    if name not in WINDOW_OK and _UNPARTITIONED_WINDOW.search(plan):
-        problems.append(f"{name}: unpartitioned window over full data")
+    if name not in WINDOW_OK:
+        global_windows = (
+            unpartitioned_window_count(df)
+            if df is not None
+            else (1 if _UNPARTITIONED_WINDOW.search(plan) else 0)
+        )
+        if global_windows:
+            problems.append(f"{name}: unpartitioned window over full data")
     return problems
 
 
@@ -73,7 +99,7 @@ def audit_all(spark, sf_dir: str, emit=None) -> list[str]:
         plan = explain_formatted(df)
         if emit:
             emit(f"{'=' * 30} {name}\n{plan}")
-        problems.extend(audit_plan(name, plan))
+        problems.extend(audit_plan(name, plan, df=df))
         # builders that persist intermediates (dedup family) must not
         # bleed cache into later plans
         spark.catalog.clearCache()

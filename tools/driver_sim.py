@@ -71,6 +71,10 @@ def main() -> int:
             failures.append((name, f"spark error: {ex}"))
             print(f"[{i+1}/{len(queries)}] {name}: SPARK ERROR", flush=True)
             continue
+        finally:
+            # builders that persist intermediates (dedup, prefix-sum)
+            # must not accumulate cache across a 135-query sweep
+            spark.catalog.clearCache()
         if name not in oracles:
             print(f"[{i+1}/{len(queries)}] {name}: rows-only "
                   f"({len(spdf)} rows)", flush=True)
