@@ -1187,3 +1187,70 @@ def q125_weekday_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("iso_weekday", "hour_of_day")
     )
+
+
+# --------------------------------------------------------------------------
+# q137 — pointwise mutual information (feature-dependence analysis)
+# --------------------------------------------------------------------------
+@query(
+    "q137_event_weekday_pmi",
+    oracle="""
+    WITH joint AS (
+      SELECT event_type, CAST(isodow(ts) AS BIGINT) AS iso_weekday,
+             COUNT(*) AS n_xy
+      FROM events GROUP BY 1, 2),
+    mx AS (SELECT event_type, SUM(n_xy) AS n_x FROM joint GROUP BY 1),
+    my AS (SELECT iso_weekday, SUM(n_xy) AS n_y FROM joint GROUP BY 1),
+    tot AS (SELECT SUM(n_xy) AS n FROM joint)
+    SELECT j.event_type, j.iso_weekday, j.n_xy,
+           floor(ln((CAST(j.n_xy AS DOUBLE) * CAST(tot.n AS DOUBLE))
+                    / (CAST(mx.n_x AS DOUBLE) * CAST(my.n_y AS DOUBLE)))
+                 * 10000 + 0.5) / 10000 AS pmi
+    FROM joint j
+    JOIN mx ON mx.event_type = j.event_type
+    JOIN my ON my.iso_weekday = j.iso_weekday
+    CROSS JOIN tot
+    ORDER BY j.event_type, j.iso_weekday
+    """,
+    tags=("extension", "analysis", "mutual-information"),
+)
+def q137_event_weekday_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information between event type and ISO weekday:
+    PMI(x,y) = ln(p(x,y) / (p(x)p(y))) per cell — the dependence probe
+    a feature/leakage audit runs between a candidate feature and a
+    target (here: does event mix actually vary by weekday, or is the
+    q125 heatmap just volume?). PMI ≈ 0 everywhere ⇒ independent.
+
+    Determinism: all inputs to ln are exact integer counts combined in
+    fixed-order IEEE arithmetic, and ln on identical doubles matches
+    across engines (q83's surprisal established this), then round4.
+    Scale: one groupBy on the (type, weekday) pair; both marginals
+    re-aggregate the joint frame (never rescan the fact) and broadcast
+    back — cardinality is |types| × 7, metadata-sized.
+    """
+    events = load_table(spark, sf_dir, "events")
+    iso_wd = (F.weekday(F.col("ts")) + 1).cast("long")
+    joint = (
+        events.groupBy(F.col("event_type"), iso_wd.alias("iso_weekday"))
+        .agg(F.count("*").alias("n_xy"))
+        .persist()  # feeds both marginals and the final join
+    )
+    mx = joint.groupBy("event_type").agg(F.sum("n_xy").alias("n_x"))
+    my = joint.groupBy("iso_weekday").agg(F.sum("n_xy").alias("n_y"))
+    tot = joint.agg(F.sum("n_xy").alias("n"))
+    pmi = F.log(
+        (F.col("n_xy").cast("double") * F.col("n").cast("double"))
+        / (F.col("n_x").cast("double") * F.col("n_y").cast("double"))
+    )
+    return (
+        joint.join(F.broadcast(mx), "event_type")
+        .join(F.broadcast(my), "iso_weekday")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "iso_weekday",
+            "n_xy",
+            round4(pmi).alias("pmi"),
+        )
+        .orderBy("event_type", "iso_weekday")
+    )
