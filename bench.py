@@ -53,6 +53,9 @@ HEADLINE = [
     "q117_point_in_time_join",
     "q124_nation_segment_profile",
     "q125_weekday_hour_heatmap",
+    # round-2 additions, late batch: incremental dedup + ANN audit
+    "q126_incremental_dedup",
+    "q132_ann_recall_audit",
 ]
 
 

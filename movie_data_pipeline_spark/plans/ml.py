@@ -128,10 +128,13 @@ def q103_pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("outdeg"),
         (F.lit(1.0) / F.count("*").cast("double")).alias("w"),
     ).persist()
-    # Weighted edges are ALSO loop-invariant (w depends only on the
-    # topology): join deg in once here instead of once per iteration —
-    # each iteration is then a single join + aggregate.
-    wedges = edges.join(deg, "src").select("src", "dst", "w").persist()
+    # The per-iteration deg join is deliberately NOT hoisted into a
+    # materialized weighted-edge frame: deg is a per-node (dim-sized)
+    # side AQE can broadcast at runtime, so the in-loop join is cheap,
+    # while pre-materializing edges⋈deg costs a full extra shuffle-join
+    # job that 3 iterations never amortize (measured ~2x at sf0.1).
+    # At real iteration counts (tens+), hoist it:
+    #   wedges = edges.join(deg, "src").select("src","dst","w").persist()
     nodes = edges.select(F.col("src").alias("node")).distinct().persist()
     nn = nodes.agg(F.count("*").cast("double").alias("n"))
     ranks = nodes.crossJoin(F.broadcast(nn)).select(
@@ -140,7 +143,8 @@ def q103_pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(_PR_ITERS):
         rk = ranks.select(F.col("node").alias("rk_node"), "r")
         contrib = (
-            wedges.join(rk, F.col("src") == F.col("rk_node"))
+            edges.join(rk, F.col("src") == F.col("rk_node"))
+            .join(deg, "src")
             .groupBy("dst")
             .agg(
                 F.sum((F.col("r") * F.col("w")).cast("decimal(38,18)"))
