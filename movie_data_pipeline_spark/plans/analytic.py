@@ -1254,3 +1254,103 @@ def q137_event_weekday_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "iso_weekday")
     )
+
+
+# --------------------------------------------------------------------------
+# q138 — join-key skew audit (the pre-flight before a 100 TB join)
+# --------------------------------------------------------------------------
+@query(
+    "q138_join_key_skew_audit",
+    oracle="""
+    WITH c AS (SELECT o_custkey AS k, COUNT(*) AS cnt FROM orders GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS n_rows FROM c),
+    r AS (SELECT k, cnt, ROW_NUMBER() OVER (ORDER BY cnt, k) AS rn FROM c),
+    t10 AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS top10 FROM
+        (SELECT cnt FROM c ORDER BY cnt DESC, k LIMIT 10)),
+    ent AS (
+      SELECT CAST(SUM(CAST(-(cnt * 1.0 / tot.n_rows)
+                           * ln(cnt * 1.0 / tot.n_rows)
+                           AS DECIMAL(38,18))) AS DOUBLE) AS h
+      FROM c CROSS JOIN tot),
+    gin AS (SELECT CAST(SUM(rn * cnt) AS BIGINT) AS s FROM r)
+    SELECT tot.n_keys, tot.n_rows,
+           floor((CAST((SELECT MAX(cnt) FROM c) AS DOUBLE) / tot.n_rows)
+                 * 10000 + 0.5) / 10000 AS max_key_share,
+           floor((CAST(t10.top10 AS DOUBLE) / tot.n_rows) * 10000 + 0.5)
+                 / 10000 AS top10_share,
+           floor(ent.h * 10000 + 0.5) / 10000 AS entropy,
+           floor(((2.0 * gin.s) / (CAST(tot.n_keys AS DOUBLE) * tot.n_rows)
+                  - (tot.n_keys + 1.0) / tot.n_keys) * 10000 + 0.5) / 10000
+             AS gini
+    FROM tot CROSS JOIN t10 CROSS JOIN ent CROSS JOIN gin
+    """,
+    tags=("extension", "ops", "skew", "audit"),
+)
+def q138_join_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-distribution audit for a join/aggregation key (orders'
+    custkey): key count, row count, hottest-key share, top-10 share,
+    Shannon entropy, and the Gini coefficient — the one-row report you
+    read BEFORE shuffling 100 TB on that key, deciding between a plain
+    hash join, AQE skew splitting, or the salted operators
+    (operators/skew.py).
+
+    Scale: per-key counts are one map-side-combined groupBy; the Gini
+    rank comes from the distributed prefix operator
+    (operators/prefix.py — range partition + broadcast offsets, no
+    global window), and the top-10 slice reuses that same rank
+    (rn > n_keys - 10) instead of a second sort. Determinism: every
+    sum is exact-integer or decimal-summed (q61 discipline); the
+    entropy terms are ln of exact ratios, summed in DECIMAL so
+    accumulation order cannot drift.
+    """
+    from movie_data_pipeline_spark.operators.prefix import (
+        attach_global_row_number,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    counts = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count("*").alias("cnt")
+    )
+    ranked, n_keys = attach_global_row_number(
+        counts, [F.col("cnt"), F.col("k")], "rn"
+    )
+    ranked = ranked.persist()
+    totals = ranked.agg(
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_cnt"),
+        F.sum(F.col("rn") * F.col("cnt")).alias("gini_s"),
+    )
+    top10 = ranked.filter(F.col("rn") > n_keys - 10).agg(
+        F.sum("cnt").alias("top10")
+    )
+    p = F.col("cnt").cast("double") / F.col("n_rows").cast("double")
+    ent = (
+        ranked.crossJoin(F.broadcast(totals.select("n_rows")))
+        .agg(
+            F.sum((-p * F.log(p)).cast("decimal(38,18)"))
+            .cast("double")
+            .alias("h")
+        )
+    )
+    nk = F.lit(n_keys).cast("long")
+    return (
+        totals.crossJoin(F.broadcast(top10))
+        .crossJoin(F.broadcast(ent))
+        .select(
+            nk.alias("n_keys"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            round4(F.col("max_cnt").cast("double") / F.col("n_rows")).alias(
+                "max_key_share"
+            ),
+            round4(F.col("top10").cast("double") / F.col("n_rows")).alias(
+                "top10_share"
+            ),
+            round4(F.col("h")).alias("entropy"),
+            round4(
+                (F.lit(2.0) * F.col("gini_s"))
+                / (nk.cast("double") * F.col("n_rows"))
+                - (nk + F.lit(1.0)) / nk
+            ).alias("gini"),
+        )
+    )
