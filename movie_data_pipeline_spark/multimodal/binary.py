@@ -233,12 +233,16 @@ def _le_u16(col: "F.Column", pos: int) -> "F.Column":
     return b0 + b1 * 256
 
 
-def _le_i32(col: "F.Column", pos: int) -> "F.Column":
+def _le_u32(col: "F.Column", pos: int) -> "F.Column":
     b = [
         F.conv(F.hex(F.substring(col, pos + i, 1)), 16, 10).cast("long")
         for i in range(4)
     ]
-    raw = b[0] + b[1] * 256 + b[2] * 65536 + b[3] * 16777216
+    return b[0] + b[1] * 256 + b[2] * 65536 + b[3] * 16777216
+
+
+def _le_i32(col: "F.Column", pos: int) -> "F.Column":
+    raw = _le_u32(col, pos)
     # BMP height may be negative (top-down DIB): two's complement
     return F.when(raw >= F.lit(1 << 31), raw - F.lit(1 << 32)).otherwise(raw)
 
@@ -259,7 +263,14 @@ def image_header_expr(content: "F.Column") -> "F.Column":
     magic8 = F.hex(F.substring(content, 1, 8))
     png = magic8 == "89504E470D0A1A0A"
     gif = F.substring(content, 1, 4).cast("string").isin("GIF8")
-    bmp = F.substring(content, 1, 2).cast("string") == "BM"
+    # 'BM' alone is a weak 2-byte magic — also require a known
+    # BITMAPINFOHEADER-family DIB size (the u32 at offset 15) before
+    # trusting the 4-byte dims at 19/23. OS/2 BITMAPCOREHEADER (size
+    # 12, u16 dims at different offsets) and 'BM'-prefixed non-bitmaps
+    # fall through to the null struct instead of parsing garbage.
+    bmp = (F.substring(content, 1, 2).cast("string") == "BM") & (
+        _le_u32(content, 15).isin(40, 52, 56, 108, 124)
+    )
     return (
         F.when(
             png,
@@ -343,7 +354,19 @@ def image_dimensions(blobs: DataFrame) -> DataFrame:
         F.col("h.width").alias("width"),
         F.col("h.height").alias("height"),
     )
-    rest = parsed.filter(F.col("h.img_format").isNull()).select("blob_id", "content")
+    rest = parsed.filter(F.col("h.img_format").isNull())
+    # Only JPEG candidates (SOI magic FF D8) ship to the Python walker —
+    # a multi-GB video/text/audio payload must never cross the Arrow
+    # boundary just to be declared not-a-JPEG. Everything else resolves
+    # to a null struct JVM-side.
+    is_jpeg = F.hex(F.substring(F.col("content"), 1, 2)) == "FFD8"
+    jpeg_cand = rest.filter(is_jpeg).select("blob_id", "content")
+    unknown = rest.filter(~is_jpeg | F.col("content").isNull()).select(
+        "blob_id",
+        F.lit(None).cast("string").alias("img_format"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+    )
 
     def walk(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -369,8 +392,8 @@ def image_dimensions(blobs: DataFrame) -> DataFrame:
                 out, columns=["blob_id", "img_format", "width", "height"]
             )
 
-    jpegs = rest.mapInPandas(walk, schema=IMAGE_HEADER_SCHEMA)
-    return fixed.unionByName(jpegs)
+    jpegs = jpeg_cand.mapInPandas(walk, schema=IMAGE_HEADER_SCHEMA)
+    return fixed.unionByName(jpegs).unionByName(unknown)
 
 
 AUDIO_HEADER_SCHEMA = StructType(
@@ -383,14 +406,6 @@ AUDIO_HEADER_SCHEMA = StructType(
         StructField("duration_sec", DoubleType()),
     ]
 )
-
-
-def _le_u32(col: "F.Column", pos: int) -> "F.Column":
-    b = [
-        F.conv(F.hex(F.substring(col, pos + i, 1)), 16, 10).cast("long")
-        for i in range(4)
-    ]
-    return b[0] + b[1] * 256 + b[2] * 65536 + b[3] * 16777216
 
 
 def wav_header_expr(content: "F.Column") -> "F.Column":
@@ -423,7 +438,14 @@ def wav_header_expr(content: "F.Column") -> "F.Column":
     channels = _le_u16(content, 23).cast("int")
     rate = _le_u32(content, 25).cast("int")
     bits = _le_u16(content, 35).cast("int")
-    data_bytes = _le_u32(content, 41)
+    # Streaming writers leave a placeholder data size (often
+    # 0xFFFFFFFF) and downloads truncate — never trust the header's
+    # claim past the bytes actually present (payload starts at 45,
+    # 1-based, for this canonical layout).
+    data_bytes = F.least(
+        _le_u32(content, 41),
+        F.greatest(F.octet_length(content).cast("long") - 44, F.lit(0)),
+    )
     bytes_per_sec = (
         rate.cast("long") * channels.cast("long") * (bits.cast("long") / 8)
     )

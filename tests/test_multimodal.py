@@ -99,9 +99,10 @@ def _gif(w, h):
 
 
 def _bmp(w, h):
-    # BITMAPINFOHEADER: dims at byte offsets 18 (width) / 22 (height)
+    # BITMAPINFOHEADER: DIB size (40) at offset 14, dims at 18/22
     return (
-        b"BM" + b"\x00" * 16
+        b"BM" + b"\x00" * 12
+        + (40).to_bytes(4, "little")
         + w.to_bytes(4, "little", signed=True)
         + h.to_bytes(4, "little", signed=True)
         + b"\x00" * 10
@@ -200,3 +201,51 @@ def test_wav_header_expr(spark):
     assert got[1] == ("wav-pcm", 2, 44100, 16, 1.0)
     assert got[2] == ("wav-pcm", 1, 16000, 8, 0.5)
     assert got[3][0] is None and got[4][0] is None
+
+
+def test_image_dimensions_rejects_weak_bmp_and_skips_python_for_nonjpeg(spark):
+    """BITMAPCOREHEADER (DIB size 12) and 'BM'-prefixed junk must yield
+    nulls, not garbage dims; and non-JPEG unknowns must resolve
+    JVM-side (only SOI-magic rows reach the Python walker)."""
+    import struct as _s
+
+    from movie_data_pipeline_spark.multimodal import image_dimensions
+
+    core_bmp = b"BM" + b"\x00" * 12 + _s.pack("<IHHHH", 12, 100, 50, 1, 24)
+    rows = [
+        (1, core_bmp),  # OS/2 core header: unsupported → nulls
+        (2, b"BMjunkjunkjunkjunkjunkjunkjunk"),  # weak magic → nulls
+        (3, _bmp(640, 480)),  # real BITMAPINFOHEADER still parses
+        (4, b"\x00" * 50_000),  # big non-image blob: JVM-side null
+    ]
+    blobs = spark.createDataFrame(rows, "blob_id LONG, content BINARY")
+    got = {
+        r.blob_id: (r.img_format, r.width, r.height)
+        for r in image_dimensions(blobs).collect()
+    }
+    assert got[1] == (None, None, None)
+    assert got[2] == (None, None, None)
+    assert got[3] == ("bmp", 640, 480)
+    assert got[4] == (None, None, None)
+
+
+def test_wav_duration_clamped_to_payload(spark):
+    """A placeholder/overstated data size (streaming writers, truncated
+    downloads) must not produce absurd durations — duration derives
+    from min(header claim, actual payload bytes)."""
+    import struct as _s
+
+    from movie_data_pipeline_spark.multimodal.binary import wav_header_expr
+    from pyspark.sql import functions as F
+
+    # header CLAIMS 0xFFFFFFF0 data bytes but carries only 16000
+    # (1.0s at 16kHz mono 8-bit)
+    lying = (
+        b"RIFF" + _s.pack("<I", 36) + b"WAVE"
+        + b"fmt " + _s.pack("<I", 16)
+        + _s.pack("<HHIIHH", 1, 1, 16000, 16000, 1, 8)
+        + b"data" + _s.pack("<I", 0xFFFFFFF0) + b"\x00" * 16000
+    )
+    blobs = spark.createDataFrame([(1, lying)], "blob_id LONG, content BINARY")
+    r = blobs.select(wav_header_expr(F.col("content")).alias("h")).collect()[0]
+    assert r.h.audio_format == "wav-pcm" and r.h.duration_sec == 1.0

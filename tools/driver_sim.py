@@ -73,7 +73,7 @@ def main() -> int:
             continue
         finally:
             # builders that persist intermediates (dedup, prefix-sum)
-            # must not accumulate cache across a 135-query sweep
+            # must not accumulate cache across the full-catalog sweep
             spark.catalog.clearCache()
         if name not in oracles:
             print(f"[{i+1}/{len(queries)}] {name}: rows-only "
