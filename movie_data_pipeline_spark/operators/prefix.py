@@ -57,6 +57,14 @@ def attach_running_sums(
     n_rows)`` — the total row count falls out of the offsets pass for
     free, and NTILE-style callers need it.  Row order of the returned
     frame is unspecified; callers sort for presentation.
+
+    Numeric contract: exact types (integers, decimals) reproduce the
+    single-partition window bit-for-bit (randomized equivalence in
+    tests/test_prefix.py).  Raw doubles can drift in the last ulp —
+    ``local + carried offset`` associates additions differently than
+    the sequential fold — so hash-compared callers sum longs or
+    decimal-cast terms (the q61 discipline), which every catalog user
+    of this operator does.
     """
     spark = df.sparkSession
     n_parts = partitions or spark.sparkContext.defaultParallelism

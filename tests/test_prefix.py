@@ -111,3 +111,80 @@ def test_running_sum_null_semantics_match_sql_window(spark):
     }
     assert {r.k: r.rs for r in got.collect()} == want
     assert want[1] is None and want[4] == 5.0  # the two tricky cases
+
+
+def test_randomized_prefix_equivalence_vs_global_window(spark):
+    """Randomized cross-check: on arbitrary frames (duplicate order
+    keys broken by a tiebreak, nulls, negatives, floats), the
+    distributed running sum and global row number must equal the
+    single-partition window spelling exactly."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from movie_data_pipeline_spark.operators.prefix import (
+        attach_global_row_number,
+        attach_running_sums,
+    )
+
+    for seed in (7, 21, 99):
+        rng = random.Random(seed)
+        rows = [
+            (
+                i,
+                rng.randint(0, 5),  # heavy duplicate order keys
+                None if rng.random() < 0.3 else rng.uniform(-10, 10),
+            )
+            for i in range(rng.randint(40, 120))
+        ]
+        df = spark.createDataFrame(rows, "id INT, k INT, v DOUBLE")
+        order = [F.col("k"), F.col("id")]
+        got_rs, n = attach_running_sums(
+            df, order, {"rs": F.col("v")}, partitions=5
+        )
+        got_rn, _ = attach_global_row_number(df, order, "rn", partitions=5)
+        w = Window.orderBy("k", "id")
+        want = df.select(
+            "id",
+            F.sum("v").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("rs"),
+            F.row_number().over(w).cast("long").alias("rn"),
+        ).collect()
+        want_rs = {r.id: r.rs for r in want}
+        want_rn = {r.id: r.rn for r in want}
+        assert n == len(rows)
+        # doubles: the distributed form adds (local + carried offset) —
+        # a different association than the sequential fold, so last-ulp
+        # drift is expected and allowed; NULL positions must agree
+        # exactly. Bit-stable running sums require exact types (longs /
+        # decimals — what every catalog query feeds through here).
+        got = {r.id: r.rs for r in got_rs.collect()}
+        assert got.keys() == want_rs.keys()
+        for i, w_v in want_rs.items():
+            g_v = got[i]
+            if w_v is None or g_v is None:
+                assert g_v == w_v, f"seed {seed} id {i}"
+            else:
+                assert abs(g_v - w_v) <= 1e-9 * max(1.0, abs(w_v)), (
+                    f"seed {seed} id {i}"
+                )
+        assert {r.id: r.rn for r in got_rn.collect()} == want_rn, f"seed {seed}"
+        # exact types ARE bit-stable: same frames with v cast to long
+        got_l, _ = attach_running_sums(
+            df.withColumn("v", (F.col("v") * 100).cast("long")),
+            order,
+            {"rs": F.col("v")},
+            partitions=5,
+        )
+        want_l = {
+            r.id: r.rs
+            for r in df.withColumn("v", (F.col("v") * 100).cast("long"))
+            .select(
+                "id",
+                F.sum("v")
+                .over(w.rowsBetween(Window.unboundedPreceding, 0))
+                .alias("rs"),
+            )
+            .collect()
+        }
+        assert {r.id: r.rs for r in got_l.collect()} == want_l, f"seed {seed}"
