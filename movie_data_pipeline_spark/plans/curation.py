@@ -140,7 +140,15 @@ def q71_curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale. Rules and thresholds live in module constants, mirrored
     verbatim into the oracle SQL.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    return decision_frame(load_table(spark, sf_dir, "documents")).orderBy(
+        "doc_id"
+    )
+
+
+def decision_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, decision, drop_reason) for any documents-shaped frame —
+    q71's rule ladder as a reusable stage (q139 composes it upstream of
+    dedup)."""
     t = tokens(F.col("text"))
     feat = docs.select(
         "doc_id",
@@ -164,7 +172,7 @@ def q71_curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.when(reason.isNotNull(), "drop").otherwise("keep").alias("decision"),
         reason.alias("drop_reason"),
-    ).orderBy("doc_id")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -402,4 +410,129 @@ def q127_training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tokens",
         )
         .orderBy("shard", "pos_in_shard")
+    )
+
+
+# --------------------------------------------------------------------------
+# q139 — the curation pipeline END TO END (quality → dedup → report)
+# --------------------------------------------------------------------------
+@query(
+    "q139_corpus_pipeline_report",
+    oracle=f"""
+    WITH RECURSIVE
+    toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+      FROM documents),
+    feat AS (
+      SELECT doc_id,
+             CAST(len(t) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(t, w -> w IN {_EN_SET})) AS BIGINT) AS n_stop,
+             list_max(list_transform(list_distinct(t),
+                      w -> len(list_filter(t, x -> x = w)))) AS top_cnt,
+             {LANG_SCORES_SQL}
+      FROM toks),
+    pick AS (SELECT *, {LANG_PICK_SQL} AS predicted_lang FROM feat),
+    qk AS (
+      SELECT doc_id FROM pick
+      WHERE n_tokens >= {MIN_TOKENS}
+        AND predicted_lang = 'en'
+        AND top_cnt * 1.0 / n_tokens <= {MAX_TOP_TOKEN_SHARE}
+        AND n_stop * 1.0 / n_tokens >= {MIN_STOPWORD_RATIO}),
+    sh0 AS (
+      SELECT toks.doc_id,
+             CASE WHEN len(t) >= 3
+               THEN unnest(list_transform(generate_series(1, len(t) - 2),
+                                          i -> array_to_string(t[i:i+2], ' ')))
+               ELSE array_to_string(t, ' ')
+             END AS sh
+      FROM toks JOIN qk USING (doc_id)),
+    shingles AS (SELECT DISTINCT doc_id, sh FROM sh0),
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM shingles a JOIN shingles b
+        ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    prs AS (
+      SELECT doc_a, doc_b FROM common
+      JOIN counts ca ON ca.doc_id = doc_a
+      JOIN counts cb ON cb.doc_id = doc_b
+      WHERE n_common * 1.0 / (ca.n + cb.n - n_common) >= 0.2),
+    e AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+          UNION ALL SELECT doc_b, doc_a FROM prs),
+    reach(id, node) AS (
+      SELECT doc_id, doc_id FROM qk
+      UNION
+      SELECT r.id, e.dst FROM reach r JOIN e ON e.src = r.node),
+    comp AS (SELECT id AS doc_id, MIN(node) AS cluster_id
+             FROM reach GROUP BY id),
+    fk AS (SELECT doc_id FROM comp WHERE doc_id = cluster_id)
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           COUNT(k1.doc_id) AS n_quality_kept,
+           COUNT(k2.doc_id) AS n_final_kept,
+           CAST(SUM(CASE WHEN k2.doc_id IS NOT NULL
+                         THEN len(tk.t) ELSE 0 END) AS BIGINT) AS kept_tokens
+    FROM documents d
+    JOIN toks tk ON tk.doc_id = d.doc_id
+    LEFT JOIN qk k1 ON k1.doc_id = d.doc_id
+    LEFT JOIN fk k2 ON k2.doc_id = d.doc_id
+    GROUP BY d.source
+    ORDER BY d.source
+    """,
+    tags=("extension", "curation", "pipeline", "end-to-end"),
+)
+def q139_corpus_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation pipeline composed end to end, under one
+    oracle hash: q71's quality rule ladder gates the corpus → near-dup
+    pairs (q18's bucketed Jaccard machinery) are generated ONLY among
+    quality keepers → connected components (q63) pick one canonical doc
+    per cluster → a per-source funnel report (total docs, quality
+    survivors, final kept docs, kept token budget).
+
+    This is the artifact a training-data run actually ships — and the
+    order matters at scale: filtering BEFORE dedup shrinks the shingle
+    join's input by the drop rate, which is why the pipeline composes
+    stages in this sequence rather than deduping the raw corpus. Every
+    stage reuses the verified operator (decision_frame, jaccard_pairs,
+    connected_components); the oracle recomputes the same composition
+    from first principles, so a regression in ANY stage — or in how
+    they hand off — breaks this one hash. Downstream, the kept set
+    feeds q72's packing and q127's shard manifest.
+    """
+    from movie_data_pipeline_spark.operators.dedup import jaccard_pairs
+    from movie_data_pipeline_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    qk = (
+        decision_frame(docs)
+        .filter(F.col("decision") == "keep")
+        .select("doc_id")
+    )
+    kept_docs = docs.join(qk, "doc_id").select("doc_id", "text")
+    pairs = jaccard_pairs(kept_docs, threshold=0.2).select("doc_a", "doc_b")
+    comp = connected_components(pairs, nodes=qk, src="doc_a", dst="doc_b")
+    fk = comp.filter(F.col("node") == F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    return (
+        base.join(qk.withColumn("q1", F.lit(1)), "doc_id", "left")
+        .join(fk.withColumn("f1", F.lit(1)), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count("q1").alias("n_quality_kept"),
+            F.count("f1").alias("n_final_kept"),
+            F.sum(
+                F.when(F.col("f1").isNotNull(), F.col("n_tokens")).otherwise(0)
+            )
+            .cast("long")
+            .alias("kept_tokens"),
+        )
+        .orderBy("source")
     )
