@@ -5,3 +5,7 @@ from movie_data_pipeline_spark.sources.registry import (  # noqa: F401
     register_views,
     table_path,
 )
+from movie_data_pipeline_spark.sources.versioned import (  # noqa: F401
+    CommitConflict,
+    VersionedTable,
+)

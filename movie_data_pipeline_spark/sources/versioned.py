@@ -1,0 +1,148 @@
+"""Versioned parquet tables with time travel — the manifest/commit
+core of a lakehouse table format (Delta/Iceberg-style), framework-free.
+
+Why it exists here: the engine already has MERGE row semantics
+(operators/merge.py) and CDC derivation (q136's snapshot diff); this
+module supplies the third leg — versioned storage — so the loop closes:
+read version N, apply a change batch, commit N+1, diff or time-travel
+any pair of versions later.
+
+Design (the part that scales):
+
+- **Data files are immutable.** Every commit writes fresh parquet files
+  under ``data/v{N}-{token}/``; nothing is ever rewritten in place.
+- **A manifest names the snapshot.** ``_manifests/{N:012d}.json`` lists
+  the data directories visible at version N. Readers load a manifest
+  and scan exactly those directories — no directory listing races, no
+  torn reads of half-written files (files land BEFORE the manifest).
+- **Commit = put-if-absent of the next manifest.** The manifest is
+  written to a temp name and linked into place with an exclusive
+  create; two writers racing to commit version N+1 → exactly one wins,
+  the loser gets ``CommitConflict`` and retries on top of the new head
+  (optimistic concurrency, single-table granularity — the same
+  protocol Delta runs on object stores via conditional PUT).
+- **Append commits reuse parent data dirs** (the add-files action);
+  overwrite commits start a fresh list. Either way old versions stay
+  readable until ``vacuum`` drops manifests older than the retention
+  count and deletes data dirs no retained manifest references.
+
+The reference has no versioning story at all (its loader DELETEs in
+place, etl1.py:380-383); this is the extension a warehouse needs the
+day someone asks "what did the table look like yesterday?".
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed this version first — reread the head
+    and retry the transaction on top of it."""
+
+
+class VersionedTable:
+    def __init__(self, path: str) -> None:
+        self.path = path
+        self._manifest_dir = os.path.join(path, "_manifests")
+        self._data_dir = os.path.join(path, "data")
+        os.makedirs(self._manifest_dir, exist_ok=True)
+        os.makedirs(self._data_dir, exist_ok=True)
+
+    # ---- metadata ----------------------------------------------------
+    def versions(self) -> list[int]:
+        return sorted(
+            int(f.split(".")[0])
+            for f in os.listdir(self._manifest_dir)
+            if f.endswith(".json")
+        )
+
+    def current_version(self) -> int | None:
+        vs = self.versions()
+        return vs[-1] if vs else None
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self._manifest_dir, f"{version:012d}.json")
+
+    def manifest(self, version: int | None = None) -> dict:
+        if version is None:
+            version = self.current_version()
+        if version is None:
+            raise FileNotFoundError(f"no commits yet in {self.path}")
+        with open(self._manifest_path(version)) as fh:
+            return json.load(fh)
+
+    # ---- write path --------------------------------------------------
+    def commit(self, df: DataFrame, mode: str = "overwrite") -> int:
+        """Write ``df`` as the next version. ``mode='append'`` keeps the
+        parent's data dirs visible; ``'overwrite'`` replaces them.
+        Returns the committed version; raises CommitConflict if another
+        writer won the race for this version number."""
+        if mode not in ("overwrite", "append"):
+            raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+        head = self.current_version()
+        next_v = 0 if head is None else head + 1
+        token = uuid.uuid4().hex[:12]
+        new_dir = os.path.join(self._data_dir, f"v{next_v}-{token}")
+        df.write.mode("errorifexists").parquet(new_dir)
+
+        dirs = [os.path.basename(new_dir)]
+        if mode == "append" and head is not None:
+            dirs = self.manifest(head)["data_dirs"] + dirs
+        manifest = {
+            "version": next_v,
+            "parent": head,
+            "mode": mode,
+            "data_dirs": dirs,
+            "committed_at": time.time(),
+        }
+        tmp = os.path.join(self._manifest_dir, f".tmp-{token}.json")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        try:
+            # put-if-absent: hard link fails iff the target exists —
+            # the atomic primitive object stores expose as conditional
+            # PUT. os.rename would silently clobber a racing winner.
+            os.link(tmp, self._manifest_path(next_v))
+        except FileExistsError:
+            shutil.rmtree(new_dir, ignore_errors=True)
+            raise CommitConflict(
+                f"version {next_v} already committed in {self.path}"
+            ) from None
+        finally:
+            os.unlink(tmp)
+        return next_v
+
+    # ---- read path ---------------------------------------------------
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Snapshot read: latest version by default, any retained
+        version for time travel."""
+        m = self.manifest(version)
+        paths = [os.path.join(self._data_dir, d) for d in m["data_dirs"]]
+        return spark.read.parquet(*paths)
+
+    # ---- maintenance -------------------------------------------------
+    def vacuum(self, keep_last: int = 2) -> list[str]:
+        """Drop manifests beyond the newest ``keep_last`` and delete
+        data dirs no retained manifest references. Returns the deleted
+        data dirs. Time travel works only within the retained window —
+        exactly the Delta VACUUM trade."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        vs = self.versions()
+        drop, keep = vs[:-keep_last], vs[-keep_last:]
+        live = {d for v in keep for d in self.manifest(v)["data_dirs"]}
+        deleted = []
+        for v in drop:
+            os.unlink(self._manifest_path(v))
+        for d in os.listdir(self._data_dir):
+            if d not in live:
+                shutil.rmtree(os.path.join(self._data_dir, d))
+                deleted.append(d)
+        return deleted

@@ -1,0 +1,97 @@
+"""Versioned-table semantics: commit/append/time-travel/vacuum and the
+optimistic-concurrency commit protocol (sources/versioned.py)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from movie_data_pipeline_spark.sources.versioned import (
+    CommitConflict,
+    VersionedTable,
+)
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return VersionedTable(str(tmp_path / "tbl"))
+
+
+def _rows(t, spark, version=None):
+    return sorted(
+        (r.id, r.v) for r in t.read(spark, version).collect()
+    )
+
+
+def test_overwrite_append_and_time_travel(spark, table):
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id INT, v STRING")
+    assert table.commit(df1) == 0
+    df2 = spark.createDataFrame([(3, "c")], "id INT, v STRING")
+    assert table.commit(df2, mode="append") == 1
+    df3 = spark.createDataFrame([(9, "z")], "id INT, v STRING")
+    assert table.commit(df3, mode="overwrite") == 2
+
+    assert _rows(table, spark, 0) == [(1, "a"), (2, "b")]
+    assert _rows(table, spark, 1) == [(1, "a"), (2, "b"), (3, "c")]
+    assert _rows(table, spark, 2) == [(9, "z")]
+    assert _rows(table, spark) == [(9, "z")]  # head
+    assert table.versions() == [0, 1, 2]
+    m = table.manifest(1)
+    assert m["parent"] == 0 and m["mode"] == "append"
+
+
+def test_commit_conflict_put_if_absent(spark, table):
+    """Two writers racing for the same next version: the loser's
+    manifest link must fail, its data dir must be cleaned up, and the
+    winner's snapshot must be untouched."""
+    df = spark.createDataFrame([(1, "a")], "id INT, v STRING")
+    table.commit(df)
+    # simulate the race: a second handle reads head=0, then the first
+    # handle commits version 1 before it does
+    racer = VersionedTable(table.path)
+    head_seen = racer.current_version()
+    assert head_seen == 0
+    table.commit(spark.createDataFrame([(2, "b")], "id INT, v STRING"))
+
+    # racer still believes next=1; force its commit path to collide by
+    # monkeypatching current_version to the stale head
+    racer.current_version = lambda: head_seen  # type: ignore[method-assign]
+    with pytest.raises(CommitConflict):
+        racer.commit(spark.createDataFrame([(3, "x")], "id INT, v STRING"))
+    # winner's (overwrite) snapshot intact; loser's orphan dir removed
+    assert _rows(table, spark) == [(2, "b")]
+    assert _rows(table, spark, 0) == [(1, "a")]
+    live = {d for v in table.versions() for d in table.manifest(v)["data_dirs"]}
+    on_disk = set(os.listdir(os.path.join(table.path, "data")))
+    assert on_disk == live
+
+
+def test_vacuum_keeps_window_and_deletes_orphans(spark, table):
+    for i in range(4):
+        table.commit(
+            spark.createDataFrame([(i, str(i))], "id INT, v STRING"),
+            mode="overwrite",
+        )
+    deleted = table.vacuum(keep_last=2)
+    assert table.versions() == [2, 3]
+    assert len(deleted) == 2  # v0 and v1 data dirs gone
+    assert _rows(table, spark, 2) == [(2, "2")]
+    assert _rows(table, spark, 3) == [(3, "3")]
+    with pytest.raises(FileNotFoundError):
+        table.manifest(0)
+
+
+def test_vacuum_append_chain_retains_shared_dirs(spark, table):
+    """Appends share data dirs across versions — vacuum must keep any
+    dir a RETAINED manifest still references, even if it was written
+    by a dropped version."""
+    table.commit(spark.createDataFrame([(1, "a")], "id INT, v STRING"))
+    for i in range(2, 5):
+        table.commit(
+            spark.createDataFrame([(i, "x")], "id INT, v STRING"),
+            mode="append",
+        )
+    table.vacuum(keep_last=1)
+    # head (v3) references all four dirs incl. v0's — all must survive
+    assert _rows(table, spark) == [(1, "a"), (2, "x"), (3, "x"), (4, "x")]
