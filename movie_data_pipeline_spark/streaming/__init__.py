@@ -12,5 +12,7 @@ from movie_data_pipeline_spark.streaming.events import (  # noqa: F401
 )
 from movie_data_pipeline_spark.streaming.sinks import (  # noqa: F401
     start_upsert_stream,
+    start_versioned_append_stream,
     upsert_batch_writer,
+    versioned_append_writer,
 )

@@ -76,3 +76,47 @@ def start_upsert_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def versioned_append_writer(
+    table_path: str,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch writer that lands every micro-batch as an APPEND
+    commit on a :class:`sources.versioned.VersionedTable` — streaming
+    ingestion with snapshot isolation and time travel, no table format.
+
+    Semantics: readers only ever see manifest-committed snapshots, so a
+    crash mid-batch leaves at worst an orphan data dir (cleaned by
+    vacuum), never a torn table. foreachBatch is at-least-once; a
+    replayed batch appends twice, so exactly-once EFFECTS need either
+    the keyed upsert sink above or a batch_id high-water mark stored in
+    the manifest — both documented trade-offs of real lakehouse sinks.
+    A CommitConflict (concurrent writer) is re-raised: the streaming
+    query fails fast rather than silently dropping a batch; restart
+    resumes from the checkpoint and retries on the new head.
+    """
+    from movie_data_pipeline_spark.sources.versioned import VersionedTable
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        VersionedTable(table_path).commit(batch_df, mode="append")
+
+    return _apply
+
+
+def start_versioned_append_stream(
+    df: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Stream → versioned table: each micro-batch is one append commit."""
+    writer = (
+        df.writeStream.foreachBatch(versioned_append_writer(table_path))
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

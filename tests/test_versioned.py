@@ -95,3 +95,39 @@ def test_vacuum_append_chain_retains_shared_dirs(spark, table):
     table.vacuum(keep_last=1)
     # head (v3) references all four dirs incl. v0's — all must survive
     assert _rows(table, spark) == [(1, "a"), (2, "x"), (3, "x"), (4, "x")]
+
+
+def test_streaming_append_commits_per_batch(spark, tmp_path):
+    """availableNow stream over multi-batch input → one append commit
+    per non-empty micro-batch; the head snapshot equals the full batch
+    input and intermediate versions time-travel."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from movie_data_pipeline_spark.streaming import (
+        start_versioned_append_stream,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    batches = [[(1, "a"), (2, "b")], [(3, "c")], [(4, "d")]]
+    for i, rows in enumerate(batches):
+        p = src / f"b{i}.json"
+        p.write_text("\n".join(_json.dumps({"id": k, "v": v}) for k, v in rows))
+        ts = _time.time() + i
+        _os.utime(p, (ts, ts))
+    stream = (
+        spark.readStream.schema("id INT, v STRING")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    tbl_path = str(tmp_path / "vt")
+    q = start_versioned_append_stream(
+        stream, tbl_path, checkpoint=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    t = VersionedTable(tbl_path)
+    assert t.versions() == [0, 1, 2]
+    assert _rows(t, spark) == [(1, "a"), (2, "b"), (3, "c"), (4, "d")]
+    assert _rows(t, spark, 0) == [(1, "a"), (2, "b")]
