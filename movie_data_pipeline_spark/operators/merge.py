@@ -52,3 +52,56 @@ def upsert(
         probe = F.broadcast(probe)
     kept = target.join(probe, on=list(keys), how="left_anti")
     return kept.unionByName(source)
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """Derive the change stream between two snapshots: one row per
+    changed key with ``op`` in {'insert','update','delete'} — the
+    inverse of :func:`upsert` (q136 is the catalog's oracle-verified
+    spelling of the same classification; this is the reusable operator
+    form for pipelines).
+
+    Same schema contract as upsert. Comparison is null-safe over the
+    non-key columns packed into one struct, so a value→NULL transition
+    classifies as an update, not a spurious match. Scale: one
+    key-partitioned full outer join; on wide rows, pre-hash the value
+    struct to a digest column and diff 16 bytes instead (same plan
+    shape, documented in q136).
+    """
+    if set(old.columns) != set(new.columns):
+        raise ValueError(
+            f"snapshot_diff requires identical schemas; old has "
+            f"{sorted(set(old.columns) - set(new.columns))} extra, new has "
+            f"{sorted(set(new.columns) - set(old.columns))} extra"
+        )
+    vals = [c for c in old.columns if c not in keys]
+    o = old.select(
+        *[F.col(k).alias(f"__ok_{k}") for k in keys],
+        F.struct(*vals).alias("__ov"),
+    )
+    n = new.select(
+        *[F.col(k).alias(f"__nk_{k}") for k in keys],
+        F.struct(*vals).alias("__nv"),
+    )
+    cond = None
+    for k in keys:
+        c = F.col(f"__ok_{k}") == F.col(f"__nk_{k}")
+        cond = c if cond is None else cond & c
+    joined = o.join(n, cond, "full_outer")
+    first_ok, first_nk = f"__ok_{keys[0]}", f"__nk_{keys[0]}"
+    op = (
+        F.when(F.col(first_ok).isNull(), F.lit("insert"))
+        .when(F.col(first_nk).isNull(), F.lit("delete"))
+        .when(~F.col("__ov").eqNullSafe(F.col("__nv")), F.lit("update"))
+    )
+    out_keys = [
+        F.coalesce(F.col(f"__ok_{k}"), F.col(f"__nk_{k}")).alias(k)
+        for k in keys
+    ]
+    return (
+        joined.withColumn("op", op)
+        .filter(F.col("op").isNotNull())
+        .select(*out_keys, "op")
+    )

@@ -131,3 +131,47 @@ def test_streaming_append_commits_per_batch(spark, tmp_path):
     assert t.versions() == [0, 1, 2]
     assert _rows(t, spark) == [(1, "a"), (2, "b"), (3, "c"), (4, "d")]
     assert _rows(t, spark, 0) == [(1, "a"), (2, "b")]
+
+
+def test_cdc_round_trip_through_versioned_table(spark, tmp_path):
+    """The full change-data loop: commit v0 → apply a change batch
+    (MERGE upserts + delete anti-join) → commit v1 → snapshot_diff of
+    the two STORED versions recovers exactly the applied change set.
+    Ties together versioned storage, the MERGE operator, and the diff
+    operator — if any leg drifts, the recovered CDC won't match."""
+    from movie_data_pipeline_spark.operators.merge import snapshot_diff, upsert
+
+    t = VersionedTable(str(tmp_path / "cdc"))
+    v0 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None), (4, "d", 40.0)],
+        "id INT, name STRING, bal DOUBLE",
+    )
+    t.commit(v0)
+
+    ups = spark.createDataFrame(
+        [(2, "b", 25.0), (3, "c", 33.0), (5, "e", 50.0)],  # 2 updates + insert
+        "id INT, name STRING, bal DOUBLE",
+    )
+    deletes = spark.createDataFrame([(4,)], "id INT")
+    base = t.read(spark)
+    v1 = upsert(base, ups, ["id"]).join(deletes, "id", "left_anti")
+    t.commit(v1, mode="overwrite")
+
+    got = {
+        (r.id, r.op)
+        for r in snapshot_diff(
+            t.read(spark, 0), t.read(spark, 1), ["id"]
+        ).collect()
+    }
+    assert got == {(2, "update"), (3, "update"), (5, "insert"), (4, "delete")}
+    # id 1 untouched → absent; null→value transition (id 3) is an update
+
+
+def test_snapshot_diff_null_safety(spark):
+    from movie_data_pipeline_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame([(1, None), (2, "x")], "id INT, v STRING")
+    new = spark.createDataFrame([(1, None), (2, None)], "id INT, v STRING")
+    got = {(r.id, r.op) for r in snapshot_diff(old, new, ["id"]).collect()}
+    # null == null must NOT diff; value -> null must
+    assert got == {(2, "update")}
