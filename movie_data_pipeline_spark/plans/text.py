@@ -641,3 +641,75 @@ def q135_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_syllables.cast("long").alias("n_syllables"),
         F.when(n_words > 0, round4(ease)).alias("flesch_ease"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# q140 — bigram conditional surprisal (language-model quality signal)
+# --------------------------------------------------------------------------
+@query(
+    "q140_bigram_surprisal",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+      FROM documents),
+    bg AS (
+      SELECT doc_id, t[i] AS a, t[i + 1] AS b
+      FROM toks, unnest(generate_series(1, len(t) - 1)) s(i)
+      WHERE len(t) >= 2),
+    cb AS (SELECT a, b, COUNT(*) AS c FROM bg GROUP BY a, b),
+    pf AS (SELECT a, CAST(SUM(c) AS BIGINT) AS ca FROM cb GROUP BY a),
+    scored AS (
+      SELECT bg.doc_id,
+             -ln(cb.c * 1.0 / pf.ca) AS term
+      FROM bg JOIN cb ON cb.a = bg.a AND cb.b = bg.b
+              JOIN pf ON pf.a = bg.a)
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           floor((CAST(SUM(CAST(term AS DECIMAL(38,18))) AS DOUBLE)
+                  / COUNT(*)) * 10000 + 0.5) / 10000 AS mean_surprisal
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("extension", "text", "language-model", "surprisal"),
+)
+def q140_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean bigram conditional surprisal per document,
+    -mean ln P(w_i | w_{i-1}), with MLE probabilities estimated from
+    the corpus itself — the order-2 upgrade of q83's unigram surprisal
+    and the textbook cheap proxy for LM perplexity: documents whose
+    word TRANSITIONS are unusual (not just whose words are rare) score
+    high, which is exactly what repetition/garble filters miss.
+
+    Scale: bigram extraction is an array zip in codegen; the corpus
+    bigram table is one groupBy (persisted — it feeds both the prefix
+    rollup and the per-occurrence join); scoring is two equi-joins on
+    the bigram/prefix keys. Hot prefixes (stopwords) are the skew to
+    watch — the q99 salting pattern applies to the scoring join at
+    corpus scale. Determinism: ln of exact-count ratios, decimal-summed
+    (q61 discipline), exact division by the bigram count.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    toks = docs.select("doc_id", t.alias("t")).filter(F.size("t") >= 2)
+    z = F.arrays_zip(
+        F.slice(F.col("t"), 1, F.size("t") - 1),
+        F.slice(F.col("t"), 2, F.size("t") - 1),
+    )
+    bg = toks.select("doc_id", F.explode(z).alias("p")).select(
+        "doc_id", F.col("p.0").alias("a"), F.col("p.1").alias("b")
+    )
+    cb = bg.groupBy("a", "b").agg(F.count("*").alias("c")).persist()
+    pf = cb.groupBy("a").agg(F.sum("c").cast("long").alias("ca"))
+    term = -F.log(F.col("c").cast("double") / F.col("ca").cast("double"))
+    return (
+        bg.join(cb, ["a", "b"])
+        .join(pf, "a")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            round4(
+                F.sum(term.cast("decimal(38,18)")).cast("double")
+                / F.count("*")
+            ).alias("mean_surprisal"),
+        )
+        .orderBy("doc_id")
+    )
