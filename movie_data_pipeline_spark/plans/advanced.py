@@ -2321,3 +2321,65 @@ def q136_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey")
     )
+
+
+# --------------------------------------------------------------------------
+# q141 — supplier diversity per part attribute  (TPC-H Q16 shape)
+# --------------------------------------------------------------------------
+@query(
+    "q141_supplier_diversity",
+    oracle="""
+    WITH ps AS (
+      SELECT DISTINCT l_partkey AS partkey, l_suppkey AS suppkey
+      FROM lineitem),
+    excl AS (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT suppkey) AS supplier_cnt
+    FROM ps JOIN part ON p_partkey = partkey
+    WHERE p_brand <> 'Brand#9'
+      AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND suppkey NOT IN (SELECT s_suppkey FROM excl)
+    GROUP BY 1, 2, 3
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    tags=("parity", "tpch-q16", "anti-join", "count-distinct"),
+)
+def q141_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many distinct suppliers can furnish parts of each
+    (brand, type, size), excluding one brand/type and a supplier
+    deny-list — TPC-H Q16's NOT-IN-subquery + grouped COUNT(DISTINCT),
+    with lineitem standing in for partsupp (the schema has no partsupp
+    table) and the deny-list keyed on negative account balance (no
+    s_comment column).
+
+    Scale: the fact collapses to DISTINCT (partkey, suppkey) FIRST —
+    one shuffle that shrinks every later stage to relation-size; the
+    deny-list NOT IN becomes a broadcast anti join (keys are non-null,
+    so the anti join is exactly NOT IN with none of its NULL traps);
+    part is a broadcast dim with all three predicates pushed to its
+    scan.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#9")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    excl = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    ps = (
+        lineitem.select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_suppkey").alias("suppkey"),
+        )
+        .distinct()
+        .join(F.broadcast(excl), F.col("suppkey") == F.col("s_suppkey"), "left_anti")
+    )
+    return (
+        ps.join(F.broadcast(part), F.col("p_partkey") == F.col("partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
