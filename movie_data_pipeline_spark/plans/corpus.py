@@ -513,3 +513,82 @@ def q120_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cum_tokens").cast("long").alias("cum_tokens"),
         F.col("cum_types").cast("long").alias("cum_types"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# q142 — cross-source overlap matrix (inter-source duplication)
+# --------------------------------------------------------------------------
+@query(
+    "q142_source_overlap_matrix",
+    oracle=f"""
+    WITH toks AS (SELECT source, {_TOKS_SQL} AS t FROM documents),
+    sg0 AS (
+      SELECT source,
+             CASE WHEN len(t) >= 3
+               THEN unnest(list_transform(generate_series(1, len(t) - 2),
+                                          i -> array_to_string(t[i:i+2], ' ')))
+               ELSE array_to_string(t, ' ')
+             END AS g
+      FROM toks),
+    sg AS (SELECT DISTINCT source, g FROM sg0),
+    tot AS (SELECT source, COUNT(*) AS n FROM sg GROUP BY 1),
+    sh AS (
+      SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+      FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source
+      GROUP BY 1, 2)
+    SELECT source_a, source_b, n_shared,
+           {r4('n_shared * 1.0 / (ta.n + tb.n - n_shared)')} AS gram_jaccard
+    FROM sh
+    JOIN tot ta ON ta.source = source_a
+    JOIN tot tb ON tb.source = source_b
+    ORDER BY {r4('n_shared * 1.0 / (ta.n + tb.n - n_shared)')} DESC,
+             source_a, source_b
+    LIMIT 25
+    """,
+    tags=("extension", "corpus", "contamination", "source-overlap"),
+)
+def q142_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which SOURCES share content: top-25 source pairs by word-3-gram
+    set Jaccard, with shared-gram counts — the inter-source duplication
+    matrix that decides whether two feeds are really one (mirrors,
+    scrapes of each other) before mixing weights (q85) are computed
+    over them. q88 answers "does my corpus contain the benchmark";
+    this answers "do my corpora contain each other".
+
+    Scale: grams dedup to (source, gram) FIRST — the join operand is a
+    vocabulary-sized relation, not token occurrences; the pair join is
+    an equi-join on the gram with |sources| as the only fan-out (hot
+    universal grams multiply by at most #source-pairs, and the q18
+    document-frequency cap applies unchanged if #sources grows). Ties
+    at the top-25 cut rank on the quantized jaccard (q23's rule), so
+    the cross-engine boundary is stable.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sg = (
+        docs.select("source", F.explode(word_shingles(F.col("text"))).alias("g"))
+        .distinct()
+        .persist()  # feeds totals and both join sides
+    )
+    tot = sg.groupBy("source").agg(F.count("*").alias("n"))
+    a = sg.select(F.col("source").alias("source_a"), "g")
+    b = sg.select(F.col("source").alias("source_b"), "g")
+    sh = (
+        a.join(b, "g")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    ta = tot.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
+    tb = tot.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
+    jac = round4(
+        F.col("n_shared")
+        * F.lit(1.0)
+        / (F.col("na") + F.col("nb") - F.col("n_shared"))
+    )
+    return (
+        sh.join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .select("source_a", "source_b", "n_shared", jac.alias("gram_jaccard"))
+        .orderBy(F.desc("gram_jaccard"), "source_a", "source_b")
+        .limit(25)
+    )
