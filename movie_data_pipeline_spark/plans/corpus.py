@@ -592,3 +592,63 @@ def q142_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("gram_jaccard"), "source_a", "source_b")
         .limit(25)
     )
+
+
+# --------------------------------------------------------------------------
+# q143 — stop-shingle report (the DF-cap list generator)
+# --------------------------------------------------------------------------
+@query(
+    "q143_stop_shingle_report",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    sg0 AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3
+               THEN unnest(list_transform(generate_series(1, len(t) - 2),
+                                          i -> array_to_string(t[i:i+2], ' ')))
+               ELSE array_to_string(t, ' ')
+             END AS g
+      FROM toks),
+    sg AS (SELECT DISTINCT doc_id, g FROM sg0),
+    df AS (SELECT g, COUNT(*) AS doc_freq FROM sg GROUP BY g),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT g AS shingle, doc_freq,
+           {r4('doc_freq * 1.0 / n.n_docs')} AS df_share
+    FROM df CROSS JOIN n
+    ORDER BY doc_freq DESC, shingle
+    LIMIT 50
+    """,
+    tags=("extension", "corpus", "dedup", "boilerplate"),
+)
+def q143_stop_shingle_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 word-3-grams by DOCUMENT frequency with their corpus
+    share — the boilerplate/stop-shingle list that similarity joins
+    consume: q18's Jaccard machinery takes a document-frequency cap to
+    bound hot-shingle blowup, and THIS is the report that calibrates
+    that cap (eyeball where navigation chrome / license headers /
+    template text starts, set max_shingle_df just below it).
+
+    Scale: one distinct + one count per gram — the same first two
+    stages the Jaccard join already runs, so the report is nearly free
+    when computed alongside it; top-50 is TakeOrderedAndProject. The
+    web-dedup literature's stop-shingle step (remove the head of this
+    exact distribution) is why the DF cap exists at all.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sg = docs.select(
+        "doc_id", F.explode(word_shingles(F.col("text"))).alias("shingle")
+    ).distinct()
+    dfreq = sg.groupBy("shingle").agg(F.count("*").alias("doc_freq"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    return (
+        dfreq.crossJoin(F.broadcast(n))
+        .select(
+            "shingle",
+            "doc_freq",
+            round4(F.col("doc_freq") * F.lit(1.0) / F.col("n_docs")).alias(
+                "df_share"
+            ),
+        )
+        .orderBy(F.desc("doc_freq"), "shingle")
+        .limit(50)
+    )
