@@ -1354,3 +1354,149 @@ def q138_join_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gini"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q145 — EWMA smoothing over the hourly event series
+# --------------------------------------------------------------------------
+_EWMA_DECAY = 0.7  # 1 - alpha for alpha = 0.3
+_EWMA_LAGS = 12
+_EWMA_W = [repr(_EWMA_DECAY**k) for k in range(_EWMA_LAGS)]
+
+
+def _ewma_oracle() -> str:
+    num = " + ".join(
+        f"COALESCE(lag(x, {k}) OVER w * {w}, 0)" for k, w in enumerate(_EWMA_W)
+    )
+    den = " + ".join(
+        f"CASE WHEN lag(x, {k}) OVER w IS NOT NULL THEN {w} ELSE 0 END"
+        for k, w in enumerate(_EWMA_W)
+    )
+    return f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
+               / COUNT(*) AS x
+      FROM events GROUP BY 1, 2)
+    SELECT event_type, hr, {r4('x')} AS avg_value,
+           {r4(f'({num}) / ({den})')} AS ewma12
+    FROM hourly
+    WINDOW w AS (PARTITION BY event_type ORDER BY hr)
+    ORDER BY event_type, hr
+    """
+
+
+@query(
+    "q145_ewma_hourly_value",
+    oracle=_ewma_oracle(),
+    tags=("extension", "timeseries", "window"),
+)
+def q145_ewma_hourly_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of the hourly mean event
+    value, per event type — the standard smoothing pass in front of
+    threshold alerting (q86's anomaly scorer consumes exactly this kind
+    of series).
+
+    EWMA's textbook recursion ``s_t = a*x_t + (1-a)*s_{t-1}`` is a
+    sequential scan; the distributed form here is the 12-term truncated
+    expansion ``sum_k (1-a)^k x_{t-k} / sum_k (1-a)^k`` over observed
+    rows only (missing hours don't contribute zero — the weight mass is
+    renormalized over present lags, pandas ``ewm(adjust=True)``-style).
+    Truncation error is bounded by (1-a)^12 < 1.4% of the weight mass,
+    and the frame is 12 bounded ``lag`` expressions inside ONE per-type
+    window — codegen'd, partition-parallel across event types, and
+    immune to corpus-length growth (unlike the recursion, which is a
+    global prefix scan). Weight literals are rendered from one Python
+    constant into both engines, so the arithmetic is bit-identical.
+    """
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg((exact_sum(F.col("value")) / F.count("*")).alias("x"))
+    w = Window.partitionBy("event_type").orderBy("hr")
+    num = None
+    den = None
+    for k, wt in enumerate(_EWMA_W):
+        lagged = F.lag("x", k).over(w) if k else F.col("x")
+        term = F.coalesce(lagged * F.lit(float(wt)), F.lit(0.0))
+        present = F.when(lagged.isNotNull(), F.lit(float(wt))).otherwise(
+            F.lit(0.0)
+        )
+        num = term if num is None else num + term
+        den = present if den is None else den + present
+    return hourly.select(
+        "event_type",
+        "hr",
+        round4(F.col("x")).alias("avg_value"),
+        round4(num / den).alias("ewma12"),
+    ).orderBy("event_type", "hr")
+
+
+# --------------------------------------------------------------------------
+# q147 — robust (median/MAD) outlier detection on order prices
+# --------------------------------------------------------------------------
+@query(
+    "q147_robust_price_outliers",
+    oracle=f"""
+    WITH med AS (
+      SELECT o_orderpriority,
+             quantile_cont(o_totalprice, 0.5) AS med_price
+      FROM orders GROUP BY 1),
+    dev AS (
+      SELECT o.o_orderpriority, o.o_totalprice, m.med_price,
+             abs(o.o_totalprice - m.med_price) AS adev
+      FROM orders o JOIN med m USING (o_orderpriority)),
+    mad AS (
+      SELECT o_orderpriority, quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY 1)
+    SELECT d.o_orderpriority,
+           {r4('ANY_VALUE(d.med_price)')} AS med_price,
+           {r4('ANY_VALUE(m.mad)')} AS mad,
+           COUNT(*) AS n_orders,
+           COUNT(CASE WHEN d.adev > 5.1891 * m.mad THEN 1 END) AS n_outliers
+    FROM dev d JOIN mad m USING (o_orderpriority)
+    GROUP BY d.o_orderpriority
+    ORDER BY d.o_orderpriority
+    """,
+    tags=("extension", "robust-stats", "percentile"),
+)
+def q147_robust_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier counts per order priority — the
+    dispersion measure that survives the exact contamination that
+    mean/stddev z-scores (q86's family) are trying to detect. Flag
+    threshold 5.1891 = 3.5 sigma * 1.4826 (the normal-consistency
+    constant), folded to one literal so both engines compare against
+    the identical double.
+
+    Two grouped exact-percentile aggregates (median of price, then
+    median of absolute deviation) with broadcast joins back to the
+    fact — groups are the 5 priorities, so the exact percentile's
+    per-group sort is bounded; at extreme group cardinality swap in the
+    GK sketch from operators/approx.py (q33's documented escape hatch).
+    No global windows, no collects.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    med = orders.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("med_price")
+    )
+    dev = orders.join(F.broadcast(med), "o_orderpriority").select(
+        "o_orderpriority",
+        "med_price",
+        F.abs(F.col("o_totalprice") - F.col("med_price")).alias("adev"),
+    )
+    mad = dev.groupBy("o_orderpriority").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            round4(F.any_value(F.col("med_price"))).alias("med_price"),
+            round4(F.any_value(F.col("mad"))).alias("mad"),
+            F.count("*").alias("n_orders"),
+            F.count(F.when(F.col("adev") > F.lit(5.1891) * F.col("mad"), 1)).alias(
+                "n_outliers"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -24,6 +24,7 @@ from movie_data_pipeline_spark.operators.dedup import (
     minhash_coeffs,
     minhash_signatures_long,
     minhash_signatures_wide,
+    ppjoin_pairs,
     simhash,
     simhash_hamming_pairs,
 )
@@ -682,3 +683,168 @@ def q134_duplicate_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = jaccard_pairs(docs, threshold=0.2).select("doc_a", "doc_b")
     return duplicate_clusters(pairs, docs, algorithm="star").orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# q144 — exact similarity join via prefix filtering (PPJoin)
+# --------------------------------------------------------------------------
+@query(
+    "q144_ppjoin_pairs",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM shingles a JOIN shingles b
+        ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           {r4('n_common * 1.0 / (ca.n + cb.n - n_common)')} AS jaccard
+    FROM common
+    JOIN counts ca ON ca.doc_id = doc_a
+    JOIN counts cb ON cb.doc_id = doc_b
+    WHERE n_common * 1.0 / (ca.n + cb.n - n_common) >= 0.5
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("extension", "dedup", "similarity-join", "ppjoin"),
+)
+def q144_ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard ≥ 0.5 pairs by PREFIX FILTERING — the exact
+    (lossless) alternative to q18's document-frequency cap.
+
+    The oracle is plain brute force over the full shingle join; the
+    Spark plan generates candidates only from each document's rarest
+    ``|s| - ceil(0.5|s|) + 1`` shingles (df-ascending global order) and
+    still must produce the IDENTICAL pair set — the driver's hash
+    compare is effectively a machine-checked proof of the prefix
+    filter's losslessness on this corpus. See
+    :func:`movie_data_pipeline_spark.operators.dedup.ppjoin_pairs` for
+    the plan shape and the pigeonhole argument.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ppjoin_pairs(docs, threshold=0.5)
+    return pairs.select(
+        "doc_a", "doc_b", round4(F.col("jaccard")).alias("jaccard")
+    ).orderBy("doc_a", "doc_b")
+
+
+# --------------------------------------------------------------------------
+# q146 — cross-document duplicated-span SCRUB (corpus rewrite)
+# --------------------------------------------------------------------------
+@query(
+    "q146_span_scrubbed_corpus",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    pos_toks AS (
+      SELECT doc_id, pos, t[pos] AS tok FROM (
+        SELECT doc_id, t, unnest(generate_series(1, len(t))) AS pos
+        FROM toks)),
+    grams AS (
+      SELECT doc_id, s.i AS i, s.g AS g FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(t) - 4),
+                 i -> struct_pack(i := i,
+                                  g := array_to_string(t[i:i+4], ' ')))) AS s
+        FROM toks WHERE len(t) >= 5)),
+    gd AS (SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) > 1),
+    covered AS (
+      SELECT DISTINCT doc_id, unnest(generate_series(i, i + 4)) AS pos
+      FROM grams JOIN gd USING (g)),
+    kept AS (
+      SELECT p.doc_id, p.pos, p.tok
+      FROM pos_toks p LEFT JOIN covered c
+        ON c.doc_id = p.doc_id AND c.pos = p.pos
+      WHERE c.pos IS NULL)
+    SELECT t.doc_id,
+           CAST(len(t.t) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+           COALESCE(k.digest, md5('')) AS scrub_digest
+    FROM toks t LEFT JOIN (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             md5(string_agg(tok, ' ' ORDER BY pos)) AS digest
+      FROM kept GROUP BY doc_id) k ON k.doc_id = t.doc_id
+    ORDER BY t.doc_id
+    """,
+    tags=("extension", "dedup", "substring", "rewrite"),
+)
+def q146_span_scrubbed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup as a corpus REWRITE (the action behind
+    q84's diagnostic): drop every token position covered by a word
+    5-gram that also occurs in another document (Lee et al. 2022 —
+    their suffix-array spans, restricted to fixed 5-gram width so the
+    operator stays relational), reassemble the surviving tokens in
+    order, and emit per-document kept-counts plus an md5 digest of the
+    scrubbed text (digest, not text: the driver hashes values, and at
+    100 TB the rewritten corpus would be WRITTEN to parquet, not
+    returned through a result set).
+
+    Plan: positional token explode + positional 5-gram explode; gram
+    document-frequencies (one shuffle on the gram); covered positions
+    via ``sequence(i, i+4)`` explode + distinct; anti-join against
+    token positions; per-document reassembly with
+    ``sort_array(collect_list(struct(pos, tok)))`` — bounded by tokens
+    per document, never corpus size. Docs shorter than 5 tokens have no
+    grams and survive whole.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    toks = docs.select("doc_id", t.alias("t"))
+    pos_toks = toks.select(
+        "doc_id", F.posexplode("t").alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    grams = (
+        toks.filter(F.size("t") >= 5)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - F.lit(4)),
+                    lambda i: F.struct(
+                        i.alias("i"),
+                        F.array_join(F.slice(F.col("t"), i, 5), " ").alias("g"),
+                    ),
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", F.col("s.i").alias("i"), F.col("s.g").alias("g"))
+    )
+    gd = (
+        grams.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("g")
+    )
+    covered = (
+        grams.join(gd, "g")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("i"), F.col("i") + F.lit(4))).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = pos_toks.join(covered, ["doc_id", "pos"], "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct(F.col("pos"), F.col("tok")))
+                    ),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            )
+        ).alias("digest"),
+    )
+    return (
+        toks.select("doc_id", F.size("t").cast("long").alias("n_tokens"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce(F.col("digest"), F.md5(F.lit(""))).alias("scrub_digest"),
+        )
+        .orderBy("doc_id")
+    )

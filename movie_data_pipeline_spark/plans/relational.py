@@ -1392,3 +1392,54 @@ def q124_nation_segment_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# --------------------------------------------------------------------------
+# q148 — shipping lateness by priority (TPC-H Q12 shape)
+# --------------------------------------------------------------------------
+@query(
+    "q148_priority_lateness",
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_lines,
+           COUNT(CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+                                     CAST(l.l_shipdate AS DATE)) > 90
+                 THEN 1 END) AS n_late,
+           {r4("COUNT(CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) > 90 THEN 1 END) * 1.0 / COUNT(*)")} AS late_share
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+    tags=("parity-extension", "tpch-q12", "join", "agg"),
+)
+def q148_priority_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ship-after-90-days lateness split per order priority — the
+    TPC-H Q12 shape (commitdate/shipmode folded to the columns this
+    star actually has). One fact-fact equi-join on the order key
+    feeding a 5-group conditional aggregate: the join shuffles both
+    sides on l_orderkey/o_orderkey (AQE skew-splits a hot order), the
+    aggregate is partial+final with 5 groups, and datediff runs in
+    codegen on DATE-cast columns (both engines count calendar-day
+    boundaries, so the >90 threshold is portable).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = (
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        )
+        > 90
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.count(F.when(late, 1)).alias("n_late"),
+            round4(
+                F.count(F.when(late, 1)).cast("double")
+                / F.count("*").cast("double")
+            ).alias("late_share"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -101,3 +101,39 @@ def test_incremental_matches_equal_cross_split_self_join(corpus):
         elif r.doc_b % 2 == 0 and r.doc_a % 2 == 1:
             want.add((r.doc_b, r.doc_a))
     assert got == want and got  # non-trivial: planted dup pair crosses the split
+
+
+def test_ppjoin_matches_bruteforce_on_crafted(corpus):
+    from movie_data_pipeline_spark.operators.dedup import ppjoin_pairs
+
+    want = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs(corpus, threshold=0.5).collect()
+    }
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ppjoin_pairs(corpus, threshold=0.5).collect()
+    }
+    assert got == want  # lossless: identical pair set AND values
+
+
+@pytest.mark.parametrize("threshold", [0.3, 0.5, 0.8])
+def test_ppjoin_lossless_vs_uncapped_bucket_join(spark, threshold):
+    """Independent-implementation equivalence on the real synthetic
+    corpus: prefix-filtered PPJoin must equal the uncapped bucket join
+    exactly, at every threshold (the prefix bound is threshold-
+    dependent, so one threshold would not exercise the ceil edge
+    cases)."""
+    from movie_data_pipeline_spark.operators.dedup import ppjoin_pairs
+    from movie_data_pipeline_spark.sources.registry import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    want = {
+        (r.doc_a, r.doc_b): round(r.jaccard, 9)
+        for r in jaccard_pairs(docs, threshold=threshold).collect()
+    }
+    got = {
+        (r.doc_a, r.doc_b): round(r.jaccard, 9)
+        for r in ppjoin_pairs(docs, threshold=threshold).collect()
+    }
+    assert got == want
