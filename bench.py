@@ -56,6 +56,10 @@ HEADLINE = [
     # round-2 additions, late batch: incremental dedup + ANN audit
     "q126_incremental_dedup",
     "q132_ann_recall_audit",
+    # round-2 additions, third batch: exact similarity joins + rewrite
+    "q144_ppjoin_pairs",
+    "q146_span_scrubbed_corpus",
+    "q149_containment_pairs",
 ]
 
 

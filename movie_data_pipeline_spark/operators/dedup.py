@@ -558,3 +558,72 @@ def ppjoin_pairs(
         .filter(F.col("jaccard") >= F.lit(threshold))
     )
     return verified.select("doc_a", "doc_b", "jaccard")
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """DIRECTIONAL near-duplicate pairs by shingle-set containment
+    ``|A∩B| / |A|`` ≥ threshold — the asymmetric complement to
+    :func:`jaccard_pairs`. Jaccard misses subset duplication by
+    construction (a paragraph quoted inside a 100x larger document has
+    Jaccard ≈ 0.01 but containment 1.0); containment is the signal for
+    quote/excerpt/boilerplate-inclusion detection in corpus curation.
+
+    Same single bucket-shuffle shape as ``jaccard_pairs`` (per-shingle
+    sorted id arrays, map-side pair generation, optional stop-shingle
+    document-frequency cap): the shared-shingle count per unordered
+    pair is computed once, then projected into BOTH directions and
+    thresholded against each source's own set size. Emits
+    (src_doc, dst_doc, containment) — src's shingles are covered by
+    dst to the stated fraction.
+    """
+    sh = doc_shingles(df, id_col, text_col, n)
+    buckets = sh.groupBy("shingle").agg(
+        F.sort_array(F.collect_list(id_col)).alias("ids")
+    )
+    if max_shingle_df is not None:
+        buckets = buckets.filter(F.size("ids") <= max_shingle_df)
+    from pyspark import StorageLevel
+
+    buckets = buckets.persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = (
+        buckets.select(F.explode("ids").alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shingles"))
+    )
+    ids = F.col("ids")
+    pair_array = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids) - i - 1),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    common = (
+        buckets.filter(F.size("ids") > 1)
+        .select(F.explode(pair_array).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_shingles").alias("size_b"))
+    both = common.join(sa, "doc_a").join(sb, "doc_b")
+    fwd = both.select(
+        F.col("doc_a").alias("src_doc"),
+        F.col("doc_b").alias("dst_doc"),
+        (F.col("n_common") / F.col("size_a")).alias("containment"),
+    )
+    rev = both.select(
+        F.col("doc_b").alias("src_doc"),
+        F.col("doc_a").alias("dst_doc"),
+        (F.col("n_common") / F.col("size_b")).alias("containment"),
+    )
+    return fwd.unionAll(rev).filter(F.col("containment") >= F.lit(threshold))

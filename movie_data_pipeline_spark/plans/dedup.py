@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from movie_data_pipeline_spark.operators.dedup import (
     LSH_BAND_ROWS,
     MINHASH_P,
+    containment_pairs,
     exact_duplicates,
     incremental_lsh_matches,
     jaccard_pairs,
@@ -848,3 +849,46 @@ def q146_span_scrubbed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q149 — directional containment pairs (subset/quote duplication)
+# --------------------------------------------------------------------------
+@query(
+    "q149_containment_pairs",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM shingles a JOIN shingles b
+        ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    both_dir AS (
+      SELECT doc_a AS src_doc, doc_b AS dst_doc,
+             n_common * 1.0 / ca.n AS containment
+      FROM common JOIN counts ca ON ca.doc_id = doc_a
+      UNION ALL
+      SELECT doc_b AS src_doc, doc_a AS dst_doc,
+             n_common * 1.0 / cb.n AS containment
+      FROM common JOIN counts cb ON cb.doc_id = doc_b)
+    SELECT src_doc, dst_doc, {r4('containment')} AS containment
+    FROM both_dir WHERE containment >= 0.8
+    ORDER BY src_doc, dst_doc
+    """,
+    tags=("extension", "dedup", "similarity-join", "containment"),
+)
+def q149_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional shingle-set containment ≥ 0.8 — catches subset
+    duplication (quotes, excerpts, boilerplate inclusion) that Jaccard
+    structurally misses: a fully-quoted paragraph inside a much larger
+    document scores containment 1.0 but Jaccard ≈ |quote|/|doc|. The
+    threshold ratio is exact integer arithmetic, so thresholding is
+    portable; only the reported containment is rounded. See
+    :func:`movie_data_pipeline_spark.operators.dedup.containment_pairs`.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = containment_pairs(docs, threshold=0.8)
+    return pairs.select(
+        "src_doc", "dst_doc", round4(F.col("containment")).alias("containment")
+    ).orderBy("src_doc", "dst_doc")
