@@ -11,6 +11,8 @@ from movie_data_pipeline_spark.streaming.events import (  # noqa: F401
     user_running_totals_stream,
 )
 from movie_data_pipeline_spark.streaming.sinks import (  # noqa: F401
+    dedup_gate_batch_writer,
+    start_dedup_gate_stream,
     start_upsert_stream,
     start_versioned_append_stream,
     upsert_batch_writer,

@@ -30,6 +30,7 @@ from __future__ import annotations
 from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.utils import AnalysisException
 
@@ -114,6 +115,112 @@ def start_versioned_append_stream(
     """Stream → versioned table: each micro-batch is one append commit."""
     writer = (
         df.writeStream.foreachBatch(versioned_append_writer(table_path))
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def dedup_gate_batch_writer(
+    accepted_path: str,
+    index_path: str,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch writer implementing a streaming NEAR-DUPLICATE
+    INGEST GATE — the continuous-crawl front door of an LLM data
+    pipeline: every micro-batch of documents is MinHash-signed, checked
+    against the accumulated corpus LSH index, and only novel documents
+    are committed; the index grows by exactly the accepted documents'
+    band signatures.
+
+    Per batch (all relational — one signing pass over the batch, one
+    (band, band_sig) equi-join against the stored index; the corpus is
+    never re-signed):
+
+    1. ``minhash_signatures_wide`` over the batch (16 hashes, one pass);
+    2. within-batch keep-first: ``lsh_candidate_pairs_wide`` pairs drop
+       the higher doc_id of each colliding pair (greedy min-
+       representative — deterministic, and transitively safe because
+       the kept minimum itself is checked against the corpus);
+    3. corpus check: batch band signatures ⋈ index on (band, band_sig)
+       — the same storable-index join as
+       ``operators.dedup.incremental_lsh_matches``;
+    4. survivors are committed append-mode to ``accepted_path``, then
+       their band signatures to ``index_path``.
+
+    Commit ordering is documents-first: a crash between the two commits
+    can leave accepted docs unindexed (a later duplicate may slip
+    through — benign, dedup is best-effort by construction at
+    at-least-once semantics), never the reverse (index-first would
+    permanently reject content that was never stored). Both commits are
+    snapshot-isolated appends on :class:`VersionedTable`; a replayed
+    micro-batch re-checks against the index its first attempt already
+    grew, so replays converge instead of double-accepting.
+    """
+    from movie_data_pipeline_spark.operators.dedup import (
+        band_signatures,
+        lsh_candidate_pairs_wide,
+        minhash_signatures_wide,
+    )
+    from movie_data_pipeline_spark.sources.versioned import VersionedTable
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        sigs = minhash_signatures_wide(batch_df)
+        sigs.persist()
+        try:
+            bands = band_signatures(sigs)
+            batch_dupes = (
+                lsh_candidate_pairs_wide(sigs)
+                .select(F.col("doc_b").alias("doc_id"))
+                .distinct()
+            )
+            survivors = batch_df.join(batch_dupes, "doc_id", "left_anti")
+
+            index = VersionedTable(index_path)
+            if index.current_version() is not None:
+                corpus_bands = index.read(spark).select("band", "band_sig")
+                corpus_hits = (
+                    bands.join(corpus_bands, ["band", "band_sig"])
+                    .select("doc_id")
+                    .distinct()
+                )
+                survivors = survivors.join(corpus_hits, "doc_id", "left_anti")
+
+            survivors = survivors.persist()
+            try:
+                if survivors.isEmpty():
+                    return
+                VersionedTable(accepted_path).commit(survivors, mode="append")
+                index.commit(
+                    bands.join(
+                        survivors.select("doc_id"), "doc_id", "left_semi"
+                    ),
+                    mode="append",
+                )
+            finally:
+                survivors.unpersist()
+        finally:
+            sigs.unpersist()
+
+    return _apply
+
+
+def start_dedup_gate_stream(
+    docs: DataFrame,
+    accepted_path: str,
+    index_path: str,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Document stream → near-dup-gated versioned corpus + LSH index."""
+    writer = (
+        docs.writeStream.foreachBatch(
+            dedup_gate_batch_writer(accepted_path, index_path)
+        )
         .outputMode("append")
         .option("checkpointLocation", checkpoint)
     )
