@@ -335,3 +335,67 @@ def q86_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ok, round4(z)).alias("zscore"),
         F.when(ok, (F.abs(z) > F.lit(2.0)).cast("long")).alias("is_anomaly"),
     ).orderBy("event_type", "hour")
+
+
+# --------------------------------------------------------------------------
+# q154 — burst/bot detection via inter-arrival gaps
+# --------------------------------------------------------------------------
+@query(
+    "q154_burst_users",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts - lag(ts) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id)) AS gap_us
+      FROM events),
+    per AS (
+      SELECT user_id,
+             COUNT(*) + 1 AS n_events,
+             MIN(gap_us) // 1000000 AS min_gap_s,
+             COUNT(CASE WHEN gap_us <= 600000000 THEN 1 END) AS n_bursts
+      FROM g WHERE gap_us IS NOT NULL
+      GROUP BY user_id)
+    SELECT user_id, n_events, min_gap_s, n_bursts,
+           CASE WHEN n_bursts >= 3 THEN true ELSE false END AS burst_flag
+    FROM per ORDER BY user_id
+    """,
+    tags=("extension", "behavior", "anomaly"),
+)
+def q154_burst_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst/bot screening per user: minimum inter-arrival gap and the
+    count of gaps ≤ 10 minutes, flagging users with ≥ 3 such bursts —
+    the rate-anomaly screen run before user events enter a training
+    corpus (scripted clients produce tight inter-arrival clusters that
+    per-hour rollups like q86 smear away).
+
+    One lag window partitioned by user (bounded per user, shuffles once
+    on user_id) feeding a per-user aggregate that REUSES the same
+    user_id partitioning — no second exchange. Gap arithmetic is exact integer
+    MICROsecond subtraction (second-floor-then-subtract would disagree
+    with subtract-then-floor on sub-second components); thresholds and
+    the floor-divided report are integers, so everything is portable
+    bit-for-bit. Users with a single event carry no
+    gaps and drop out, matching the oracle's WHERE gap IS NOT NULL.
+    """
+    events = load_table(spark, sf_dir, "events")
+    g = events.select(
+        "user_id",
+        # timestampdiff works on TIMESTAMP_NTZ (unix_micros does not),
+        # and exact integer micros avoid floor-before-subtract skew.
+        F.expr(
+            "timestampdiff(MICROSECOND, lag(ts) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id), ts)"
+        ).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    per = g.groupBy("user_id").agg(
+        (F.count("*") + 1).alias("n_events"),
+        F.expr("min(gap_us) div 1000000").alias("min_gap_s"),
+        F.count(F.when(F.col("gap_us") <= 600_000_000, 1)).alias("n_bursts"),
+    )
+    return per.select(
+        "user_id",
+        "n_events",
+        "min_gap_s",
+        "n_bursts",
+        (F.col("n_bursts") >= 3).alias("burst_flag"),
+    ).orderBy("user_id")

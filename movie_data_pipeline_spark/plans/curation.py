@@ -536,3 +536,80 @@ def q139_corpus_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# q152 — importance-weighted sampling (DSIR-style probabilistic keep)
+# --------------------------------------------------------------------------
+@query(
+    "q152_importance_sampled_corpus",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             string_split_regex(lower(trim(text)), '\\s+') AS t
+      FROM documents),
+    w AS (
+      SELECT doc_id, source,
+             len(list_filter(t, x -> x IN {_EN_SET})) * 1.0 / len(t) AS wt,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               / 4294967296.0 AS u
+      FROM scored)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(CASE WHEN u < wt THEN 1 END) AS n_kept,
+           {r4('CAST(SUM(CAST(wt AS DECIMAL(30,18))) AS DOUBLE) / COUNT(*)')} AS avg_weight,
+           {r4('COUNT(CASE WHEN u < wt THEN 1 END) * 1.0 / COUNT(*)')} AS kept_share
+    FROM w GROUP BY source ORDER BY source
+    """,
+    tags=("extension", "curation", "sampling"),
+)
+def q152_importance_sampled_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance sampling (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): per-document
+    importance weight (here the stopword ratio stands in for the
+    target-vs-raw likelihood ratio DSIR estimates from hashed n-grams)
+    drives a Bernoulli keep with a DETERMINISTIC uniform — the md5 hash
+    of doc_id scaled to [0,1) — instead of an RNG, so the sample is
+    reproducible across runs, engines, and reshards (q39's discipline
+    applied to weighted sampling). Hard gates (q71) answer "is this
+    document acceptable"; importance sampling answers "how much of
+    this distribution do we want" — both ship in real pipelines.
+
+    Pure map stage + one per-source aggregate: weight, uniform, and the
+    keep decision are all codegen expressions; nothing shuffles but the
+    final 20-group rollup. The mean weight accumulates in
+    DECIMAL(30,18) (q61 discipline) so partition order cannot perturb
+    the cross-row sum at any group size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    wt = (
+        F.size(F.filter(t, lambda w: F.array_contains(
+            F.array(*[F.lit(s) for s in ENGLISH_STOPWORDS]), w
+        ))).cast("double")
+        / F.size(t).cast("double")
+    )
+    from movie_data_pipeline_spark.functions.text import base_hash32
+
+    u = base_hash32(F.col("doc_id").cast("string")).cast("double") / F.lit(
+        4294967296.0
+    )
+    scored = docs.select(
+        "source", wt.alias("wt"), u.alias("u")
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count(F.when(F.col("u") < F.col("wt"), 1)).alias("n_kept"),
+            round4(
+                F.sum(F.col("wt").cast("decimal(30,18)")).cast("double")
+                / F.count("*")
+            ).alias("avg_weight"),
+            round4(
+                F.count(F.when(F.col("u") < F.col("wt"), 1)).cast("double")
+                / F.count("*").cast("double")
+            ).alias("kept_share"),
+        )
+        .orderBy("source")
+    )

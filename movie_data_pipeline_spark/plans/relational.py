@@ -31,7 +31,7 @@ from movie_data_pipeline_spark.functions.titles import (
     normalize_title,
     release_year,
 )
-from movie_data_pipeline_spark.plans.core import exact_sum, query, r4, round4
+from movie_data_pipeline_spark.plans.core import exact_sum, exact_sum_sql, query, r4, round4
 from movie_data_pipeline_spark.sources.registry import load_table
 
 
@@ -1442,4 +1442,187 @@ def q148_priority_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("late_share"),
         )
         .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# q150 — cheapest supplier per part in a region (TPC-H Q2 shape)
+# --------------------------------------------------------------------------
+@query(
+    "q150_cheapest_economy_supplier",
+    oracle="""
+    WITH eu_supp AS (
+      SELECT s.s_suppkey, s.s_name, n.n_name
+      FROM supplier s
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE'),
+    pair_min AS (
+      SELECT l.l_partkey, l.l_suppkey, MIN(l.l_extendedprice) AS min_price
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'ECONOMY'
+      JOIN eu_supp s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2),
+    best AS (
+      SELECT *, MIN(min_price) OVER (PARTITION BY l_partkey) AS best_price
+      FROM pair_min)
+    SELECT b.l_partkey AS p_partkey, p.p_name, s.s_name, s.n_name,
+           floor(b.min_price * 10000 + 0.5) / 10000 AS min_price
+    FROM best b
+    JOIN part p ON p.p_partkey = b.l_partkey
+    JOIN eu_supp s ON s.s_suppkey = b.l_suppkey
+    WHERE b.min_price = b.best_price
+    ORDER BY p_partkey, s_name
+    """,
+    tags=("parity-extension", "tpch-q2", "join", "window"),
+)
+def q150_cheapest_economy_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheapest EUROPE supplier(s) per ECONOMY part — the TPC-H Q2
+    correlated-minimum shape over this star's lineitem bridge (no
+    partsupp table; the cheapest observed line price stands in for
+    ps_supplycost, deliberately avoiding a division so the compared
+    doubles are raw parquet values and the float equality against the
+    per-part minimum is bit-safe in both engines).
+
+    Plan: both dims broadcast (part filtered to one type, the
+    supplier⋈nation⋈region chain filtered to one region) into the fact
+    scan; one shuffle for the (part, supp) MIN; the per-part best is a
+    window MIN partitioned by partkey riding the same exchange —
+    Catalyst reuses the hash partitioning, so the correlated subquery
+    costs no extra shuffle. Ties are kept, as in Q2.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    eu_supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").join(
+                    F.broadcast(
+                        load_table(spark, sf_dir, "region").filter(
+                            F.col("r_name") == "EUROPE"
+                        )
+                    ),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    pair_min = (
+        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(eu_supp.select("s_suppkey")), li.l_suppkey == F.col("s_suppkey"))
+        # Partition on l_partkey alone: HashPartitioning(l_partkey)
+        # satisfies the (l_partkey, l_suppkey) aggregate's clustered
+        # distribution AND the window's partitionBy(l_partkey), so the
+        # correlated-minimum runs on ONE exchange instead of two.
+        .repartition("l_partkey")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("l_extendedprice").alias("min_price"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("l_partkey")
+    best = pair_min.withColumn("best_price", F.min("min_price").over(w)).filter(
+        F.col("min_price") == F.col("best_price")
+    )
+    return (
+        best.join(
+            F.broadcast(part.select("p_partkey", "p_name")),
+            best.l_partkey == F.col("p_partkey"),
+        )
+        .join(F.broadcast(eu_supp), best.l_suppkey == F.col("s_suppkey"))
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            "n_name",
+            round4(F.col("min_price")).alias("min_price"),
+        )
+        .orderBy("p_partkey", "s_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# q151 — suppliers over fair share of a part's volume (TPC-H Q20 shape)
+# --------------------------------------------------------------------------
+@query(
+    "q151_overweight_suppliers",
+    oracle=f"""
+    WITH small_parts AS (
+      SELECT p_partkey FROM part WHERE p_name LIKE 'small%'),
+    pair_qty AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             {exact_sum_sql('l.l_quantity')} AS pair_qty
+      FROM lineitem l JOIN small_parts sp ON l.l_partkey = sp.p_partkey
+      GROUP BY 1, 2),
+    part_tot AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(pair_qty AS DECIMAL(30,6))) AS DOUBLE) AS total_qty,
+             COUNT(*) AS n_suppliers
+      FROM pair_qty GROUP BY 1),
+    overweight AS (
+      SELECT pq.l_suppkey, pq.l_partkey
+      FROM pair_qty pq JOIN part_tot pt ON pq.l_partkey = pt.l_partkey
+      WHERE pq.pair_qty * pt.n_suppliers > 1.5 * pt.total_qty
+        AND pt.n_suppliers > 1)
+    SELECT s.s_suppkey, s.s_name, n.n_name,
+           COUNT(*) AS n_overweight_parts
+    FROM overweight o
+    JOIN supplier s ON o.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY 1, 2, 3
+    ORDER BY s_suppkey
+    """,
+    tags=("parity-extension", "tpch-q20", "join", "semi"),
+)
+def q151_overweight_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers shipping more than 1.5x their fair share of any
+    'small%' part's volume — the TPC-H Q20 nested-subquery shape
+    (LIKE-filtered part dim, per-(part, supplier) aggregate compared
+    against a correlated per-part threshold, survivors folded onto the
+    supplier dim). The fair-share form ``pair_qty * n_suppliers >
+    1.5 * total_qty`` is scale-invariant (meaningful at any sf, unlike
+    an absolute share cut) and multiplication-only over decimal-exact
+    sums, so the threshold is portable across engines.
+
+    Plan: part filter broadcasts into the fact scan; the (part, supp)
+    aggregate's exchange is reused by the per-part rollup (two
+    aggregates, one shuffle); the supplier/nation joins run on the
+    small survivor set.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    small_parts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    pair_qty = (
+        li.join(F.broadcast(small_parts), li.l_partkey == F.col("p_partkey"))
+        # One exchange serves the (part, supp) aggregate, the per-part
+        # rollup, AND the threshold join — all keyed by l_partkey
+        # (subset-clustering satisfaction, same trick as q150).
+        .repartition("l_partkey")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(exact_sum(F.col("l_quantity")).alias("pair_qty"))
+    )
+    part_tot = pair_qty.groupBy("l_partkey").agg(
+        F.sum(F.col("pair_qty").cast("decimal(30,6)"))
+        .cast("double")
+        .alias("total_qty"),
+        F.count("*").alias("n_suppliers"),
+    )
+    overweight = pair_qty.join(part_tot, "l_partkey").filter(
+        (F.col("pair_qty") * F.col("n_suppliers") > F.lit(1.5) * F.col("total_qty"))
+        & (F.col("n_suppliers") > 1)
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        overweight.join(supplier, overweight.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .groupBy("s_suppkey", "s_name", "n_name")
+        .agg(F.count("*").alias("n_overweight_parts"))
+        .orderBy("s_suppkey")
     )

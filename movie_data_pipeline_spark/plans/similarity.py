@@ -307,3 +307,85 @@ def q132_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_hits",
         recall.alias("recall"),
     )
+
+
+# --------------------------------------------------------------------------
+# q153 — hard-negative mining (top-k nearest with a DIFFERENT label)
+# --------------------------------------------------------------------------
+@query(
+    "q153_hard_negatives",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, label AS q_label,
+                      embedding::DOUBLE[] AS q_vec
+               FROM embeddings WHERE {_QUERY_PRED}),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS negative_id, e.label AS neg_label,
+             list_cosine_similarity(e.embedding::DOUBLE[], q.q_vec) AS cs
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id AND e.label <> q.q_label),
+    ranked AS (
+      SELECT query_id, negative_id, neg_label, cs,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cs DESC, negative_id) AS rank
+      FROM scored)
+    SELECT query_id, negative_id, CAST(neg_label AS BIGINT) AS neg_label,
+           {r4('cs')} AS cos_sim, rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+    tags=("extension", "similarity", "training-data"),
+)
+def q153_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the 5 most-similar vectors carrying a DIFFERENT label —
+    near the decision boundary, these are the negatives that actually
+    teach (random negatives are trivially separable; the standard
+    retrieval-training recipe mines them exactly like this).
+
+    Same broadcast-queries / scan-corpus / per-query-window shape as
+    q22 with the label-disagreement predicate folded into the scored
+    frame (evaluated in codegen before ranking, so the window ranks
+    only true negatives). Scale path unchanged from q22: the corpus is
+    never shuffled; swap the scan for the IVF/LSH probe join when
+    |queries| stops fitting a broadcast.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.expr(_QUERY_PRED)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_vec"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("negative_id"),
+        F.col("label").alias("neg_label"),
+        F.col("embedding").alias("c_vec"),
+    )
+    from movie_data_pipeline_spark.operators.similarity import cosine
+    from pyspark.sql.window import Window
+
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(
+            (F.col("negative_id") != F.col("query_id"))
+            & (F.col("neg_label") != F.col("q_label"))
+        )
+        .select(
+            "query_id",
+            "negative_id",
+            "neg_label",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("cs"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("negative_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            "negative_id",
+            F.col("neg_label").cast("long").alias("neg_label"),
+            round4(F.col("cs")).alias("cos_sim"),
+            "rank",
+        )
+        .orderBy("query_id", "rank")
+    )
