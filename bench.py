@@ -60,6 +60,7 @@ HEADLINE = [
     "q144_ppjoin_pairs",
     "q146_span_scrubbed_corpus",
     "q149_containment_pairs",
+    "q155_kcore_peeling",
 ]
 
 

@@ -438,3 +438,121 @@ def q116_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("node")
     )
+
+
+# --------------------------------------------------------------------------
+# q155 — k-core peeling rounds on the co-purchase graph
+# --------------------------------------------------------------------------
+_KCORE_ROUNDS = 3
+
+
+def _kcore_oracle() -> str:
+    parts = [
+        """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (SELECT DISTINCT a.l_partkey AS p, b.l_partkey AS q
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    sym AS (SELECT p, q FROM e UNION ALL SELECT q AS p, p AS q FROM e),
+    d0 AS (SELECT p, COUNT(*) AS c FROM sym GROUP BY p),
+    kk AS (SELECT CAST(ceil(quantile_cont(c, 0.1)) AS BIGINT) AS k FROM d0),
+    a0 AS (SELECT p FROM d0)"""
+    ]
+    prev = "a0"
+    for i in range(1, _KCORE_ROUNDS + 1):
+        parts.append(f""",
+    d{i} AS (
+      SELECT s.p, COUNT(*) AS c
+      FROM sym s
+      JOIN {prev} x ON s.p = x.p
+      JOIN {prev} y ON s.q = y.p
+      GROUP BY s.p),
+    a{i} AS (SELECT d{i}.p FROM d{i}, kk WHERE d{i}.c >= kk.k)""")
+        prev = f"a{i}"
+    unions = "\n    UNION ALL ".join(
+        f"SELECT {i} AS round, kk.k, (SELECT COUNT(*) FROM a{i}) AS n_alive FROM kk"
+        for i in range(_KCORE_ROUNDS + 1)
+    )
+    parts.append(f"\n    SELECT CAST(round AS BIGINT) AS round, k, n_alive FROM ({unions}) ORDER BY round")
+    return "".join(parts)
+
+
+@query(
+    "q155_kcore_peeling",
+    oracle=_kcore_oracle(),
+    tags=("extension", "iterative", "graph", "kcore"),
+)
+def q155_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling trajectory of the co-purchase part graph (q116's
+    basket edges): k is the ceiling of the 10th-percentile degree —
+    scale-invariant, so the cascade is non-trivial at any sf yet a
+    stable core survives (p25 unravels this near-uniform-degree graph
+    to the empty set — the classic k-core collapse) — and each
+    round drops nodes whose degree RESTRICTED TO SURVIVORS falls below
+    k. Reported as (round, k, n_alive) for rounds 0..3: the fourth
+    member of the iterative-algorithm family (q103 PageRank, q104
+    k-means, q63 components), fixed-round like the others so the
+    oracle unrolls the identical computation.
+
+    Scale shape per round: two semi-joins of the (persisted) symmetric
+    edge list against the shrinking survivor set — both keyed on node
+    ids, AQE-broadcastable as the set shrinks — and one degree
+    aggregate. The survivor sets are persisted so round r doesn't
+    recompute rounds 1..r-1 (the q103 loop-invariant discipline). Full
+    k-core = run to fixpoint; the peeling step is identical, only the
+    Python loop bound changes.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("q"))
+    e = (
+        a.join(b, "k")
+        .filter(F.col("p") < F.col("q"))
+        .select("p", "q")
+        .distinct()
+    )
+    sym = e.unionByName(
+        e.select(F.col("q").alias("p"), F.col("p").alias("q"))
+    ).persist()
+    d0 = sym.groupBy("p").agg(F.count("*").alias("c")).persist()
+    kk = d0.agg(
+        F.ceil(F.expr("percentile(c, 0.1)")).cast("long").alias("k")
+    )
+    alive = d0.select("p").persist()
+    rounds = [
+        alive.agg(F.count("*").alias("n_alive")).select(
+            F.lit(0).cast("long").alias("round"), "n_alive"
+        )
+    ]
+    for i in range(1, _KCORE_ROUNDS + 1):
+        deg = (
+            sym.join(alive, "p", "left_semi")
+            .join(
+                alive.select(F.col("p").alias("q")), "q", "left_semi"
+            )
+            .groupBy("p")
+            .agg(F.count("*").alias("c"))
+        )
+        alive = (
+            deg.crossJoin(F.broadcast(kk))
+            .filter(F.col("c") >= F.col("k"))
+            .select("p")
+            .persist()
+        )
+        rounds.append(
+            alive.agg(F.count("*").alias("n_alive")).select(
+                F.lit(i).cast("long").alias("round"), "n_alive"
+            )
+        )
+    out = rounds[0]
+    for r in rounds[1:]:
+        out = out.unionByName(r)
+    return (
+        out.crossJoin(F.broadcast(kk))
+        .select("round", "k", "n_alive")
+        .orderBy("round")
+    )

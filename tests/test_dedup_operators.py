@@ -137,3 +137,41 @@ def test_ppjoin_lossless_vs_uncapped_bucket_join(spark, threshold):
         for r in ppjoin_pairs(docs, threshold=threshold).collect()
     }
     assert got == want
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from("alpha beta gamma delta eps zeta eta".split()),
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=2,
+        max_size=10,
+    ),
+    threshold=st.sampled_from([0.2, 0.34, 0.5, 0.67, 0.85]),
+)
+def test_ppjoin_lossless_property(spark, docs, threshold):
+    """Fuzzed losslessness: random tiny-vocab corpora hammer the
+    prefix-length ceil boundaries, the positional-filter bound, and the
+    shorter-than-n whole-doc shingle path; PPJoin must equal the
+    uncapped bucket join on every draw."""
+    from movie_data_pipeline_spark.operators.dedup import ppjoin_pairs
+
+    corpus = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id LONG, text STRING",
+    )
+    want = {
+        (r.doc_a, r.doc_b): round(r.jaccard, 9)
+        for r in jaccard_pairs(corpus, threshold=threshold).collect()
+    }
+    got = {
+        (r.doc_a, r.doc_b): round(r.jaccard, 9)
+        for r in ppjoin_pairs(corpus, threshold=threshold).collect()
+    }
+    assert got == want
