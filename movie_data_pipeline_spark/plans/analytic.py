@@ -1500,3 +1500,177 @@ def q147_robust_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --------------------------------------------------------------------------
+# q156 — exact two-sample KS drift statistic (distributed ECDF)
+# --------------------------------------------------------------------------
+@query(
+    "q156_ks_value_drift",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT MIN(ts) AS lo, MAX(ts) AS hi FROM events),
+    tagged AS (
+      SELECT e.value,
+             CASE WHEN epoch_us(e.ts - b.lo) * 2 < epoch_us(b.hi - b.lo)
+               THEN 0 ELSE 1 END AS half
+      FROM events e CROSS JOIN bounds b),
+    per_value AS (
+      SELECT value,
+             COUNT(CASE WHEN half = 0 THEN 1 END) AS ca,
+             COUNT(CASE WHEN half = 1 THEN 1 END) AS cb
+      FROM tagged GROUP BY value),
+    tot AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM per_value),
+    ecdf AS (
+      SELECT value,
+             SUM(ca) OVER (ORDER BY value) AS cuma,
+             SUM(cb) OVER (ORDER BY value) AS cumb
+      FROM per_value),
+    d AS (
+      SELECT value,
+             abs(CAST(cuma AS DOUBLE) / t.na - CAST(cumb AS DOUBLE) / t.nb)
+               AS diff
+      FROM ecdf CROSS JOIN tot t)
+    SELECT CAST(t.na AS BIGINT) AS n_first, CAST(t.nb AS BIGINT) AS n_second,
+           {r4('(SELECT MAX(diff) FROM d)')} AS ks_stat,
+           (SELECT value FROM d ORDER BY diff DESC, value LIMIT 1) AS ks_at_value
+    FROM tot t
+    """,
+    tags=("extension", "drift", "prefix-sum"),
+)
+def q156_ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between the event
+    values of the first and second halves of the time range — the
+    distribution-drift monitor that gates retraining pipelines, computed
+    EXACTLY (not on a sample, not on binned histograms).
+
+    The textbook computation sorts the pooled sample and scans ECDFs
+    sequentially — a global-order running sum, i.e. the q120/q123
+    scale-killer. Here the per-value class counts (one hash aggregate)
+    feed :func:`operators.prefix.attach_running_sums` — range-partition
+    on value, per-partition local sums, metadata-sized offsets pass —
+    so the ECDFs materialize with no single-partition window at any
+    cardinality. Counts are exact longs; the ECDF quotients and their
+    difference are identical IEEE expressions on both engines, so the
+    arg-max value is portable. The midpoint split avoids halving
+    entirely (2*(ts-lo) < (hi-lo) in integer micros), so no rounding
+    convention can diverge between engines.
+    """
+    from movie_data_pipeline_spark.operators.prefix import attach_running_sums
+
+    events = load_table(spark, sf_dir, "events")
+    bounds = events.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+    # "before the midpoint" as 2*(ts - lo) < (hi - lo) in exact integer
+    # micros — no halving, so no engine-specific rounding, and
+    # timestampdiff on NTZ is session-timezone-free.
+    before_mid = (
+        F.expr("timestampdiff(MICROSECOND, lo, ts)") * 2
+        < F.expr("timestampdiff(MICROSECOND, lo, hi)")
+    )
+    tagged = events.crossJoin(F.broadcast(bounds)).select(
+        "value", F.when(before_mid, 0).otherwise(1).alias("half")
+    )
+    per_value = tagged.groupBy("value").agg(
+        F.count(F.when(F.col("half") == 0, 1)).alias("ca"),
+        F.count(F.when(F.col("half") == 1, 1)).alias("cb"),
+    )
+    ecdf, _n = attach_running_sums(
+        per_value, ["value"], {"cuma": "ca", "cumb": "cb"}
+    )
+    tot = per_value.agg(
+        F.sum("ca").cast("long").alias("na"), F.sum("cb").cast("long").alias("nb")
+    )
+    d = ecdf.crossJoin(F.broadcast(tot)).select(
+        "value",
+        "na",
+        "nb",
+        F.abs(
+            F.col("cuma").cast("double") / F.col("na")
+            - F.col("cumb").cast("double") / F.col("nb")
+        ).alias("diff"),
+    )
+    top = d.orderBy(F.desc("diff"), F.asc("value")).limit(1)
+    return top.select(
+        F.col("na").alias("n_first"),
+        F.col("nb").alias("n_second"),
+        round4(F.col("diff")).alias("ks_stat"),
+        F.col("value").alias("ks_at_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q157 — chi-square categorical drift (event-type mix, first vs second half)
+# --------------------------------------------------------------------------
+@query(
+    "q157_chisq_type_drift",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT MIN(ts) AS lo, MAX(ts) AS hi FROM events),
+    tagged AS (
+      SELECT e.event_type,
+             CASE WHEN epoch_us(e.ts - b.lo) * 2 < epoch_us(b.hi - b.lo)
+               THEN 0 ELSE 1 END AS half
+      FROM events e CROSS JOIN bounds b),
+    cells AS (
+      SELECT event_type, half, COUNT(*) AS obs
+      FROM tagged GROUP BY 1, 2),
+    margins AS (
+      SELECT c.event_type, c.half, c.obs,
+             SUM(c.obs) OVER (PARTITION BY c.event_type) AS row_tot,
+             SUM(c.obs) OVER (PARTITION BY c.half) AS col_tot,
+             SUM(c.obs) OVER () AS n
+      FROM cells c),
+    terms AS (
+      SELECT (obs - CAST(row_tot AS DOUBLE) * col_tot / n)
+             * (obs - CAST(row_tot AS DOUBLE) * col_tot / n)
+             / (CAST(row_tot AS DOUBLE) * col_tot / n) AS term,
+             event_type
+      FROM margins)
+    SELECT CAST((SELECT COUNT(DISTINCT event_type) FROM cells) - 1 AS BIGINT)
+             AS dof,
+           {r4('CAST(SUM(CAST(term AS DECIMAL(30,18))) AS DOUBLE)')} AS chi2
+    FROM terms
+    """,
+    tags=("extension", "drift", "agg"),
+)
+def q157_chisq_type_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square statistic for event-type mix drift between
+    the two halves of the time range — the categorical companion to
+    q156's KS (numeric) monitor. The contingency table is |types| x 2
+    cells after one aggregate, so the margins are three tiny
+    broadcast aggregates joined back onto the cells (no windows — the
+    plan stays partition-parallel at any type-vocabulary size); per-cell terms
+    are identical IEEE expressions on both engines and the cross-cell
+    sum accumulates in DECIMAL(30,18) (q61 discipline).
+    """
+    events = load_table(spark, sf_dir, "events")
+    bounds = events.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+    before_mid = (
+        F.expr("timestampdiff(MICROSECOND, lo, ts)") * 2
+        < F.expr("timestampdiff(MICROSECOND, lo, hi)")
+    )
+    cells = (
+        events.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.when(before_mid, 0).otherwise(1).alias("half"),
+        )
+        .groupBy("event_type", "half")
+        .agg(F.count("*").alias("obs"))
+    )
+    row_tot = cells.groupBy("event_type").agg(F.sum("obs").alias("row_tot"))
+    col_tot = cells.groupBy("half").agg(F.sum("obs").alias("col_tot"))
+    n_tot = cells.agg(F.sum("obs").alias("n"))
+    m = (
+        cells.join(F.broadcast(row_tot), "event_type")
+        .join(F.broadcast(col_tot), "half")
+        .crossJoin(F.broadcast(n_tot))
+    )
+    exp = F.col("row_tot").cast("double") * F.col("col_tot") / F.col("n")
+    term = (F.col("obs") - exp) * (F.col("obs") - exp) / exp
+    return m.agg(
+        (F.count_distinct("event_type") - 1).cast("long").alias("dof"),
+        round4(
+            F.sum(term.cast("decimal(30,18)")).cast("double")
+        ).alias("chi2"),
+    )
