@@ -399,3 +399,66 @@ def q154_burst_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bursts",
         (F.col("n_bursts") >= 3).alias("burst_flag"),
     ).orderBy("user_id")
+
+
+# --------------------------------------------------------------------------
+# q158 — cooldown throttling (keep-first-within-24h, a true recursion)
+# --------------------------------------------------------------------------
+@query(
+    "q158_cooldown_throttle",
+    oracle="""
+    WITH RECURSIVE kept AS (
+      SELECT user_id, MIN(ts) AS kept_ts
+      FROM events GROUP BY user_id
+      UNION ALL
+      SELECT e.user_id, MIN(e.ts) AS kept_ts
+      FROM events e
+      JOIN kept k ON e.user_id = k.user_id
+       AND e.ts >= k.kept_ts + INTERVAL 24 HOUR
+      GROUP BY e.user_id)
+    SELECT user_id, kept_ts FROM kept ORDER BY user_id, kept_ts
+    """,
+    tags=("extension", "behavior", "stateful", "applyInPandas"),
+)
+def q158_cooldown_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cooldown throttling: a user's first event is kept; every later
+    event is kept only if ≥ 24 h after the LAST KEPT one (notification
+    fatigue caps, crawl politeness, incentive-abuse dedup).
+
+    This is one of the few operators in the catalog that is genuinely
+    NOT relational: which event is kept depends on which earlier events
+    were kept — a data-dependent recursion no window frame or prefix
+    sum expresses (gap-since-previous-EVENT is q34's sessionizer; gap-
+    since-last-KEPT is a different recurrence). It therefore takes the
+    applyInPandas tier (Arrow-batched, grouped by user — the same
+    justification as the stateful sessionizer): each group is one
+    user's bounded event sequence, scanned once in timestamp order. The
+    DuckDB oracle runs the SAME recursion as a recursive CTE whose
+    step maps each user's last kept timestamp to the MIN event ≥ 24 h
+    later — the driver's hash compare checks the Python recursion
+    against an independent SQL fixpoint, not a reimplementation of
+    itself. Comparisons are exact nanosecond Timedeltas / interval
+    arithmetic; no floats anywhere.
+    """
+    import pandas as pd
+
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts")
+
+    def throttle(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ts_sorted = pdf["ts"].sort_values()
+        kept = []
+        last = None
+        gap = pd.Timedelta(hours=24)
+        for t in ts_sorted:
+            if last is None or t - last >= gap:
+                kept.append(t)
+                last = t
+        return pd.DataFrame(
+            {"user_id": pdf["user_id"].iloc[0], "kept_ts": kept}
+        )
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandas(throttle, "user_id long, kept_ts timestamp_ntz")
+        .orderBy("user_id", "kept_ts")
+    )

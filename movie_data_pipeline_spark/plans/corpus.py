@@ -652,3 +652,59 @@ def q143_stop_shingle_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("doc_freq"), "shingle")
         .limit(50)
     )
+
+
+# --------------------------------------------------------------------------
+# q161 — BPE-initialization pair statistics (tokenizer training support)
+# --------------------------------------------------------------------------
+@query(
+    "q161_bpe_pair_counts",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+      FROM documents),
+    tf AS (SELECT tok, COUNT(*) AS f FROM toks GROUP BY tok),
+    pairs AS (
+      SELECT substr(tok, i, 2) AS pair, SUM(f) AS cnt
+      FROM tf, unnest(generate_series(1, length(tok) - 1)) AS t(i)
+      GROUP BY 1)
+    SELECT pair, CAST(cnt AS BIGINT) AS cnt
+    FROM pairs ORDER BY cnt DESC, pair LIMIT 50
+    """,
+    tags=("extension", "tokenizer", "corpus"),
+)
+def q161_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide adjacent-character-pair frequencies — the statistic
+    the first BPE merge maximizes (Sennrich et al. 2016): training a
+    tokenizer at corpus scale is exactly this aggregation iterated, so
+    the single-step form is the representative engine primitive.
+
+    Key scale move: pairs are generated from the TOKEN-FREQUENCY table,
+    not the raw token stream — the heavy explode runs once per DISTINCT
+    token (vocabulary-sized) with counts carried as weights, the same
+    trick real BPE trainers use (word-count dict, not the corpus). Two
+    aggregates (token frequencies; weighted pair counts), both plain
+    hash shuffles; top-50 is TakeOrderedAndProject on the quantized
+    integer counts with the pair string as tie-break.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("f"))
+    )
+    pairs = (
+        tf.filter(F.length("tok") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("tok") - 1),
+                    lambda i: F.substring(F.col("tok"), i, F.lit(2)),
+                )
+            ).alias("pair"),
+            "f",
+        )
+        .groupBy("pair")
+        .agg(F.sum("f").cast("long").alias("cnt"))
+    )
+    return pairs.orderBy(F.desc("cnt"), F.asc("pair")).limit(50)

@@ -1626,3 +1626,157 @@ def q151_overweight_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_overweight_parts"))
         .orderBy("s_suppkey")
     )
+
+
+# --------------------------------------------------------------------------
+# q159 — diversified top-k (global top-k under a per-group quota)
+# --------------------------------------------------------------------------
+@query(
+    "q159_diversified_top_orders",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS per_cust
+      FROM orders)
+    SELECT o_orderkey, o_custkey, o_totalprice, CAST(per_cust AS BIGINT) AS per_cust
+    FROM ranked WHERE per_cust <= 2
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+    tags=("extension", "topk", "window"),
+)
+def q159_diversified_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-20 orders by price with AT MOST 2 PER CUSTOMER — the
+    diversified-ranking shape (search results, recommendation slates,
+    account exposure caps) that a plain ORDER BY ... LIMIT cannot
+    express.
+
+    One per-customer window (partition-parallel) applies the quota,
+    then the global top-k is TakeOrderedAndProject over the quota
+    survivors — never a full sort. Spark ≥3.5's WindowGroupLimit
+    pushdown prunes each customer partition to its first 2 rows before
+    the rank even materializes, so the intermediate is |customers|·2
+    rows, not |orders|.
+    """
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("per_cust", F.row_number().over(w).cast("long"))
+        .filter(F.col("per_cust") <= 2)
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "per_cust")
+    )
+
+
+# --------------------------------------------------------------------------
+# q160 — exact largest-remainder proration (financial allocation)
+# --------------------------------------------------------------------------
+@query(
+    "q160_rebate_proration",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS line_cents
+      FROM lineitem),
+    o AS (
+      SELECT o_orderkey,
+             CAST(floor(o_totalprice * 10 + 0.5) AS BIGINT) AS rebate_cents
+      FROM orders),
+    base AS (
+      SELECT li.l_orderkey, li.l_linenumber, li.line_cents, o.rebate_cents,
+             SUM(li.line_cents) OVER (PARTITION BY li.l_orderkey) AS order_cents,
+             COUNT(*) OVER (PARTITION BY li.l_orderkey) AS n_lines
+      FROM li JOIN o ON li.l_orderkey = o.o_orderkey),
+    alloc AS (
+      SELECT *,
+             (rebate_cents * line_cents) // order_cents AS floor_alloc,
+             (rebate_cents * line_cents) % order_cents AS remainder,
+             rebate_cents - SUM((rebate_cents * line_cents) // order_cents)
+               OVER (PARTITION BY l_orderkey) AS shortfall
+      FROM base),
+    ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                ORDER BY remainder DESC, l_linenumber,
+                                         line_cents) AS rr
+      FROM alloc)
+    SELECT l_orderkey, l_linenumber,
+           CAST(floor_alloc + CASE WHEN rr <= shortfall THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc_cents
+    FROM ranked
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    tags=("extension", "financial", "exact-arithmetic", "window"),
+)
+def q160_rebate_proration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder proration: a 10% order rebate (integer cents)
+    allocated across the order's lineitems proportionally to line
+    price, with the rounding shortfall assigned one cent at a time to
+    the largest remainders — so per-order allocations sum EXACTLY to
+    the rebate (the invariant financial ledgers require; naive
+    round(share) drifts by ±cents per order).
+
+    Everything is 64-bit integer arithmetic after one half-up
+    cents-quantization of the parquet doubles (floor(x*100+0.5) —
+    elementary IEEE ops, bit-identical across engines): products,
+    floor-division, modulo, and the remainder ranking are exact, so
+    the oracle match is by construction, not luck. All windows
+    partition by l_orderkey (bounded by lines per order) and share one
+    exchange. The per-order sum invariant is asserted in tests over
+    every order at sf0.01.
+    """
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("line_cents"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 10 + F.lit(0.5))
+        .cast("long")
+        .alias("rebate_cents"),
+    )
+    wo = Window.partitionBy("l_orderkey")
+    base = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .withColumn("order_cents", F.sum("line_cents").over(wo))
+        .withColumn(
+            "floor_alloc",
+            F.expr("(rebate_cents * line_cents) div order_cents"),
+        )
+        .withColumn(
+            "remainder", F.expr("(rebate_cents * line_cents) % order_cents")
+        )
+        .withColumn(
+            "shortfall",
+            F.col("rebate_cents") - F.sum("floor_alloc").over(wo),
+        )
+    )
+    # (l_orderkey, l_linenumber) is NOT unique in this synthetic data;
+    # line_cents completes the tie-break so the only remaining ties are
+    # full-duplicate rows, whose +1 assignment is multiset-invariant.
+    wr = Window.partitionBy("l_orderkey").orderBy(
+        F.desc("remainder"), F.asc("l_linenumber"), F.asc("line_cents")
+    )
+    return (
+        base.withColumn("rr", F.row_number().over(wr))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (
+                F.col("floor_alloc")
+                + F.when(F.col("rr") <= F.col("shortfall"), 1).otherwise(0)
+            ).alias("alloc_cents"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )

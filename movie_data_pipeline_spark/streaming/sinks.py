@@ -227,3 +227,72 @@ def start_dedup_gate_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def mix_drift_batch_writer(
+    baseline: DataFrame,
+    out_path: str,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch writer scoring every micro-batch's event-type mix
+    against a precomputed baseline distribution with a chi-square
+    goodness-of-fit statistic — q157's drift monitor moved onto the
+    stream, where it belongs operationally (you want the alarm DURING
+    ingestion, not at the next batch audit).
+
+    ``baseline`` is a static (event_type, share) frame (shares sum to
+    1) computed once from history; it is collected to a plain dict at
+    writer-construction time (|types| rows — metadata, same licence as
+    the IVF codebook) so each micro-batch pays one aggregate and zero
+    joins. Per batch: observed counts, expected = share * n_batch,
+    chi2 = sum (obs-exp)^2 / exp over baseline types (types unseen in
+    the baseline contribute their own alarm column instead of a
+    division by zero). One (batch_id, n_events, chi2, n_novel_types)
+    row appends to ``out_path`` — the monitoring log a dashboard tails.
+    """
+    rows = baseline.select("event_type", "share").collect()
+    shares = {r["event_type"]: float(r["share"]) for r in rows}
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        counts = {
+            r["event_type"]: r["cnt"]
+            for r in batch_df.groupBy("event_type")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        }
+        n = sum(counts.values())
+        chi2 = 0.0
+        for t, share in shares.items():
+            exp = share * n
+            if exp > 0:
+                obs = counts.get(t, 0)
+                chi2 += (obs - exp) * (obs - exp) / exp
+        n_novel = sum(1 for t in counts if t not in shares)
+        spark.createDataFrame(
+            [(batch_id, n, chi2, n_novel)],
+            "batch_id LONG, n_events LONG, chi2 DOUBLE, n_novel_types LONG",
+        ).coalesce(1).write.mode("append").parquet(out_path)
+
+    return _apply
+
+
+def start_mix_drift_stream(
+    events: DataFrame,
+    baseline: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Event stream → per-micro-batch chi-square drift log."""
+    writer = (
+        events.writeStream.foreachBatch(
+            mix_drift_batch_writer(baseline, out_path)
+        )
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -44,6 +44,14 @@ def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
 def compare(spark_df, oracle_df: pd.DataFrame, name: str) -> None:
     got = canonicalize(spark_df.toPandas())
     want = canonicalize(oracle_df)
+    # The driver hashes the CSV repr, so an int64-vs-float64 dtype skew
+    # (e.g. DuckDB HUGEINT promotion) fails there even when values
+    # compare equal — replicate that strictness here (caught live on
+    # q160: oracle returned 399759.0 vs Spark 399759).
+    import hashlib
+
+    h_got = hashlib.sha256(got.to_csv(index=False).encode()).hexdigest()
+    h_want = hashlib.sha256(want.to_csv(index=False).encode()).hexdigest()
     assert list(got.columns) == list(want.columns), (
         f"{name}: column mismatch {list(got.columns)} vs {list(want.columns)}"
     )
@@ -56,3 +64,8 @@ def compare(spark_df, oracle_df: pd.DataFrame, name: str) -> None:
             )
         except AssertionError as e:
             raise AssertionError(f"{name}: column {col!r} differs: {e}") from e
+    assert h_got == h_want, (
+        f"{name}: values equal but CSV hash differs (dtype repr skew — "
+        f"dtypes spark={dict(got.dtypes.astype(str))} "
+        f"oracle={dict(want.dtypes.astype(str))})"
+    )
