@@ -146,3 +146,38 @@ class VersionedTable:
                 shutil.rmtree(os.path.join(self._data_dir, d))
                 deleted.append(d)
         return deleted
+
+    def delete_where(
+        self, spark: SparkSession, condition: str
+    ) -> tuple[int, int]:
+        """Targeted deletion as a NEW snapshot (GDPR/right-to-be-
+        forgotten, bad-batch rollback): read the current head, drop
+        rows matching ``condition`` (a SQL boolean expression), commit
+        the survivors as an overwrite version. Returns
+        (new_version, n_deleted).
+
+        Semantics mirror Delta's DELETE: old snapshots still CONTAIN
+        the deleted rows until :meth:`vacuum` retires them — for
+        compliance the pair is delete_where + vacuum(keep_last=1),
+        after which no retained manifest references the bytes. Readers
+        are never torn: they see the pre-delete or post-delete
+        snapshot, nothing in between (same put-if-absent commit as
+        every write). The rewrite is a full-scan filter — the simple,
+        always-correct plan; partition/file pruning of untouched files
+        is the documented optimization for partitioned layouts.
+        """
+        head = self.read(spark)
+        survivors = head.filter(f"NOT ({condition})")
+        n_deleted = head.count() - survivors.count()
+        new_v = self.commit(survivors, mode="overwrite")
+        return new_v, n_deleted
+
+    def compact(self, spark: SparkSession, target_files: int = 1) -> int:
+        """Small-file compaction: rewrite the current head into
+        ``target_files`` files as a new overwrite snapshot (streaming
+        appends produce one data dir per micro-batch — exactly the
+        small-file problem OPTIMIZE exists for in every lakehouse).
+        Values are unchanged; old versions remain time-travelable until
+        vacuumed. Returns the new version."""
+        head = self.read(spark).coalesce(max(1, target_files))
+        return self.commit(head, mode="overwrite")

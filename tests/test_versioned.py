@@ -175,3 +175,42 @@ def test_snapshot_diff_null_safety(spark):
     got = {(r.id, r.op) for r in snapshot_diff(old, new, ["id"]).collect()}
     # null == null must NOT diff; value -> null must
     assert got == {(2, "update")}
+
+
+def test_delete_where_produces_clean_snapshot(spark, tmp_path):
+    from movie_data_pipeline_spark.sources.versioned import VersionedTable
+
+    t = VersionedTable(str(tmp_path / "t"))
+    t.commit(spark.createDataFrame([(1, "a"), (2, "b"), (3, "b")], ["k", "v"]))
+    v, n = t.delete_where(spark, "v = 'b'")
+    assert n == 2
+    assert {r.k for r in t.read(spark).collect()} == {1}
+    # pre-delete snapshot still time-travelable...
+    assert t.read(spark, version=0).count() == 3
+    # ...until vacuum retires it (the compliance pair)
+    t.vacuum(keep_last=1)
+    assert t.versions() == [v]
+    assert t.read(spark).count() == 1
+
+
+def test_compact_rewrites_small_files(spark, tmp_path):
+    import glob
+
+    from movie_data_pipeline_spark.sources.versioned import VersionedTable
+
+    t = VersionedTable(str(tmp_path / "t"))
+    for i in range(3):  # 3 append commits → 3 data dirs
+        t.commit(
+            spark.createDataFrame([(i, i * 10)], ["k", "v"]).repartition(4),
+            mode="append" if i else "overwrite",
+        )
+    before = t.read(spark)
+    rows_before = {tuple(r) for r in before.collect()}
+    v = t.compact(spark, target_files=1)
+    m = t.manifest(v)
+    assert len(m["data_dirs"]) == 1
+    files = glob.glob(
+        str(tmp_path / "t" / "data" / m["data_dirs"][0] / "*.parquet")
+    )
+    assert len(files) == 1
+    assert {tuple(r) for r in t.read(spark).collect()} == rows_before
