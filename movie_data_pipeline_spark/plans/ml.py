@@ -502,17 +502,26 @@ def q155_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-core = run to fixpoint; the peeling step is identical, only the
     Python loop bound changes.
     """
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    li = load_table(spark, sf_dir, "lineitem")
+    # Basket trick (q94): ONE groupBy collects each order's sorted part
+    # set; pairs generate map-side in codegen — replaces the textbook
+    # basket self-join's double full-table exchange.
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
     )
-    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p"))
-    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("q"))
+    arr = F.col("parts")
+    pair_arr = F.flatten(
+        F.transform(
+            arr,
+            lambda x, i: F.transform(
+                F.slice(arr, i + 2, F.size(arr) - i - 1),
+                lambda y: F.struct(x.alias("p"), y.alias("q")),
+            ),
+        )
+    )
     e = (
-        a.join(b, "k")
-        .filter(F.col("p") < F.col("q"))
-        .select("p", "q")
+        baskets.select(F.explode(pair_arr).alias("pr"))
+        .select(F.col("pr.p").alias("p"), F.col("pr.q").alias("q"))
         .distinct()
     )
     sym = e.unionByName(
