@@ -462,3 +462,110 @@ def q158_cooldown_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(throttle, "user_id long, kept_ts timestamp_ntz")
         .orderBy("user_id", "kept_ts")
     )
+
+
+# --------------------------------------------------------------------------
+# q162 — interval union: total covered time per user (overlap merging)
+# --------------------------------------------------------------------------
+@query(
+    "q162_covered_time",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id,
+             epoch_us(ts) AS s_us,
+             epoch_us(ts) + 900000000 AS e_us,
+             event_id
+      FROM events),
+    flagged AS (
+      SELECT user_id, s_us, e_us, event_id,
+             CASE WHEN MAX(e_us) OVER (PARTITION BY user_id
+                                       ORDER BY s_us, event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING) >= s_us
+                  THEN 0 ELSE 1 END AS is_new
+      FROM iv),
+    grouped AS (
+      SELECT user_id, s_us, e_us,
+             SUM(is_new) OVER (PARTITION BY user_id
+                               ORDER BY s_us, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS grp
+      FROM flagged),
+    spans AS (
+      SELECT user_id, grp,
+             MAX(e_us) - MIN(s_us) AS span_us
+      FROM grouped GROUP BY user_id, grp)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_busy_spans,
+           CAST(SUM(span_us) AS BIGINT) AS covered_us
+    FROM spans GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("extension", "behavior", "interval", "window"),
+)
+def q162_covered_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval union per user: treat every event as a 15-minute
+    activity interval, merge overlaps, and report the number of merged
+    busy spans and the total covered microseconds — the utilization /
+    billable-time computation (double-counting overlapping intervals is
+    THE classic usage-metering bug, and a plain SUM of durations gets
+    it wrong).
+
+    The textbook sweep is sequential; the relational form is two
+    per-user windows sharing one user_id exchange — a shifted running
+    MAX of interval ends flags where a new span starts (an interval
+    chains onto the current span iff some earlier interval's end
+    reaches its start), a running SUM of flags numbers the spans — then
+    span extents aggregate per (user, span). All arithmetic is exact
+    integer microseconds from epoch_us/timestampdiff against a constant
+    NTZ anchor (session-timezone-free); no floats anywhere.
+    """
+    events = load_table(spark, sf_dir, "events")
+    rel = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+    )
+    iv = events.select(
+        "user_id",
+        rel.alias("s_us"),
+        (rel + F.lit(900_000_000)).alias("e_us"),
+        "event_id",
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.select(
+        "user_id",
+        "s_us",
+        "e_us",
+        "event_id",
+        F.when(F.max("e_us").over(w_prev) >= F.col("s_us"), 0)
+        .otherwise(1)
+        .alias("is_new"),
+    )
+    # IDENTICAL total order as w_prev: with a different tie-break, a
+    # tied (same-start) pair's flag row and sum row can interleave
+    # differently per engine and attach the 0-flag row to the previous
+    # span — a real nondeterminism, not a formatting nit.
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    grouped = flagged.select(
+        "user_id",
+        "s_us",
+        "e_us",
+        F.sum("is_new").over(w_run).alias("grp"),
+    )
+    spans = grouped.groupBy("user_id", "grp").agg(
+        (F.max("e_us") - F.min("s_us")).alias("span_us")
+    )
+    return (
+        spans.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_busy_spans"),
+            F.sum("span_us").cast("long").alias("covered_us"),
+        )
+        .orderBy("user_id")
+    )

@@ -1780,3 +1780,85 @@ def q160_rebate_proration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_orderkey", "l_linenumber")
     )
+
+
+# --------------------------------------------------------------------------
+# q163 — percent-of-parent hierarchy shares (region → nation)
+# --------------------------------------------------------------------------
+@query(
+    "q163_hierarchy_shares",
+    oracle=f"""
+    WITH rev AS (
+      SELECT r.r_name, n.n_name,
+             {exact_sum_sql('o.o_totalprice')} AS revenue
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY r.r_name, n.n_name),
+    region_tot AS (
+      SELECT r_name, CAST(SUM(CAST(revenue AS DECIMAL(30,6))) AS DOUBLE)
+               AS region_rev
+      FROM rev GROUP BY r_name),
+    grand AS (
+      SELECT CAST(SUM(CAST(revenue AS DECIMAL(30,6))) AS DOUBLE) AS total_rev
+      FROM rev)
+    SELECT rev.r_name, rev.n_name,
+           {r4('rev.revenue')} AS revenue,
+           {r4('rev.revenue / rt.region_rev')} AS share_of_region,
+           {r4('rt.region_rev / g.total_rev')} AS region_share_of_total
+    FROM rev JOIN region_tot rt ON rev.r_name = rt.r_name CROSS JOIN grand g
+    ORDER BY rev.r_name, rev.n_name
+    """,
+    tags=("extension", "hierarchy", "agg"),
+)
+def q163_hierarchy_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent shares down the geography hierarchy: every
+    nation's share of its region's revenue and every region's share of
+    the total — the drill-down navigation layer BI tools put on top of
+    a rollup (q31 produces the subtotals; this produces the RATIOS
+    between adjacent levels, which a ROLLUP alone does not).
+
+    One star-chain aggregate (broadcast dims into the fact scan), then
+    the parent totals re-aggregate the 25-row result and broadcast-join
+    back — no windows, no second fact scan. Every cross-row sum is
+    DECIMAL-exact; the shares divide those exact sums, so both engines
+    produce identical doubles.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    rev = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(exact_sum(F.col("o_totalprice")).alias("revenue"))
+    )
+    region_tot = rev.groupBy("r_name").agg(
+        F.sum(F.col("revenue").cast("decimal(30,6)"))
+        .cast("double")
+        .alias("region_rev")
+    )
+    grand = rev.agg(
+        F.sum(F.col("revenue").cast("decimal(30,6)"))
+        .cast("double")
+        .alias("total_rev")
+    )
+    return (
+        rev.join(F.broadcast(region_tot), "r_name")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "r_name",
+            "n_name",
+            round4(F.col("revenue")).alias("revenue"),
+            round4(F.col("revenue") / F.col("region_rev")).alias(
+                "share_of_region"
+            ),
+            round4(F.col("region_rev") / F.col("total_rev")).alias(
+                "region_share_of_total"
+            ),
+        )
+        .orderBy("r_name", "n_name")
+    )
