@@ -1674,3 +1674,96 @@ def q157_chisq_type_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(term.cast("decimal(30,18)")).cast("double")
         ).alias("chi2"),
     )
+
+
+# --------------------------------------------------------------------------
+# q164 — exact weighted median per group via GROUPED distributed prefix
+# --------------------------------------------------------------------------
+@query(
+    "q164_weighted_median_price",
+    oracle=f"""
+    WITH w AS (
+      SELECT l_returnflag, l_extendedprice,
+             CAST(l_quantity AS BIGINT) AS wt,
+             l_orderkey, l_linenumber
+      FROM lineitem),
+    cum AS (
+      SELECT l_returnflag, l_extendedprice, wt,
+             SUM(wt) OVER (PARTITION BY l_returnflag
+                           ORDER BY l_extendedprice, l_orderkey,
+                                    l_linenumber, wt
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cw,
+             SUM(wt) OVER (PARTITION BY l_returnflag) AS tw,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n_rows
+      FROM w),
+    hit AS (
+      SELECT l_returnflag, l_extendedprice, tw, n_rows,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY cw, l_extendedprice) AS rk
+      FROM cum WHERE cw * 2 >= tw)
+    SELECT l_returnflag,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(tw AS BIGINT) AS total_weight,
+           {r4('l_extendedprice')} AS weighted_median_price
+    FROM hit WHERE rk = 1
+    ORDER BY l_returnflag
+    """,
+    tags=("extension", "robust-stats", "prefix-sum", "weighted"),
+)
+def q164_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantity-weighted (lower) median price per return flag —
+    the weighted quantile that plain ``percentile`` cannot produce, and
+    the computation that shows GROUPED global prefix sums compose from
+    the ungrouped operator: the oracle's
+    ``SUM() OVER (PARTITION BY flag ORDER BY price)`` puts each group's
+    whole fact slice through one window task (|fact|/|groups| rows — a
+    real skew wall at 100 TB with 3 groups), while the Spark plan runs
+    ONE :func:`operators.prefix.attach_running_sums` over the global
+    (flag, price, ...) total order and rebases per group:
+    within-group cumulative = global cumulative − (group's first
+    cumulative − its own weight), with the group bases a
+    |groups|-row broadcast. No task ever holds more than one range
+    partition regardless of group skew. Weights are exact longs; the
+    median row is the first whose doubled cumulative weight reaches the
+    group total (integer compare).
+    """
+    from movie_data_pipeline_spark.operators.prefix import attach_running_sums
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.col("l_quantity").cast("long").alias("wt"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    cum, _n = attach_running_sums(
+        li,
+        ["l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber", "wt"],
+        {"gcw": "wt"},
+    )
+    bases = cum.groupBy("l_returnflag").agg(
+        F.min(F.col("gcw") - F.col("wt")).alias("base"),
+        F.sum("wt").cast("long").alias("tw"),
+        F.count("*").alias("n_rows"),
+    )
+    within = cum.join(F.broadcast(bases), "l_returnflag").select(
+        "l_returnflag",
+        "l_extendedprice",
+        "tw",
+        "n_rows",
+        (F.col("gcw") - F.col("base")).alias("cw"),
+    )
+    hit = within.filter(F.col("cw") * 2 >= F.col("tw"))
+    # per-group argmin over the hits: groups are few; TakeOrdered per
+    # group via a bounded window on the (tiny) hit frame would also
+    # work, but min-struct keeps it aggregate-only.
+    pick = hit.groupBy("l_returnflag").agg(
+        F.min(F.struct("cw", "l_extendedprice", "tw", "n_rows")).alias("m")
+    )
+    return pick.select(
+        "l_returnflag",
+        F.col("m.n_rows").cast("long").alias("n_rows"),
+        F.col("m.tw").cast("long").alias("total_weight"),
+        round4(F.col("m.l_extendedprice")).alias("weighted_median_price"),
+    ).orderBy("l_returnflag")
