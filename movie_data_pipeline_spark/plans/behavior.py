@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from movie_data_pipeline_spark.plans.core import query, r4, round4
+from movie_data_pipeline_spark.plans.core import exact_sum, query, r4, round4
 from movie_data_pipeline_spark.sources.registry import load_table
 
 
@@ -568,4 +568,179 @@ def q162_covered_time(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("span_us").cast("long").alias("covered_us"),
         )
         .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q165 — session path mining (top opening event-type journeys)
+# --------------------------------------------------------------------------
+@query(
+    "q165_session_paths",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN date_diff('microsecond',
+                            LAG(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id),
+                            ts) > 1800000000
+                  OR LAG(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    numbered AS (
+      SELECT user_id, event_type, ts, event_id,
+             SUM(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked),
+    paths AS (
+      SELECT user_id, session_id,
+             array_to_string(
+               (list(event_type ORDER BY ts, event_id))[1:3], '>'
+             ) AS path
+      FROM numbered GROUP BY user_id, session_id)
+    SELECT path, COUNT(*) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT 25
+    """,
+    tags=("extension", "behavior", "path-mining"),
+)
+def q165_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top opening journeys: the first three event types of every
+    session (q34's 30-minute gap sessions), joined into a path string
+    and ranked by frequency — the user-journey / clickstream-path
+    report product analytics runs on every events warehouse.
+
+    The session machinery is q34's lag + running-sum pair (one user_id
+    exchange); the path is a per-session ordered collect truncated to
+    3 (bounded arrays — sessions are gap-bounded); the final frequency
+    rollup is a small hash aggregate on the path string with
+    TakeOrderedAndProject on top. The ordered collect uses
+    sort_array(collect_list(struct(...))) — Spark's collect_list has no
+    ORDER BY; the struct sort imposes the oracle's (ts, event_id)
+    order exactly.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = events.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.expr(
+                    "timestampdiff(MICROSECOND, lag(ts) OVER "
+                    "(PARTITION BY user_id ORDER BY ts, event_id), ts)"
+                )
+                > 1_800_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    numbered = marked.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.sum("new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_id"),
+    )
+    paths = numbered.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.slice(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type")
+                        )
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                1,
+                3,
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(25)
+    )
+
+
+# --------------------------------------------------------------------------
+# q166 — maximum drawdown of the cumulative value series per type
+# --------------------------------------------------------------------------
+@query(
+    "q166_value_drawdown",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2),
+    cum AS (
+      SELECT event_type, hr,
+             CAST(SUM(CAST(v AS DECIMAL(30,18))) OVER
+               (PARTITION BY event_type ORDER BY hr
+                ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS equity
+      FROM hourly),
+    dd AS (
+      SELECT event_type, hr, equity,
+             MAX(equity) OVER (PARTITION BY event_type ORDER BY hr
+                               ROWS UNBOUNDED PRECEDING) AS peak
+      FROM cum)
+    SELECT event_type,
+           {r4('MAX(peak - equity)')} AS max_drawdown,
+           {r4('MAX(equity)')} AS final_peak
+    FROM dd GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("extension", "timeseries", "window"),
+)
+def q166_value_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the cumulative hourly value series per event
+    type — the peak-to-trough risk statistic (finance's drawdown, SRE's
+    error-budget burn): running sum → running max → max gap between
+    them.
+
+    Both windows ride the per-hour aggregate (calendar-bounded frames,
+    q115's contract) and share one event_type exchange. The cumulative
+    sum accumulates in DECIMAL(30,18) before returning to double so
+    the equity curve is partition-order-independent; peak−equity is
+    then identical IEEE arithmetic on both engines.
+    """
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(exact_sum(F.col("value")).alias("v"))
+    w = Window.partitionBy("event_type").orderBy("hr").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hourly.select(
+        "event_type",
+        "hr",
+        F.sum(F.col("v").cast("decimal(30,18)"))
+        .over(w)
+        .cast("double")
+        .alias("equity"),
+    )
+    dd = cum.select(
+        "event_type",
+        "equity",
+        F.max("equity").over(w.orderBy("hr")).alias("peak"),
+    )
+    return (
+        dd.groupBy("event_type")
+        .agg(
+            round4(F.max(F.col("peak") - F.col("equity"))).alias("max_drawdown"),
+            round4(F.max("equity")).alias("final_peak"),
+        )
+        .orderBy("event_type")
     )
