@@ -1767,3 +1767,74 @@ def q164_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m.tw").cast("long").alias("total_weight"),
         round4(F.col("m.l_extendedprice")).alias("weighted_median_price"),
     ).orderBy("l_returnflag")
+
+
+# --------------------------------------------------------------------------
+# q168 — revenue concentration: top-decile customer share (Lorenz point)
+# --------------------------------------------------------------------------
+@query(
+    "q168_revenue_concentration",
+    oracle=f"""
+    WITH per_cust AS (
+      SELECT o_custkey, {exact_sum_sql('o_totalprice')} AS rev
+      FROM orders GROUP BY o_custkey),
+    ranked AS (
+      SELECT o_custkey, rev,
+             ROW_NUMBER() OVER (ORDER BY rev DESC, o_custkey) AS rk,
+             COUNT(*) OVER () AS n,
+             CAST(SUM(CAST(rev AS DECIMAL(30,6))) OVER () AS DOUBLE)
+               AS total_rev
+      FROM per_cust)
+    SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+           {r4('MAX(total_rev)')} AS total_revenue,
+           {r4("CAST(SUM(CAST(CASE WHEN rk * 10 <= n THEN rev ELSE 0 END AS DECIMAL(30,6))) AS DOUBLE) / MAX(total_rev)")} AS top_decile_share,
+           {r4("CAST(SUM(CAST(CASE WHEN rk * 2 <= n THEN rev ELSE 0 END AS DECIMAL(30,6))) AS DOUBLE) / MAX(total_rev)")} AS top_half_share
+    FROM ranked
+    """,
+    tags=("extension", "concentration", "prefix-sum"),
+)
+def q168_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration: the share of total revenue carried by the
+    top 10% and top 50% of customers (two Lorenz-curve points — the
+    whale-dependence number every revenue review asks for).
+
+    The oracle's global ROW_NUMBER is the single-partition-window
+    scale-killer; the Spark plan ranks customers with
+    :func:`operators.prefix.attach_global_row_number` (range partition
+    by descending revenue + metadata offsets) and reduces with one
+    conditional aggregate — no global window, no sort on one task.
+    Revenue sums accumulate in DECIMAL on both engines; the rank
+    thresholds are integer comparisons (rk*10 <= n), so decile
+    membership cannot straddle a float boundary.
+    """
+    from movie_data_pipeline_spark.operators.prefix import (
+        attach_global_row_number,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        exact_sum(F.col("o_totalprice")).alias("rev")
+    )
+    ranked, n = attach_global_row_number(
+        per_cust, [F.col("rev").desc(), F.col("o_custkey")], out="rk"
+    )
+    dec = F.when(F.col("rk") * 10 <= F.lit(n), F.col("rev")).otherwise(
+        F.lit(0.0)
+    )
+    half = F.when(F.col("rk") * 2 <= F.lit(n), F.col("rev")).otherwise(
+        F.lit(0.0)
+    )
+    return ranked.agg(
+        F.lit(n).cast("long").alias("n_customers"),
+        round4(
+            F.sum(F.col("rev").cast("decimal(30,6)")).cast("double")
+        ).alias("total_revenue"),
+        round4(
+            F.sum(dec.cast("decimal(30,6)")).cast("double")
+            / F.sum(F.col("rev").cast("decimal(30,6)")).cast("double")
+        ).alias("top_decile_share"),
+        round4(
+            F.sum(half.cast("decimal(30,6)")).cast("double")
+            / F.sum(F.col("rev").cast("decimal(30,6)")).cast("double")
+        ).alias("top_half_share"),
+    )

@@ -744,3 +744,87 @@ def q166_value_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q167 — A/B experiment readout (two-proportion z-test)
+# --------------------------------------------------------------------------
+@query(
+    "q167_ab_test_readout",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT user_id, user_id % 2 AS arm,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM events GROUP BY user_id),
+    arms AS (
+      SELECT arm, COUNT(*) AS n_users,
+             SUM(converted) AS n_converted
+      FROM assigned GROUP BY arm),
+    wide AS (
+      SELECT
+        (SELECT n_users FROM arms WHERE arm = 0) AS n_a,
+        (SELECT n_converted FROM arms WHERE arm = 0) AS c_a,
+        (SELECT n_users FROM arms WHERE arm = 1) AS n_b,
+        (SELECT n_converted FROM arms WHERE arm = 1) AS c_b)
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(c_a AS BIGINT) AS c_a,
+           CAST(n_b AS BIGINT) AS n_b, CAST(c_b AS BIGINT) AS c_b,
+           {r4('c_a * 1.0 / n_a')} AS rate_a,
+           {r4('c_b * 1.0 / n_b')} AS rate_b,
+           {r4('''(c_b * 1.0 / n_b - c_a * 1.0 / n_a)
+             / sqrt(((c_a + c_b) * 1.0 / (n_a + n_b))
+                    * (1.0 - (c_a + c_b) * 1.0 / (n_a + n_b))
+                    * (1.0 / n_a + 1.0 / n_b))''')} AS z_stat
+    FROM wide
+    """,
+    tags=("extension", "experimentation", "agg"),
+)
+def q167_ab_test_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test readout for a hash-split experiment: users
+    assigned to arms by id parity (the deterministic stand-in for an
+    assignment log), conversion = any purchase event, pooled-variance
+    z-statistic — the significance arithmetic every experimentation
+    platform reduces to.
+
+    Two aggregates (per-user conversion flag, then per-arm counts —
+    both on the user_id exchange) collapse to a 2-row frame; the z
+    arithmetic is a single-row projection of exact integer counts
+    through identical IEEE expressions on both engines (sqrt included:
+    correctly rounded per IEEE-754, so bit-identical on identical
+    inputs).
+    """
+    events = load_table(spark, sf_dir, "events")
+    assigned = events.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    ).select((F.col("user_id") % 2).alias("arm"), "converted")
+    arms = assigned.groupBy("arm").agg(
+        F.count("*").alias("n_users"), F.sum("converted").alias("n_converted")
+    )
+    a = arms.filter(F.col("arm") == 0).select(
+        F.col("n_users").alias("n_a"), F.col("n_converted").alias("c_a")
+    )
+    b = arms.filter(F.col("arm") == 1).select(
+        F.col("n_users").alias("n_b"), F.col("n_converted").alias("c_b")
+    )
+    wide = a.crossJoin(b)
+    rate_a = F.col("c_a") * F.lit(1.0) / F.col("n_a")
+    rate_b = F.col("c_b") * F.lit(1.0) / F.col("n_b")
+    pooled = (F.col("c_a") + F.col("c_b")) * F.lit(1.0) / (
+        F.col("n_a") + F.col("n_b")
+    )
+    z = (rate_b - rate_a) / F.sqrt(
+        pooled
+        * (F.lit(1.0) - pooled)
+        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    return wide.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("c_a").cast("long").alias("c_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("c_b").cast("long").alias("c_b"),
+        round4(rate_a).alias("rate_a"),
+        round4(rate_b).alias("rate_b"),
+        round4(z).alias("z_stat"),
+    )
