@@ -752,11 +752,16 @@ def q166_value_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q167_ab_test_readout",
     oracle=f"""
-    WITH assigned AS (
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+    assigned AS (
       SELECT user_id, user_id % 2 AS arm,
-             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-               AS converted
-      FROM events GROUP BY user_id),
+             MAX(CASE WHEN event_type = 'purchase' AND rn <= 3
+                 THEN 1 ELSE 0 END) AS converted
+      FROM ordered GROUP BY user_id),
     arms AS (
       SELECT arm, COUNT(*) AS n_users,
              SUM(converted) AS n_converted
@@ -782,7 +787,10 @@ def q166_value_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q167_ab_test_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-proportion z-test readout for a hash-split experiment: users
     assigned to arms by id parity (the deterministic stand-in for an
-    assignment log), conversion = any purchase event, pooled-variance
+    assignment log), conversion = a purchase among the user's first
+    three events (an interior rate — over the full synthetic history
+    every user eventually purchases, which would degenerate the
+    pooled variance to zero), pooled-variance
     z-statistic — the significance arithmetic every experimentation
     platform reduces to.
 
@@ -794,9 +802,15 @@ def q167_ab_test_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
     inputs).
     """
     events = load_table(spark, sf_dir, "events")
-    assigned = events.groupBy("user_id").agg(
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = events.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    )
+    assigned = ordered.groupBy("user_id").agg(
         F.max(
-            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("rn") <= 3), 1
+            ).otherwise(0)
         ).alias("converted")
     ).select((F.col("user_id") % 2).alias("arm"), "converted")
     arms = assigned.groupBy("arm").agg(
