@@ -842,3 +842,159 @@ def q167_ab_test_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
         round4(rate_b).alias("rate_b"),
         round4(z).alias("z_stat"),
     )
+
+
+# --------------------------------------------------------------------------
+# q169 — CUPED variance-reduced experiment readout
+# --------------------------------------------------------------------------
+_DSUM = "CAST(SUM(CAST(({x}) AS DECIMAL(38,10))) AS DOUBLE)"
+
+
+@query(
+    "q169_cuped_readout",
+    oracle=f"""
+    WITH bounds AS (SELECT MIN(ts) AS lo, MAX(ts) AS hi FROM events),
+    per_user AS (
+      SELECT e.user_id, e.user_id % 2 AS arm,
+             {_DSUM.format(x="CASE WHEN epoch_us(e.ts - b.lo) * 2 < epoch_us(b.hi - b.lo) THEN e.value ELSE 0 END")} AS x,
+             {_DSUM.format(x="CASE WHEN epoch_us(e.ts - b.lo) * 2 < epoch_us(b.hi - b.lo) THEN 0 ELSE e.value END")} AS y
+      FROM events e CROSS JOIN bounds b
+      GROUP BY e.user_id),
+    stats AS (
+      SELECT COUNT(*) AS n,
+             {_DSUM.format(x="x")} AS sx, {_DSUM.format(x="y")} AS sy,
+             {_DSUM.format(x="x * x")} AS sxx,
+             {_DSUM.format(x="x * y")} AS sxy,
+             {_DSUM.format(x="y * y")} AS syy
+      FROM per_user),
+    params AS (
+      SELECT n, sy, syy,
+             (sxy - sx * sy / n) / (sxx - sx * sx / n) AS theta,
+             sx / n AS xbar
+      FROM stats),
+    adj AS (
+      SELECT u.arm, u.y,
+             u.y - p.theta * (u.x - p.xbar) AS y_adj
+      FROM per_user u CROSS JOIN params p),
+    arm_means AS (
+      SELECT
+        {_DSUM.format(x="CASE WHEN arm = 1 THEN y ELSE 0 END")}
+          / COUNT(CASE WHEN arm = 1 THEN 1 END)
+        - {_DSUM.format(x="CASE WHEN arm = 0 THEN y ELSE 0 END")}
+          / COUNT(CASE WHEN arm = 0 THEN 1 END) AS diff_raw,
+        {_DSUM.format(x="CASE WHEN arm = 1 THEN y_adj ELSE 0 END")}
+          / COUNT(CASE WHEN arm = 1 THEN 1 END)
+        - {_DSUM.format(x="CASE WHEN arm = 0 THEN y_adj ELSE 0 END")}
+          / COUNT(CASE WHEN arm = 0 THEN 1 END) AS diff_adj,
+        {_DSUM.format(x="y_adj * y_adj")} AS sada,
+        {_DSUM.format(x="y_adj")} AS sad,
+        COUNT(*) AS n
+      FROM adj)
+    SELECT CAST(a.n AS BIGINT) AS n_users,
+           {r4('p.theta')} AS theta,
+           {r4('a.diff_raw')} AS diff_raw,
+           {r4('a.diff_adj')} AS diff_adj,
+           {r4('''1.0 - (a.sada - a.sad * a.sad / a.n)
+                      / (p.syy - p.sy * p.sy / p.n)''')} AS var_reduction
+    FROM arm_means a CROSS JOIN params p
+    """,
+    tags=("extension", "experimentation", "cuped"),
+)
+def q169_cuped_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (Controlled-experiment Using Pre-Experiment Data, Deng et
+    al. 2013): regress the experiment-period metric on the
+    pre-period covariate, report the covariate coefficient theta, the
+    raw and adjusted arm differences, and the variance reduction — the
+    technique that lets experimentation platforms call tests in half
+    the time. Pre/post periods split at the exact time midpoint
+    (q156's halving-free integer-micros split); arms by user-id parity
+    as in q167.
+
+    Two passes over the per-user frame (one groupBy builds it; the
+    second pass re-reads it with the broadcast scalar parameters), all
+    cross-row sums in DECIMAL(38,10) so theta and the variance ratio
+    are identical IEEE arithmetic on identical exact sums in both
+    engines. No windows, no collects — the per-user frame is the only
+    shuffle.
+    """
+    events = load_table(spark, sf_dir, "events")
+    bounds = events.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+    before_mid = (
+        F.expr("timestampdiff(MICROSECOND, lo, ts)") * 2
+        < F.expr("timestampdiff(MICROSECOND, lo, hi)")
+    )
+
+    def dsum(col):
+        return F.sum(col.cast("decimal(38,10)")).cast("double")
+
+    per_user = (
+        events.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            dsum(F.when(before_mid, F.col("value")).otherwise(0)).alias("x"),
+            dsum(F.when(before_mid, F.lit(0)).otherwise(F.col("value"))).alias(
+                "y"
+            ),
+        )
+        .select((F.col("user_id") % 2).alias("arm"), "x", "y")
+    )
+    stats = per_user.agg(
+        F.count("*").alias("n"),
+        dsum(F.col("x")).alias("sx"),
+        dsum(F.col("y")).alias("sy"),
+        dsum(F.col("x") * F.col("x")).alias("sxx"),
+        dsum(F.col("x") * F.col("y")).alias("sxy"),
+        dsum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    params = stats.select(
+        "n",
+        "sy",
+        "syy",
+        (
+            (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
+            / (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+        ).alias("theta"),
+        (F.col("sx") / F.col("n")).alias("xbar"),
+    )
+    adj = per_user.crossJoin(F.broadcast(params)).select(
+        "arm",
+        "y",
+        (F.col("y") - F.col("theta") * (F.col("x") - F.col("xbar"))).alias(
+            "y_adj"
+        ),
+        "theta",
+        "sy",
+        "syy",
+        F.col("n").alias("n_all"),
+    )
+    agg = adj.agg(
+        F.any_value("theta").alias("theta"),
+        F.any_value("sy").alias("sy"),
+        F.any_value("syy").alias("syy"),
+        F.any_value("n_all").alias("n"),
+        (
+            dsum(F.when(F.col("arm") == 1, F.col("y")).otherwise(0))
+            / F.count(F.when(F.col("arm") == 1, 1))
+            - dsum(F.when(F.col("arm") == 0, F.col("y")).otherwise(0))
+            / F.count(F.when(F.col("arm") == 0, 1))
+        ).alias("diff_raw"),
+        (
+            dsum(F.when(F.col("arm") == 1, F.col("y_adj")).otherwise(0))
+            / F.count(F.when(F.col("arm") == 1, 1))
+            - dsum(F.when(F.col("arm") == 0, F.col("y_adj")).otherwise(0))
+            / F.count(F.when(F.col("arm") == 0, 1))
+        ).alias("diff_adj"),
+        dsum(F.col("y_adj") * F.col("y_adj")).alias("sada"),
+        dsum(F.col("y_adj")).alias("sad"),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_users"),
+        round4(F.col("theta")).alias("theta"),
+        round4(F.col("diff_raw")).alias("diff_raw"),
+        round4(F.col("diff_adj")).alias("diff_adj"),
+        round4(
+            F.lit(1.0)
+            - (F.col("sada") - F.col("sad") * F.col("sad") / F.col("n"))
+            / (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n"))
+        ).alias("var_reduction"),
+    )
