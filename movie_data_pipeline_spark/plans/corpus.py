@@ -708,3 +708,94 @@ def q161_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("f").cast("long").alias("cnt"))
     )
     return pairs.orderBy(F.desc("cnt"), F.asc("pair")).limit(50)
+
+
+# --------------------------------------------------------------------------
+# q170 — Zipf rank-frequency fit over the corpus vocabulary
+# --------------------------------------------------------------------------
+@query(
+    "q170_zipf_fit",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+      FROM documents),
+    tf AS (SELECT tok, COUNT(*) AS f FROM toks GROUP BY tok),
+    ranked AS (
+      SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, tok) AS rk FROM tf),
+    pts AS (
+      SELECT ln(CAST(rk AS DOUBLE)) AS x, ln(CAST(f AS DOUBLE)) AS y
+      FROM ranked),
+    sums AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(x * y AS DECIMAL(38,18))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(y * y AS DECIMAL(38,18))) AS DOUBLE) AS syy
+      FROM pts)
+    SELECT CAST(n AS BIGINT) AS n_types,
+           {r4('(n * sxy - sx * sy) / (n * sxx - sx * sx)')} AS zipf_slope,
+           {r4('(sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n')}
+             AS intercept,
+           {r4('''((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                / ((n * sxx - sx * sx) * (n * syy - sy * sy))''')} AS r2
+    FROM sums
+    """,
+    tags=("extension", "corpus", "regression", "prefix-sum"),
+)
+def q170_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit: OLS slope of log frequency on log rank over the
+    corpus vocabulary (natural text sits near slope −1; synthetic or
+    templated corpora — like this one — deviate sharply, which makes
+    the slope a cheap corpus-authenticity probe alongside q140/q83's
+    LM signals).
+
+    Frequency ranks come from
+    :func:`operators.prefix.attach_global_row_number` (no
+    single-partition window even at web-corpus vocabulary sizes); the
+    regression reduces log-space power sums in DECIMAL(38,18) (q68's
+    regression discipline), so both engines fit on identical exact
+    sums. ln() appears only inside round4-quantized outputs — the same
+    contract q37/q137/q83 already rely on.
+    """
+    from movie_data_pipeline_spark.operators.prefix import (
+        attach_global_row_number,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("f"))
+    )
+    ranked, _n = attach_global_row_number(
+        tf, [F.col("f").desc(), F.col("tok")], out="rk"
+    )
+    pts = ranked.select(
+        F.log(F.col("rk").cast("double")).alias("x"),
+        F.log(F.col("f").cast("double")).alias("y"),
+    )
+
+    def dsum(col):
+        return F.sum(col.cast("decimal(38,18)")).cast("double")
+
+    sums = pts.agg(
+        F.count("*").alias("n"),
+        dsum(F.col("x")).alias("sx"),
+        dsum(F.col("y")).alias("sy"),
+        dsum(F.col("x") * F.col("x")).alias("sxx"),
+        dsum(F.col("x") * F.col("y")).alias("sxy"),
+        dsum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return sums.select(
+        n.cast("long").alias("n_types"),
+        round4(slope).alias("zipf_slope"),
+        round4((sy - slope * sx) / n).alias("intercept"),
+        round4(
+            ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+        ).alias("r2"),
+    )
