@@ -565,3 +565,181 @@ def q155_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("round", "k", "n_alive")
         .orderBy("round")
     )
+
+
+# --------------------------------------------------------------------------
+# q171 — top principal component by power iteration
+# --------------------------------------------------------------------------
+_PCA_ITERS = 3
+_EMB_DIM = 64
+
+
+def _pca_oracle() -> str:
+    dim = _EMB_DIM
+    dot = (
+        "list_reduce(list_transform(generate_series(1, {d}), "
+        "i -> ({a}[i] - {m}[i]) * {v}[i]), (p, q) -> p + q)"
+    )
+    parts = [
+        f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS arr FROM embeddings),
+    idx AS (SELECT unnest(generate_series(1, {dim})) AS i),
+    mu AS (
+      SELECT list(val ORDER BY i) AS m FROM (
+        SELECT i, CAST(SUM(CAST(arr[i] AS DECIMAL(38,18))) AS DOUBLE)
+                    / COUNT(*) AS val
+        FROM e CROSS JOIN idx GROUP BY i)),
+    v0 AS (SELECT list_transform(generate_series(1, {dim}),
+                                 i -> 1.0 / sqrt({dim}.0)) AS v)"""
+    ]
+    prev = "v0"
+    for k in range(1, _PCA_ITERS + 1):
+        d = dot.format(d=dim, a="e.arr", m="mu.m", v=f"{prev}.v")
+        parts.append(f""",
+    d{k} AS (
+      SELECT e.vec_id, e.arr, {d} AS d
+      FROM e CROSS JOIN mu CROSS JOIN {prev}),
+    s{k} AS (
+      SELECT i, CAST(SUM(CAST((d{k}.arr[i] - mu.m[i]) * d{k}.d
+                              AS DECIMAL(38,18))) AS DOUBLE) AS s
+      FROM d{k} CROSS JOIN mu CROSS JOIN idx GROUP BY i),
+    a{k} AS (SELECT list(s ORDER BY i) AS sa FROM s{k}),
+    v{k} AS (
+      SELECT list_transform(sa, x -> x /
+               sqrt(list_reduce(list_transform(sa, x -> x * x),
+                                (p, q) -> p + q))) AS v
+      FROM a{k})""")
+        prev = f"v{k}"
+    d_fin = dot.format(d=dim, a="e.arr", m="mu.m", v=f"{prev}.v")
+    loadings = ", ".join(
+        f"floor({prev}.v[{j + 1}] * 10000 + 0.5) / 10000 AS loading_{j}"
+        for j in range(8)
+    )
+    parts.append(f""",
+    ray AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(({d_fin}) * ({d_fin}) AS DECIMAL(38,18)))
+                  AS DOUBLE) AS sdd
+      FROM e CROSS JOIN mu CROSS JOIN {prev})
+    SELECT CAST(ray.n AS BIGINT) AS n_vecs,
+           floor(ray.sdd / ray.n * 10000 + 0.5) / 10000 AS lambda1,
+           {loadings}
+    FROM ray CROSS JOIN {prev}
+    """)
+    return "".join(parts)
+
+
+@query(
+    "q171_pca_power_iteration",
+    oracle=_pca_oracle(),
+    tags=("extension", "iterative", "linear-algebra", "pca"),
+)
+def q171_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the centered embedding corpus by
+    power iteration (3 fixed rounds, uniform unit start) — the
+    eigen-problem behind PCA whitening / dimension reduction of
+    embedding tables, expressed as the same distributed matvec loop a
+    parameter server would run: per-row projection (sequential-fold dot
+    in codegen), per-dimension DECIMAL re-aggregation, normalize.
+    Reports the Rayleigh-quotient eigenvalue and the first 8 loadings.
+
+    The fifth member of the iterative family (q103 PageRank, q104
+    k-means, q63 components, q155 k-core). The direction vector and
+    mean live as ONE-ROW broadcast frames (q104's discipline — nothing
+    is collected to the driver); each iteration shuffles only (dim,
+    partial-sum) pairs, so corpus size only affects the scan. The
+    matvec Σ xc(xcᵀv) touches each row once per iteration — exactly
+    the access pattern that makes power iteration THE scalable
+    eigensolver.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("arr"),
+    ).persist()
+    mu = (
+        vecs.select(F.posexplode("arr").alias("i0", "x"))
+        .groupBy("i0")
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(38,18)")).cast("double")
+                / F.count("*")
+            ).alias("val")
+        )
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i0", "val"))),
+                lambda s: s.getField("val"),
+            ).alias("m")
+        )
+    )
+    dim = _EMB_DIM
+    v = spark.range(1).select(
+        F.array(*[F.lit(1.0 / dim**0.5)] * dim).alias("v")
+    )
+
+    def proj(vdf: DataFrame) -> DataFrame:
+        """Per-row projection d = (x - mu) . v"""
+        return (
+            vecs.crossJoin(F.broadcast(mu))
+            .crossJoin(F.broadcast(vdf))
+            .withColumn("xc", F.zip_with("arr", "m", lambda x, m_: x - m_))
+            .withColumn(
+                "d",
+                F.aggregate(
+                    F.zip_with("xc", "v", lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+            )
+        )
+
+    for _ in range(_PCA_ITERS):
+        s = (
+            proj(v)
+            .select("d", F.posexplode("xc").alias("i0", "x"))
+            .groupBy("i0")
+            .agg(
+                F.sum((F.col("x") * F.col("d")).cast("decimal(38,18)"))
+                .cast("double")
+                .alias("s")
+            )
+        )
+        v = (
+            s.agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i0", "s"))),
+                    lambda g: g.getField("s"),
+                ).alias("sa")
+            )
+            .withColumn(
+                "nrm",
+                F.sqrt(
+                    F.aggregate(
+                        F.transform(F.col("sa"), lambda x: x * x),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                ),
+            )
+            .select(
+                F.transform(
+                    F.col("sa"), lambda x: x / F.col("nrm")
+                ).alias("v")
+            )
+            .persist()
+        )
+    ray = proj(v).agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("d") * F.col("d")).cast("decimal(38,18)"))
+        .cast("double")
+        .alias("sdd"),
+    )
+    return ray.crossJoin(F.broadcast(v)).select(
+        F.col("n").cast("long").alias("n_vecs"),
+        round4(F.col("sdd") / F.col("n")).alias("lambda1"),
+        *[
+            round4(F.col("v")[j]).alias(f"loading_{j}")
+            for j in range(8)
+        ],
+    )
