@@ -892,3 +892,109 @@ def q149_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "src_doc", "dst_doc", round4(F.col("containment")).alias("containment")
     ).orderBy("src_doc", "dst_doc")
+
+
+# --------------------------------------------------------------------------
+# q173 — leakage-free train/test split (cluster-aware assignment)
+# --------------------------------------------------------------------------
+@query(
+    "q173_leakage_free_split",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM shingles a JOIN shingles b
+        ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT doc_a, doc_b FROM common
+      JOIN counts ca ON ca.doc_id = doc_a
+      JOIN counts cb ON cb.doc_id = doc_b
+      WHERE n_common * 1.0 / (ca.n + cb.n - n_common) >= 0.2),
+    -- min-label fixpoint: component = smallest doc id reachable
+    comp(doc_id, label) AS (
+      SELECT doc_id, doc_id AS label FROM documents
+      UNION
+      SELECT e.hi, MIN(c.label)
+      FROM (SELECT doc_a AS lo, doc_b AS hi FROM pairs
+            UNION ALL SELECT doc_b AS lo, doc_a AS hi FROM pairs) e
+      JOIN comp c ON c.doc_id = e.lo
+      GROUP BY e.hi),
+    final_comp AS (
+      SELECT doc_id, MIN(label) AS component FROM comp GROUP BY doc_id),
+    split AS (
+      SELECT doc_id, component,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 10 < 8
+               THEN 'train' ELSE 'test' END AS split
+      FROM final_comp),
+    straddle AS (
+      SELECT COUNT(*) AS n_straddling
+      FROM pairs p
+      JOIN split sa ON sa.doc_id = p.doc_a
+      JOIN split sb ON sb.doc_id = p.doc_b
+      WHERE sa.split <> sb.split)
+    SELECT s.split,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT s.component) AS n_clusters,
+           MAX(st.n_straddling) AS n_straddling_pairs
+    FROM split s CROSS JOIN straddle st
+    GROUP BY s.split ORDER BY s.split
+    """,
+    tags=("extension", "dedup", "eval-hygiene"),
+)
+def q173_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware train/test split: assign every near-duplicate
+    CLUSTER (q63's connected components over Jaccard-0.2 pairs) wholly
+    to train or test by an md5 hash of its component id (80/20) — the
+    eval-hygiene step that prevents the benchmark-contamination failure
+    mode where a test document's near-duplicate sits in the training
+    set (q88 detects that contamination; this op makes it impossible by
+    construction). The report carries the machine-checked guarantee:
+    ``n_straddling_pairs`` — near-dup pairs whose endpoints landed in
+    different splits — must be 0, and the driver hash-verifies it
+    against the oracle's independent recursive-CTE fixpoint.
+
+    Shapes: pair generation and label propagation are q18/q63's
+    machinery; the split is one hash expression on the component id
+    (reshard-stable, q39's discipline); the straddle audit is two
+    broadcast-joins of the pair list against the assignment.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, threshold=0.2).select("doc_a", "doc_b")
+    comp = connected_components(
+        pairs, nodes=docs.select("doc_id"), src="doc_a", dst="doc_b"
+    )
+    split = comp.select(
+        F.col("node").alias("doc_id"),
+        "component",
+        F.when(
+            base_hash32(F.col("component").cast("string")) % 10 < 8, "train"
+        )
+        .otherwise("test")
+        .alias("split"),
+    ).persist()
+    sa = split.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
+    sb = split.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
+    straddle = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .agg(F.count("*").alias("n_straddling"))
+    )
+    return (
+        split.groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct("component").alias("n_clusters"),
+        )
+        .crossJoin(F.broadcast(straddle))
+        .select(
+            "split",
+            "n_docs",
+            "n_clusters",
+            F.col("n_straddling").alias("n_straddling_pairs"),
+        )
+        .orderBy("split")
+    )

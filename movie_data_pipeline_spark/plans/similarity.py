@@ -389,3 +389,144 @@ def q153_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# q172 — MMR diversified re-ranking of a retrieval pool
+# --------------------------------------------------------------------------
+_MMR_LAMBDA = 0.7
+_MMR_K = 5
+_MMR_POOL = 20
+
+
+def _mmr_oracle() -> str:
+    lam = _MMR_LAMBDA
+    parts = [
+        f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_vec
+      FROM embeddings WHERE vec_id = 0),
+    pool AS (
+      SELECT c.vec_id, c.embedding::DOUBLE[] AS arr,
+             list_cosine_similarity(c.embedding::DOUBLE[], q.q_vec) AS rel
+      FROM embeddings c CROSS JOIN q
+      WHERE c.vec_id <> q.query_id
+      ORDER BY rel DESC, c.vec_id LIMIT {_MMR_POOL}),
+    sims AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb,
+             list_cosine_similarity(a.arr, b.arr) AS s
+      FROM pool a JOIN pool b ON a.vec_id <> b.vec_id),
+    p1 AS (
+      SELECT vec_id, rel, 1 AS mmr_rank
+      FROM pool ORDER BY rel DESC, vec_id LIMIT 1)"""
+    ]
+    prev_sel = "p1"
+    for step in range(2, _MMR_K + 1):
+        parts.append(f""",
+    c{step} AS (
+      SELECT p.vec_id, p.rel,
+             MAX(s.s) AS max_sim
+      FROM pool p
+      JOIN sims s ON s.va = p.vec_id
+        AND s.vb IN (SELECT vec_id FROM {prev_sel})
+      WHERE p.vec_id NOT IN (SELECT vec_id FROM {prev_sel})
+      GROUP BY p.vec_id, p.rel),
+    p{step} AS (
+      SELECT vec_id, rel, mmr_rank FROM {prev_sel}
+      UNION ALL
+      SELECT vec_id, rel, {step} AS mmr_rank FROM (
+        SELECT vec_id, rel
+        FROM c{step}
+        ORDER BY {lam} * rel - {1 - lam} * max_sim DESC, vec_id
+        LIMIT 1))""")
+        prev_sel = f"p{step}"
+    parts.append(f"""
+    SELECT CAST(mmr_rank AS BIGINT) AS mmr_rank, vec_id,
+           floor(rel * 10000 + 0.5) / 10000 AS relevance
+    FROM {prev_sel}
+    ORDER BY mmr_rank
+    """)
+    return "".join(parts)
+
+
+@query(
+    "q172_mmr_rerank",
+    oracle=_mmr_oracle(),
+    tags=("extension", "similarity", "retrieval", "mmr"),
+)
+def q172_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): from query vector 0's top-20 cosine pool, greedily select 5
+    results maximizing ``λ·relevance − (1−λ)·max-similarity-to-already-
+    selected`` — the diversity-aware retrieval layer RAG stacks put on
+    top of raw ANN top-k (raw top-k returns near-duplicates of the
+    same hit; MMR spends the slots on coverage).
+
+    Greedy selection is inherently sequential in k; k is a small
+    constant, so the loop unrolls into k-1 dataframe steps over the
+    POOL (bounded: 20 rows after the TakeOrdered retrieval pass) — the
+    corpus-sized work remains the one scan that builds the pool, as in
+    q22. The pairwise pool sims are a 20x20 broadcast join. Ties break
+    on vec_id at every argmax on both engines.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    from movie_data_pipeline_spark.operators.similarity import cosine
+
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+    )
+    pool = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "vec_id",
+            "embedding",
+            cosine(F.col("embedding"), F.col("q_vec")).alias("rel"),
+        )
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(_MMR_POOL)
+        .persist()
+    )
+    a = pool.select(
+        F.col("vec_id").alias("va"), F.col("embedding").alias("ea")
+    )
+    b = pool.select(
+        F.col("vec_id").alias("vb"), F.col("embedding").alias("eb")
+    )
+    sims = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("va") != F.col("vb"))
+        .select("va", "vb", cosine(F.col("ea"), F.col("eb")).alias("s"))
+        .persist()
+    )
+    lam = _MMR_LAMBDA
+    selected = (
+        pool.orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(1)
+        .select("vec_id", "rel", F.lit(1).alias("mmr_rank"))
+    )
+    for step in range(2, _MMR_K + 1):
+        sel_ids = selected.select(F.col("vec_id").alias("vb"))
+        cand = (
+            pool.join(
+                selected.select("vec_id"), "vec_id", "left_anti"
+            )
+            .join(sims, F.col("vec_id") == F.col("va"))
+            .join(F.broadcast(sel_ids), "vb", "left_semi")
+            .groupBy("vec_id", "rel")
+            .agg(F.max("s").alias("max_sim"))
+        )
+        nxt = (
+            cand.orderBy(
+                (F.lit(lam) * F.col("rel") - F.lit(1 - lam) * F.col("max_sim")).desc(),
+                F.asc("vec_id"),
+            )
+            .limit(1)
+            .select("vec_id", "rel", F.lit(step).alias("mmr_rank"))
+        )
+        selected = selected.unionByName(nxt).persist()
+    return selected.select(
+        F.col("mmr_rank").cast("long").alias("mmr_rank"),
+        "vec_id",
+        round4(F.col("rel")).alias("relevance"),
+    ).orderBy("mmr_rank")
