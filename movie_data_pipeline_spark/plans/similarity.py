@@ -530,3 +530,114 @@ def q172_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         round4(F.col("rel")).alias("relevance"),
     ).orderBy("mmr_rank")
+
+
+# --------------------------------------------------------------------------
+# q174 — SemDeDup: semantic dedup via LSH-cell clustering
+# --------------------------------------------------------------------------
+_SEM_PLANES = 4
+_SEM_TAU = 0.3
+
+
+def _cell_sql(arr: str, n_planes: int) -> str:
+    """Bucket-id SQL from the same md5 hyperplane table the Spark
+    operator uses (generalizes q132's 8-plane renderer)."""
+    terms = []
+    for i in range(n_planes):
+        plane = _hyperplane(_ANN_DIM, i)
+        lit = "[" + ", ".join(repr(v) for v in plane) + "]::DOUBLE[]"
+        dot = (
+            f"list_reduce(list_transform(generate_series(1, {_ANN_DIM}), "
+            f"i -> {arr}[i] * ({lit})[i]), (acc, x) -> acc + x)"
+        )
+        terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << i} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+@query(
+    "q174_semantic_dedup",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS arr FROM embeddings),
+    b AS (SELECT vec_id, label, arr, {_cell_sql('arr', _SEM_PLANES)} AS cell FROM v),
+    pr AS (
+      SELECT x.cell, x.vec_id AS va, x.label AS la,
+             y.vec_id AS vb, y.label AS lb,
+             list_cosine_similarity(x.arr, y.arr) AS cs
+      FROM b x JOIN b y ON x.cell = y.cell AND x.vec_id < y.vec_id),
+    flt AS (SELECT * FROM pr WHERE {r4('cs')} >= {_SEM_TAU})
+    SELECT CAST(cell AS BIGINT) AS cell, vb AS vec_id,
+           MIN(va) AS anchor_id,
+           {r4('arg_min(cs, va)')} AS anchor_sim,
+           arg_min(la, va) = MAX(lb) AS same_label
+    FROM flt GROUP BY cell, vb
+    ORDER BY cell, vec_id
+    """,
+    tags=("extension", "similarity", "dedup", "semdedup"),
+)
+def q174_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) re-expressed for Spark: cluster the
+    embedding space (here: 4 random-hyperplane sign cells, 16 cells —
+    the paper's k-means step; the IVF codebook in
+    ``operators/similarity.py`` is the drop-in alternative), then
+    within each cell drop every vector that has an EARLIER cell-mate
+    with cosine ≥ τ, keeping the earliest member of each semantic
+    neighborhood. τ=0.3 is calibrated to this synthetic corpus (max
+    pairwise cosine ≈ 0.5 — see q23's docstring); production corpora
+    use ≥0.95. One row per dropped vector with its surviving anchor,
+    the anchor similarity, and whether anchor and victim share the
+    generator label (the semantic-fidelity signal).
+
+    Policy note: "any earlier neighbor" is deliberately transitive-free
+    — unlike q63/q173's connected components it never chains A~B~C
+    into one cluster through a below-threshold A,C pair, which is the
+    documented SemDeDup behavior (and makes the plan one equi-join +
+    one groupBy, no iteration). Scale: the cell equi-join is the only
+    shuffle; within-cell pairing is quadratic in cell size, bounded by
+    adding planes (cells ~ 2^planes) exactly like q18's document-
+    frequency cap; threshold compares the round4-quantized value on
+    both engines so a boundary pair cannot flip membership.
+    """
+    from movie_data_pipeline_spark.operators.similarity import lsh_bucket
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = [_hyperplane(_ANN_DIM, i) for i in range(_SEM_PLANES)]
+    cells = emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        lsh_bucket(F.col("embedding"), planes).alias("cell"),
+    ).persist()
+    a = cells.select(
+        "cell",
+        F.col("vec_id").alias("va"),
+        F.col("label").alias("la"),
+        F.col("embedding").alias("ea"),
+    )
+    bb = cells.select(
+        "cell",
+        F.col("vec_id").alias("vb"),
+        F.col("label").alias("lb"),
+        F.col("embedding").alias("eb"),
+    )
+    pairs = (
+        a.join(bb, "cell")
+        .filter(F.col("va") < F.col("vb"))
+        .select(
+            "cell", "va", "la", "vb", "lb",
+            cosine(F.col("ea"), F.col("eb")).alias("cs"),
+        )
+        .filter(round4(F.col("cs")) >= _SEM_TAU)
+    )
+    return (
+        pairs.groupBy("cell", F.col("vb").alias("vec_id"))
+        .agg(
+            F.min("va").alias("anchor_id"),
+            round4(F.min_by("cs", "va")).alias("anchor_sim"),
+            (F.min_by("la", "va") == F.max("lb")).alias("same_label"),
+        )
+        .select(
+            F.col("cell").cast("long").alias("cell"),
+            "vec_id", "anchor_id", "anchor_sim", "same_label",
+        )
+        .orderBy("cell", "vec_id")
+    )
