@@ -998,3 +998,97 @@ def q173_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+# --------------------------------------------------------------------------
+# q175 — entity resolution: blocking → edit-distance match → clusters
+# --------------------------------------------------------------------------
+@query(
+    "q175_entity_resolution",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+      SELECT a.p_partkey AS pa, b.p_partkey AS pb
+      FROM part a JOIN part b
+        ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+      WHERE levenshtein(a.p_name, b.p_name) <= 2),
+    comp(node, label) AS (
+      SELECT p_partkey, p_partkey FROM part
+      UNION
+      SELECT e.hi, MIN(c.label)
+      FROM (SELECT pa AS lo, pb AS hi FROM pairs
+            UNION ALL SELECT pb AS lo, pa AS hi FROM pairs) e
+      JOIN comp c ON c.node = e.lo
+      GROUP BY e.hi),
+    final_comp AS (SELECT node, MIN(label) AS entity_id FROM comp GROUP BY node),
+    resolved AS (
+      SELECT fc.entity_id, p.p_partkey, p.p_name, p.p_brand
+      FROM final_comp fc JOIN part p ON p.p_partkey = fc.node)
+    SELECT entity_id,
+           MAX(p_brand) AS brand,
+           COUNT(*) AS n_records,
+           COUNT(DISTINCT p_name) AS n_names,
+           array_to_string(list_sort(list_distinct(array_agg(p_name))), '|')
+             AS names
+    FROM resolved
+    GROUP BY entity_id
+    HAVING COUNT(*) >= 2
+    ORDER BY n_records DESC, entity_id
+    LIMIT 50
+    """,
+    tags=("extension", "entity-resolution", "record-linkage"),
+)
+def q175_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution over the part catalog — the record-linkage
+    pipeline (Fellegi-Sunter shape): (1) blocking on ``p_brand`` so
+    candidate generation is an equi-join, never all-pairs; (2) match
+    scoring by edit distance on the name (levenshtein ≤ 2 — both
+    engines implement the identical standard DP distance); (3)
+    transitive closure of match pairs via distributed connected
+    components (q63's min-label operator); (4) canonicalization: the
+    entity id is the smallest member key, with the merged name variants
+    reported sorted. Top-50 largest merged entities.
+
+    Scale: blocking-key cardinality bounds the quadratic — at corpus
+    scale a single blocking key skews (q138's audit measures exactly
+    this), so production blocks on multiple cheap keys (brand AND
+    name-token) and unions candidates, trading recall for bound; the
+    CC step is the same machinery whose large-star/small-star variant
+    (q134) covers high-diameter merge graphs. The brand column is
+    constant within an entity by construction (blocking key), so
+    MAX(brand) is exact, not a sample.
+    """
+    part = load_table(spark, sf_dir, "part")
+    a = part.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("pa"),
+        F.col("p_name").alias("na"),
+    )
+    b = part.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("pb"),
+        F.col("p_name").alias("nb"),
+    )
+    pairs = (
+        a.join(b, "brand")
+        .filter(F.col("pa") < F.col("pb"))
+        .filter(F.levenshtein(F.col("na"), F.col("nb")) <= 2)
+        .select("pa", "pb")
+    )
+    comp = connected_components(
+        pairs, nodes=part.select("p_partkey"), src="pa", dst="pb"
+    )
+    resolved = comp.join(
+        part, comp["node"] == part["p_partkey"]
+    ).select(F.col("component").alias("entity_id"), "p_partkey", "p_name", "p_brand")
+    return (
+        resolved.groupBy("entity_id")
+        .agg(
+            F.max("p_brand").alias("brand"),
+            F.count("*").alias("n_records"),
+            F.count_distinct("p_name").alias("n_names"),
+            F.array_join(F.array_sort(F.collect_set("p_name")), "|").alias("names"),
+        )
+        .filter(F.col("n_records") >= 2)
+        .orderBy(F.desc("n_records"), F.asc("entity_id"))
+        .limit(50)
+    )
