@@ -1838,3 +1838,98 @@ def q168_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum(F.col("rev").cast("decimal(30,6)")).cast("double")
         ).alias("top_half_share"),
     )
+
+
+# --------------------------------------------------------------------------
+# q176 — item-item collaborative filtering (cosine over order baskets)
+# --------------------------------------------------------------------------
+@query(
+    "q176_item_item_cf",
+    oracle=f"""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    deg AS (
+      SELECT l_partkey, COUNT(*) AS d FROM baskets GROUP BY l_partkey),
+    t AS (SELECT * FROM baskets WHERE l_partkey % 50 = 0),
+    co AS (
+      SELECT t.l_partkey AS item, b.l_partkey AS neighbor, COUNT(*) AS n_co
+      FROM t JOIN baskets b
+        ON t.l_orderkey = b.l_orderkey AND t.l_partkey <> b.l_partkey
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT co.item, co.neighbor, co.n_co,
+             co.n_co / sqrt(CAST(di.d AS DOUBLE) * CAST(dn.d AS DOUBLE))
+               AS cs
+      FROM co
+      JOIN deg di ON di.l_partkey = co.item
+      JOIN deg dn ON dn.l_partkey = co.neighbor),
+    ranked AS (
+      SELECT item, neighbor, n_co, cs,
+             ROW_NUMBER() OVER (PARTITION BY item
+                                ORDER BY cs DESC, neighbor) AS rank
+      FROM scored)
+    SELECT item, CAST(rank AS BIGINT) AS rank, neighbor, n_co,
+           {r4('cs')} AS cosine_sim
+    FROM ranked WHERE rank <= 5
+    ORDER BY item, rank
+    """,
+    tags=("extension", "recsys", "item-item", "collaborative-filtering"),
+)
+def q176_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering (Sarwar et al. 2001 / the
+    Amazon item-to-item scheme): treat each order as a basket, score
+    item pairs by co-occurrence cosine ``co(i,j)/sqrt(c(i)·c(j))``, and
+    report each sampled item's top-5 neighbors — the normalization and
+    per-item ranking layer on top of q94's raw count matrix (counts
+    alone just rank popular items; the sqrt-degree denominator is what
+    turns them into similarity).
+
+    Scale: pair generation is an inverted-index equi-join on the order
+    key with the QUERY side pre-filtered to the sampled items, so the
+    join output is |target baskets| x basket-size, never corpus
+    quadratic; full-catalog scoring would switch to q94's map-side
+    basket-array pair generation with its basket-size cap, and the
+    per-item ranking window partitions on the item key (bounded
+    groups). Degrees are one map-side-combinable groupBy reused for
+    both join sides.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct().persist()
+    deg = baskets.groupBy("l_partkey").agg(F.count("*").alias("d"))
+    t = baskets.filter(F.col("l_partkey") % 50 == 0).select(
+        "l_orderkey", F.col("l_partkey").alias("item")
+    )
+    co = (
+        t.join(baskets, "l_orderkey")
+        .filter(F.col("item") != F.col("l_partkey"))
+        .groupBy("item", F.col("l_partkey").alias("neighbor"))
+        .agg(F.count("*").alias("n_co"))
+    )
+    scored = (
+        co.join(
+            F.broadcast(deg.select(F.col("l_partkey").alias("item"), F.col("d").alias("di"))),
+            "item",
+        )
+        .join(
+            F.broadcast(
+                deg.select(F.col("l_partkey").alias("neighbor"), F.col("d").alias("dn"))
+            ),
+            "neighbor",
+        )
+        .select(
+            "item",
+            "neighbor",
+            "n_co",
+            (
+                F.col("n_co")
+                / F.sqrt(F.col("di").cast("double") * F.col("dn").cast("double"))
+            ).alias("cs"),
+        )
+    )
+    w = Window.partitionBy("item").orderBy(F.desc("cs"), F.asc("neighbor"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("item", "rank", "neighbor", "n_co", round4(F.col("cs")).alias("cosine_sim"))
+        .orderBy("item", "rank")
+    )
