@@ -743,3 +743,120 @@ def q171_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(8)
         ],
     )
+
+
+# --------------------------------------------------------------------------
+# q177 — embedding cluster-quality audit (centroid silhouette)
+# --------------------------------------------------------------------------
+_SIL_DIST = (
+    "sqrt(list_reduce(list_transform(generate_series(1, len({v}.arr)), "
+    "i -> ({v}.arr[i] - {c}.cvec[i]) * ({v}.arr[i] - {c}.cvec[i])), "
+    "(acc, x) -> acc + x))"
+)
+
+
+@query(
+    "q177_cluster_quality",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS arr FROM embeddings),
+    m AS (SELECT label AS cid, i - 1 AS dim_idx,
+                 CAST(SUM(CAST(arr[i] AS DECIMAL(38,18))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS val
+          FROM v, unnest(generate_series(1, len(arr))) AS t(i)
+          GROUP BY 1, 2),
+    c AS (SELECT cid, list(val ORDER BY dim_idx) AS cvec FROM m GROUP BY cid),
+    d AS (SELECT v.vec_id, v.label, c.cid,
+                 {_SIL_DIST.format(v='v', c='c')} AS dist
+          FROM v CROSS JOIN c),
+    ab AS (SELECT vec_id, label,
+                  MAX(CASE WHEN cid = label THEN dist END) AS a,
+                  MIN(CASE WHEN cid <> label THEN dist END) AS b
+           FROM d GROUP BY 1, 2),
+    sil AS (SELECT label, (b - a) / greatest(a, b) AS s,
+                   CASE WHEN a < b THEN 1 ELSE 0 END AS own
+            FROM ab)
+    SELECT label, COUNT(*) AS n_vecs,
+           {r4('CAST(SUM(CAST(s AS DECIMAL(38,18))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)')}
+             AS mean_silhouette,
+           {r4('CAST(SUM(own) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)')}
+             AS centroid_accuracy
+    FROM sil GROUP BY label ORDER BY label
+    """,
+    tags=("extension", "ml", "clustering", "audit"),
+)
+def q177_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-silhouette audit of the labeled embedding space: per
+    generator label, the mean simplified silhouette ``(b−a)/max(a,b)``
+    (a = L2 distance to the own-label centroid, b = nearest other
+    centroid — Rousseeuw's silhouette with centroids standing in for
+    the quadratic mean-pairwise distances) and the centroid-1NN
+    accuracy (share of vectors whose nearest centroid is their own
+    label). The eval gate for an embedding pipeline: run it BEFORE
+    trusting labels/clusters for SemDeDup (q174) or IVF cell routing
+    (q104's trainer) — a label with low silhouette deduplicates and
+    routes badly.
+
+    Centroid silhouette is O(n·k) vs classic silhouette's O(n²) —
+    that substitution IS the 100 TB design: centroids are a k-row
+    broadcast, distances evaluate in codegen via the same sequential
+    zip_with fold as q104/q62 (bit-identical to the oracle's
+    list_reduce), and both reductions (per-vec argmin, per-label mean)
+    are hash aggregates. Means use exact DECIMAL(38,18) sums so
+    partition order can't move a round4 boundary.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("arr"),
+    )
+    cents = (
+        vecs.select(F.col("label").alias("cid"), F.posexplode("arr").alias("dim_idx", "x"))
+        .groupBy("cid", "dim_idx")
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(38,18)")).cast("double")
+                / F.count("*").cast("double")
+            ).alias("val")
+        )
+        .groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim_idx", "val"))),
+                lambda s: s.getField("val"),
+            ).alias("cvec")
+        )
+    )
+    d = vecs.crossJoin(F.broadcast(cents)).withColumn(
+        "dist",
+        F.sqrt(
+            F.aggregate(
+                F.zip_with("arr", "cvec", lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+    )
+    ab = d.groupBy("vec_id", "label").agg(
+        F.max(F.when(F.col("cid") == F.col("label"), F.col("dist"))).alias("a"),
+        F.min(F.when(F.col("cid") != F.col("label"), F.col("dist"))).alias("b"),
+    )
+    sil = ab.select(
+        "label",
+        ((F.col("b") - F.col("a")) / F.greatest(F.col("a"), F.col("b"))).alias("s"),
+        F.when(F.col("a") < F.col("b"), 1).otherwise(0).alias("own"),
+    )
+    return (
+        sil.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            round4(
+                F.sum(F.col("s").cast("decimal(38,18)")).cast("double")
+                / F.count("*").cast("double")
+            ).alias("mean_silhouette"),
+            round4(
+                F.sum("own").cast("double") / F.count("*").cast("double")
+            ).alias("centroid_accuracy"),
+        )
+        .orderBy("label")
+    )
