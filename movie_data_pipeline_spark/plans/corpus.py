@@ -799,3 +799,111 @@ def q170_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / ((n * sxx - sx * sx) * (n * syy - sy * sy))
         ).alias("r2"),
     )
+
+
+# --------------------------------------------------------------------------
+# q178 — cross-source transfer matrix (unigram cross-entropy)
+# --------------------------------------------------------------------------
+@query(
+    "q178_source_transfer_matrix",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, unnest({_TOKS_SQL}) AS tok FROM documents),
+    cnt AS (SELECT source, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+    n AS (SELECT source, SUM(c) AS n_tok FROM cnt GROUP BY 1),
+    vocab AS (SELECT COUNT(DISTINCT tok) AS v FROM toks),
+    srcs AS (SELECT DISTINCT source FROM documents),
+    x AS (
+      SELECT cb.source AS eval_source, s.source AS train_source,
+             cb.tok, cb.c AS cb, COALESCE(ca.c, 0) AS ca
+      FROM cnt cb
+      CROSS JOIN srcs s
+      LEFT JOIN cnt ca ON ca.source = s.source AND ca.tok = cb.tok),
+    terms AS (
+      SELECT x.eval_source, x.train_source,
+             (CAST(x.cb AS DOUBLE) / CAST(nb.n_tok AS DOUBLE))
+               * ln((CAST(x.ca AS DOUBLE) + 1.0)
+                    / (CAST(na.n_tok AS DOUBLE) + CAST(vocab.v AS DOUBLE)))
+               AS term
+      FROM x
+      JOIN n nb ON nb.source = x.eval_source
+      JOIN n na ON na.source = x.train_source
+      CROSS JOIN vocab)
+    SELECT eval_source, train_source,
+           {r4('-CAST(SUM(CAST(term AS DECIMAL(38,18))) AS DOUBLE)')}
+             AS cross_entropy
+    FROM terms
+    GROUP BY eval_source, train_source
+    ORDER BY eval_source, train_source
+    """,
+    tags=("extension", "corpus", "data-valuation", "mixture"),
+)
+def q178_source_transfer_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source transfer matrix: for every (train→eval) source
+    pair, the cross-entropy of the eval source's unigram distribution
+    under an add-one-smoothed unigram LM fit on the train source —
+    ``H(B‖A) = −Σ_w p_B(w)·ln((c_A(w)+1)/(N_A+V))`` over the union
+    vocabulary. The data-valuation signal behind mixture design (which
+    sources model each other → upweight complements, not clones): the
+    diagonal is each source's smoothed self-entropy floor, and
+    off-diagonal excess over the diagonal is the domain gap. Pairs
+    with q152's importance sampler (which assumes exactly such a
+    target/proposal LM ratio) and q142's surface-overlap matrix —
+    this is the distributional version of that lexical probe.
+
+    Scale: everything reduces to one token-count aggregate reused four
+    ways; the pair frame is |vocab_B|×|sources| rows (sources is a
+    broadcast dim, counts join is an equi-join on (source, tok)), never
+    corpus-quadratic. ln terms are cast to DECIMAL(38,18) before the
+    sum (q96's entropy discipline) so partition order can't move the
+    round4 boundary.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
+    cnt = toks.groupBy("source", "tok").agg(F.count("*").alias("c")).persist()
+    n = cnt.groupBy("source").agg(F.sum("c").alias("n_tok"))
+    vocab = toks.agg(F.count_distinct("tok").alias("v"))
+    srcs = docs.select("source").distinct()
+    cb = cnt.select(
+        F.col("source").alias("eval_source"), "tok", F.col("c").alias("cb")
+    )
+    ca = cnt.select(
+        F.col("source").alias("train_source"), "tok", F.col("c").alias("ca_c")
+    )
+    x = (
+        cb.crossJoin(F.broadcast(srcs.select(F.col("source").alias("train_source"))))
+        .join(ca, ["train_source", "tok"], "left")
+        .select(
+            "eval_source",
+            "train_source",
+            "cb",
+            F.coalesce(F.col("ca_c"), F.lit(0)).alias("ca"),
+        )
+    )
+    nb = n.select(F.col("source").alias("eval_source"), F.col("n_tok").alias("nb"))
+    na = n.select(F.col("source").alias("train_source"), F.col("n_tok").alias("na"))
+    terms = (
+        x.join(F.broadcast(nb), "eval_source")
+        .join(F.broadcast(na), "train_source")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "eval_source",
+            "train_source",
+            (
+                (F.col("cb").cast("double") / F.col("nb").cast("double"))
+                * F.log(
+                    (F.col("ca").cast("double") + F.lit(1.0))
+                    / (F.col("na").cast("double") + F.col("v").cast("double"))
+                )
+            ).alias("term"),
+        )
+    )
+    return (
+        terms.groupBy("eval_source", "train_source")
+        .agg(
+            round4(
+                -F.sum(F.col("term").cast("decimal(38,18)")).cast("double")
+            ).alias("cross_entropy")
+        )
+        .orderBy("eval_source", "train_source")
+    )
