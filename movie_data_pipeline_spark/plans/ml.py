@@ -860,3 +860,114 @@ def q177_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --------------------------------------------------------------------------
+# q179 — label-propagation communities on the co-purchase graph
+# --------------------------------------------------------------------------
+_LPA_ITERS = 2
+
+
+def _lpa_oracle() -> str:
+    parts = [f"""
+    WITH pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+             COUNT(DISTINCT a.l_orderkey) AS n_co
+      FROM lineitem a
+      JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2),
+    edges AS (SELECT pa, pb FROM pairs WHERE n_co >= {_TRI_MIN_CO}),
+    sym AS (SELECT pa AS src, pb AS dst FROM edges
+            UNION ALL SELECT pb, pa FROM edges),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM sym)"""]
+    for i in range(1, _LPA_ITERS + 1):
+        parts.append(f""",
+    l{i} AS (
+      SELECT node, label FROM (
+        SELECT s.dst AS node, c.label,
+               ROW_NUMBER() OVER (PARTITION BY s.dst
+                                  ORDER BY COUNT(*) DESC, c.label) AS rn
+        FROM sym s JOIN l{i-1} c ON c.node = s.src
+        GROUP BY s.dst, c.label) WHERE rn = 1)""")
+    parts.append(f"""
+    SELECT label AS community, COUNT(*) AS n_nodes, MIN(node) AS min_node
+    FROM l{_LPA_ITERS} GROUP BY label
+    ORDER BY n_nodes DESC, community LIMIT 30
+    """)
+    return "".join(parts)
+
+
+@query(
+    "q179_lpa_communities",
+    oracle=_lpa_oracle(),
+    tags=("extension", "graph", "community-detection", "iterative"),
+)
+def q179_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007) on q116's co-purchase graph (edge = co-ordered in ≥2
+    orders): every node starts labeled with itself; each round it
+    adopts the most frequent label among its neighbors, ties broken
+    toward the smallest label so both engines converge identically.
+    Two fixed rounds (the fixpoint-free, hash-comparable form — LPA's
+    oscillation on bipartite-ish graphs is exactly why production runs
+    bound rounds), reporting the 30 largest communities. Complements
+    the connectivity-only q63/q134 (components merge everything
+    touching; LPA splits dense regions inside one component) and
+    q155's k-core density peeling.
+
+    Scale: one round = one equi-join of the symmetric edge list
+    against the (node, label) frame plus a (node, label) count
+    aggregate and a per-node argmax window partitioned on the node key
+    — all key-partitioned, nothing global; the edge list is built once
+    via q94's map-side basket pair generation (the fact table never
+    self-joins) and persisted across rounds like q103's PageRank edge
+    frame.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    baskets = lineitem.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    arr = F.col("parts")
+    pair_gen = F.flatten(
+        F.transform(
+            arr,
+            lambda x, i: F.transform(
+                F.slice(arr, i + 2, F.size(arr) - i - 1),
+                lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+            ),
+        )
+    )
+    edges = (
+        baskets.select(F.explode(pair_gen).alias("pr"))
+        .select("pr.pa", "pr.pb")
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("n_co"))
+        .filter(F.col("n_co") >= _TRI_MIN_CO)
+        .select("pa", "pb")
+    )
+    sym = (
+        edges.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .unionAll(edges.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+        .persist()  # reused every propagation round
+    )
+    labels = sym.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("cnt"), F.asc("label"))
+    for _ in range(_LPA_ITERS):
+        labels = (
+            sym.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count("*").alias("cnt"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+            .persist()
+        )
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(F.count("*").alias("n_nodes"), F.min("node").alias("min_node"))
+        .orderBy(F.desc("n_nodes"), F.asc("community"))
+        .limit(30)
+    )
