@@ -1933,3 +1933,110 @@ def q176_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("item", "rank", "neighbor", "n_co", round4(F.col("cs")).alias("cosine_sim"))
         .orderBy("item", "rank")
     )
+
+# --------------------------------------------------------------------------
+# q180 — robust location estimates: trimmed and winsorized means
+# --------------------------------------------------------------------------
+@query(
+    "q180_robust_means",
+    oracle=f"""
+    WITH r AS (
+      SELECT c_nationkey, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal, c_custkey) AS rk,
+             COUNT(*) OVER (PARTITION BY c_nationkey) AS n
+      FROM customer),
+    kk AS (SELECT *, CAST(floor(CAST(n AS DOUBLE) / 10.0) AS BIGINT) AS k
+           FROM r),
+    bounds AS (
+      SELECT c_nationkey,
+             MAX(CASE WHEN rk = k + 1 THEN c_acctbal END) AS lo,
+             MAX(CASE WHEN rk = n - k THEN c_acctbal END) AS hi
+      FROM kk GROUP BY c_nationkey),
+    vals AS (
+      SELECT kk.c_nationkey, kk.n, kk.k, kk.c_acctbal,
+             CASE WHEN rk <= k THEN lo
+                  WHEN rk > n - k THEN hi
+                  ELSE c_acctbal END AS wv,
+             CASE WHEN rk > k AND rk <= n - k THEN c_acctbal END AS tv
+      FROM kk JOIN bounds USING (c_nationkey))
+    SELECT c_nationkey, MAX(n) AS n_customers, MAX(k) AS n_trimmed_each_side,
+           {r4('CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) / CAST(MAX(n) AS DOUBLE)')}
+             AS plain_mean,
+           {r4('CAST(SUM(CAST(wv AS DECIMAL(30,6))) AS DOUBLE) / CAST(MAX(n) AS DOUBLE)')}
+             AS winsorized_mean,
+           {r4('CAST(SUM(CAST(tv AS DECIMAL(30,6))) AS DOUBLE) / CAST(COUNT(tv) AS DOUBLE)')}
+             AS trimmed_mean
+    FROM vals
+    GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+    tags=("extension", "robust-stats", "aggregate"),
+)
+def q180_robust_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-trimmed and 10%-winsorized mean account balance per nation,
+    next to the plain mean — the robust-location family completing
+    q147's MAD outlier screen and q164's weighted median. Both
+    estimators use the rank-based definition (k = ⌊n/10⌋ rows cut or
+    clamped per tail, ranks tie-broken on the customer key) rather
+    than an interpolated percentile, so every boundary is a concrete
+    row and the result hash-matches across engines with no float
+    boundary cases.
+
+    Scale: one per-group rank window (partitioned on the group key —
+    bounded frames), one tiny bounds aggregate joined back broadcast,
+    then plain hash aggregation with exact DECIMAL sums. The clamp
+    boundaries lo/hi land exactly like q33's nearest-rank percentile
+    path — at corpus scale the same expression swaps the exact rank
+    for a GK-sketch boundary (operators/approx.py) when ±ε rank error
+    is acceptable.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    wspec = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    r = cust.select(
+        "c_nationkey",
+        "c_acctbal",
+        F.row_number().over(wspec).alias("rk"),
+        F.count("*")
+        .over(Window.partitionBy("c_nationkey"))
+        .alias("n"),
+    ).withColumn(
+        "k", F.floor(F.col("n").cast("double") / F.lit(10.0)).cast("long")
+    )
+    bounds = r.groupBy("c_nationkey").agg(
+        F.max(F.when(F.col("rk") == F.col("k") + 1, F.col("c_acctbal"))).alias("lo"),
+        F.max(
+            F.when(F.col("rk") == F.col("n") - F.col("k"), F.col("c_acctbal"))
+        ).alias("hi"),
+    )
+    vals = r.join(F.broadcast(bounds), "c_nationkey").select(
+        "c_nationkey",
+        "n",
+        "k",
+        "c_acctbal",
+        F.when(F.col("rk") <= F.col("k"), F.col("lo"))
+        .when(F.col("rk") > F.col("n") - F.col("k"), F.col("hi"))
+        .otherwise(F.col("c_acctbal"))
+        .alias("wv"),
+        F.when(
+            (F.col("rk") > F.col("k")) & (F.col("rk") <= F.col("n") - F.col("k")),
+            F.col("c_acctbal"),
+        ).alias("tv"),
+    )
+
+    def dmean(col: str, denom):
+        return round4(
+            F.sum(F.col(col).cast("decimal(30,6)")).cast("double")
+            / denom.cast("double")
+        )
+
+    return (
+        vals.groupBy("c_nationkey")
+        .agg(
+            F.max("n").alias("n_customers"),
+            F.max("k").alias("n_trimmed_each_side"),
+            dmean("c_acctbal", F.max("n")).alias("plain_mean"),
+            dmean("wv", F.max("n")).alias("winsorized_mean"),
+            dmean("tv", F.count("tv")).alias("trimmed_mean"),
+        )
+        .orderBy("c_nationkey")
+    )
