@@ -613,3 +613,93 @@ def q152_importance_sampled_corpus(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# q181 — stratified split audit (hash-assigned train/val/test per stratum)
+# --------------------------------------------------------------------------
+_SPLIT_HASH = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8)) "
+    "AS BIGINT) % 100"
+)
+
+
+@query(
+    "q181_stratified_split_audit",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT source, lang,
+             CASE WHEN {_SPLIT_HASH} < 80 THEN 'train'
+                  WHEN {_SPLIT_HASH} < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents)
+    SELECT source, lang,
+           COUNT(*) AS n_docs,
+           COUNT(*) FILTER (split = 'train') AS n_train,
+           COUNT(*) FILTER (split = 'val') AS n_val,
+           COUNT(*) FILTER (split = 'test') AS n_test,
+           {r4("greatest("
+               "abs(CAST(COUNT(*) FILTER (split = 'train') AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) - 0.8), "
+               "abs(CAST(COUNT(*) FILTER (split = 'val') AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) - 0.1), "
+               "abs(CAST(COUNT(*) FILTER (split = 'test') AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) - 0.1))")}
+             AS max_deviation
+    FROM assigned
+    GROUP BY source, lang
+    ORDER BY source, lang
+    """,
+    tags=("extension", "curation", "split", "audit"),
+)
+def q181_stratified_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified 80/10/10 train/val/test assignment audited per
+    (source, lang) stratum: docs are assigned by a salted md5 hash of
+    the id (reshard-stable — the same doc lands in the same split on
+    any cluster, any partitioning, any round; q39's discipline), and
+    the report shows per-stratum counts plus the worst absolute
+    deviation from the target proportions — the pre-flight check that
+    hash-splitting didn't starve a small stratum (tiny strata deviate;
+    the fix is per-stratum quota assignment, which trades
+    reshard-stability for exactness). The complement of q173: that op
+    guarantees no near-dup leaks ACROSS splits; this one guarantees
+    every stratum is represented AT the target rates.
+
+    Scale: one map-side hash expression and one hash aggregate on the
+    stratum key — no window, no shuffle beyond the groupBy; FILTER
+    aggregates keep it a single pass (q124's pattern).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    assigned = docs.select(
+        "source",
+        "lang",
+        F.when(h < 80, "train").when(h < 90, "val").otherwise("test").alias("split"),
+    )
+    cnt = F.count("*")
+
+    def share_dev(split: str, target: float):
+        n = F.count(F.when(F.col("split") == split, True))
+        return F.abs(n.cast("double") / cnt.cast("double") - F.lit(target))
+
+    return (
+        assigned.groupBy("source", "lang")
+        .agg(
+            cnt.alias("n_docs"),
+            F.count(F.when(F.col("split") == "train", True)).alias("n_train"),
+            F.count(F.when(F.col("split") == "val", True)).alias("n_val"),
+            F.count(F.when(F.col("split") == "test", True)).alias("n_test"),
+            round4(
+                F.greatest(
+                    share_dev("train", 0.8),
+                    share_dev("val", 0.1),
+                    share_dev("test", 0.1),
+                )
+            ).alias("max_deviation"),
+        )
+        .orderBy("source", "lang")
+    )
