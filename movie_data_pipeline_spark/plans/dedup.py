@@ -1092,3 +1092,96 @@ def q175_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_records"), F.asc("entity_id"))
         .limit(50)
     )
+
+
+# --------------------------------------------------------------------------
+# q182 — near-dup cluster token savings per source
+# --------------------------------------------------------------------------
+@query(
+    "q182_dedup_savings",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM shingles a JOIN shingles b
+        ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT doc_a, doc_b FROM common
+      JOIN counts ca ON ca.doc_id = doc_a
+      JOIN counts cb ON cb.doc_id = doc_b
+      WHERE n_common * 1.0 / (ca.n + cb.n - n_common) >= 0.2),
+    comp(doc_id, label) AS (
+      SELECT doc_id, doc_id AS label FROM documents
+      UNION
+      SELECT e.hi, MIN(c.label)
+      FROM (SELECT doc_a AS lo, doc_b AS hi FROM pairs
+            UNION ALL SELECT doc_b AS lo, doc_a AS hi FROM pairs) e
+      JOIN comp c ON c.doc_id = e.lo
+      GROUP BY e.hi),
+    final_comp AS (
+      SELECT doc_id, MIN(label) AS component FROM comp GROUP BY doc_id),
+    t AS (
+      SELECT d.doc_id, d.source, fc.component,
+             len({_TOKS_SQL}) AS n_tok,
+             CASE WHEN d.doc_id = fc.component THEN 1 ELSE 0 END AS kept
+      FROM documents d JOIN final_comp fc USING (doc_id))
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(kept) AS BIGINT) AS n_kept,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(COALESCE(SUM(CASE WHEN kept = 1 THEN n_tok END), 0) AS BIGINT)
+             AS kept_tokens,
+           {r4("1.0 - CAST(COALESCE(SUM(CASE WHEN kept = 1 THEN n_tok END), 0) AS DOUBLE) / CAST(SUM(n_tok) AS DOUBLE)")}
+             AS token_savings
+    FROM t
+    GROUP BY source ORDER BY source
+    """,
+    tags=("extension", "dedup", "curation", "accounting"),
+)
+def q182_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What near-dedup is worth, in tokens, per source: documents
+    cluster by q63's connected components over Jaccard-0.2 shingle
+    pairs, the lowest doc_id in each cluster survives (the component
+    label — free, no extra ranking pass), and every dropped member's
+    tokens are charged to ITS OWN source — the compute-budget
+    accounting line a curation pipeline publishes next to q139's
+    report ("source X is 31% re-crawl by token volume"). Exact dedup
+    (q17) is the degenerate special case; on this corpus only
+    near-dups exist, so the cluster form is the one that produces a
+    real number.
+
+    Scale: pair generation and components are exactly q18/q63's
+    bucketed machinery (document-frequency cap, min-label rounds);
+    the savings report itself adds one map-side token count and one
+    hash aggregate on source. Token counts ride the same rows as the
+    component join — no second scan of the text.
+    """
+    docs = load_table(spark, sf_dir, "documents").persist()
+    pairs = jaccard_pairs(docs, threshold=0.2).select("doc_a", "doc_b")
+    comp = connected_components(
+        pairs, nodes=docs.select("doc_id"), src="doc_a", dst="doc_b"
+    )
+    t = docs.join(comp, docs["doc_id"] == comp["node"]).select(
+        "source",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tok"),
+        F.when(F.col("doc_id") == F.col("component"), 1).otherwise(0).alias("kept"),
+    )
+    kept_tok = F.coalesce(
+        F.sum(F.when(F.col("kept") == 1, F.col("n_tok"))), F.lit(0)
+    )
+    return (
+        t.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("kept").cast("long").alias("n_kept"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            kept_tok.cast("long").alias("kept_tokens"),
+            round4(
+                F.lit(1.0)
+                - kept_tok.cast("double") / F.sum("n_tok").cast("double")
+            ).alias("token_savings"),
+        )
+        .orderBy("source")
+    )
