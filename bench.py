@@ -61,6 +61,11 @@ HEADLINE = [
     "q146_span_scrubbed_corpus",
     "q149_containment_pairs",
     "q155_kcore_peeling",
+    # round-2 additions, final batch: recsys / ER / community / semantic
+    "q174_semantic_dedup",
+    "q175_entity_resolution",
+    "q176_item_item_cf",
+    "q179_lpa_communities",
 ]
 
 

@@ -998,3 +998,121 @@ def q169_cuped_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n"))
         ).alias("var_reduction"),
     )
+
+
+# --------------------------------------------------------------------------
+# q183 — temporal-holdout Markov next-event prediction eval
+# --------------------------------------------------------------------------
+@query(
+    "q183_markov_holdout_eval",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM events),
+    lab AS (
+      SELECT user_id, event_type, rn,
+             CASE WHEN rn <= (n * 4) // 5 THEN 'train' ELSE 'test' END AS part
+      FROM seq),
+    big AS (
+      SELECT a.part, a.event_type AS cur, b.event_type AS nxt
+      FROM lab a JOIN lab b
+        ON a.user_id = b.user_id AND b.rn = a.rn + 1 AND a.part = b.part),
+    model AS (
+      SELECT cur, nxt, COUNT(*) AS c FROM big WHERE part = 'train'
+      GROUP BY 1, 2),
+    pred AS (
+      SELECT cur, nxt AS predicted FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY cur
+                                     ORDER BY c DESC, nxt) AS rn2
+        FROM model) WHERE rn2 = 1)
+    SELECT t.cur AS event_type, MAX(p.predicted) AS predicted_next,
+           COUNT(*) AS n_test_bigrams,
+           CAST(SUM(CASE WHEN t.nxt = p.predicted THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           {r4("CAST(SUM(CASE WHEN t.nxt = p.predicted THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)")}
+             AS accuracy
+    FROM (SELECT cur, nxt FROM big WHERE part = 'test') t
+    JOIN pred p ON p.cur = t.cur
+    GROUP BY t.cur ORDER BY t.cur
+    """,
+    tags=("extension", "behavior", "markov", "holdout-eval"),
+)
+def q183_markov_holdout_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the order-1 Markov next-event model (q77's
+    transition matrix) under a leakage-free temporal holdout: each
+    user's first 80% of events (by time, integer-exact ⌊4n/5⌋ split —
+    no float boundary) trains the global transition counts, the
+    argmax next-type per current type (ties toward the alphabetically
+    first type on both engines) is the predictor, and accuracy is
+    measured on bigrams formed strictly INSIDE each user's test tail —
+    never across the train/test seam, which would leak the boundary
+    event. Per conditioning type: the prediction, test support, and
+    top-1 accuracy. This is the eval-hygiene pattern of q173 applied
+    to sequences: split by time within user, not by row hash, because
+    behavior is autocorrelated.
+
+    Scale: sequencing windows and the bigram join partition on
+    user_id (bounded per-user frames; the Spark side uses lead() in
+    the same window instead of the oracle's rn self-join — one shuffle
+    not two); the model and eval are hash aggregates on the tiny
+    (type, type) matrix, broadcast for the final join.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wn = Window.partitionBy("user_id")
+    seq = events.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+        F.lead("event_type").over(w).alias("nxt"),
+    )
+    lab = seq.select(
+        "event_type",
+        "nxt",
+        F.when(F.col("rn") <= F.expr("div(n * 4, 5)"), "train")
+        .otherwise("test")
+        .alias("part"),
+        # lead() is the next row of the same partition, so its rank is rn+1
+        F.when(F.col("rn") + 1 <= F.expr("div(n * 4, 5)"), "train")
+        .otherwise("test")
+        .alias("nxt_part"),
+    )
+    big = lab.filter(
+        F.col("nxt").isNotNull() & (F.col("part") == F.col("nxt_part"))
+    ).select("part", F.col("event_type").alias("cur"), "nxt")
+    model = (
+        big.filter(F.col("part") == "train")
+        .groupBy("cur", "nxt")
+        .agg(F.count("*").alias("c"))
+    )
+    wp = Window.partitionBy("cur").orderBy(F.desc("c"), F.asc("nxt"))
+    pred = (
+        model.withColumn("rn2", F.row_number().over(wp))
+        .filter(F.col("rn2") == 1)
+        .select("cur", F.col("nxt").alias("predicted"))
+    )
+    test = big.filter(F.col("part") == "test").select("cur", "nxt")
+    return (
+        test.join(F.broadcast(pred), "cur")
+        .groupBy(F.col("cur").alias("event_type"))
+        .agg(
+            F.max("predicted").alias("predicted_next"),
+            F.count("*").alias("n_test_bigrams"),
+            F.sum(
+                F.when(F.col("nxt") == F.col("predicted"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_correct"),
+            round4(
+                F.sum(F.when(F.col("nxt") == F.col("predicted"), 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count("*").cast("double")
+            ).alias("accuracy"),
+        )
+        .orderBy("event_type")
+    )
