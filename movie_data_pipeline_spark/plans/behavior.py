@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from movie_data_pipeline_spark.plans.core import exact_sum, query, r4, round4
+from movie_data_pipeline_spark.plans.core import exact_sum, exact_sum_sql, query, r4, round4
 from movie_data_pipeline_spark.sources.registry import load_table
 
 
@@ -1115,4 +1115,102 @@ def q183_markov_holdout_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("accuracy"),
         )
         .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# q184 — first-touch vs last-touch revenue attribution
+# --------------------------------------------------------------------------
+@query(
+    "q184_touch_attribution",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type, value, ts, event_id,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_touch,
+             first_value(CASE WHEN event_type <> 'purchase'
+                              THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS first_touch
+      FROM events),
+    purch AS (
+      SELECT COALESCE(last_touch, 'direct') AS last_touch,
+             COALESCE(first_touch, 'direct') AS first_touch,
+             value
+      FROM seq WHERE event_type = 'purchase'),
+    lt AS (
+      SELECT last_touch AS touch_type, COUNT(*) AS n_last,
+             {exact_sum_sql('value')} AS revenue_last
+      FROM purch GROUP BY 1),
+    ft AS (
+      SELECT first_touch AS touch_type, COUNT(*) AS n_first,
+             {exact_sum_sql('value')} AS revenue_first
+      FROM purch GROUP BY 1)
+    SELECT touch_type,
+           COALESCE(n_last, 0) AS n_last,
+           {r4('COALESCE(revenue_last, 0.0)')} AS revenue_last,
+           COALESCE(n_first, 0) AS n_first,
+           {r4('COALESCE(revenue_first, 0.0)')} AS revenue_first
+    FROM lt FULL OUTER JOIN ft USING (touch_type)
+    ORDER BY touch_type
+    """,
+    tags=("extension", "behavior", "attribution"),
+)
+def q184_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase-revenue attribution under the two bookend models
+    marketing stacks argue about: each purchase's value is credited to
+    the user's most recent non-purchase event (last-touch) and,
+    independently, to the user's earliest non-purchase event
+    (first-touch) — purchases with no preceding touch fall into the
+    'direct' bucket. One row per touch type with counts and exactly
+    summed revenue under each model; the two columns diverging is the
+    whole point (last-touch over-credits bottom-of-funnel clicks,
+    first-touch over-credits discovery views).
+
+    Scale: both attributions come from ONE per-user ordered window
+    pass (IGNORE NULLS first/last over the strictly-preceding frame —
+    bounded per-user partitions, q64's LOCF machinery), then two tiny
+    per-type aggregates with DECIMAL(30,6) exact sums joined full-outer
+    so a type with credit under only one model still reports.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    seq = events.select(
+        "event_type",
+        "value",
+        F.last(touch, ignorenulls=True).over(w).alias("last_touch"),
+        F.first(touch, ignorenulls=True).over(w).alias("first_touch"),
+    )
+    purch = seq.filter(F.col("event_type") == "purchase").select(
+        F.coalesce(F.col("last_touch"), F.lit("direct")).alias("last_touch"),
+        F.coalesce(F.col("first_touch"), F.lit("direct")).alias("first_touch"),
+        "value",
+    ).persist()
+    lt = purch.groupBy(F.col("last_touch").alias("touch_type")).agg(
+        F.count("*").alias("n_last"), exact_sum(F.col("value")).alias("revenue_last")
+    )
+    ft = purch.groupBy(F.col("first_touch").alias("touch_type")).agg(
+        F.count("*").alias("n_first"), exact_sum(F.col("value")).alias("revenue_first")
+    )
+    return (
+        lt.join(ft, "touch_type", "full_outer")
+        .select(
+            "touch_type",
+            F.coalesce(F.col("n_last"), F.lit(0)).alias("n_last"),
+            round4(F.coalesce(F.col("revenue_last"), F.lit(0.0))).alias("revenue_last"),
+            F.coalesce(F.col("n_first"), F.lit(0)).alias("n_first"),
+            round4(F.coalesce(F.col("revenue_first"), F.lit(0.0))).alias(
+                "revenue_first"
+            ),
+        )
+        .orderBy("touch_type")
     )
