@@ -907,3 +907,82 @@ def q178_source_transfer_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("eval_source", "train_source")
     )
+
+
+# --------------------------------------------------------------------------
+# q185 — trigram-index substring search (index path ≡ brute-force LIKE)
+# --------------------------------------------------------------------------
+_SEARCH_Q = "fast merge"
+
+
+@query(
+    "q185_trigram_search",
+    oracle=f"""
+    SELECT doc_id, source,
+           (len(lower(text)) - len(replace(lower(text), '{_SEARCH_Q}', '')))
+             // {len(_SEARCH_Q)} AS n_occurrences
+    FROM documents
+    WHERE contains(lower(text), '{_SEARCH_Q}')
+    ORDER BY doc_id
+    """,
+    tags=("extension", "text-search", "inverted-index"),
+)
+def q185_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring search answered through a character-trigram inverted
+    index — the pg_trgm / LIKE-acceleration pattern: the corpus is
+    exploded into distinct lowercase trigrams once, candidate docs are
+    those containing EVERY trigram of the query (an equi-join on the
+    trigram key + a count-threshold aggregate — necessary but not
+    sufficient), and candidates alone are verified with the exact
+    `contains` probe. The oracle is the brute-force full-scan LIKE, so
+    the driver hash-check IS the proof that index + verify loses
+    nothing. Reports each match's non-overlapping occurrence count via
+    exact length arithmetic.
+
+    Scale: this is the whole reason the pattern exists — the full scan
+    touches every byte of a 100 TB text column; the index path touches
+    the (trigram → doc) postings for the query's ≤|Q| trigrams only.
+    The index build is one map-side explode + distinct (done once,
+    reused across queries; stop-trigram capping à la q143 bounds hot
+    postings), candidates shrink multiplicatively per trigram, and
+    the verify join is an equi-join on doc_id against only the
+    candidate set.
+    """
+    q = _SEARCH_Q.lower()
+    trigrams = sorted({q[i : i + 3] for i in range(len(q) - 2)})
+    docs = load_table(spark, sf_dir, "documents")
+    low = docs.select("doc_id", "source", F.lower(F.col("text")).alias("lt"))
+    idx = low.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("lt") - 2),
+                    lambda i: F.col("lt").substr(i, F.lit(3)),
+                )
+            )
+        ).alias("tri"),
+    )
+    qt = spark.createDataFrame([(t,) for t in trigrams], ["tri"])
+    cand = (
+        idx.join(F.broadcast(qt), "tri")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("tri").alias("n_tri"))
+        .filter(F.col("n_tri") == len(trigrams))
+        .select("doc_id")
+    )
+    return (
+        low.join(cand, "doc_id", "left_semi")
+        .filter(F.col("lt").contains(q))
+        .select(
+            "doc_id",
+            "source",
+            (
+                (F.length("lt") - F.length(F.replace(F.col("lt"), F.lit(q), F.lit(""))))
+                / F.lit(len(q))
+            )
+            .cast("long")
+            .alias("n_occurrences"),
+        )
+        .orderBy("doc_id")
+    )
