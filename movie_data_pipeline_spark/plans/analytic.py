@@ -2040,3 +2040,100 @@ def q180_robust_means(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+# --------------------------------------------------------------------------
+# q186 — k-anonymity audit over quasi-identifiers
+# --------------------------------------------------------------------------
+@query(
+    "q186_k_anonymity",
+    oracle=f"""
+    WITH qi AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket
+      FROM customer),
+    classes AS (
+      SELECT c_nationkey, c_mktsegment, bal_bucket, COUNT(*) AS k
+      FROM qi GROUP BY 1, 2, 3),
+    hist AS (
+      SELECT CASE WHEN k = 1 THEN '1'
+                  WHEN k <= 4 THEN '2-4'
+                  WHEN k <= 9 THEN '5-9'
+                  ELSE '10+' END AS k_band,
+             CASE WHEN k = 1 THEN 0 WHEN k <= 4 THEN 1
+                  WHEN k <= 9 THEN 2 ELSE 3 END AS band_order,
+             COUNT(*) AS n_classes,
+             CAST(SUM(k) AS BIGINT) AS n_customers
+      FROM classes GROUP BY 1, 2),
+    tot AS (SELECT CAST(SUM(n_customers) AS DOUBLE) AS total FROM hist)
+    SELECT k_band, n_classes, n_customers,
+           {r4('CAST(n_customers AS DOUBLE) / tot.total')} AS customer_share
+    FROM hist CROSS JOIN tot
+    ORDER BY band_order
+    """,
+    tags=("extension", "privacy", "k-anonymity", "audit"),
+)
+def q186_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (Sweeney 2002) of the customer table under
+    the quasi-identifier (nation, market segment, $1000 balance
+    bucket): group customers into QI equivalence classes, then report
+    the class-size histogram — how many classes and customers sit at
+    k=1 (uniquely re-identifiable from the QI alone), k∈[2,4], [5,9],
+    and 10+. The release gate a privacy review runs before customer
+    attributes join a training corpus: the k=1 'customer_share' row is
+    the fraction of people a linker could single out; the fix is
+    coarsening the offending QI column (wider balance buckets) until
+    that share is 0 — re-runnable here by changing one expression.
+    Complements q92's PII redaction: that removes direct identifiers,
+    this measures the indirect ones.
+
+    Scale: two hash aggregates (QI classes, then the 4-band rollup) —
+    the second input is |classes| rows, tiny; the share denominator is
+    a broadcast scalar. floor-bucketing is exact double arithmetic on
+    2-decimal balances.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    classes = (
+        cust.select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_bucket"),
+        )
+        .groupBy("c_nationkey", "c_mktsegment", "bal_bucket")
+        .agg(F.count("*").alias("k"))
+    )
+    band = (
+        F.when(F.col("k") == 1, "1")
+        .when(F.col("k") <= 4, "2-4")
+        .when(F.col("k") <= 9, "5-9")
+        .otherwise("10+")
+    )
+    border = (
+        F.when(F.col("k") == 1, 0)
+        .when(F.col("k") <= 4, 1)
+        .when(F.col("k") <= 9, 2)
+        .otherwise(3)
+    )
+    hist = (
+        classes.select(band.alias("k_band"), border.alias("band_order"), "k")
+        .groupBy("k_band", "band_order")
+        .agg(
+            F.count("*").alias("n_classes"),
+            F.sum("k").cast("long").alias("n_customers"),
+        )
+    )
+    tot = hist.agg(F.sum("n_customers").cast("double").alias("total"))
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            "k_band",
+            "n_classes",
+            "n_customers",
+            round4(F.col("n_customers").cast("double") / F.col("total")).alias(
+                "customer_share"
+            ),
+            "band_order",
+        )
+        .orderBy("band_order")
+        .drop("band_order")
+    )
