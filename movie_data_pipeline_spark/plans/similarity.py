@@ -641,3 +641,92 @@ def q174_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell", "vec_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q187 — source-centroid embedding similarity matrix
+# --------------------------------------------------------------------------
+@query(
+    "q187_source_centroid_sim",
+    oracle="""
+    WITH v AS (
+      SELECT d.source, e.embedding::DOUBLE[] AS arr
+      FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+    m AS (SELECT source, i - 1 AS dim_idx,
+                 CAST(SUM(CAST(arr[i] AS DECIMAL(38,18))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS val
+          FROM v, unnest(generate_series(1, len(arr))) AS t(i)
+          GROUP BY 1, 2),
+    c AS (SELECT source, list(val ORDER BY dim_idx) AS cvec FROM m
+          GROUP BY source),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             list_cosine_similarity(a.cvec, b.cvec) AS cs
+      FROM c a JOIN c b ON a.source < b.source)
+    SELECT source_a, source_b,
+           floor(cs * 10000 + 0.5) / 10000 AS centroid_cosine
+    FROM pairs
+    ORDER BY floor(cs * 10000 + 0.5) / 10000 DESC, source_a, source_b
+    LIMIT 20
+    """,
+    tags=("extension", "similarity", "mixture", "audit"),
+)
+def q187_source_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic proximity between corpus sources: each source's docs
+    (embeddings join documents 1:1 on vec_id = doc_id) collapse to a
+    mean-embedding centroid, and the 20 most-similar source pairs by
+    centroid cosine are reported — the third leg of the source-
+    redundancy triad: q142 measures SURFACE overlap (shared n-grams),
+    q178 measures LEXICAL transfer (unigram cross-entropy), this one
+    measures EMBEDDING-space proximity, which catches paraphrased or
+    translated re-crawls the other two miss. High-cosine pairs are
+    dedup candidates for q174's SemDeDup pass at the source
+    granularity.
+
+    Scale: the corpus-sized work is one (source, dim) hash aggregate
+    with exact DECIMAL sums (q177's centroid machinery); the pair
+    stage is |sources|² over a broadcast-sized centroid frame — the
+    same collapse-then-compare trick that makes q142 tractable. The
+    ranking orders on the round4-quantized value on both engines so
+    the LIMIT boundary can't be decided by sub-quantum float noise
+    (q23's discipline).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "source"
+    )
+    v = emb.join(docs, "vec_id").select(
+        "source",
+        F.transform("embedding", lambda x: x.cast("double")).alias("arr"),
+    )
+    cents = (
+        v.select("source", F.posexplode("arr").alias("dim_idx", "x"))
+        .groupBy("source", "dim_idx")
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(38,18)")).cast("double")
+                / F.count("*").cast("double")
+            ).alias("val")
+        )
+        .groupBy("source")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim_idx", "val"))),
+                lambda s: s.getField("val"),
+            ).alias("cvec")
+        )
+    )
+    a = cents.select(F.col("source").alias("source_a"), F.col("cvec").alias("ca"))
+    b = cents.select(F.col("source").alias("source_b"), F.col("cvec").alias("cb"))
+    pairs = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("source_a") < F.col("source_b"))
+        .select(
+            "source_a",
+            "source_b",
+            round4(cosine(F.col("ca"), F.col("cb"))).alias("centroid_cosine"),
+        )
+    )
+    return pairs.orderBy(
+        F.desc("centroid_cosine"), F.asc("source_a"), F.asc("source_b")
+    ).limit(20)
