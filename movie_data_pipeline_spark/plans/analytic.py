@@ -2137,3 +2137,88 @@ def q186_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("band_order")
         .drop("band_order")
     )
+
+
+# --------------------------------------------------------------------------
+# q188 — header/detail reconciliation audit (orders vs lineitem sums)
+# --------------------------------------------------------------------------
+@query(
+    "q188_order_reconciliation",
+    oracle=f"""
+    WITH detail AS (
+      SELECT l_orderkey,
+             {exact_sum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')}
+               AS computed
+      FROM lineitem GROUP BY l_orderkey),
+    recon AS (
+      SELECT o.o_orderkey, o.o_totalprice, d.computed,
+             CASE
+               WHEN d.computed IS NULL THEN 'no_lines'
+               WHEN abs(d.computed - o.o_totalprice) <= 0.01 * o.o_totalprice
+                 THEN 'reconciled'
+               WHEN d.computed > o.o_totalprice THEN 'header_under'
+               ELSE 'header_over' END AS band
+      FROM orders o LEFT JOIN detail d ON d.l_orderkey = o.o_orderkey)
+    SELECT band, COUNT(*) AS n_orders,
+           {r4(exact_sum_sql('o_totalprice'))} AS header_total,
+           {r4('COALESCE(' + exact_sum_sql('computed') + ', 0.0)')} AS computed_total
+    FROM recon GROUP BY band ORDER BY band
+    """,
+    tags=("extension", "audit", "reconciliation", "data-quality"),
+)
+def q188_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header/detail reconciliation — the warehouse-close audit that
+    catches silent fact corruption: every order's header total is
+    compared against the recomputed sum of its lines
+    (extendedprice·(1−discount)·(1+tax)) and bucketed into
+    reconciled (within 1%), header_under / header_over (the header
+    respectively below/above the recomputed truth), or no_lines
+    (header rows with no detail — the outer-join survivors a naive
+    inner join would silently drop). On this synthetic data the
+    generator does NOT maintain the invariant, so the audit reports a
+    large header_under band — which is precisely the report's job;
+    q101's quality probe checks fields, this checks cross-table
+    arithmetic consistency.
+
+    Scale: one map-side-combinable per-order aggregate over the fact
+    (exact DECIMAL sums — double accumulation drift at 1e9-row orders
+    is exactly what a reconciler cannot afford), one broadcast-free
+    equi-join on the order key, one 4-row rollup. The 1% tolerance
+    compares identically computed doubles, so banding is
+    deterministic cross-engine.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    detail = li.groupBy("l_orderkey").agg(
+        exact_sum(
+            F.col("l_extendedprice")
+            * (F.lit(1) - F.col("l_discount"))
+            * (F.lit(1) + F.col("l_tax"))
+        ).alias("computed")
+    )
+    recon = orders.join(
+        detail, orders["o_orderkey"] == detail["l_orderkey"], "left"
+    ).select(
+        "o_totalprice",
+        "computed",
+        F.when(F.col("computed").isNull(), "no_lines")
+        .when(
+            F.abs(F.col("computed") - F.col("o_totalprice"))
+            <= 0.01 * F.col("o_totalprice"),
+            "reconciled",
+        )
+        .when(F.col("computed") > F.col("o_totalprice"), "header_under")
+        .otherwise("header_over")
+        .alias("band"),
+    )
+    return (
+        recon.groupBy("band")
+        .agg(
+            F.count("*").alias("n_orders"),
+            round4(exact_sum(F.col("o_totalprice"))).alias("header_total"),
+            round4(
+                F.coalesce(exact_sum(F.col("computed")), F.lit(0.0))
+            ).alias("computed_total"),
+        )
+        .orderBy("band")
+    )
