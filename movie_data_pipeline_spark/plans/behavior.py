@@ -1214,3 +1214,150 @@ def q184_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("touch_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q189 — pooled retention curve with exponential-decay fit
+# --------------------------------------------------------------------------
+_RET_MAX_T = 20
+
+
+@query(
+    "q189_retention_decay_fit",
+    oracle=f"""
+    WITH act AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    cohort AS (
+      SELECT user_id, MIN(d) AS c0 FROM act GROUP BY user_id),
+    mx AS (SELECT MAX(d) AS max_d FROM act),
+    offs AS (
+      SELECT a.user_id, date_diff('day', c.c0, a.d) AS t
+      FROM act a JOIN cohort c USING (user_id)),
+    ts_grid AS (SELECT unnest(generate_series(1, {_RET_MAX_T})) AS t),
+    eligible AS (
+      SELECT g.t, COUNT(*) AS n_eligible
+      FROM ts_grid g, cohort c, mx
+      WHERE date_diff('day', c.c0, mx.max_d) >= g.t
+      GROUP BY g.t),
+    active AS (
+      SELECT t, COUNT(DISTINCT user_id) AS n_active
+      FROM offs WHERE t BETWEEN 1 AND {_RET_MAX_T} GROUP BY t),
+    curve AS (
+      SELECT e.t, e.n_eligible, COALESCE(a.n_active, 0) AS n_active,
+             CAST(COALESCE(a.n_active, 0) AS DOUBLE)
+               / CAST(e.n_eligible AS DOUBLE) AS r
+      FROM eligible e LEFT JOIN active a USING (t)),
+    fit AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(CAST(t AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(ln(r) AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(CAST(t AS DOUBLE) * CAST(t AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(CAST(t AS DOUBLE) * ln(r) AS DECIMAL(38,18))) AS DOUBLE) AS sxy
+      FROM curve WHERE n_active > 0),
+    coefs AS (
+      SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+             (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+               AS alpha
+      FROM fit)
+    SELECT curve.t AS t_days, n_eligible, n_active,
+           {r4('r')} AS retention,
+           {r4('exp(alpha + slope * CAST(curve.t AS DOUBLE))')} AS fitted_retention,
+           {r4('-slope')} AS decay_lambda
+    FROM curve CROSS JOIN coefs
+    ORDER BY curve.t
+    """,
+    tags=("extension", "behavior", "retention", "model-fit"),
+)
+def q189_retention_decay_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pooled daily retention curve with an exponential-decay fit:
+    each user's cohort day is their first active date, retention at
+    horizon t counts users active exactly t days after their cohort
+    day over the users whose cohort is OLD enough to observe horizon
+    t (the observability triangle — naive fixed denominators
+    understate late horizons), and ``ln r = α − λt`` is fit by
+    closed-form OLS over the non-zero points (q170's Zipf-fit
+    discipline: exact decimal moment sums, engine-identical ln). The
+    output carries observed vs fitted retention per horizon plus the
+    decay constant — the number a growth model plugs into LTV.
+
+    Scale: activity collapses to distinct (user, day) first — the
+    only pass over the raw fact; cohorts are a per-user min; the
+    triangle denominator is |horizons|×|users| only in the oracle's
+    spelled-out form — the Spark build aggregates cohort sizes per
+    day first, then takes a running-style sum over the tiny
+    (day-count × horizon) grid. The fit is a 4-moment aggregate over
+    ≤{_RET_MAX_T} rows joined back broadcast.
+    """
+    events = load_table(spark, sf_dir, "events")
+    act = events.select(
+        "user_id", F.to_date("ts").alias("d")
+    ).distinct().persist()
+    cohort = act.groupBy("user_id").agg(F.min("d").alias("c0"))
+    mx = act.agg(F.max("d").alias("max_d"))
+    grid = spark.range(1, _RET_MAX_T + 1).select(F.col("id").cast("int").alias("t"))
+    # cohort sizes per cohort day (tiny), then eligible counts per horizon
+    csize = cohort.groupBy("c0").agg(F.count("*").alias("nc"))
+    eligible = (
+        csize.crossJoin(F.broadcast(mx))
+        .crossJoin(F.broadcast(grid))
+        .filter(F.datediff(F.col("max_d"), F.col("c0")) >= F.col("t"))
+        .groupBy("t")
+        .agg(F.sum("nc").cast("long").alias("n_eligible"))
+    )
+    offs = act.join(cohort, "user_id").select(
+        "user_id", F.datediff(F.col("d"), F.col("c0")).alias("t")
+    )
+    active = (
+        offs.filter((F.col("t") >= 1) & (F.col("t") <= _RET_MAX_T))
+        .groupBy("t")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+    curve = (
+        eligible.join(active, "t", "left")
+        .select(
+            "t",
+            "n_eligible",
+            F.coalesce(F.col("n_active"), F.lit(0)).alias("n_active"),
+        )
+        .withColumn(
+            "r",
+            F.col("n_active").cast("double") / F.col("n_eligible").cast("double"),
+        )
+        .persist()
+    )
+    td = F.col("t").cast("double")
+    fit = curve.filter(F.col("n_active") > 0).agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(td.cast("decimal(38,18)")).cast("double").alias("sx"),
+        F.sum(F.log("r").cast("decimal(38,18)")).cast("double").alias("sy"),
+        F.sum((td * td).cast("decimal(38,18)")).cast("double").alias("sxx"),
+        F.sum((td * F.log("r")).cast("decimal(38,18)")).cast("double").alias("sxy"),
+    )
+    coefs = fit.select(
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        ).alias("slope"),
+        "n",
+        "sx",
+        "sy",
+        "sxy",
+        "sxx",
+    ).select(
+        "slope",
+        ((F.col("sy") - F.col("slope") * F.col("sx")) / F.col("n")).alias("alpha"),
+    )
+    return (
+        curve.crossJoin(F.broadcast(coefs))
+        .select(
+            F.col("t").alias("t_days"),
+            "n_eligible",
+            "n_active",
+            round4(F.col("r")).alias("retention"),
+            round4(F.exp(F.col("alpha") + F.col("slope") * td)).alias(
+                "fitted_retention"
+            ),
+            round4(-F.col("slope")).alias("decay_lambda"),
+        )
+        .orderBy("t_days")
+    )
