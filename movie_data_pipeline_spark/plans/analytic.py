@@ -2222,3 +2222,108 @@ def q188_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+# --------------------------------------------------------------------------
+# q190 — right-to-erasure cascade impact audit
+# --------------------------------------------------------------------------
+@query(
+    "q190_erasure_impact",
+    oracle=f"""
+    WITH dels AS (
+      SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+    o AS (SELECT o_orderkey FROM orders
+          WHERE o_custkey IN (SELECT c_custkey FROM dels)),
+    rows_per AS (
+      SELECT 'customer' AS table_name, 1 AS lvl,
+             (SELECT COUNT(*) FROM dels) AS n_delete,
+             (SELECT COUNT(*) FROM customer) AS n_total
+      UNION ALL
+      SELECT 'orders', 2, (SELECT COUNT(*) FROM o),
+             (SELECT COUNT(*) FROM orders)
+      UNION ALL
+      SELECT 'lineitem', 3,
+             (SELECT COUNT(*) FROM lineitem
+              WHERE l_orderkey IN (SELECT o_orderkey FROM o)),
+             (SELECT COUNT(*) FROM lineitem))
+    SELECT table_name, CAST(n_delete AS BIGINT) AS n_delete,
+           CAST(n_total AS BIGINT) AS n_total,
+           {r4('CAST(n_delete AS DOUBLE) / CAST(n_total AS DOUBLE)')}
+             AS delete_share
+    FROM rows_per ORDER BY lvl
+    """,
+    tags=("extension", "governance", "erasure", "audit"),
+)
+def q190_erasure_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure (GDPR Art. 17) impact audit: given a deletion
+    cohort (here the deterministic c_custkey % 97 sample standing in
+    for an uploaded request list), report how far the cascade reaches
+    — customer rows, their orders, and those orders' line items —
+    with per-table counts and delete shares. This is the dry-run a
+    governance pipeline prints BEFORE handing the predicate list to
+    the versioned-table delete (``VersionedTable.delete_where``,
+    which logs exactly such a predicate per commit): the share column
+    is the blast radius; an unexpectedly large one means a join-key
+    bug, not a big request.
+
+    Scale: two LEFT SEMI joins down the FK chain (customer→orders→
+    lineitem), each an equi-join on the child's FK with the parent
+    key-set as the build side — the request list is broadcast-sized
+    by nature; counts are map-side-combinable. No OR-chains, no
+    per-request loops: one plan regardless of list size.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    dels = cust.filter(F.col("c_custkey") % 97 == 0).select("c_custkey")
+    o = orders.join(
+        F.broadcast(dels), orders["o_custkey"] == dels["c_custkey"], "left_semi"
+    ).select("o_orderkey")
+    l_del = li.join(
+        F.broadcast(o), li["l_orderkey"] == o["o_orderkey"], "left_semi"
+    )
+
+    def row(name: str, lvl: int, n_delete, n_total) -> DataFrame:
+        return n_delete.crossJoin(n_total).select(
+            F.lit(name).alias("table_name"),
+            F.lit(lvl).alias("lvl"),
+            F.col("nd").alias("n_delete"),
+            F.col("nt").alias("n_total"),
+        )
+
+    parts = [
+        row(
+            "customer",
+            1,
+            dels.agg(F.count("*").alias("nd")),
+            cust.agg(F.count("*").alias("nt")),
+        ),
+        row(
+            "orders",
+            2,
+            o.agg(F.count("*").alias("nd")),
+            orders.agg(F.count("*").alias("nt")),
+        ),
+        row(
+            "lineitem",
+            3,
+            l_del.agg(F.count("*").alias("nd")),
+            li.agg(F.count("*").alias("nt")),
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return (
+        out.select(
+            "table_name",
+            "n_delete",
+            "n_total",
+            round4(
+                F.col("n_delete").cast("double") / F.col("n_total").cast("double")
+            ).alias("delete_share"),
+            "lvl",
+        )
+        .orderBy("lvl")
+        .drop("lvl")
+    )
