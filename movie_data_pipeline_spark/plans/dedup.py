@@ -1071,7 +1071,12 @@ def q175_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         a.join(b, "brand")
         .filter(F.col("pa") < F.col("pb"))
-        .filter(F.levenshtein(F.col("na"), F.col("nb")) <= 2)
+        # free prune before the O(len²) DP: lev(a,b) ≥ |len(a)−len(b)|,
+        # so the length gate can never drop a true match
+        .filter(F.abs(F.length("na") - F.length("nb")) <= 2)
+        # thresholded levenshtein: banded O(len·k) DP that bails at
+        # k=2 instead of filling the full matrix; returns -1 above k
+        .filter(F.levenshtein(F.col("na"), F.col("nb"), 2) >= 0)
         .select("pa", "pb")
     )
     comp = connected_components(
