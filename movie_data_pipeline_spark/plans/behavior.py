@@ -1361,3 +1361,128 @@ def q189_retention_decay_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("t_days")
     )
+
+
+# --------------------------------------------------------------------------
+# q191 — Kaplan-Meier churn survival curve (right-censored)
+# --------------------------------------------------------------------------
+_KM_CENSOR_DAYS = 2
+
+
+@query(
+    "q191_kaplan_meier",
+    oracle=f"""
+    WITH act AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS f, MAX(CAST(ts AS DATE)) AS l
+      FROM events GROUP BY user_id),
+    mx AS (SELECT MAX(l) AS max_d FROM act),
+    spans AS (
+      SELECT user_id, date_diff('day', f, l) AS t,
+             CASE WHEN date_diff('day', l, mx.max_d) <= {_KM_CENSOR_DAYS}
+                  THEN 0 ELSE 1 END AS churned
+      FROM act CROSS JOIN mx),
+    per_t AS (
+      SELECT t,
+             CAST(SUM(churned) AS BIGINT) AS d,
+             CAST(COUNT(*) - SUM(churned) AS BIGINT) AS c
+      FROM spans GROUP BY t),
+    risk AS (
+      SELECT p.t, p.d, p.c,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM spans s WHERE s.t >= p.t)
+               AS n_risk
+      FROM per_t p),
+    surv AS (
+      SELECT r1.t, r1.d, r1.c, r1.n_risk,
+             exp(CAST(SUM(CAST(ln(greatest(1.0 - CAST(r2.d AS DOUBLE)
+                                              / CAST(r2.n_risk AS DOUBLE),
+                                          1e-300))
+                               AS DECIMAL(38,18))) AS DOUBLE)) AS s
+      FROM risk r1 JOIN risk r2 ON r2.t <= r1.t AND r2.d > 0
+      WHERE r1.d > 0
+      GROUP BY r1.t, r1.d, r1.c, r1.n_risk)
+    SELECT t AS t_days, n_risk, d AS n_churned, c AS n_censored,
+           {r4('s')} AS survival
+    FROM surv ORDER BY t
+    """,
+    tags=("extension", "behavior", "survival", "kaplan-meier"),
+)
+def q191_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier estimate of user lifetime: each user's observed
+    span runs from first to last active day; users still active within
+    {_KM_CENSOR_DAYS} days of the corpus end are right-CENSORED (we
+    didn't see them churn — discarding them is the classic
+    survivorship bias this estimator exists to avoid), everyone else
+    churned at their span length. At each churn time t:
+    S(t) = Π_{{t_j ≤ t}} (1 − d_j / n_j) with d_j churns at t_j over
+    the n_j still at risk. One row per churn time with the risk set,
+    event/censor counts, and the survival probability — the LTV
+    denominator q189's parametric fit approximates; run both and the
+    gap between the KM steps and the exponential curve is the
+    model-misfit signal.
+
+    Scale: spans are one per-user min/max aggregate over the fact;
+    everything after lives on the tiny per-duration frame (bounded by
+    the observation window in days), where risk sets and the running
+    product are triangular self-joins — deliberately join-shaped, not
+    a global window, so the plan stays partitionable and
+    audit-clean. The product is exp(Σ ln) with exact DECIMAL term
+    sums, the same discipline as q96/q189.
+    """
+    events = load_table(spark, sf_dir, "events")
+    act = events.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("f"), F.max(F.to_date("ts")).alias("l")
+    )
+    mx = act.agg(F.max("l").alias("max_d"))
+    spans = act.crossJoin(F.broadcast(mx)).select(
+        F.datediff(F.col("l"), F.col("f")).alias("t"),
+        F.when(
+            F.datediff(F.col("max_d"), F.col("l")) <= _KM_CENSOR_DAYS, 0
+        )
+        .otherwise(1)
+        .alias("churned"),
+    ).persist()
+    per_t = spans.groupBy("t").agg(
+        F.sum("churned").cast("long").alias("d"),
+        (F.count("*") - F.sum("churned")).cast("long").alias("c"),
+    )
+    # risk set via triangular join on the bounded per-duration frame
+    s2 = spans.select(F.col("t").alias("t2"))
+    risk = (
+        per_t.join(s2, F.col("t2") >= F.col("t"))
+        .groupBy("t", "d", "c")
+        .agg(F.count("*").cast("long").alias("n_risk"))
+        .persist()
+    )
+    r1 = risk.filter(F.col("d") > 0).select(
+        F.col("t"), F.col("d"), F.col("c"), F.col("n_risk")
+    )
+    r2 = risk.filter(F.col("d") > 0).select(
+        F.col("t").alias("t2"),
+        (
+            # greatest(·,1e-300): a time where EVERYONE at risk churns
+            # has term 0 — the guard keeps ln finite and S rounds to 0
+            F.log(
+                F.greatest(
+                    F.lit(1.0)
+                    - F.col("d").cast("double") / F.col("n_risk").cast("double"),
+                    F.lit(1e-300),
+                )
+            )
+        ).alias("lnterm"),
+    )
+    surv = (
+        r1.join(F.broadcast(r2), F.col("t2") <= F.col("t"))
+        .groupBy("t", "d", "c", "n_risk")
+        .agg(
+            F.exp(
+                F.sum(F.col("lnterm").cast("decimal(38,18)")).cast("double")
+            ).alias("s")
+        )
+    )
+    return surv.select(
+        F.col("t").alias("t_days"),
+        "n_risk",
+        F.col("d").alias("n_churned"),
+        F.col("c").alias("n_censored"),
+        round4(F.col("s")).alias("survival"),
+    ).orderBy("t_days")
