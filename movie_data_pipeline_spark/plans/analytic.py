@@ -2327,3 +2327,161 @@ def q190_erasure_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("lvl")
         .drop("lvl")
     )
+
+
+# --------------------------------------------------------------------------
+# q192 — Poisson-bootstrap confidence interval (deterministic replicates)
+# --------------------------------------------------------------------------
+_BOOT_B = 50
+# Poisson(1) CDF ladder: P(X<=k) for k=0..5; u above the last → 6
+_POIS_CDF = (0.36788, 0.73576, 0.91970, 0.98101, 0.99634, 0.99941)
+
+
+def _boot_w_sql(u: str) -> str:
+    cases = " ".join(
+        f"WHEN {u} < {p} THEN {k}" for k, p in enumerate(_POIS_CDF)
+    )
+    return f"CASE {cases} ELSE 6 END"
+
+
+@query(
+    "q192_bootstrap_ci",
+    oracle=f"""
+    WITH reps AS (
+      SELECT o_orderkey, o_totalprice, unnest(generate_series(1, {_BOOT_B})) AS b
+      FROM orders),
+    w AS (
+      SELECT b, o_totalprice,
+             {_boot_w_sql("(CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 1, 8)) AS BIGINT) % 10000) / 10000.0")}
+               AS wt
+      FROM reps),
+    means AS (
+      SELECT b,
+             CAST(SUM(CAST(wt * o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+               / CAST(SUM(wt) AS DOUBLE) AS m
+      FROM w GROUP BY b),
+    ranked AS (
+      SELECT m1.b, m1.m,
+             (SELECT COUNT(*) FROM means m2
+              WHERE m2.m < m1.m OR (m2.m = m1.m AND m2.b <= m1.b)) AS rnk
+      FROM means m1),
+    stats AS (
+      SELECT COUNT(*) AS nb,
+             CAST(SUM(CAST(m AS DECIMAL(38,18))) AS DOUBLE) AS sm,
+             CAST(SUM(CAST(m * m AS DECIMAL(38,18))) AS DOUBLE) AS smm
+      FROM means)
+    SELECT (SELECT COUNT(*) FROM orders) AS n_orders,
+           (SELECT {r4(exact_sum_sql('o_totalprice') + ' / CAST(COUNT(*) AS DOUBLE)')}
+            FROM orders) AS point_mean,
+           {r4('sqrt((smm - sm * sm / nb) / (nb - 1))')} AS boot_se,
+           (SELECT {r4('m')} FROM ranked WHERE rnk = 2) AS ci_lo,
+           (SELECT {r4('m')} FROM ranked WHERE rnk = {_BOOT_B - 1}) AS ci_hi
+    FROM stats
+    """,
+    tags=("extension", "statistics", "bootstrap", "uncertainty"),
+)
+def q192_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% bootstrap confidence interval for the mean order total via
+    the POISSON bootstrap (Chamandy et al., "Estimating Uncertainty
+    for Massive Data Streams", Google 2012) — the resampling scheme
+    that works when the data can't be multinomial-resampled because no
+    single machine sees n: each row independently receives a
+    Poisson(1) replicate weight, here derived from a salted md5 so
+    the "randomness" is reshard-stable and both engines draw
+    bit-identical replicates (a fixed CDF ladder on the hash
+    fraction). {_BOOT_B} replicate means, nearest-rank 2.5%/97.5%
+    bounds, and the bootstrap SE next to the point estimate — error
+    bars for ANY of this catalog's aggregates by swapping the metric
+    expression.
+
+    Scale: the replicate explode is map-side ({_BOOT_B}× rows but no
+    extra shuffle — partial aggregation collapses to B rows per
+    partition before exchange); everything after runs on a {_BOOT_B}-
+    row frame where ranking is a deliberate triangular join, not a
+    global window. Weighted sums are exact DECIMAL; variance uses
+    exact moment sums so the cancellation is deterministic.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    reps = orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.explode(F.sequence(F.lit(1), F.lit(_BOOT_B))).alias("b"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("o_orderkey").cast("string"),
+                        F.lit(":"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10000
+    ) / 10000.0
+    wt = F.when(u < _POIS_CDF[0], 0)
+    for k, p in enumerate(_POIS_CDF[1:], start=1):
+        wt = wt.when(u < p, k)
+    wt = wt.otherwise(6)
+    means = (
+        reps.select("b", "o_totalprice", wt.alias("wt"))
+        .groupBy("b")
+        .agg(
+            (
+                F.sum((F.col("wt") * F.col("o_totalprice")).cast("decimal(30,6)"))
+                .cast("double")
+                / F.sum("wt").cast("double")
+            ).alias("m")
+        )
+        .persist()
+    )
+    m2 = means.select(F.col("b").alias("b2"), F.col("m").alias("mm"))
+    ranked = (
+        means.crossJoin(F.broadcast(m2))
+        .filter(
+            (F.col("mm") < F.col("m"))
+            | ((F.col("mm") == F.col("m")) & (F.col("b2") <= F.col("b")))
+        )
+        .groupBy("b", "m")
+        .agg(F.count("*").alias("rnk"))
+    )
+    stats = means.agg(
+        F.count("*").cast("double").alias("nb"),
+        F.sum(F.col("m").cast("decimal(38,18)")).cast("double").alias("sm"),
+        F.sum((F.col("m") * F.col("m")).cast("decimal(38,18)"))
+        .cast("double")
+        .alias("smm"),
+    )
+    base = orders.agg(
+        F.count("*").alias("n_orders"),
+        round4(
+            exact_sum(F.col("o_totalprice")) / F.count("*").cast("double")
+        ).alias("point_mean"),
+    )
+    lo = ranked.filter(F.col("rnk") == 2).select(round4(F.col("m")).alias("ci_lo"))
+    hi = ranked.filter(F.col("rnk") == _BOOT_B - 1).select(
+        round4(F.col("m")).alias("ci_hi")
+    )
+    return (
+        base.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            "n_orders",
+            "point_mean",
+            round4(
+                F.sqrt(
+                    (F.col("smm") - F.col("sm") * F.col("sm") / F.col("nb"))
+                    / (F.col("nb") - 1)
+                )
+            ).alias("boot_se"),
+            "ci_lo",
+            "ci_hi",
+        )
+    )
