@@ -2485,3 +2485,100 @@ def q192_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ci_hi",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q193 — Benford first-digit forensic audit
+# --------------------------------------------------------------------------
+import math as _math
+
+_BENFORD_P = {d: _math.log10(1 + 1 / d) for d in range(1, 10)}
+_BENFORD_VALUES = ", ".join(f"({d}, {p!r})" for d, p in _BENFORD_P.items())
+
+
+@query(
+    "q193_benford_audit",
+    oracle=f"""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS BIGINT) AS d
+      FROM orders WHERE o_totalprice >= 1),
+    obs AS (SELECT d, COUNT(*) AS n FROM digits GROUP BY d),
+    tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS nt FROM obs),
+    bf_raw(d, p0) AS (VALUES {_BENFORD_VALUES}),
+    bf AS (SELECT d, CAST(p0 AS DOUBLE) AS p FROM bf_raw),
+    cells AS (
+      SELECT bf.d, COALESCE(obs.n, 0) AS n, bf.p, tot.nt,
+             (CAST(COALESCE(obs.n, 0) AS DOUBLE) - tot.nt * bf.p)
+               * (CAST(COALESCE(obs.n, 0) AS DOUBLE) - tot.nt * bf.p)
+               / (tot.nt * bf.p) AS cell
+      FROM bf LEFT JOIN obs USING (d) CROSS JOIN tot),
+    chi AS (
+      SELECT CAST(SUM(CAST(cell AS DECIMAL(38,18))) AS DOUBLE) AS chi2
+      FROM cells)
+    SELECT cells.d AS first_digit, CAST(cells.n AS BIGINT) AS n_obs,
+           {r4('CAST(cells.n AS DOUBLE) / cells.nt')} AS observed_share,
+           {r4('cells.p')} AS benford_share,
+           {r4('chi.chi2')} AS chi2
+    FROM cells CROSS JOIN chi
+    ORDER BY first_digit
+    """,
+    tags=("extension", "audit", "forensic", "benford"),
+)
+def q193_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law conformance of order totals: the observed
+    leading-digit distribution against log10(1+1/d), with the 8-df
+    chi-square statistic — the forensic screen auditors run on
+    financial facts (fabricated or unit-scaled amounts flunk it) and
+    data engineers run on SYNTHETIC data to see how un-lifelike a
+    generator is; alongside q156/q157 it extends the drift-monitor
+    family from "did the distribution move" to "does it look
+    organic". The expected probabilities are Python-rendered literals
+    shared by both engines (q132's coefficient-table discipline), so
+    no cross-engine log10 is ever evaluated.
+
+    The leading digit comes from integer string repr (exact on both
+    engines), not floor(x/10^floor(log10 x)) whose float pow can
+    misplace a power-of-ten boundary. Scale: one map expression + a
+    9-cell aggregate; the chi-square is a broadcast scalar over exact
+    decimal cell sums.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    digits = orders.filter(F.col("o_totalprice") >= 1).select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("d")
+    )
+    obs = digits.groupBy("d").agg(F.count("*").alias("n"))
+    bf = spark.createDataFrame(
+        [(d, p) for d, p in _BENFORD_P.items()], ["d", "p"]
+    )
+    tot = obs.agg(F.sum("n").cast("double").alias("nt"))
+    cells = (
+        bf.join(obs, "d", "left")
+        .select("d", F.coalesce(F.col("n"), F.lit(0)).alias("n"), "p")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "cell",
+            (F.col("n").cast("double") - F.col("nt") * F.col("p"))
+            * (F.col("n").cast("double") - F.col("nt") * F.col("p"))
+            / (F.col("nt") * F.col("p")),
+        )
+        .persist()
+    )
+    chi = cells.agg(
+        F.sum(F.col("cell").cast("decimal(38,18)")).cast("double").alias("chi2")
+    )
+    return (
+        cells.crossJoin(F.broadcast(chi))
+        .select(
+            F.col("d").alias("first_digit"),
+            F.col("n").cast("long").alias("n_obs"),
+            round4(F.col("n").cast("double") / F.col("nt")).alias("observed_share"),
+            round4(F.col("p")).alias("benford_share"),
+            round4(F.col("chi2")).alias("chi2"),
+        )
+        .orderBy("first_digit")
+    )
