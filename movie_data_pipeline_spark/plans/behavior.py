@@ -1486,3 +1486,86 @@ def q191_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").alias("n_censored"),
         round4(F.col("s")).alias("survival"),
     ).orderBy("t_days")
+
+
+# --------------------------------------------------------------------------
+# q194 — seasonal-naive forecast backtest (MAE / sMAPE per series)
+# --------------------------------------------------------------------------
+@query(
+    "q194_forecast_backtest",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             {exact_sum_sql('value')} AS v
+      FROM events GROUP BY 1, 2),
+    joined AS (
+      SELECT a.event_type, a.d, a.v AS actual, f.v AS forecast
+      FROM daily a JOIN daily f
+        ON f.event_type = a.event_type AND f.d = a.d - 7)
+    SELECT event_type,
+           COUNT(*) AS n_days,
+           {r4('CAST(SUM(CAST(abs(actual - forecast) AS DECIMAL(30,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)')}
+             AS mae,
+           {r4('CAST(SUM(CAST(2.0 * abs(actual - forecast) / (abs(actual) + abs(forecast)) AS DECIMAL(38,18))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)')}
+             AS smape,
+           {r4('CAST(SUM(CAST(abs(actual) AS DECIMAL(30,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)')}
+             AS mean_abs_actual
+    FROM joined GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("extension", "behavior", "forecasting", "backtest"),
+)
+def q194_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the seasonal-naive forecaster (predict each day's
+    per-type event value with the value seven days earlier — the
+    baseline every real forecasting model must beat before it ships):
+    per event type, MAE and sMAPE over all days where the
+    calendar lag exists, with the mean absolute actual as the scale
+    reference. The forecasting sibling of q183's Markov backtest:
+    same hygiene (the "model" only ever sees the past), applied to a
+    numeric series. Wire a real model in by swapping the forecast
+    side of the join.
+
+    The lag is a CALENDAR join (f.d = a.d − 7), not a 7-row window
+    lag — gap days would silently misalign a row-offset lag, which is
+    the classic backtest bug this form avoids. Scale: the raw fact
+    collapses to (type, day) exact sums first — the only pass over
+    events; the lag join and error aggregates run on the tiny series
+    frame, keyed by type. Error terms sum as exact decimals (sMAPE
+    terms are O(1), summed at DECIMAL(38,18)).
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(exact_sum(F.col("value")).alias("v")).persist()
+    f_side = daily.select(
+        "event_type", F.date_add(F.col("d"), 7).alias("d"), F.col("v").alias("forecast")
+    )
+    joined = daily.join(f_side, ["event_type", "d"]).select(
+        "event_type", F.col("v").alias("actual"), "forecast"
+    )
+    err = F.abs(F.col("actual") - F.col("forecast"))
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_days"),
+            round4(
+                F.sum(err.cast("decimal(30,6)")).cast("double")
+                / F.count("*").cast("double")
+            ).alias("mae"),
+            round4(
+                F.sum(
+                    (
+                        F.lit(2.0)
+                        * err
+                        / (F.abs(F.col("actual")) + F.abs(F.col("forecast")))
+                    ).cast("decimal(38,18)")
+                ).cast("double")
+                / F.count("*").cast("double")
+            ).alias("smape"),
+            round4(
+                F.sum(F.abs(F.col("actual")).cast("decimal(30,6)")).cast("double")
+                / F.count("*").cast("double")
+            ).alias("mean_abs_actual"),
+        )
+        .orderBy("event_type")
+    )
