@@ -2582,3 +2582,105 @@ def q193_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("first_digit")
     )
+
+
+# --------------------------------------------------------------------------
+# q195 — popularity-baseline recommender, temporal-holdout hit rate
+# --------------------------------------------------------------------------
+_REC_CUTOFF = "2000-01-01 00:00:00"
+_REC_K = 10
+
+
+@query(
+    "q195_popularity_rec_eval",
+    oracle=f"""
+    WITH train AS (
+      SELECT o_orderkey FROM orders
+      WHERE o_orderdate < TIMESTAMP '{_REC_CUTOFF}'),
+    pop AS (
+      SELECT l_partkey FROM lineitem
+      JOIN train ON train.o_orderkey = lineitem.l_orderkey
+      GROUP BY l_partkey
+      ORDER BY COUNT(DISTINCT l_orderkey) DESC, l_partkey
+      LIMIT {_REC_K}),
+    test_o AS (
+      SELECT o_custkey, o_orderkey FROM (
+        SELECT o_custkey, o_orderkey,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS rn
+        FROM orders WHERE o_orderdate >= TIMESTAMP '{_REC_CUTOFF}')
+      WHERE rn = 1),
+    hit_orders AS (
+      SELECT DISTINCT l_orderkey FROM lineitem
+      JOIN pop ON pop.l_partkey = lineitem.l_partkey),
+    scored AS (
+      SELECT t.o_custkey,
+             CASE WHEN h.l_orderkey IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM test_o t LEFT JOIN hit_orders h ON h.l_orderkey = t.o_orderkey)
+    SELECT (SELECT COUNT(*) FROM train) AS n_train_orders,
+           COUNT(*) AS n_test_customers,
+           CAST(SUM(hit) AS BIGINT) AS n_hits,
+           {r4('CAST(SUM(hit) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)')}
+             AS hit_rate
+    FROM scored
+    """,
+    tags=("extension", "recsys", "holdout-eval", "baseline"),
+)
+def q195_popularity_rec_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hit-rate@{_REC_K} of the popularity baseline under a temporal
+    holdout: the {_REC_K} most-ordered parts are learned from orders
+    strictly BEFORE the cutoff, and a test customer scores a hit if
+    their FIRST order on/after the cutoff contains any recommended
+    part. The floor every personalized recommender (q176's item-item
+    CF) must beat, measured with the same leakage discipline as
+    q183/q194: popularity is never computed over the window it is
+    evaluated on, because popularity leaks future fashion backwards.
+
+    Scale: train popularity is one semi-joined aggregate + TakeOrdered
+    {_REC_K}; the recommended set is {_REC_K} rows broadcast into a
+    semi-join that marks qualifying orders; test-first-order selection
+    is a per-customer window (bounded frames). No per-customer
+    recommendation materialization — the baseline recommends the same
+    list to everyone, and the plan exploits exactly that.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.expr(f"TIMESTAMP_NTZ '{_REC_CUTOFF}'")
+    train = orders.filter(F.col("o_orderdate") < cutoff).select("o_orderkey")
+    pop = (
+        li.join(train, li["l_orderkey"] == train["o_orderkey"], "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.count_distinct("l_orderkey").alias("c"))
+        .orderBy(F.desc("c"), F.asc("l_partkey"))
+        .limit(_REC_K)
+        .select("l_partkey")
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    test_o = (
+        orders.filter(F.col("o_orderdate") >= cutoff)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey")
+    )
+    hit_orders = (
+        li.join(F.broadcast(pop), "l_partkey", "left_semi")
+        .select("l_orderkey")
+        .distinct()
+    )
+    scored = test_o.join(
+        hit_orders, test_o["o_orderkey"] == hit_orders["l_orderkey"], "left"
+    ).select(
+        F.when(F.col("l_orderkey").isNotNull(), 1).otherwise(0).alias("hit")
+    )
+    n_train = train.agg(F.count("*").alias("n_train_orders"))
+    return (
+        scored.agg(
+            F.count("*").alias("n_test_customers"),
+            F.sum("hit").cast("long").alias("n_hits"),
+            round4(
+                F.sum("hit").cast("double") / F.count("*").cast("double")
+            ).alias("hit_rate"),
+        )
+        .crossJoin(F.broadcast(n_train))
+        .select("n_train_orders", "n_test_customers", "n_hits", "hit_rate")
+    )
