@@ -2684,3 +2684,124 @@ def q195_popularity_rec_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_train))
         .select("n_train_orders", "n_test_customers", "n_hits", "hit_rate")
     )
+
+
+# --------------------------------------------------------------------------
+# q196 — price-volume-mix bridge between two periods
+# --------------------------------------------------------------------------
+@query(
+    "q196_pvm_bridge",
+    oracle=f"""
+    WITH li AS (
+      SELECT l.l_partkey, p.p_brand,
+             CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+             l.l_quantity AS q, l.l_extendedprice AS r
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE year(o.o_orderdate) IN (1999, 2000)),
+    per_part AS (
+      SELECT p_brand, l_partkey,
+             {exact_sum_sql('CASE WHEN yr = 1999 THEN q ELSE 0 END')} AS q0,
+             {exact_sum_sql('CASE WHEN yr = 2000 THEN q ELSE 0 END')} AS q1,
+             {exact_sum_sql('CASE WHEN yr = 1999 THEN r ELSE 0 END')} AS r0,
+             {exact_sum_sql('CASE WHEN yr = 2000 THEN r ELSE 0 END')} AS r1
+      FROM li GROUP BY 1, 2),
+    eff AS (
+      SELECT p_brand, r0, r1, q0, q1,
+             CASE WHEN q0 > 0 AND q1 > 0
+                  THEN (r1 / q1 - r0 / q0) * q0 ELSE 0.0 END AS price_eff,
+             CASE WHEN q0 > 0 AND q1 > 0
+                  THEN (q1 - q0) * (r0 / q0) ELSE 0.0 END AS vol_eff,
+             CASE WHEN q0 > 0 AND q1 > 0
+                  THEN (r1 / q1 - r0 / q0) * (q1 - q0) ELSE 0.0 END AS cross_eff,
+             CASE WHEN q0 = 0 THEN r1 ELSE 0.0 END AS new_eff,
+             CASE WHEN q1 = 0 THEN -r0 ELSE 0.0 END AS lost_eff
+      FROM per_part)
+    SELECT p_brand AS brand,
+           {r4(exact_sum_sql('r0'))} AS revenue_1999,
+           {r4(exact_sum_sql('r1'))} AS revenue_2000,
+           {r4(exact_sum_sql('price_eff'))} AS price_effect,
+           {r4(exact_sum_sql('vol_eff'))} AS volume_effect,
+           {r4(exact_sum_sql('cross_eff'))} AS cross_effect,
+           {r4(exact_sum_sql('new_eff'))} AS new_parts_effect,
+           {r4(exact_sum_sql('lost_eff'))} AS lost_parts_effect
+    FROM eff GROUP BY p_brand ORDER BY p_brand
+    """,
+    tags=("extension", "finance", "variance-decomposition"),
+)
+def q196_pvm_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-volume-mix bridge: per brand, the 1999→2000 revenue delta
+    decomposed into price effect (Δunit-price × base volume), volume
+    effect (Δvolume × base price), the price×volume cross term, and
+    the new/discontinued-part effects — the finance-close waterfall
+    that answers "did revenue move because we charged more, sold
+    more, or sold different things". The decomposition is an exact
+    identity: revenue_2000 − revenue_1999 = price + volume + cross +
+    new − |lost| per brand, so the report self-audits (q188's
+    reconciliation discipline applied to a derived bridge).
+
+    Scale: one 3-table star join filtered to the two periods (year
+    predicate pushes to the date column), one per-(brand, part)
+    conditional-sum aggregate — the FILTER-pivot of q124 — then a
+    brand rollup; both aggregates map-side-combinable, all sums exact
+    DECIMAL. Unit prices divide identically on both engines since
+    numerator and denominator are exact decimal-summed doubles.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    yr = F.year("o_orderdate")
+    base = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .filter(yr.isin(1999, 2000))
+        .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .select(
+            "p_brand",
+            "l_partkey",
+            yr.alias("yr"),
+            F.col("l_quantity").alias("q"),
+            F.col("l_extendedprice").alias("r"),
+        )
+    )
+
+    def cs(col: str, year: int):
+        return exact_sum(
+            F.when(F.col("yr") == year, F.col(col)).otherwise(F.lit(0.0))
+        )
+
+    per_part = base.groupBy("p_brand", "l_partkey").agg(
+        cs("q", 1999).alias("q0"),
+        cs("q", 2000).alias("q1"),
+        cs("r", 1999).alias("r0"),
+        cs("r", 2000).alias("r1"),
+    )
+    both = (F.col("q0") > 0) & (F.col("q1") > 0)
+    dp = F.col("r1") / F.col("q1") - F.col("r0") / F.col("q0")
+    eff = per_part.select(
+        "p_brand",
+        "r0",
+        "r1",
+        F.when(both, dp * F.col("q0")).otherwise(F.lit(0.0)).alias("price_eff"),
+        F.when(both, (F.col("q1") - F.col("q0")) * (F.col("r0") / F.col("q0")))
+        .otherwise(F.lit(0.0))
+        .alias("vol_eff"),
+        F.when(both, dp * (F.col("q1") - F.col("q0")))
+        .otherwise(F.lit(0.0))
+        .alias("cross_eff"),
+        F.when(F.col("q0") == 0, F.col("r1")).otherwise(F.lit(0.0)).alias("new_eff"),
+        F.when(F.col("q1") == 0, -F.col("r0")).otherwise(F.lit(0.0)).alias("lost_eff"),
+    )
+    return (
+        eff.groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            round4(exact_sum(F.col("r0"))).alias("revenue_1999"),
+            round4(exact_sum(F.col("r1"))).alias("revenue_2000"),
+            round4(exact_sum(F.col("price_eff"))).alias("price_effect"),
+            round4(exact_sum(F.col("vol_eff"))).alias("volume_effect"),
+            round4(exact_sum(F.col("cross_eff"))).alias("cross_effect"),
+            round4(exact_sum(F.col("new_eff"))).alias("new_parts_effect"),
+            round4(exact_sum(F.col("lost_eff"))).alias("lost_parts_effect"),
+        )
+        .orderBy("brand")
+    )
