@@ -986,3 +986,59 @@ def q185_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q197 — search-hit snippet extraction (the display layer over q185)
+# --------------------------------------------------------------------------
+_SNIP_CTX = 20
+
+
+@query(
+    "q197_search_snippets",
+    oracle=f"""
+    WITH hits AS (
+      SELECT doc_id, source, lower(text) AS lt,
+             position('{_SEARCH_Q}' IN lower(text)) AS pos
+      FROM documents
+      WHERE contains(lower(text), '{_SEARCH_Q}'))
+    SELECT doc_id, source, CAST(pos AS BIGINT) AS match_pos,
+           substr(lt, CASE WHEN pos - {_SNIP_CTX} > 1
+                           THEN pos - {_SNIP_CTX} ELSE 1 END,
+                  {_SNIP_CTX} + {len(_SEARCH_Q)} + {_SNIP_CTX}) AS snippet
+    FROM hits ORDER BY doc_id
+    """,
+    tags=("extension", "text-search", "snippet"),
+)
+def q197_search_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-result snippets for q185's query: each matching doc's
+    FIRST occurrence position plus a ±{_SNIP_CTX}-character context
+    window around the match — the display layer a search stack puts
+    on top of the trigram index (find via the index, snippet via one
+    bounded substring on the already-retrieved hits). Position
+    arithmetic is 1-based and identical on both engines (`position`/
+    `instr`, `substr` with explicit clamp at the string head; the
+    tail clamps implicitly), so the snippets hash-match byte-for-byte.
+
+    Scale: runs AFTER candidate pruning — in production this composes
+    as q185's candidate semi-join feeding this projection, so the
+    substring work touches matching docs only; here the filter is the
+    exact contains probe for a self-contained oracle. Map-only: no
+    shuffle beyond the scan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    q = _SEARCH_Q.lower()
+    hits = docs.select(
+        "doc_id",
+        "source",
+        F.lower(F.col("text")).alias("lt"),
+    ).withColumn("pos", F.instr(F.col("lt"), q)).filter(F.col("pos") > 0)
+    start = F.greatest(F.col("pos") - _SNIP_CTX, F.lit(1))
+    return hits.select(
+        "doc_id",
+        "source",
+        F.col("pos").cast("long").alias("match_pos"),
+        F.col("lt")
+        .substr(start, F.lit(_SNIP_CTX + len(q) + _SNIP_CTX))
+        .alias("snippet"),
+    ).orderBy("doc_id")
