@@ -971,3 +971,108 @@ def q179_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_nodes"), F.asc("community"))
         .limit(30)
     )
+
+
+# --------------------------------------------------------------------------
+# q198 — co-purchase degree distribution and power-law fit
+# --------------------------------------------------------------------------
+@query(
+    "q198_degree_powerlaw",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+             COUNT(DISTINCT a.l_orderkey) AS n_co
+      FROM lineitem a
+      JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2),
+    edges AS (SELECT pa, pb FROM pairs WHERE n_co >= {_TRI_MIN_CO}),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+        SELECT pa AS node FROM edges UNION ALL SELECT pb FROM edges)
+      GROUP BY node),
+    hist AS (
+      SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+      FROM deg GROUP BY degree),
+    fit AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(ln(CAST(degree AS DOUBLE)) AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(ln(CAST(n_nodes AS DOUBLE)) AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(ln(CAST(degree AS DOUBLE)) * ln(CAST(degree AS DOUBLE)) AS DECIMAL(38,18))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(ln(CAST(degree AS DOUBLE)) * ln(CAST(n_nodes AS DOUBLE)) AS DECIMAL(38,18))) AS DOUBLE) AS sxy
+      FROM hist)
+    SELECT hist.degree, hist.n_nodes,
+           {r4('(fit.n * fit.sxy - fit.sx * fit.sy) / (fit.n * fit.sxx - fit.sx * fit.sx)')}
+             AS powerlaw_slope
+    FROM hist CROSS JOIN fit
+    ORDER BY hist.degree
+    """,
+    tags=("extension", "graph", "topology-audit", "model-fit"),
+)
+def q198_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-purchase graph with a log-log
+    OLS slope — the topology audit run BEFORE committing a graph
+    algorithm budget: a heavy-tailed (power-law-ish) degree
+    distribution predicts hub-induced skew in q103's PageRank
+    contributions and q116's Σdeg² wedge count, and the slope is the
+    one number that says how bad. Complements q138 (join-key skew on
+    the FACT) with the same diagnosis on the derived GRAPH, and
+    reuses q170's fit discipline (exact decimal moment sums over ln
+    literals; the slope of synthetic co-purchase data sits far from
+    real graphs' −2..−3, which is itself the finding).
+
+    Scale: edges via q116's construction (Spark side: map-side basket
+    pair generation, the fact never self-joins); degrees and the
+    histogram are two hash aggregates; the fit is a broadcast scalar
+    over the tiny histogram frame.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    baskets = lineitem.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    arr = F.col("parts")
+    pair_gen = F.flatten(
+        F.transform(
+            arr,
+            lambda x, i: F.transform(
+                F.slice(arr, i + 2, F.size(arr) - i - 1),
+                lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+            ),
+        )
+    )
+    edges = (
+        baskets.select(F.explode(pair_gen).alias("pr"))
+        .select("pr.pa", "pr.pb")
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("n_co"))
+        .filter(F.col("n_co") >= _TRI_MIN_CO)
+        .select("pa", "pb")
+    )
+    deg = (
+        edges.select(F.col("pa").alias("node"))
+        .unionAll(edges.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("degree"))
+    )
+    hist = deg.groupBy("degree").agg(F.count("*").cast("long").alias("n_nodes")).persist()
+    lx = F.log(F.col("degree").cast("double"))
+    ly = F.log(F.col("n_nodes").cast("double"))
+    fit = hist.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(lx.cast("decimal(38,18)")).cast("double").alias("sx"),
+        F.sum(ly.cast("decimal(38,18)")).cast("double").alias("sy"),
+        F.sum((lx * lx).cast("decimal(38,18)")).cast("double").alias("sxx"),
+        F.sum((lx * ly).cast("decimal(38,18)")).cast("double").alias("sxy"),
+    )
+    return (
+        hist.crossJoin(F.broadcast(fit))
+        .select(
+            "degree",
+            "n_nodes",
+            round4(
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            ).alias("powerlaw_slope"),
+        )
+        .orderBy("degree")
+    )
