@@ -730,3 +730,76 @@ def q187_source_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy(
         F.desc("centroid_cosine"), F.asc("source_a"), F.asc("source_b")
     ).limit(20)
+
+
+# --------------------------------------------------------------------------
+# q199 — embedding health audit (per-dimension statistics)
+# --------------------------------------------------------------------------
+@query(
+    "q199_embedding_health",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS arr FROM embeddings),
+    dims AS (
+      SELECT i - 1 AS dim_idx, arr[i] AS x
+      FROM v, unnest(generate_series(1, len(arr))) AS t(i)),
+    stats AS (
+      SELECT dim_idx, COUNT(*) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sxx,
+             MIN(x) AS mn, MAX(x) AS mx
+      FROM dims GROUP BY dim_idx)
+    SELECT CAST(dim_idx AS BIGINT) AS dim_idx,
+           {r4('sx / n')} AS mean,
+           {r4('(sxx - sx * sx / n) / (n - 1)')} AS variance,
+           {r4('mn')} AS min_val,
+           {r4('mx')} AS max_val,
+           (sxx - sx * sx / n) / (n - 1) < 1e-4 AS is_dead
+    FROM stats ORDER BY dim_idx
+    """,
+    tags=("extension", "similarity", "audit", "embedding-health"),
+)
+def q199_embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension health statistics of the embedding corpus: mean,
+    variance, range, and a dead-dimension flag (variance < 1e-4 — a
+    dimension the encoder effectively stopped using). The QA gate an
+    embedding pipeline runs when a new encoder version lands, BEFORE
+    q104 retrains IVF cells or q174 trusts cosine gaps: dead or
+    near-constant dimensions silently shrink effective dimensionality
+    (cosines crowd together, LSH planes waste bits), and a mean far
+    from 0 says the corpus needs centering — exactly what q171's PCA
+    assumes. Complements q177 (between-cluster structure) with the
+    raw per-coordinate view.
+
+    Scale: one posexplode + one (dim) hash aggregate with exact
+    DECIMAL moment sums — 64 groups regardless of corpus size, fully
+    map-side-combinable; no vector leaves its partition. The variance
+    uses exact moment sums so the classic E[x²]−E[x]² cancellation is
+    deterministic, and the dead-dim threshold compares identically
+    computed doubles.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        F.posexplode(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("dim_idx", "x")
+    )
+    stats = dims.groupBy("dim_idx").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,18)")).cast("double").alias("sx"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,18)"))
+        .cast("double")
+        .alias("sxx"),
+        F.min("x").alias("mn"),
+        F.max("x").alias("mx"),
+    )
+    var = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    return stats.select(
+        F.col("dim_idx").cast("long").alias("dim_idx"),
+        round4(F.col("sx") / F.col("n")).alias("mean"),
+        round4(var).alias("variance"),
+        round4(F.col("mn")).alias("min_val"),
+        round4(F.col("mx")).alias("max_val"),
+        (var < 1e-4).alias("is_dead"),
+    ).orderBy("dim_idx")
