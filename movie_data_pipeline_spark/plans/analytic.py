@@ -2805,3 +2805,116 @@ def q196_pvm_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand")
     )
+
+
+# --------------------------------------------------------------------------
+# q200 — association rules: confidence and lift over order baskets
+# --------------------------------------------------------------------------
+_RULE_MIN_CO = 5
+
+
+@query(
+    "q200_association_rules",
+    oracle=f"""
+    WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS n_orders
+          FROM baskets),
+    deg AS (SELECT l_partkey, COUNT(*) AS c FROM baskets GROUP BY 1),
+    co AS (
+      SELECT a.l_partkey AS ia, b.l_partkey AS ib, COUNT(*) AS n_co
+      FROM baskets a JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {_RULE_MIN_CO}),
+    rules AS (
+      SELECT ia AS antecedent, ib AS consequent, n_co FROM co
+      UNION ALL
+      SELECT ib, ia, n_co FROM co),
+    scored AS (
+      SELECT r.antecedent, r.consequent, CAST(r.n_co AS BIGINT) AS n_co,
+             CAST(r.n_co AS DOUBLE) / n.n_orders AS support,
+             CAST(r.n_co AS DOUBLE) / CAST(da.c AS DOUBLE) AS conf,
+             (CAST(r.n_co AS DOUBLE) / CAST(da.c AS DOUBLE)) * n.n_orders
+               / CAST(dc.c AS DOUBLE) AS lift
+      FROM rules r
+      JOIN deg da ON da.l_partkey = r.antecedent
+      JOIN deg dc ON dc.l_partkey = r.consequent
+      CROSS JOIN n)
+    SELECT antecedent, consequent, n_co,
+           {r4('support')} AS support, {r4('conf')} AS confidence,
+           {r4('lift')} AS lift
+    FROM scored
+    ORDER BY {r4('lift')} DESC, antecedent, consequent
+    LIMIT 20
+    """,
+    tags=("extension", "recsys", "association-rules", "market-basket"),
+)
+def q200_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over order baskets (Agrawal & Srikant 1994):
+    directional A→B rules with support, confidence co/c(A), and lift
+    conf·N/c(B), top-20 by lift at min co-support {_RULE_MIN_CO} —
+    the interpretable cousin of q176's item-item cosine (same counts,
+    but DIRECTIONAL: bread→butter can be strong while butter→bread is
+    weak, which a symmetric similarity cannot express) and the
+    promoted-placement logic behind q94's raw pair matrix.
+
+    Scale: counts come from the same inverted-index equi-join family
+    as q176 with the min-support HAVING applied before any scoring
+    (the Apriori prune — candidate rules shrink by orders of
+    magnitude before the degree joins); degrees broadcast; ranking
+    orders on the round4-quantized lift so the LIMIT boundary is
+    float-noise-proof (q23's discipline), with id tie-breaks.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct().persist()
+    n_orders = baskets.agg(
+        F.count_distinct("l_orderkey").cast("double").alias("n_orders")
+    )
+    deg = baskets.groupBy("l_partkey").agg(F.count("*").alias("c"))
+    a = baskets.select("l_orderkey", F.col("l_partkey").alias("ia"))
+    b = baskets.select("l_orderkey", F.col("l_partkey").alias("ib"))
+    co = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.count("*").alias("n_co"))
+        .filter(F.col("n_co") >= _RULE_MIN_CO)
+    )
+    rules = co.select(
+        F.col("ia").alias("antecedent"), F.col("ib").alias("consequent"), "n_co"
+    ).unionByName(
+        co.select(
+            F.col("ib").alias("antecedent"), F.col("ia").alias("consequent"), "n_co"
+        )
+    )
+    da = deg.select(F.col("l_partkey").alias("antecedent"), F.col("c").alias("ca"))
+    dc = deg.select(F.col("l_partkey").alias("consequent"), F.col("c").alias("cc"))
+    scored = (
+        rules.join(F.broadcast(da), "antecedent")
+        .join(F.broadcast(dc), "consequent")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("n_co").cast("long").alias("n_co"),
+            (F.col("n_co").cast("double") / F.col("n_orders")).alias("support"),
+            (F.col("n_co").cast("double") / F.col("ca").cast("double")).alias("conf"),
+            (
+                (F.col("n_co").cast("double") / F.col("ca").cast("double"))
+                * F.col("n_orders")
+                / F.col("cc").cast("double")
+            ).alias("lift"),
+        )
+    )
+    return (
+        scored.select(
+            "antecedent",
+            "consequent",
+            "n_co",
+            round4(F.col("support")).alias("support"),
+            round4(F.col("conf")).alias("confidence"),
+            round4(F.col("lift")).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.asc("antecedent"), F.asc("consequent"))
+        .limit(20)
+    )
