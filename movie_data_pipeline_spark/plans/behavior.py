@@ -1569,3 +1569,128 @@ def q194_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q201 — grouped k-fold CV of the Markov model (algebraic leave-fold-out)
+# --------------------------------------------------------------------------
+_CV_K = 5
+_CV_FOLD_SQL = (
+    "CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':fold'), 1, 8)) "
+    "AS BIGINT) % 5"
+)
+
+
+@query(
+    "q201_markov_cv",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, {_CV_FOLD_SQL} AS fold, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+    big AS (
+      SELECT a.fold, a.event_type AS cur, b.event_type AS nxt
+      FROM seq a JOIN seq b
+        ON a.user_id = b.user_id AND b.rn = a.rn + 1),
+    per_fold AS (
+      SELECT fold, cur, nxt, COUNT(*) AS c FROM big GROUP BY 1, 2, 3),
+    tot AS (SELECT cur, nxt, SUM(c) AS t FROM per_fold GROUP BY 1, 2),
+    folds AS (SELECT unnest(generate_series(0, {_CV_K - 1})) AS fold),
+    train AS (
+      SELECT f.fold, tot.cur, tot.nxt,
+             tot.t - COALESCE(pf.c, 0) AS c_train
+      FROM folds f CROSS JOIN tot
+      LEFT JOIN per_fold pf
+        ON pf.fold = f.fold AND pf.cur = tot.cur AND pf.nxt = tot.nxt),
+    pred AS (
+      SELECT fold, cur, nxt AS predicted FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY fold, cur
+                                     ORDER BY c_train DESC, nxt) AS rn2
+        FROM train WHERE c_train > 0) WHERE rn2 = 1)
+    SELECT b.fold, COUNT(*) AS n_test_bigrams,
+           CAST(SUM(CASE WHEN b.nxt = p.predicted THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           {r4("CAST(SUM(CASE WHEN b.nxt = p.predicted THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)")}
+             AS accuracy
+    FROM big b JOIN pred p ON p.fold = b.fold AND p.cur = b.cur
+    GROUP BY b.fold ORDER BY b.fold
+    """,
+    tags=("extension", "behavior", "cross-validation", "markov"),
+)
+def q201_markov_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{_CV_K}-fold cross-validated accuracy of the order-1 Markov
+    next-event model, folded by USER (grouped CV — a user's bigrams
+    never straddle train and test, the sequence analogue of q173's
+    cluster-aware split; q183 is the temporal variant, this is the
+    IID-across-users one). The scale trick is ALGEBRAIC leave-fold-out:
+    instead of training {_CV_K} models over {_CV_K} copies of the
+    data, bigram counts aggregate ONCE per (fold, cur, nxt) and each
+    fold's training counts derive as total − own-fold — the same
+    subtract-the-holdout identity that powers q's incremental
+    aggregate maintenance, making {_CV_K}-fold CV cost one pass plus
+    a {_CV_K}×|type²| grid of arithmetic. Per fold: test support and
+    top-1 accuracy (ties toward the alphabetically first type).
+
+    Scale: sequencing windows partition on user_id; everything after
+    the (fold, cur, nxt) aggregate lives on a ≤{_CV_K}·|types|² frame
+    — broadcast territory regardless of corpus size.
+    """
+    events = load_table(spark, sf_dir, "events")
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":fold"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _CV_K
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "user_id",
+        fold.alias("fold"),
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    )
+    big = seq.filter(F.col("nxt").isNotNull()).select("fold", "cur", "nxt").persist()
+    per_fold = big.groupBy("fold", "cur", "nxt").agg(F.count("*").alias("c"))
+    tot = per_fold.groupBy("cur", "nxt").agg(F.sum("c").alias("t"))
+    folds = spark.range(_CV_K).select(F.col("id").cast("long").alias("fold"))
+    train = (
+        folds.crossJoin(tot)
+        .join(per_fold, ["fold", "cur", "nxt"], "left")
+        .select(
+            "fold",
+            "cur",
+            "nxt",
+            (F.col("t") - F.coalesce(F.col("c"), F.lit(0))).alias("c_train"),
+        )
+        .filter(F.col("c_train") > 0)
+    )
+    wp = Window.partitionBy("fold", "cur").orderBy(F.desc("c_train"), F.asc("nxt"))
+    pred = (
+        train.withColumn("rn2", F.row_number().over(wp))
+        .filter(F.col("rn2") == 1)
+        .select("fold", "cur", F.col("nxt").alias("predicted"))
+    )
+    return (
+        big.join(F.broadcast(pred), ["fold", "cur"])
+        .groupBy("fold")
+        .agg(
+            F.count("*").alias("n_test_bigrams"),
+            F.sum(F.when(F.col("nxt") == F.col("predicted"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_correct"),
+            round4(
+                F.sum(
+                    F.when(F.col("nxt") == F.col("predicted"), 1).otherwise(0)
+                ).cast("double")
+                / F.count("*").cast("double")
+            ).alias("accuracy"),
+        )
+        .orderBy("fold")
+    )
