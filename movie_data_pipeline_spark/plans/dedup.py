@@ -29,7 +29,7 @@ from movie_data_pipeline_spark.operators.dedup import (
     simhash,
     simhash_hamming_pairs,
 )
-from movie_data_pipeline_spark.functions.text import base_hash32, tokens
+from movie_data_pipeline_spark.functions.text import base_hash32, tokens, word_shingles
 from movie_data_pipeline_spark.operators.graph import (
     connected_components,
     duplicate_clusters,
@@ -1190,3 +1190,88 @@ def q182_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# q202 — near-dup pair explanation: shared-shingle evidence
+# --------------------------------------------------------------------------
+@query(
+    "q202_dedup_evidence",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM shingles a JOIN shingles b
+        ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT doc_a, doc_b, n_common,
+             n_common * 1.0 / (ca.n + cb.n - n_common) AS j
+      FROM common
+      JOIN counts ca ON ca.doc_id = doc_a
+      JOIN counts cb ON cb.doc_id = doc_b
+      WHERE n_common * 1.0 / (ca.n + cb.n - n_common) >= 0.2),
+    top AS (
+      SELECT doc_a, doc_b, n_common, j FROM pairs
+      ORDER BY {r4('j')} DESC, doc_a, doc_b LIMIT 10),
+    shared AS (
+      SELECT t.doc_a, t.doc_b, t.n_common, t.j,
+             array_to_string(
+               (list_sort(array_agg(DISTINCT sa.sh)))[1:5], '|') AS evidence
+      FROM top t
+      JOIN shingles sa ON sa.doc_id = t.doc_a
+      JOIN shingles sb ON sb.doc_id = t.doc_b AND sb.sh = sa.sh
+      GROUP BY 1, 2, 3, 4)
+    SELECT doc_a, doc_b, CAST(n_common AS BIGINT) AS n_shared_shingles,
+           {r4('j')} AS jaccard, evidence
+    FROM shared ORDER BY {r4('j')} DESC, doc_a, doc_b
+    """,
+    tags=("extension", "dedup", "explainability"),
+)
+def q202_dedup_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evidence report for the 10 strongest near-duplicate pairs: the
+    shared-shingle count, the Jaccard score, and the first five shared
+    3-gram shingles (sorted, pipe-joined) — the human-review artifact
+    a dedup pipeline attaches when q71's curation decision or q173's
+    split assignment gets appealed ("WHY did you call these
+    duplicates"). Explainability is what makes an aggressive dedup
+    threshold defensible; without it every false-positive report is
+    an archaeology project.
+
+    Scale: pair discovery is exactly q18's bucketed machinery; the
+    evidence join touches the shingles of the TOP pairs only (20 doc
+    ids broadcast into a semi-join-shaped probe), so the expensive
+    part stays proportional to the review list, not the corpus. The
+    ranking orders on the round4-quantized score (q23's discipline).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, threshold=0.2)
+    top = (
+        pairs.orderBy(round4(F.col("jaccard")).desc(), F.asc("doc_a"), F.asc("doc_b"))
+        .limit(10)
+        .persist()
+    )
+    sh = docs.select(
+        "doc_id", F.explode(word_shingles(F.col("text"))).alias("sh")
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    sb = sh.select(F.col("doc_id").alias("db"), F.col("sh").alias("shb"))
+    shared = (
+        top.join(sa, "doc_a")
+        .join(sb, (F.col("doc_b") == F.col("db")) & (F.col("sh") == F.col("shb")))
+        .groupBy("doc_a", "doc_b", "jaccard")
+        .agg(
+            F.count("*").cast("long").alias("n_shared_shingles"),
+            F.array_join(
+                F.slice(F.array_sort(F.collect_set("sh")), 1, 5), "|"
+            ).alias("evidence"),
+        )
+    )
+    return shared.select(
+        "doc_a",
+        "doc_b",
+        "n_shared_shingles",
+        round4(F.col("jaccard")).alias("jaccard"),
+        "evidence",
+    ).orderBy(F.desc("jaccard"), F.asc("doc_a"), F.asc("doc_b"))
