@@ -2918,3 +2918,112 @@ def q200_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), F.asc("antecedent"), F.asc("consequent"))
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# q203 — customer feature-store export (churn-model features)
+# --------------------------------------------------------------------------
+@query(
+    "q203_customer_features",
+    oracle=f"""
+    WITH mx AS (SELECT MAX(o_orderdate) AS max_d FROM orders),
+    per_order AS (
+      SELECT o.o_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+             COUNT(l.l_orderkey) AS n_lines,
+             COUNT(DISTINCT l.l_partkey) AS n_parts
+      FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2, 3, 4),
+    feat AS (
+      SELECT o_custkey,
+             date_diff('day', MAX(o_orderdate), mx.max_d) AS recency_days,
+             date_diff('day', MIN(o_orderdate), MAX(o_orderdate)) AS tenure_days,
+             COUNT(*) AS frequency,
+             {exact_sum_sql('o_totalprice')} AS monetary,
+             CAST(SUM(n_lines) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS avg_basket_lines,
+             CAST(SUM(n_parts) AS BIGINT) AS n_parts_touched
+      FROM per_order CROSS JOIN mx
+      GROUP BY o_custkey, mx.max_d)
+    SELECT c.c_custkey, c.c_mktsegment,
+           CAST(COALESCE(f.recency_days, -1) AS BIGINT) AS recency_days,
+           CAST(COALESCE(f.tenure_days, -1) AS BIGINT) AS tenure_days,
+           CAST(COALESCE(f.frequency, 0) AS BIGINT) AS frequency,
+           {r4('COALESCE(f.monetary, 0.0)')} AS monetary,
+           {r4('COALESCE(f.avg_basket_lines, 0.0)')} AS avg_basket_lines,
+           CAST(COALESCE(f.n_parts_touched, 0) AS BIGINT) AS n_parts_touched
+    FROM customer c LEFT JOIN feat f ON f.o_custkey = c.c_custkey
+    WHERE c.c_custkey % 10 = 0
+    ORDER BY c.c_custkey
+    """,
+    tags=("extension", "feature-engineering", "ml-export"),
+)
+def q203_customer_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn-model feature vector per customer (deterministic %10
+    sample for the driver check; production writes the full table):
+    RFM (recency to the corpus horizon, order frequency, exact-summed
+    monetary) plus tenure, mean basket width, and parts-touched
+    breadth — the materialization step that turns this warehouse into
+    an ML training table, with never-ordered customers surviving the
+    LEFT join as explicit −1/0 rows (silently dropping them builds a
+    survivorship-biased model; q109's outer-join lesson). Downstream:
+    q93 buckets these into RFM scores, q192 puts error bars on any
+    aggregate of them, q181's hash split assigns them to folds.
+
+    Scale: one per-order rollup of the fact (map-side combinable),
+    one per-customer aggregate, one broadcast horizon scalar, one
+    LEFT join back to the dimension — linear passes, no windows, all
+    money through exact DECIMAL sums. Counts (SUM of per-order
+    counts) stay integer-exact; the only float is the basket ratio of
+    two exact integers, identical IEEE on both engines.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer")
+    mx = orders.agg(F.max("o_orderdate").alias("max_d"))
+    per_order = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"], "left")
+        .groupBy("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(
+            F.count("l_orderkey").alias("n_lines"),
+            F.count_distinct("l_partkey").alias("n_parts"),
+        )
+    )
+    feat = (
+        per_order.crossJoin(F.broadcast(mx))
+        .groupBy("o_custkey", "max_d")
+        .agg(
+            F.datediff(F.col("max_d"), F.max("o_orderdate")).alias("recency_days"),
+            F.datediff(F.max("o_orderdate"), F.min("o_orderdate")).alias(
+                "tenure_days"
+            ),
+            F.count("*").alias("frequency"),
+            exact_sum(F.col("o_totalprice")).alias("monetary"),
+            (
+                F.sum("n_lines").cast("double") / F.count("*").cast("double")
+            ).alias("avg_basket_lines"),
+            F.sum("n_parts").cast("long").alias("n_parts_touched"),
+        )
+    )
+    return (
+        cust.filter(F.col("c_custkey") % 10 == 0)
+        .join(feat, cust["c_custkey"] == feat["o_custkey"], "left")
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.coalesce(F.col("recency_days"), F.lit(-1))
+            .cast("long")
+            .alias("recency_days"),
+            F.coalesce(F.col("tenure_days"), F.lit(-1))
+            .cast("long")
+            .alias("tenure_days"),
+            F.coalesce(F.col("frequency"), F.lit(0)).cast("long").alias("frequency"),
+            round4(F.coalesce(F.col("monetary"), F.lit(0.0))).alias("monetary"),
+            round4(F.coalesce(F.col("avg_basket_lines"), F.lit(0.0))).alias(
+                "avg_basket_lines"
+            ),
+            F.coalesce(F.col("n_parts_touched"), F.lit(0))
+            .cast("long")
+            .alias("n_parts_touched"),
+        )
+        .orderBy("c_custkey")
+    )
