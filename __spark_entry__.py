@@ -19,10 +19,14 @@ FLAGSHIP = "q02_region_revenue"
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 # The verification driver records CORRECTNESS rows for the first 50
-# queries in lexicographic key order.  Round 1 verified exactly these 50
-# (CORRECTNESS_r01.json, all green).  To rotate driver coverage across
-# the full catalog, queries NOT yet driver-verified are exposed under an
-# ``a_``-prefixed alias so they sort first; the canonical name stays in
+# entries of the ``queries()`` dict in INSERTION order (proven by
+# CORRECTNESS_r02: the verified set was exactly the first 50 entries of
+# the sorted-by-canonical-name dict, not the ``a_``-aliased sort order).
+# To rotate driver coverage across the full catalog, the dict is built
+# with never-driver-verified queries inserted FIRST — an explicit
+# priority window (heaviest extension operators + the oldest unverified
+# block), then the remaining unverified sorted, then the verified
+# sorted.  Canonical names stay in
 # ``movie_data_pipeline_spark.plans.REGISTRY`` and in all tests/bench.
 # Update this set from the newest CORRECTNESS_r{N}.json each round
 # (strip any ``a_`` prefix when adding names).
@@ -43,6 +47,12 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset({
     "q11_orderkeys_except_fulfilled", "q120_vocab_growth",
     "q121_lsh_quality_audit", "q122_blob_manifest", "q123_blob_shards",
     "q124_nation_segment_profile", "q125_weekday_hour_heatmap",
+    "q126_incremental_dedup", "q127_training_shard_manifest",
+    "q128_shipping_priority", "q129_forecast_revenue_delta",
+    "q130_returned_item_customers", "q131_promo_revenue_share",
+    "q132_ann_recall_audit", "q133_image_metadata",
+    "q134_duplicate_clusters_star", "q135_readability",
+    "q136_snapshot_diff", "q137_event_weekday_pmi",
     "q12_name_token_vocabulary", "q13_hourly_event_stats",
     "q14_coerce_extract", "q15_segment_revenue", "q16_pricing_summary",
     "q17_dedup_exact", "q18_ngram_jaccard_dupes", "q19_minhash_signatures",
@@ -51,8 +61,38 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset({
 })
 
 
-def _driver_name(name: str) -> str:
-    return name if name in _DRIVER_VERIFIED else f"a_{name}"
+# Hand-picked head of this round's 50-query verification window: the
+# heaviest extension operators (VERDICT r2 "promote these first") ahead
+# of the oldest unverified block.  Names not in REGISTRY are ignored.
+_PRIORITY: tuple[str, ...] = (
+    "q63_duplicate_clusters", "q72_sequence_packing", "q92_pii_redaction",
+    "q144_ppjoin_pairs", "q146_span_scrubbed_corpus",
+    "q149_containment_pairs", "q174_semantic_dedup",
+    "q175_entity_resolution",
+)
+
+
+def _qnum(name: str) -> tuple[int, str]:
+    digits = ""
+    for ch in name[1:]:
+        if not ch.isdigit():
+            break
+        digits += ch
+    return (int(digits) if digits else 10**9, name)
+
+
+def _rotation_order() -> list[str]:
+    """Catalog names, never-driver-verified first (priority window, then
+    remaining unverified in ascending query number — oldest block first
+    — then verified sorted)."""
+    priority = [n for n in _PRIORITY if n in REGISTRY]
+    rest_unverified = sorted(
+        (n for n in REGISTRY
+         if n not in _DRIVER_VERIFIED and n not in priority),
+        key=_qnum,
+    )
+    verified = sorted(n for n in REGISTRY if n in _DRIVER_VERIFIED)
+    return priority + rest_unverified + verified
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -62,16 +102,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return {
-        _driver_name(name): spec.build
-        for name, spec in sorted(REGISTRY.items())
-    }
+    return {name: REGISTRY[name].build for name in _rotation_order()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable oracle SQL for every SQL-expressible query."""
     return {
-        _driver_name(name): spec.oracle
-        for name, spec in sorted(REGISTRY.items())
-        if spec.oracle is not None
+        name: REGISTRY[name].oracle
+        for name in _rotation_order()
+        if REGISTRY[name].oracle is not None
     }
