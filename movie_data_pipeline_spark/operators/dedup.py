@@ -449,6 +449,18 @@ def simhash_hamming_pairs(
     )
 
 
+def _ceil_ratio_mul(num: int, den: int, s: Column) -> Column:
+    """Exact ``ceil(num/den * s)`` for a non-negative integer column,
+    computed as ``(num*s + den - 1) div den`` in integer arithmetic —
+    no float product, so boundary values (num/den * s an exact integer)
+    can never round the ceiling up a step. The double division inside
+    ``F.floor`` is exact at these magnitudes (operands < 2^53, quotient
+    ~|s|, ulp << 1/den)."""
+    return F.floor((F.lit(num) * s + F.lit(den - 1)) / F.lit(den)).cast(
+        "long"
+    )
+
+
 def ppjoin_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -493,8 +505,31 @@ def ppjoin_pairs(
     prefix order is the published mitigation and the reason the
     textbook algorithm scales.
     """
+    from fractions import Fraction
+
     from pyspark import StorageLevel
     from pyspark.sql.window import Window
+
+    # Every pruning bound below is a ceiling of (rational * integer).
+    # Computing them as F.ceil(double product) risks float rounding
+    # flipping the ceil at exact-integer boundaries (e.g. t=0.5,
+    # |s|=10: 0.5*10 could evaluate 5.000000000000001 → ceil 6), which
+    # would shorten the prefix below the lossless minimum and silently
+    # drop candidates. Instead express t as an exact rational num/den
+    # (from its decimal literal) and compute each ceiling in integer
+    # arithmetic: ceil(num*s/den) = (num*s + den - 1) div den. The
+    # double division inside F.floor is exact for these magnitudes
+    # (operands < 2^53, quotient ~|s|, ulp << 1/den).
+    t_frac = Fraction(str(threshold)).limit_denominator(1_000_000)
+    t_num, t_den = t_frac.numerator, t_frac.denominator
+
+    def _ceil_t_times(s: Column) -> Column:
+        """Exact ceil(threshold * s) for a non-negative integer column."""
+        return _ceil_ratio_mul(t_num, t_den, s)
+
+    def _ceil_alpha(total: Column) -> Column:
+        """Exact ceil(t/(1+t) * total): t/(1+t) = num/(num+den)."""
+        return _ceil_ratio_mul(t_num, t_num + t_den, total)
 
     # Three consumers (document frequencies, prefix ranking, the
     # verification arrays) read the shingle frame; persist it or each
@@ -518,7 +553,7 @@ def ppjoin_pairs(
     )
     prefix_len = (
         F.col("set_size")
-        - F.ceil(F.col("set_size") * F.lit(threshold))
+        - _ceil_t_times(F.col("set_size"))
         + F.lit(1)
     )
     prefix = ranked.filter(F.col("pos") <= prefix_len)
@@ -536,13 +571,12 @@ def ppjoin_pairs(
     # reach the distinct's exchange (the dominant cost on fat-headed
     # shingle distributions where the prefix filter alone is weak).
     ids = F.col("ids")
-    tt = F.lit(threshold)
 
     def _maybe_pair(x: Column, y: Column) -> Column:
-        alpha = F.ceil(tt / (F.lit(1.0) + tt) * (x["sz"] + y["sz"]))
+        alpha = _ceil_alpha(x["sz"] + y["sz"])
         ubound = F.lit(1) + F.least(x["sz"] - x["pos"], y["sz"] - y["pos"])
-        len_ok = F.least(x["sz"], y["sz"]) >= F.ceil(
-            tt * F.greatest(x["sz"], y["sz"])
+        len_ok = F.least(x["sz"], y["sz"]) >= _ceil_t_times(
+            F.greatest(x["sz"], y["sz"])
         )
         return F.when(
             len_ok & (ubound >= alpha),

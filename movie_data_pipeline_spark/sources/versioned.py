@@ -40,6 +40,7 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 class CommitConflict(RuntimeError):
@@ -165,9 +166,16 @@ class VersionedTable:
         every write). The rewrite is a full-scan filter — the simple,
         always-correct plan; partition/file pruning of untouched files
         is the documented optimization for partitioned layouts.
+
+        Three-valued logic matches Delta DELETE exactly: only rows
+        where ``condition`` evaluates TRUE are deleted; rows where it
+        evaluates NULL (e.g. a NULL key column) are RETAINED — a bare
+        ``NOT (condition)`` would silently drop them too.
         """
         head = self.read(spark)
-        survivors = head.filter(f"NOT ({condition})")
+        survivors = head.filter(
+            ~F.coalesce(F.expr(condition).cast("boolean"), F.lit(False))
+        )
         n_deleted = head.count() - survivors.count()
         new_v = self.commit(survivors, mode="overwrite")
         return new_v, n_deleted

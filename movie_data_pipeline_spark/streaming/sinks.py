@@ -154,9 +154,16 @@ def dedup_gate_batch_writer(
     through — benign, dedup is best-effort by construction at
     at-least-once semantics), never the reverse (index-first would
     permanently reject content that was never stored). Both commits are
-    snapshot-isolated appends on :class:`VersionedTable`; a replayed
-    micro-batch re-checks against the index its first attempt already
-    grew, so replays converge instead of double-accepting.
+    snapshot-isolated appends on :class:`VersionedTable`. Replay
+    idempotency does NOT rely on the index alone: a crash between the
+    accepted-docs commit and the index commit followed by an
+    at-least-once replay would find the index unchanged, so survivors
+    are additionally anti-joined against the accepted table's existing
+    ``doc_id`` set before committing — already-landed documents are
+    never appended twice, and the replay's index commit back-fills the
+    missing band signatures. (The accepted-side check reads only the
+    ``doc_id`` column — column-pruned at the parquet scan; at corpus
+    scale the same check is a bloom-filter or key-manifest lookup.)
     """
     from movie_data_pipeline_spark.operators.dedup import (
         band_signatures,
@@ -194,7 +201,19 @@ def dedup_gate_batch_writer(
             try:
                 if survivors.isEmpty():
                     return
-                VersionedTable(accepted_path).commit(survivors, mode="append")
+                # Replay idempotency: docs that already landed in the
+                # accepted table (crash before the index commit, then
+                # at-least-once replay) must not append twice — but
+                # their band signatures still need the index back-fill.
+                accepted = VersionedTable(accepted_path)
+                new_docs = survivors
+                if accepted.current_version() is not None:
+                    landed_ids = accepted.read(spark).select("doc_id")
+                    new_docs = survivors.join(
+                        landed_ids, "doc_id", "left_anti"
+                    )
+                if not new_docs.isEmpty():
+                    accepted.commit(new_docs, mode="append")
                 index.commit(
                     bands.join(
                         survivors.select("doc_id"), "doc_id", "left_semi"

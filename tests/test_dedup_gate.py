@@ -4,6 +4,8 @@ convergence) and the end-to-end availableNow stream."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from movie_data_pipeline_spark.sources.versioned import VersionedTable
@@ -68,6 +70,35 @@ def test_gate_replay_converges(spark, tmp_path):
     assert _accepted_ids(spark, acc) == {0, 1}
     acc_versions = VersionedTable(acc).versions()
     assert len(acc_versions) == 1  # replay committed no second version
+
+
+def test_gate_replay_after_crash_between_commits(spark, tmp_path):
+    """Crash AFTER the accepted-docs commit but BEFORE the index commit,
+    then an at-least-once replay: the index never grew, so the index
+    check alone cannot reject the replayed docs — the accepted-table
+    anti-join must prevent a double append, and the replay must
+    back-fill the missing band signatures into the index."""
+    acc, idx = str(tmp_path / "acc"), str(tmp_path / "idx")
+    writer = dedup_gate_batch_writer(acc, idx)
+    batch = _docs(spark, [(0, BASE), (1, OTHER)])
+
+    # Simulate the partial failure: run the writer, then roll the index
+    # back to its pre-batch state (empty) while keeping the accepted
+    # commit — byte-identical to a crash between the two commits.
+    writer(batch, 0)
+    index = VersionedTable(idx)
+    for v in index.versions():
+        os.unlink(index._manifest_path(v))
+
+    writer(batch, 0)  # at-least-once replay
+    # no duplicate doc_ids in the accepted corpus
+    rows = VersionedTable(acc).read(spark).collect()
+    assert sorted(r.doc_id for r in rows) == [0, 1]
+    assert len(VersionedTable(acc).versions()) == 1
+    # the replay back-filled the index: both docs' bands present
+    assert {
+        r.doc_id for r in VersionedTable(idx).read(spark).collect()
+    } == {0, 1}
 
 
 def test_gate_stream_end_to_end(spark, tmp_path):

@@ -139,6 +139,35 @@ def test_ppjoin_lossless_vs_uncapped_bucket_join(spark, threshold):
     assert got == want
 
 
+def test_exact_ceiling_vs_float_ceil(spark):
+    """The pruning bounds must use exact integer ceilings: for every
+    decimal threshold and set size, _ceil_ratio_mul == math.ceil of the
+    exact rational product — including the boundary cases where a
+    double product like 0.7*10 = 7.000000000000001 would flip F.ceil
+    up a step and shorten the prefix below the lossless minimum."""
+    import math
+    from fractions import Fraction
+
+    from pyspark.sql import functions as F
+
+    from movie_data_pipeline_spark.operators.dedup import _ceil_ratio_mul
+
+    sizes = spark.range(1, 201).withColumnRenamed("id", "s")
+    for t in ("0.1", "0.2", "0.3", "0.34", "0.5", "0.67", "0.7", "0.8"):
+        fr = Fraction(t)
+        num, den = fr.numerator, fr.denominator
+        got = [
+            r.c
+            for r in sizes.select(
+                _ceil_ratio_mul(num, den, F.col("s")).alias("c")
+            )
+            .orderBy("s")
+            .collect()
+        ]
+        want = [math.ceil(fr * s) for s in range(1, 201)]
+        assert got == want, f"threshold {t}"
+
+
 from hypothesis import given, settings, strategies as st
 
 

@@ -193,6 +193,23 @@ def test_delete_where_produces_clean_snapshot(spark, tmp_path):
     assert t.read(spark).count() == 1
 
 
+def test_delete_where_retains_null_condition_rows(spark, tmp_path):
+    """Delta DELETE three-valued logic: rows where the predicate
+    evaluates to SQL NULL (here: NULL in the filter column) must be
+    RETAINED, not swept up by NOT(condition)."""
+    from movie_data_pipeline_spark.sources.versioned import VersionedTable
+
+    t = VersionedTable(str(tmp_path / "t"))
+    t.commit(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, None)], "k INT, v STRING"
+        )
+    )
+    v, n = t.delete_where(spark, "v = 'b'")
+    assert n == 1  # only the TRUE row deleted
+    assert {r.k for r in t.read(spark).collect()} == {1, 3}
+
+
 def test_compact_rewrites_small_files(spark, tmp_path):
     import glob
 
