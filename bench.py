@@ -7,6 +7,15 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is forced end-to-end with a noop write (full computation, no
 driver collect bottleneck); a warmup query amortizes JVM/codegen startup
 so the numbers measure the plans, not session boot.
+
+Ambient-drift control (VERDICT r2: 20-60% run-to-run VM throughput
+drift made round-over-round deltas unattributable): the headline runs
+$SPARK_GRAFT_REPEATS (default 3) INTERLEAVED passes — the whole list,
+then again — and reports the per-query MINIMUM, the standard way to
+strip one-sided noise from a best-case plan-cost measurement.
+Per-query spread (max-min)/min and the median spread ("noise_band_pct")
+are included in the JSON so regressions can be judged against the
+measured band rather than asserted drift.
 """
 
 from __future__ import annotations
@@ -163,21 +172,32 @@ def main() -> None:
     )
 
     names = [n for n in HEADLINE if n in REGISTRY]
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_REPEATS", "3")))
     # Warmup: run the first query once to pay session/codegen startup.
     if names:
         run_query(spark, names[0], sf_dir)
 
-    timings: dict[str, float] = {}
-    for name in names:
-        timings[name] = round(run_query(spark, name, sf_dir), 4)
+    runs: dict[str, list[float]] = {n: [] for n in names}
+    for _ in range(repeats):
+        for name in names:
+            runs[name].append(run_query(spark, name, sf_dir))
 
     # reference-workload replica (BASELINE.md: ~32 s compute-bound).
     # One warmup run first: the CSV-scan/codegen paths are cold (no
     # earlier headline query touches them) and the first run pays ~8 s
     # of one-time JIT that is not the pipeline's steady-state cost.
     if run_movielens_pipeline(spark) is not None:
-        ml = run_movielens_pipeline(spark)
-        timings["movielens_etl_full"] = round(ml, 4)
+        runs["movielens_etl_full"] = [
+            run_movielens_pipeline(spark) for _ in range(repeats)
+        ]
+
+    timings = {n: round(min(v), 4) for n, v in runs.items()}
+    spread_pct = {
+        n: round((max(v) - min(v)) / min(v) * 100, 1) if min(v) > 0 else 0.0
+        for n, v in runs.items()
+    }
+    spreads = sorted(spread_pct.values())
+    noise_band = spreads[len(spreads) // 2] if spreads else 0.0
 
     out = {
         "metric": "headline_queries_total_runtime",
@@ -185,6 +205,9 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "repeats": repeats,
+        "noise_band_pct": noise_band,
+        "spread_pct": spread_pct,
     }
 
     # Round-over-round regression diff vs the last recorded round

@@ -90,6 +90,37 @@ def hourly_event_stats_stream(events: DataFrame, watermark: str = "2 hours") -> 
     )
 
 
+def hourly_type_totals_stream(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Update-mode keyed aggregate feeding the upsert sink: per
+    (hour, event_type) event counts and value totals.
+
+    The sum is order-independent (per-term DECIMAL(30,6) cast, the
+    ``exact_sum`` recipe) so the maintained table hash-matches a batch
+    oracle regardless of how micro-batches sliced the stream — this is
+    the aggregate the driver-visible streaming replay query (q204)
+    verifies end to end. The hour key is emitted as epoch seconds
+    (BIGINT): the streaming ``ts`` is an instant, and epoch arithmetic
+    is identical under any driver session timezone, unlike wall-clock
+    timestamp rendering.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,6)")).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("ts_hour_epoch"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def sliding_event_stats_stream(
     events: DataFrame,
     watermark: str = "2 hours",
