@@ -66,6 +66,7 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset({
 # of the oldest unverified block.  Names not in REGISTRY are ignored.
 _PRIORITY: tuple[str, ...] = (
     "q204_streaming_hourly_upsert",  # streaming replay — VERDICT r2 #7
+    "q205_streaming_dedup_gate",  # streaming ingest-gate replay
     "q63_duplicate_clusters", "q72_sequence_packing", "q92_pii_redaction",
     "q144_ppjoin_pairs", "q146_span_scrubbed_corpus",
     "q149_containment_pairs", "q174_semantic_dedup",

@@ -28,6 +28,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from movie_data_pipeline_spark.plans.core import query, r4, round4
+from movie_data_pipeline_spark.plans.dedup import _MINHASH_LONG_CTES
+from movie_data_pipeline_spark.operators.dedup import LSH_BAND_ROWS
 
 
 @query(
@@ -89,6 +91,74 @@ def q204_streaming_hourly_upsert(
                 round4(F.col("sum_value").cast("double")).alias("sum_value"),
             )
             .orderBy("ts_hour_epoch", "event_type")
+        )
+        return result.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@query(
+    "q205_streaming_dedup_gate",
+    oracle=f"""
+    WITH {_MINHASH_LONG_CTES},
+    bands AS (
+      SELECT doc_id, h_idx // {LSH_BAND_ROWS} AS band,
+             string_agg(CAST(min_hash AS VARCHAR), ',' ORDER BY h_idx)
+               AS band_sig
+      FROM sigs GROUP BY doc_id, band),
+    dupes AS (
+      SELECT DISTINCT y.doc_id AS doc_b
+      FROM bands x JOIN bands y
+        ON x.band = y.band AND x.band_sig = y.band_sig
+       AND x.doc_id < y.doc_id)
+    SELECT d.doc_id, d.source
+    FROM documents d LEFT JOIN dupes ON d.doc_id = dupes.doc_b
+    WHERE dupes.doc_b IS NULL
+    ORDER BY d.doc_id
+    """,
+    tags=("extension", "streaming", "dedup", "ingest-gate"),
+)
+def q205_streaming_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end streaming NEAR-DUP INGEST GATE replay, hash-verified:
+    stream the documents table through ``streaming/sinks.
+    start_dedup_gate_stream`` (per-micro-batch MinHash signing,
+    within-batch keep-first, (band, band_sig) join against the stored
+    corpus index, docs-then-index VersionedTable commits) and return
+    the accepted corpus. The oracle is the gate's single-batch
+    semantics in pure SQL: a document is accepted iff it is not the
+    HIGHER id of any LSH band collision — exactly the greedy
+    min-representative policy the gate applies within a batch.
+
+    The testdata table is one parquet file, so availableNow runs ONE
+    micro-batch and the oracle is exact; on a multi-file source the
+    gate's output is arrival-order-dependent by design (that is its
+    production contract — first-seen wins), which is why the
+    hash-verified replay pins the single-batch case and the multi-batch
+    behavior is covered by the ordering-aware unit tests
+    (tests/test_dedup_gate.py).
+    """
+    from movie_data_pipeline_spark.schemas import TESTDATA_SCHEMAS
+    from movie_data_pipeline_spark.sources.versioned import VersionedTable
+    from movie_data_pipeline_spark.streaming.sinks import (
+        start_dedup_gate_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="mdp-q205-")
+    acc, idx, ckpt = f"{base}/acc", f"{base}/idx", f"{base}/ckpt"
+    try:
+        docs = (
+            spark.readStream.schema(TESTDATA_SCHEMAS["documents"])
+            .format("parquet")
+            .option("pathGlobFilter", "documents.parquet")
+            .load(sf_dir)
+        )
+        q = start_dedup_gate_stream(docs, acc, idx, ckpt)
+        q.awaitTermination(600)
+        result = (
+            VersionedTable(acc)
+            .read(spark)
+            .select("doc_id", "source")
+            .orderBy("doc_id")
         )
         return result.localCheckpoint(eager=True)
     finally:

@@ -42,7 +42,7 @@ SHIFT_PLAN: dict[str, dict[str, str]] = {
     },
     "events": {"event_id": "events:event_id", "user_id": "events:user_id"},
     "documents": {"doc_id": "documents"},
-    "embeddings": {"doc_id": "documents"},
+    "embeddings": {"vec_id": "embeddings"},
 }
 # key-space owner -> (table, column) to measure the stride from
 STRIDE_SOURCE: dict[str, tuple[str, str]] = {
@@ -53,6 +53,7 @@ STRIDE_SOURCE: dict[str, tuple[str, str]] = {
     "events:event_id": ("events", "event_id"),
     "events:user_id": ("events", "user_id"),
     "documents": ("documents", "doc_id"),
+    "embeddings": ("embeddings", "vec_id"),
 }
 COPY_ONLY = ["region", "nation"]
 
