@@ -52,3 +52,21 @@ def test_entry_contract(spark):
     q, o = e.queries(), e.oracle_sql()
     assert set(o) <= set(q)
     assert q
+
+
+def test_rotation_window_is_fresh():
+    """The driver records CORRECTNESS rows for the first 50 queries()
+    entries in INSERTION order (VERDICT r2 #1); the dict must therefore
+    lead with never-driver-verified queries, every window entry must
+    carry an oracle (a rows-only check wastes a scarce driver row), and
+    the full catalog must be present exactly once."""
+    import __spark_entry__ as e
+
+    names = list(e.queries())
+    assert len(names) == len(set(names)) == len(REGISTRY)
+    window = names[:50]
+    assert not set(window) & e._DRIVER_VERIFIED
+    oracles = e.oracle_sql()
+    assert all(n in oracles for n in window)
+    # verified names are still served (tail), under canonical names
+    assert set(names) == set(REGISTRY)
