@@ -67,6 +67,8 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset({
 _PRIORITY: tuple[str, ...] = (
     "q204_streaming_hourly_upsert",  # streaming replay — VERDICT r2 #7
     "q205_streaming_dedup_gate",  # streaming ingest-gate replay
+    "q206_source_mixing_weights", "q208_quality_quantile_gate",
+    "q209_cluster_best_rep",
     "q63_duplicate_clusters", "q72_sequence_packing", "q92_pii_redaction",
     "q144_ppjoin_pairs", "q146_span_scrubbed_corpus",
     "q149_containment_pairs", "q174_semantic_dedup",

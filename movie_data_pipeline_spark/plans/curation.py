@@ -703,3 +703,186 @@ def q181_stratified_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "lang")
     )
+
+# --------------------------------------------------------------------------
+# q206 — temperature-based source mixing weights (alpha-sampling)
+# --------------------------------------------------------------------------
+_MIX_ALPHA_SQRT = True  # alpha = 0.5 → sqrt, the common smoothing choice
+_MIX_TOKEN_BUDGET = 1_000_000_000  # epoch budget the weights allocate
+
+
+@query(
+    "q206_source_mixing_weights",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source,
+             CAST(len(string_split_regex(lower(trim(text)), '\\s+'))
+                  AS BIGINT) AS n_tok
+      FROM documents),
+    per_src AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+      FROM toks GROUP BY source),
+    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+            FROM per_src),
+    scored AS (
+      SELECT source, n_docs, n_tokens, total_tokens,
+             CAST(sqrt(n_tokens * 1.0 / total_tokens)
+                  AS DECIMAL(30,15)) AS smoothed
+      FROM per_src CROSS JOIN tot),
+    denom AS (SELECT SUM(smoothed) AS z FROM scored)
+    SELECT source, n_docs, n_tokens,
+           {r4("n_tokens * 1.0 / total_tokens")} AS raw_share,
+           {r4("CAST(smoothed AS DOUBLE) / CAST(z AS DOUBLE)")}
+             AS mix_weight,
+           CAST(floor(CAST(smoothed AS DOUBLE) / CAST(z AS DOUBLE)
+                      * {_MIX_TOKEN_BUDGET}) AS BIGINT) AS epoch_tokens
+    FROM scored CROSS JOIN denom
+    ORDER BY source
+    """,
+    tags=("extension", "curation", "mixture", "sampling"),
+)
+def q206_source_mixing_weights(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Temperature-based (alpha = 0.5) source mixing weights — the
+    data-mixture step of multi-source LLM training (the alpha-smoothed
+    sampling of GPT-3/PaLM-style corpora): per source, its raw token
+    share p_i, the smoothed weight p_i^0.5 / sum_j p_j^0.5 (upweights
+    the tail, damps the dominant crawl), and the resulting token
+    allocation under a 1B-token epoch budget.
+
+    Cross-engine determinism of the smoothing: sqrt is IEEE correctly
+    rounded (identical on both engines), each sqrt is cast to
+    DECIMAL(30,15) so the DENOMINATOR sum is exact integer arithmetic
+    in any partition order, and the final ratio is one double division
+    + round4. Scale: per-source aggregate is a map-side-combined
+    groupBy on a tiny key vocabulary; everything after is a
+    metadata-sized frame (one row per source).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = (
+        docs.select("source", F.size(tokens(F.col("text"))).alias("n_tok"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+    )
+    tot = per_src.agg(F.sum("n_tokens").cast("long").alias("total_tokens"))
+    scored = per_src.crossJoin(F.broadcast(tot)).withColumn(
+        "smoothed",
+        F.sqrt(F.col("n_tokens") / F.col("total_tokens")).cast(
+            "decimal(30,15)"
+        ),
+    )
+    denom = scored.agg(F.sum("smoothed").alias("z"))
+    w = F.col("smoothed").cast("double") / F.col("z").cast("double")
+    return (
+        scored.crossJoin(F.broadcast(denom))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            round4(F.col("n_tokens") / F.col("total_tokens")).alias(
+                "raw_share"
+            ),
+            round4(w).alias("mix_weight"),
+            F.floor(w * F.lit(_MIX_TOKEN_BUDGET))
+            .cast("long")
+            .alias("epoch_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# q208 — per-source quality quantile gate
+# --------------------------------------------------------------------------
+_GATE_KEEP_NUM, _GATE_KEEP_DEN = 2, 5  # keep the top 40% per source
+
+
+@query(
+    "q208_quality_quantile_gate",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id, source,
+             string_split_regex(lower(trim(text)), '\\s+') AS t
+      FROM documents),
+    scored AS (
+      SELECT doc_id, source,
+             CAST(len(t) AS BIGINT) AS n_tokens,
+             len(list_filter(t, w -> w IN {_EN_SET})) * 1.0 / len(t)
+               AS quality
+      FROM feats),
+    ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY quality DESC, doc_id) AS rnk,
+             COUNT(*) OVER (PARTITION BY source) AS n_src
+      FROM scored)
+    SELECT source,
+           CAST(MAX(n_src) AS BIGINT) AS n_docs,
+           CAST(COUNT(CASE WHEN rnk * {_GATE_KEEP_DEN}
+                           <= n_src * {_GATE_KEEP_NUM} THEN 1 END)
+                AS BIGINT) AS n_kept,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(COALESCE(SUM(CASE WHEN rnk * {_GATE_KEEP_DEN}
+                                  <= n_src * {_GATE_KEEP_NUM}
+                                  THEN n_tokens END), 0) AS BIGINT)
+             AS kept_tokens
+    FROM ranked
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("extension", "curation", "quality", "quantile-gate"),
+)
+def q208_quality_quantile_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PER-SOURCE quality quantile gate: rank every document within its
+    source by quality (stopword ratio — the cheap fluency proxy, ties
+    broken by doc_id) and keep the top 40%, reporting per source the
+    document and token counts before/after. This is the relative
+    filtering stage that a fixed global threshold (q71) cannot express:
+    a threshold tuned on web crawl guts a code or reference source,
+    while a per-source quantile keeps each source's own best slice.
+
+    Determinism: quality is ONE IEEE division of two integers
+    (identical on both engines), ordering ties break on doc_id, and the
+    keep rule ``rnk * 5 <= n_src * 2`` is pure integer arithmetic — no
+    float threshold to straddle. Scale: one partitioned window per
+    source (never global), then a map-side-combined groupBy.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.size(t).cast("long").alias("n_tokens"),
+        (stopword_count(t, ENGLISH_STOPWORDS) / F.size(t)).alias("quality"),
+    )
+    w = Window.partitionBy("source")
+    ranked = scored.select(
+        "*",
+        F.row_number()
+        .over(w.orderBy(F.desc("quality"), F.asc("doc_id")))
+        .alias("rnk"),
+        F.count("*").over(w).alias("n_src"),
+    )
+    kept = F.col("rnk") * _GATE_KEEP_DEN <= F.col("n_src") * _GATE_KEEP_NUM
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.max("n_src").cast("long").alias("n_docs"),
+            F.count(F.when(kept, True)).cast("long").alias("n_kept"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.coalesce(
+                F.sum(F.when(kept, F.col("n_tokens"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("kept_tokens"),
+        )
+        .orderBy("source")
+    )

@@ -1373,3 +1373,120 @@ def q202_dedup_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
         round4(F.col("jaccard")).alias("jaccard"),
         "evidence",
     ).orderBy(F.desc("jaccard"), F.asc("doc_a"), F.asc("doc_b"))
+
+
+# --------------------------------------------------------------------------
+# q209 — best-quality representative per near-dup cluster
+# --------------------------------------------------------------------------
+@query(
+    "q209_cluster_best_rep",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM shingles a JOIN shingles b
+        ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT doc_a, doc_b FROM common
+      JOIN counts ca ON ca.doc_id = doc_a
+      JOIN counts cb ON cb.doc_id = doc_b
+      WHERE n_common * 1.0 / (ca.n + cb.n - n_common) >= 0.2),
+    comp(doc_id, label) AS (
+      SELECT doc_id, doc_id AS label FROM documents
+      UNION
+      SELECT e.hi, MIN(c.label)
+      FROM (SELECT doc_a AS lo, doc_b AS hi FROM pairs
+            UNION ALL SELECT doc_b AS lo, doc_a AS hi FROM pairs) e
+      JOIN comp c ON c.doc_id = e.lo
+      GROUP BY e.hi),
+    final_comp AS (
+      SELECT doc_id, MIN(label) AS component FROM comp GROUP BY doc_id),
+    members AS (
+      SELECT fc.component, d.doc_id, d.n_chars
+      FROM documents d JOIN final_comp fc USING (doc_id)),
+    sized AS (
+      SELECT component, COUNT(*) AS n_members
+      FROM members GROUP BY component HAVING COUNT(*) >= 2),
+    ranked AS (
+      SELECT m.component, m.doc_id, m.n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY m.component
+               ORDER BY m.n_chars DESC, m.doc_id) AS rnk
+      FROM members m JOIN sized USING (component)),
+    rep AS (
+      SELECT component, doc_id AS rep_doc_id, n_chars AS rep_chars
+      FROM ranked WHERE rnk = 1),
+    naive AS (
+      SELECT component, n_chars AS naive_chars
+      FROM members WHERE doc_id = component)
+    SELECT r.component, s.n_members, r.rep_doc_id,
+           CAST(r.rep_chars AS BIGINT) AS rep_chars,
+           CAST(r.rep_chars - n.naive_chars AS BIGINT) AS chars_gain
+    FROM rep r JOIN sized s USING (component) JOIN naive n USING (component)
+    ORDER BY component
+    """,
+    tags=("extension", "dedup", "representative-selection"),
+)
+def q209_cluster_best_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware representative selection per near-duplicate
+    cluster: instead of q182's keep-lowest-id policy, each cluster
+    (q63's connected components over Jaccard-0.2 pairs) keeps its most
+    COMPLETE member — max n_chars, ties broken by doc_id — the policy
+    real curation pipelines use (near-dup groups typically contain
+    truncated/boilerplate-stripped variants; keeping the longest copy
+    preserves the most content). Reports, per multi-member cluster,
+    the chosen representative and the character gain over the naive
+    min-id choice — the audit column that justifies the extra ranking
+    pass.
+
+    Scale: pair generation and components are exactly q18/q63's
+    bucketed machinery; representative ranking is ONE window
+    partitioned by component (bounded by cluster size, never corpus
+    size), and the naive-rep lookup rides the component label itself —
+    no extra shuffle beyond the groupBy it shares.
+    """
+    docs = load_table(spark, sf_dir, "documents").persist()
+    pairs = jaccard_pairs(docs, threshold=0.2).select("doc_a", "doc_b")
+    comp = connected_components(
+        pairs, nodes=docs.select("doc_id"), src="doc_a", dst="doc_b"
+    )
+    members = docs.join(comp, docs["doc_id"] == comp["node"]).select(
+        "component", "doc_id", "n_chars"
+    )
+    sized = (
+        members.groupBy("component")
+        .agg(F.count("*").alias("n_members"))
+        .filter(F.col("n_members") >= 2)
+    )
+    ranked = members.join(sized, "component").withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("component").orderBy(
+                F.desc("n_chars"), F.asc("doc_id")
+            )
+        ),
+    )
+    rep = ranked.filter(F.col("rnk") == 1).select(
+        "component",
+        F.col("doc_id").alias("rep_doc_id"),
+        F.col("n_chars").alias("rep_chars"),
+    )
+    naive = members.filter(F.col("doc_id") == F.col("component")).select(
+        "component", F.col("n_chars").alias("naive_chars")
+    )
+    return (
+        rep.join(sized, "component")
+        .join(naive, "component")
+        .select(
+            "component",
+            "n_members",
+            "rep_doc_id",
+            F.col("rep_chars").cast("long").alias("rep_chars"),
+            (F.col("rep_chars") - F.col("naive_chars"))
+            .cast("long")
+            .alias("chars_gain"),
+        )
+        .orderBy("component")
+    )
