@@ -75,6 +75,11 @@ HEADLINE = [
     "q175_entity_resolution",
     "q176_item_item_cf",
     "q179_lpa_communities",
+    # round-3 additions: sampled LSH audit, curation gates, best-rep dedup
+    "q121_lsh_quality_audit",
+    "q206_source_mixing_weights",
+    "q208_quality_quantile_gate",
+    "q209_cluster_best_rep",
 ]
 
 
