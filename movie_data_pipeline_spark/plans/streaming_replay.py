@@ -137,8 +137,8 @@ def q205_streaming_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     behavior is covered by the ordering-aware unit tests
     (tests/test_dedup_gate.py).
     """
-    from movie_data_pipeline_spark.schemas import TESTDATA_SCHEMAS
     from movie_data_pipeline_spark.sources.versioned import VersionedTable
+    from movie_data_pipeline_spark.streaming.events import stream_table
     from movie_data_pipeline_spark.streaming.sinks import (
         start_dedup_gate_stream,
     )
@@ -146,12 +146,7 @@ def q205_streaming_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = tempfile.mkdtemp(prefix="mdp-q205-")
     acc, idx, ckpt = f"{base}/acc", f"{base}/idx", f"{base}/ckpt"
     try:
-        docs = (
-            spark.readStream.schema(TESTDATA_SCHEMAS["documents"])
-            .format("parquet")
-            .option("pathGlobFilter", "documents.parquet")
-            .load(sf_dir)
-        )
+        docs = stream_table(spark, sf_dir, "documents")
         q = start_dedup_gate_stream(docs, acc, idx, ckpt)
         q.awaitTermination(600)
         result = (

@@ -46,8 +46,18 @@ def _events_ts_is_nanos(path: str) -> bool:
     (no row groups touched), and at cluster scale would run once on the
     driver — never per task. The cache key includes (mtime, size) so a
     file regenerated in place with a different encoding is re-sniffed
-    rather than served the stale answer.
+    rather than served the stale answer. A Spark-written table is a
+    DIRECTORY of part files with one common schema — sniff the first
+    part file.
     """
+    if os.path.isdir(path):
+        parts = sorted(
+            f
+            for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        if parts:
+            path = os.path.join(path, parts[0])
     st = os.stat(path)
     return _sniff_ts_unit_is_nanos(path, st.st_mtime_ns, st.st_size)
 

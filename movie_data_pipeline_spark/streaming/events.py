@@ -51,17 +51,29 @@ SESSION_SCHEMA = StructType(
 )
 
 
+def stream_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """File-source stream of a testdata table, handling BOTH layouts:
+    a single ``<table>.parquet`` FILE (the driver's testdata — the
+    streaming file source needs a directory, so stream the parent with
+    a filename glob) and a ``<table>.parquet/`` DIRECTORY of part
+    files (any Spark-written replica, e.g. tools/make_scaled_data.py —
+    stream the directory itself; a glob on the parent would match
+    nothing and silently yield an empty stream)."""
+    import os
+
+    path = table_path(sf_dir, table)
+    reader = spark.readStream.schema(TESTDATA_SCHEMAS[table]).format(
+        "parquet"
+    )
+    if os.path.isdir(path):
+        return reader.load(path)
+    return reader.option("pathGlobFilter", f"{table}.parquet").load(sf_dir)
+
+
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream of the events table (same NTZ conversion as
     the batch loader in sources/registry.py)."""
-    # The streaming file source requires a directory; the testdata table
-    # is a single file, so stream the parent dir with a glob filter.
-    raw = (
-        spark.readStream.schema(TESTDATA_SCHEMAS["events"])
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
+    raw = stream_table(spark, sf_dir, "events")
     # Watermarks require TIMESTAMP (instant) — epoch-micros conversion;
     # with the session timezone pinned to UTC (session.py) the wall values
     # match the batch loader's NTZ timestamps. The LongType read yields
