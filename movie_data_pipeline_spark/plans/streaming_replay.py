@@ -158,3 +158,85 @@ def q205_streaming_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         return result.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@query(
+    "q210_streaming_drift_replay",
+    oracle="""
+    WITH base AS (
+      SELECT event_type,
+             COUNT(*) * 1.0 / (SELECT COUNT(*) FROM events
+                               WHERE user_id % 2 = 0) AS share
+      FROM events WHERE user_id % 2 = 0
+      GROUP BY event_type),
+    n AS (SELECT COUNT(*) AS n_events FROM events),
+    obs AS (SELECT event_type, COUNT(*) AS cnt FROM events
+            GROUP BY event_type),
+    terms AS (
+      SELECT b.share, COALESCE(o.cnt, 0) AS obs_cnt
+      FROM base b LEFT JOIN obs o USING (event_type)),
+    chi AS (
+      SELECT SUM((obs_cnt - share * n_events)
+                 * (obs_cnt - share * n_events)
+                 / (share * n_events)) AS chi2
+      FROM terms CROSS JOIN n),
+    novel AS (
+      SELECT COUNT(*) AS n_novel_types
+      FROM obs WHERE event_type NOT IN (SELECT event_type FROM base))
+    SELECT CAST(0 AS BIGINT) AS batch_id,
+           CAST(n.n_events AS BIGINT) AS n_events,
+           floor((chi.chi2) * 10000 + 0.5) / 10000 AS chi2,
+           CAST(novel.n_novel_types AS BIGINT) AS n_novel_types
+    FROM n CROSS JOIN chi CROSS JOIN novel
+    """,
+    tags=("extension", "streaming", "drift", "monitoring"),
+)
+def q210_streaming_drift_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """End-to-end streaming DRIFT-MONITOR replay, hash-verified: fit
+    the baseline event-type mix on the even-user half of the corpus
+    (the 'history' a monitor is calibrated on), stream ALL events
+    through ``streaming/sinks.start_mix_drift_stream`` (per-micro-batch
+    chi-square goodness-of-fit vs the collected baseline, one log row
+    per batch), and return the monitoring log. The oracle recomputes
+    the same chi-square in SQL over the raw table — equality proves
+    the Python-side writer math (the one foreachBatch sink whose score
+    is computed driver-side on metadata-sized aggregates) matches the
+    relational definition.
+
+    Determinism: one micro-batch (single-file source), baseline shares
+    are single IEEE divisions, chi2 terms are identical elementary ops
+    on both engines and the ~|event types| terms are round4-quantized
+    after summing (term count is tiny; cross-engine sum-order noise is
+    ~1e-16 against a 5e-5 quantum).
+    """
+    from movie_data_pipeline_spark.sources.registry import load_table
+    from movie_data_pipeline_spark.streaming.events import stream_table
+    from movie_data_pipeline_spark.streaming.sinks import (
+        start_mix_drift_stream,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    half = events.filter(F.col("user_id") % 2 == 0)
+    n_half = half.count()
+    baseline = half.groupBy("event_type").agg(
+        (F.count("*") / F.lit(float(n_half))).alias("share")
+    )
+
+    base = tempfile.mkdtemp(prefix="mdp-q210-")
+    out, ckpt = f"{base}/log", f"{base}/ckpt"
+    try:
+        q = start_mix_drift_stream(
+            stream_table(spark, sf_dir, "events"), baseline, out, ckpt
+        )
+        q.awaitTermination(600)
+        result = spark.read.parquet(out).select(
+            "batch_id",
+            "n_events",
+            round4(F.col("chi2")).alias("chi2"),
+            "n_novel_types",
+        )
+        return result.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -283,7 +283,9 @@ def mix_drift_batch_writer(
         }
         n = sum(counts.values())
         chi2 = 0.0
-        for t, share in shares.items():
+        # sorted: a fixed summation order makes chi2 bit-deterministic
+        # across runs (dict order follows collect order otherwise)
+        for t, share in sorted(shares.items()):
             exp = share * n
             if exp > 0:
                 obs = counts.get(t, 0)
