@@ -53,7 +53,10 @@ def plan_stats(df) -> dict[str, int]:
         "exchanges": plan.count("Exchange"),
         "sort_merge_joins": plan.count("SortMergeJoin"),
         "broadcast_joins": plan.count("BroadcastHashJoin"),
-        "wholestage_spans": plan.count("WholeStageCodegen"),
+        # codegen stages appear as "*(n) Op" markers in the physical
+        # plan string (the word WholeStageCodegen only shows in
+        # explain("formatted"))
+        "wholestage_spans": plan.count("*("),
     }
 
 
