@@ -1042,3 +1042,79 @@ def q197_search_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .substr(start, F.lit(_SNIP_CTX + len(q) + _SNIP_CTX))
         .alias("snippet"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# q211 — per-document LM quality score (CCNet-style unigram logloss)
+# --------------------------------------------------------------------------
+@query(
+    "q211_doc_lm_score",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents),
+    cnt AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+    n AS (SELECT COUNT(*) AS n_tok FROM toks),
+    vocab AS (SELECT COUNT(DISTINCT tok) AS v FROM toks),
+    terms AS (
+      SELECT t.doc_id,
+             ln((CAST(c.c AS DOUBLE) + 1.0)
+                / (CAST(n.n_tok AS DOUBLE) + CAST(vocab.v AS DOUBLE)))
+               AS term
+      FROM toks t JOIN cnt c USING (tok)
+      CROSS JOIN n CROSS JOIN vocab)
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           {r4("-CAST(SUM(CAST(term AS DECIMAL(38,18))) AS DOUBLE)"
+               " / COUNT(*)")} AS avg_logloss
+    FROM terms
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    tags=("extension", "corpus", "quality", "lm-filter"),
+)
+def q211_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document language-model quality score — the CCNet-style LM
+    filter: fit an add-one-smoothed unigram LM on the whole corpus and
+    score every document by its average negative log-likelihood under
+    it. Low logloss = fluent/typical text, high = noise, boilerplate,
+    or wrong-language content; curation pipelines keep a per-source
+    quantile of this score (exactly q208's gate shape, with this score
+    replacing the stopword proxy). The corpus-side heavy lifting is one
+    token-count aggregate; per-doc scoring is a (tok)-equi-join of the
+    token stream against the vocab-sized count table — AQE broadcasts
+    it when it fits, and the hot-token skew is absorbed by partial
+    aggregation on (doc_id).
+
+    Determinism: ln terms are identical elementary ops on identical
+    inputs on both engines; the per-doc sum is per-term DECIMAL(38,18)
+    casts (q178's discipline) so partition order cannot move the
+    round4 boundary.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    cnt = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    n = toks.agg(F.count("*").alias("n_tok"))
+    vocab = toks.agg(F.count_distinct("tok").alias("v"))
+    terms = (
+        toks.join(cnt, "tok")
+        .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.log(
+                (F.col("c").cast("double") + F.lit(1.0))
+                / (F.col("n_tok").cast("double") + F.col("v").cast("double"))
+            ).alias("term"),
+        )
+    )
+    return (
+        terms.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            round4(
+                -F.sum(F.col("term").cast("decimal(38,18)")).cast("double")
+                / F.count("*")
+            ).alias("avg_logloss"),
+        )
+        .orderBy("doc_id")
+    )

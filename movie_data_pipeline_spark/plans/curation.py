@@ -886,3 +886,83 @@ def q208_quality_quantile_gate(
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# q215 — curriculum stage assignment (global difficulty quartiles)
+# --------------------------------------------------------------------------
+@query(
+    "q215_curriculum_stages",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(lower(trim(text)), '\\s+'))
+                  AS BIGINT) AS n_tokens,
+             n_chars * 1.0
+               / len(string_split_regex(lower(trim(text)), '\\s+'))
+               AS difficulty
+      FROM documents),
+    tiled AS (
+      SELECT *,
+             NTILE(4) OVER (ORDER BY difficulty, doc_id) AS stage
+      FROM scored)
+    SELECT CAST(stage AS BIGINT) AS stage,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS stage_tokens,
+           floor((MIN(difficulty)) * 10000 + 0.5) / 10000 AS min_difficulty,
+           floor((MAX(difficulty)) * 10000 + 0.5) / 10000 AS max_difficulty
+    FROM tiled
+    GROUP BY stage
+    ORDER BY stage
+    """,
+    tags=("extension", "curation", "curriculum", "ntile"),
+)
+def q215_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum stage assignment: order the whole corpus by a
+    difficulty proxy (mean token length — short-word text first, dense
+    jargon last) and cut it into 4 equal-count training stages,
+    reporting each stage's document count, token budget, and difficulty
+    range — the stage manifest a curriculum-learning schedule consumes
+    (train on stage 1, then 1+2, ...).
+
+    NO global NTILE window: the stage comes from the distributed global
+    row number (``operators/prefix.attach_global_row_number`` — range
+    partition on (difficulty, doc_id), local row_number, broadcast
+    partition-count offsets) through the exact NTILE bucket formula, so
+    the total order costs a range shuffle instead of a single-reducer
+    sort — the same machinery q40/q93 ride, applied to the curation
+    stack. Difficulty is one IEEE division of two integers (identical
+    both engines); ties break on doc_id.
+    """
+    from movie_data_pipeline_spark.operators.prefix import (
+        attach_global_row_number,
+        ntile_from_row_number,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        F.size(t).cast("long").alias("n_tokens"),
+        (F.col("n_chars") / F.size(t)).alias("difficulty"),
+    )
+    ranked, n_docs = attach_global_row_number(
+        scored, ["difficulty", "doc_id"], "rn"
+    )
+    tiled = ranked.select(
+        "n_tokens",
+        "difficulty",
+        ntile_from_row_number(F.col("rn"), n_docs, 4)
+        .cast("long")
+        .alias("stage"),
+    )
+    return (
+        tiled.groupBy("stage")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("stage_tokens"),
+            round4(F.min("difficulty")).alias("min_difficulty"),
+            round4(F.max("difficulty")).alias("max_difficulty"),
+        )
+        .orderBy("stage")
+    )

@@ -803,3 +803,79 @@ def q199_embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
         round4(F.col("mx")).alias("max_val"),
         (var < 1e-4).alias("is_dead"),
     ).orderBy("dim_idx")
+
+
+# --------------------------------------------------------------------------
+# q219 — int8 embedding quantization audit
+# --------------------------------------------------------------------------
+@query(
+    "q219_quantization_audit",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+    s AS (
+      SELECT vec_id, label, e,
+             list_max(list_transform(e, x -> abs(x))) / 127 AS scale
+      FROM v),
+    d AS (
+      SELECT vec_id, label,
+             CASE WHEN scale = 0 THEN 1.0
+                  ELSE list_cosine_similarity(
+                    e, list_transform(e, x -> floor(x / scale + 0.5) * scale))
+             END AS cs
+      FROM s)
+    SELECT label,
+           COUNT(*) AS n_vectors,
+           floor((CAST(SUM(CAST(1.0 - cs AS DECIMAL(38,18))) AS DOUBLE)
+                  / COUNT(*)) * 10000000 + 0.5) / 10000000 AS avg_drift_e7,
+           floor((MAX(1.0 - cs)) * 10000000 + 0.5) / 10000000
+             AS max_drift_e7
+    FROM d
+    GROUP BY label
+    ORDER BY label
+    """,
+    tags=("extension", "similarity", "quantization", "audit"),
+)
+def q219_quantization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization audit for the embedding store: per
+    generator label, the cosine drift ``1 − cos(v, dequant(int8(v)))``
+    introduced by per-vector max-abs/127 scalar quantization — the
+    go/no-go number before shrinking a 100 TB float32 ANN index 4× (the
+    standard memory lever; recall impact tracks cosine drift). Reported
+    at 1e-7 granularity (int8 round-trip drift is ~1e-5 — the usual
+    1e-4 quantum would flatten it to zero and audit nothing).
+
+    Determinism: quantize = ``floor(x/scale + 0.5) * scale`` per
+    element (elementary IEEE ops, identical both engines — same recipe
+    as round4), cosine is the same sequential fold both engines run
+    over identical element order, per-label mean sums DECIMAL-cast
+    terms. Pure map stage + one groupBy on a tiny label vocabulary;
+    zero-vector guard mirrors the oracle's CASE.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(e, F.abs)) / F.lit(127)
+    vecs = emb.select("vec_id", "label", e.alias("e"), scale.alias("scale"))
+    deq = F.transform(
+        F.col("e"),
+        lambda x: F.floor(x / F.col("scale") + F.lit(0.5)) * F.col("scale"),
+    )
+    cs = F.when(F.col("scale") == 0, F.lit(1.0)).otherwise(
+        cosine(F.col("e"), deq)
+    )
+    drift = F.lit(1.0) - cs
+    # 1e-7 quantum (round4 would flatten int8 drift to zero)
+    q7 = lambda c: F.floor(c * F.lit(1e7) + F.lit(0.5)) / F.lit(1e7)  # noqa: E731
+    return (
+        vecs.select("label", drift.alias("drift"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            q7(
+                F.sum(F.col("drift").cast("decimal(38,18)")).cast("double")
+                / F.count("*")
+            ).alias("avg_drift_e7"),
+            q7(F.max("drift")).alias("max_drift_e7"),
+        )
+        .orderBy("label")
+    )
