@@ -70,6 +70,7 @@ _PRIORITY: tuple[str, ...] = (
     "q206_source_mixing_weights", "q208_quality_quantile_gate",
     "q209_cluster_best_rep",
     "q210_streaming_drift_replay",  # drift-monitor sink replay
+    "q220_streaming_join_replay",  # stream-stream interval join replay
     "q63_duplicate_clusters", "q72_sequence_packing", "q92_pii_redaction",
     "q144_ppjoin_pairs", "q146_span_scrubbed_corpus",
     "q149_containment_pairs", "q174_semantic_dedup",

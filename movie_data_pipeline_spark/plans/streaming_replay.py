@@ -161,6 +161,100 @@ def q205_streaming_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q220_streaming_join_replay",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, ts AS click_ts, event_id AS click_id
+      FROM events WHERE event_type = 'click'),
+    p AS (
+      SELECT user_id, ts AS purchase_ts, event_id AS purchase_id,
+             value AS purchase_value
+      FROM events WHERE event_type = 'purchase')
+    SELECT c.click_id, p.purchase_id,
+           CAST(epoch_us(p.purchase_ts) - epoch_us(c.click_ts) AS BIGINT)
+             AS lag_us,
+           floor((p.purchase_value) * 10000 + 0.5) / 10000
+             AS purchase_value
+    FROM c JOIN p
+      ON c.user_id = p.user_id
+     AND p.purchase_ts >= c.click_ts
+     AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE
+    ORDER BY click_id, purchase_id
+    """,
+    tags=("extension", "streaming", "stream-stream-join"),
+)
+def q220_streaming_join_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """End-to-end STREAM-STREAM JOIN replay, hash-verified: split the
+    event stream into a click stream and a purchase stream (two
+    independent watermarked readers of the same source), run the real
+    streaming interval join (``streaming/events.
+    click_purchase_join_stream`` — equi-key on user, event-time bounded
+    both ends so state expires), land the matches append-mode, and
+    return them. The oracle is the equivalent batch interval join in
+    SQL — equality proves the streaming state machine buffers,
+    matches, and emits exactly the relational join result.
+
+    Determinism: an append-mode stream-stream inner join emits exactly
+    the predicate-satisfying pairs whatever the micro-batch slicing;
+    output rows carry only integer ids, an exact microsecond lag
+    (second-granularity epoch would round vs floor differently across
+    engines on sub-second timestamps), and a round4-quantized value,
+    and the presentation sort is applied after reading the sink back.
+    """
+    from movie_data_pipeline_spark.streaming.events import (
+        click_purchase_join_stream,
+        stream_table,
+    )
+
+    base = tempfile.mkdtemp(prefix="mdp-q220-")
+    out, ckpt = f"{base}/out", f"{base}/ckpt"
+    try:
+        ev = stream_table(spark, sf_dir, "events")
+        # NTZ→instant conversion matches stream_events (footer-sniffed)
+        from movie_data_pipeline_spark.sources.registry import (
+            _events_ts_is_nanos,
+            table_path,
+        )
+
+        micros = (
+            "ts div 1000"
+            if _events_ts_is_nanos(table_path(sf_dir, "events"))
+            else "ts"
+        )
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr(micros)))
+        joined = click_purchase_join_stream(
+            ev.filter(F.col("event_type") == "click"),
+            ev.filter(F.col("event_type") == "purchase"),
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        result = (
+            spark.read.parquet(out)
+            .select(
+                "click_id",
+                "purchase_id",
+                (F.unix_micros("purchase_ts") - F.unix_micros("click_ts"))
+                .cast("long")
+                .alias("lag_us"),
+                round4(F.col("purchase_value")).alias("purchase_value"),
+            )
+            .orderBy("click_id", "purchase_id")
+        )
+        return result.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@query(
     "q210_streaming_drift_replay",
     oracle="""
     WITH base AS (
