@@ -182,10 +182,20 @@ def main() -> None:
     if names:
         run_query(spark, names[0], sf_dir)
 
+    # Soft wall-clock budget: never let extra passes push the bench past
+    # ~15 min (a pass always completes atomically so min-of-n stays
+    # comparable across queries; passes 2+ are dropped only as a whole).
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "900"))
+    t_start = time.perf_counter()
     runs: dict[str, list[float]] = {n: [] for n in names}
+    done_passes = 0
     for _ in range(repeats):
+        if done_passes and time.perf_counter() - t_start > budget_s:
+            break
         for name in names:
             runs[name].append(run_query(spark, name, sf_dir))
+        done_passes += 1
+    repeats = done_passes
 
     # reference-workload replica (BASELINE.md: ~32 s compute-bound).
     # One warmup run first: the CSV-scan/codegen paths are cold (no
