@@ -71,6 +71,7 @@ _PRIORITY: tuple[str, ...] = (
     "q209_cluster_best_rep",
     "q210_streaming_drift_replay",  # drift-monitor sink replay
     "q220_streaming_join_replay",  # stream-stream interval join replay
+    "q221_streaming_session_replay",  # native session-window replay
     "q63_duplicate_clusters", "q72_sequence_packing", "q92_pii_redaction",
     "q144_ppjoin_pairs", "q146_span_scrubbed_corpus",
     "q149_containment_pairs", "q174_semantic_dedup",

@@ -255,6 +255,122 @@ def q220_streaming_join_replay(
 
 
 @query(
+    "q221_streaming_session_replay",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR date_diff('microsecond', LAG(ts) OVER w, ts)
+                       >= 900000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    numbered AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked)
+    SELECT user_id,
+           CAST(epoch_us(MIN(ts)) AS BIGINT) AS session_start_us,
+           CAST(epoch_us(MAX(ts) + INTERVAL 15 MINUTE) AS BIGINT)
+             AS session_end_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           floor((CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE))
+                 * 10000 + 0.5) / 10000 AS total_value
+    FROM numbered
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start_us
+    """,
+    tags=("extension", "streaming", "session-window"),
+)
+def q221_streaming_session_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """End-to-end NATIVE SESSION WINDOW replay, hash-verified: stream
+    the events table through the engine-owned session aggregation
+    (``F.session_window`` with a 15-minute gap — state merges inside
+    the streaming aggregation, no hand-rolled timeout bookkeeping) in
+    COMPLETE mode (the output mode session-window streaming
+    aggregations support besides append; append would withhold every
+    session the watermark hasn't passed at end-of-input, and update is
+    rejected by the planner), land each batch's full result via
+    foreachBatch overwrite — last batch wins, so the final table
+    equals the total aggregate under ANY micro-batch slicing — and
+    return the final sessions. The oracle derives the identical
+    sessions relationally (LAG gap-marking + running session id —
+    q95's batch spelling). Equality proves the streaming session-merge
+    state machine produces exactly the relational gap-sessionization.
+    Session bounds are emitted as epoch micros (timezone-safe under
+    any driver session); the value sum is per-term DECIMAL(30,6)
+    casts.
+    """
+    from movie_data_pipeline_spark.sources.registry import (
+        _events_ts_is_nanos,
+        table_path,
+    )
+    from movie_data_pipeline_spark.streaming.events import stream_table
+
+    base = tempfile.mkdtemp(prefix="mdp-q221-")
+    out, ckpt = f"{base}/out", f"{base}/ckpt"
+    try:
+        ev = stream_table(spark, sf_dir, "events")
+        micros = (
+            "ts div 1000"
+            if _events_ts_is_nanos(table_path(sf_dir, "events"))
+            else "ts"
+        )
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr(micros)))
+        sessions = (
+            ev.withWatermark("ts", "2 hours")
+            .groupBy("user_id", F.session_window("ts", "15 minutes"))
+            .agg(
+                F.count("*").cast("long").alias("n_events"),
+                F.sum(F.col("value").cast("decimal(30,6)")).alias("sv"),
+            )
+            .select(
+                "user_id",
+                F.unix_micros(F.col("session_window.start")).alias(
+                    "session_start_us"
+                ),
+                F.unix_micros(F.col("session_window.end")).alias(
+                    "session_end_us"
+                ),
+                "n_events",
+                "sv",
+            )
+        )
+
+        def _overwrite(batch_df, batch_id) -> None:
+            # complete mode: each batch carries the FULL result
+            batch_df.localCheckpoint(eager=True).write.mode(
+                "overwrite"
+            ).parquet(out)
+
+        q = (
+            sessions.writeStream.foreachBatch(_overwrite)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        result = (
+            spark.read.parquet(out)
+            .select(
+                "user_id",
+                "session_start_us",
+                "session_end_us",
+                "n_events",
+                round4(F.col("sv").cast("double")).alias("total_value"),
+            )
+            .orderBy("user_id", "session_start_us")
+        )
+        return result.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@query(
     "q210_streaming_drift_replay",
     oracle="""
     WITH base AS (
