@@ -239,3 +239,76 @@ def q133_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("blob_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q222 — frame-sample manifest (video-style stride sampling plan)
+# --------------------------------------------------------------------------
+_FRAME_BYTES = 64  # fake fixed-size frame: n_frames = n_bytes // 64
+_FRAME_STRIDE = 8  # keep every 8th frame
+
+
+@query(
+    "q222_frame_sample_manifest",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id AS blob_id, CAST(strlen(text) AS BIGINT) AS n_bytes
+      FROM documents),
+    frames AS (
+      SELECT blob_id, n_bytes, n_bytes // {_FRAME_BYTES} AS n_frames
+      FROM sized
+      WHERE n_bytes // {_FRAME_BYTES} > 0)
+    SELECT blob_id,
+           CAST(unnest(generate_series(0, CAST(n_frames - 1 AS BIGINT),
+                                       {_FRAME_STRIDE})) AS BIGINT)
+             AS frame_idx,
+           CAST(unnest(generate_series(0, CAST(n_frames - 1 AS BIGINT),
+                                       {_FRAME_STRIDE}))
+                * {_FRAME_BYTES} AS BIGINT) AS byte_offset,
+           CAST(n_frames AS BIGINT) AS n_frames
+    FROM frames
+    ORDER BY blob_id, frame_idx
+    """,
+    tags=("extension", "multimodal", "frame-sampling"),
+)
+def q222_frame_sample_manifest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stride frame-sampling plan for video-style blobs: treating each
+    blob as a sequence of fixed-size frames (n_bytes // frame_size —
+    the synthetic stand-in for a container index; a real pipeline reads
+    the real index the same metadata-only way), emit the (blob_id,
+    frame_idx, byte_offset) manifest of every 8th frame — the WORK LIST
+    a decode stage consumes. This is the relational half of
+    frame-sampling at 100 TB: the sampling plan is sequence+explode in
+    codegen over per-blob integers (blob BYTES are never touched, never
+    shuffled); only the manifest's chosen offsets are handed to the
+    Arrow-batched decode UDF (stubbed in multimodal/binary.py, like the
+    image codec), which then does range reads instead of full-blob
+    scans.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = make_blob_table(docs).select("blob_id", "n_bytes")
+    frames = blobs.select(
+        "blob_id",
+        (F.col("n_bytes") / F.lit(_FRAME_BYTES))
+        .cast("long")
+        .alias("n_frames"),
+    ).filter(F.col("n_frames") > 0)
+    idx = F.explode(
+        F.sequence(
+            F.lit(0).cast("long"),
+            F.col("n_frames") - 1,
+            F.lit(_FRAME_STRIDE).cast("long"),
+        )
+    ).alias("frame_idx")
+    return (
+        frames.select("blob_id", "n_frames", idx)
+        .select(
+            "blob_id",
+            "frame_idx",
+            (F.col("frame_idx") * _FRAME_BYTES).alias("byte_offset"),
+            "n_frames",
+        )
+        .orderBy("blob_id", "frame_idx")
+    )
