@@ -1118,3 +1118,59 @@ def q211_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q224 — BPE first-merge induction (top adjacent-pair frequencies)
+# --------------------------------------------------------------------------
+@query(
+    "q224_bpe_first_merges",
+    oracle=f"""
+    WITH toks AS (SELECT unnest({_TOKS_SQL}) AS w FROM documents),
+    wc AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY w),
+    pairs AS (
+      SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                                   i -> substr(w, i, 2))) AS pair, c
+      FROM wc WHERE len(w) >= 2)
+    SELECT pair, CAST(SUM(c) AS BIGINT) AS n_occurrences
+    FROM pairs
+    GROUP BY pair
+    ORDER BY n_occurrences DESC, pair
+    LIMIT 20
+    """,
+    tags=("extension", "corpus", "tokenizer", "bpe"),
+)
+def q224_bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first iteration of BPE vocabulary induction (Sennrich et
+    al.): corpus-weighted adjacent character-pair frequencies, top 20 —
+    each the candidate for the next merge rule. The distributed trick
+    is aggregating over the WORD TABLE, not the corpus: pair counts are
+    (pairs-per-distinct-word × word frequency), so the char-level
+    explode runs on |vocab| rows instead of every token occurrence —
+    at 100 TB the vocabulary is millions of rows while the corpus is
+    trillions of tokens. Full BPE training iterates this (merge, re-
+    split, recount) with the same plan per round; the induction step is
+    the one worth showing because it sets the data layout.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .filter(F.length("w") >= 2)
+    )
+    pairs = wc.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "c",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("c").cast("long").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("pair"))
+        .limit(20)
+    )

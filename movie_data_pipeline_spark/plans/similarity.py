@@ -879,3 +879,80 @@ def q219_quantization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --------------------------------------------------------------------------
+# q223 — hard-negative mining for contrastive training
+# --------------------------------------------------------------------------
+@query(
+    "q223_hard_negatives",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS anchor_id, label AS anchor_label,
+                      embedding::DOUBLE[] AS q_vec
+               FROM embeddings WHERE {_QUERY_PRED}),
+    scored AS (
+      SELECT q.anchor_id, q.anchor_label,
+             e.vec_id AS negative_id, e.label AS negative_label,
+             list_cosine_similarity(e.embedding::DOUBLE[], q.q_vec) AS cs
+      FROM embeddings e CROSS JOIN q
+      WHERE e.label <> q.anchor_label),
+    ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                ORDER BY cs DESC, negative_id) AS rnk
+      FROM scored)
+    SELECT anchor_id, anchor_label, negative_id, negative_label,
+           {r4('cs')} AS cos_sim
+    FROM ranked WHERE rnk <= 3
+    ORDER BY anchor_id, cos_sim DESC, negative_id
+    """,
+    tags=("extension", "similarity", "contrastive", "hard-negatives"),
+)
+def q223_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: for
+    each anchor vector (the %100 query set), the 3 most-similar vectors
+    carrying a DIFFERENT label — the negatives that actually move a
+    contrastive loss (random negatives are trivially separable; hard
+    ones define the margin). Same broadcast-anchor scan shape as q22
+    with the label-inequality predicate pushed into the scoring join;
+    at corpus scale the scan is replaced by the ANN index (q22's LSH /
+    IVF variants) and this exact ranking runs on the candidate pool.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.expr(_QUERY_PRED)).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("embedding").alias("q_vec"),
+    )
+    from pyspark.sql.window import Window
+
+    scored = (
+        emb.crossJoin(F.broadcast(anchors))
+        .filter(F.col("label") != F.col("anchor_label"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            F.col("vec_id").alias("negative_id"),
+            F.col("label").alias("negative_label"),
+            cosine(F.col("embedding"), F.col("q_vec")).alias("cs"),
+        )
+    )
+    ranked = scored.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("anchor_id").orderBy(
+                F.desc("cs"), F.asc("negative_id")
+            )
+        ),
+    )
+    return (
+        ranked.filter(F.col("rnk") <= 3)
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "negative_id",
+            "negative_label",
+            round4(F.col("cs")).alias("cos_sim"),
+        )
+        .orderBy("anchor_id", F.desc("cos_sim"), "negative_id")
+    )
