@@ -9,6 +9,9 @@ rounding.
 
 from __future__ import annotations
 
+import glob
+import json
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -28,37 +31,39 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # block), then the remaining unverified sorted, then the verified
 # sorted.  Canonical names stay in
 # ``movie_data_pipeline_spark.plans.REGISTRY`` and in all tests/bench.
-# Update this set from the newest CORRECTNESS_r{N}.json each round
-# (strip any ``a_`` prefix when adding names).
-_DRIVER_VERIFIED: frozenset[str] = frozenset({
-    "q01_top_orders", "q02_region_revenue", "q03_region_nations",
-    "q04_customer_order_stats", "q05_order_quality_probe",
-    "q06_quantity_histogram", "q07_customers_without_orders",
-    "q08_title_normalize", "q09_top_orders_per_customer",
-    "q100_salted_category_rollup", "q101_data_quality_audit",
-    "q102_token_accounting", "q103_pagerank_trade_graph",
-    "q104_kmeans_centroids", "q105_doc_cosine_pairs", "q106_weighted_sample",
-    "q107_simpson_diversity", "q108_trailing_distinct_users",
-    "q109_customer_distribution", "q10_event_type_dim", "q110_top_supplier",
-    "q111_disjunctive_revenue", "q112_ramping_suppliers", "q113_langid_eval",
-    "q114_cumulative_distinct_types", "q115_rolling_view_purchase_corr",
-    "q116_copurchase_triangles", "q117_point_in_time_join",
-    "q118_market_share", "q119_product_profit",
-    "q11_orderkeys_except_fulfilled", "q120_vocab_growth",
-    "q121_lsh_quality_audit", "q122_blob_manifest", "q123_blob_shards",
-    "q124_nation_segment_profile", "q125_weekday_hour_heatmap",
-    "q126_incremental_dedup", "q127_training_shard_manifest",
-    "q128_shipping_priority", "q129_forecast_revenue_delta",
-    "q130_returned_item_customers", "q131_promo_revenue_share",
-    "q132_ann_recall_audit", "q133_image_metadata",
-    "q134_duplicate_clusters_star", "q135_readability",
-    "q136_snapshot_diff", "q137_event_weekday_pmi",
-    "q12_name_token_vocabulary", "q13_hourly_event_stats",
-    "q14_coerce_extract", "q15_segment_revenue", "q16_pricing_summary",
-    "q17_dedup_exact", "q18_ngram_jaccard_dupes", "q19_minhash_signatures",
-    "q20_minhash_lsh_candidates", "q21_simhash", "q22_ann_cosine_topk",
-    "q23_embedding_top_pairs", "q24_text_quality",
-})
+#
+# The verified set is DERIVED from the CORRECTNESS_r{N}.json files the
+# driver itself writes into the repo root — a name counts as verified
+# only when its row was fully green (rows+schema+hash, no err) in some
+# round. No per-round manual update, nothing to forget: the next
+# round's files extend the set automatically, and a RED row keeps its
+# query in the re-verification window.
+
+
+def _load_driver_verified() -> frozenset[str]:
+    here = os.path.dirname(os.path.abspath(__file__))
+    verified: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as fh:
+                data = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for key, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            green = (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match", True)  # rows-only checks
+                and not row.get("err")
+            )
+            if green:
+                verified.add(key[2:] if key.startswith("a_") else key)
+    return frozenset(verified)
+
+
+_DRIVER_VERIFIED: frozenset[str] = _load_driver_verified()
 
 
 # Hand-picked head of this round's 50-query verification window: the
