@@ -966,3 +966,89 @@ def q215_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stage")
     )
+
+
+# --------------------------------------------------------------------------
+# q225 — packing efficiency audit (padding waste per shard)
+# --------------------------------------------------------------------------
+@query(
+    "q225_packing_efficiency",
+    oracle=f"""
+    WITH RECURSIVE
+    toks AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % {_PACK_SHARDS} AS shard,
+             CAST(len(string_split_regex(lower(trim(text)), '\\s+'))
+                  AS BIGINT) AS n_tokens
+      FROM documents),
+    ordered AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+      FROM toks),
+    pack AS (
+      SELECT shard, rn, doc_id, n_tokens,
+             CAST(0 AS BIGINT) AS bin_in_shard, n_tokens AS fill
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.shard, o.rn, o.doc_id, o.n_tokens,
+             CASE WHEN p.fill + o.n_tokens > {_PACK_CAPACITY}
+                  THEN p.bin_in_shard + 1 ELSE p.bin_in_shard END,
+             CASE WHEN p.fill + o.n_tokens > {_PACK_CAPACITY}
+                  THEN o.n_tokens ELSE p.fill + o.n_tokens END
+      FROM pack p JOIN ordered o ON o.shard = p.shard AND o.rn = p.rn + 1),
+    bins AS (
+      SELECT shard, bin_in_shard, SUM(n_tokens) AS bin_tokens
+      FROM pack GROUP BY shard, bin_in_shard)
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_bins,
+           CAST(SUM(bin_tokens) AS BIGINT) AS payload_tokens,
+           CAST(COUNT(*) * {_PACK_CAPACITY} - SUM(bin_tokens) AS BIGINT)
+             AS padding_tokens,
+           {r4(f"SUM(bin_tokens) * 1.0 / (COUNT(*) * {_PACK_CAPACITY})")}
+             AS fill_ratio,
+           CAST(CEIL(SUM(bin_tokens) * 1.0 / {_PACK_CAPACITY}) AS BIGINT)
+             AS ideal_bins
+    FROM bins
+    GROUP BY shard
+    ORDER BY shard
+    """,
+    tags=("extension", "curation", "packing", "audit"),
+)
+def q225_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste audit of the q72 packer: per shard, bins used,
+    payload vs padding tokens, fill ratio, and the fractional lower
+    bound (ceil(payload/capacity)) — the number that tells you whether
+    greedy next-fit is leaving GPU-batch tokens on the table (next-fit
+    wastes < one max-document per bin, so fill_ratio near
+    ideal_bins/n_bins says the order-preserving packer is good enough;
+    a large gap is the signal to pay for length-sorted or first-fit-
+    decreasing packing). Reuses q72's exact packing (same shards, same
+    capacity, same applyInPandas fold); the audit itself is one
+    groupBy over the packer's (shard, bin) output.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    packed = pack_documents(sized, capacity=_PACK_CAPACITY, n_shards=_PACK_SHARDS)
+    bins = packed.groupBy("shard", "bin_in_shard").agg(
+        F.sum("n_tokens").alias("bin_tokens")
+    )
+    cap = F.lit(_PACK_CAPACITY)
+    return (
+        bins.groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_bins"),
+            F.sum("bin_tokens").cast("long").alias("payload_tokens"),
+            (F.count("*") * cap - F.sum("bin_tokens"))
+            .cast("long")
+            .alias("padding_tokens"),
+            round4(
+                F.sum("bin_tokens") / (F.count("*") * cap.cast("double"))
+            ).alias("fill_ratio"),
+            F.ceil(F.sum("bin_tokens") / cap.cast("double"))
+            .cast("long")
+            .alias("ideal_bins"),
+        )
+        .orderBy("shard")
+    )

@@ -392,3 +392,43 @@ def test_transform_with_state_running_totals(spark, tmp_path):
     # than once with growing totals
     u1 = out[out.user_id == 1].n_events.tolist()
     assert len(u1) >= 2 and sorted(u1) == u1
+
+
+def test_stream_table_directory_layout(spark, tmp_path):
+    """stream_table must handle BOTH table layouts: the driver's
+    single-file `<t>.parquet` AND a Spark-written `<t>.parquet/`
+    directory (e.g. the scaled replica). The directory case previously
+    matched zero files via the parent-dir glob and yielded a silently
+    empty stream."""
+    from movie_data_pipeline_spark.sources.registry import load_table
+    from movie_data_pipeline_spark.streaming.events import stream_table
+
+    src = load_table(spark, TESTDATA_SF_DIR, "documents")
+    n = src.count()
+    # directory layout: Spark-written copy with several part files
+    (
+        src.repartition(3)
+        .write.mode("overwrite")
+        .parquet(str(tmp_path / "documents.parquet"))
+    )
+    streamed = stream_table(spark, str(tmp_path), "documents")
+    q = (
+        streamed.writeStream.format("memory")
+        .queryName("dir_layout_docs")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.table("dir_layout_docs").count() == n
+    # single-file layout (the driver's testdata) still streams
+    streamed2 = stream_table(spark, TESTDATA_SF_DIR, "documents")
+    q2 = (
+        streamed2.writeStream.format("memory")
+        .queryName("file_layout_docs")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    assert spark.table("file_layout_docs").count() == n
