@@ -432,3 +432,30 @@ def test_stream_table_directory_layout(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert spark.table("file_layout_docs").count() == n
+
+
+def test_ts_sniffer_handles_both_encodings_and_layouts(tmp_path):
+    """The footer sniffer must detect NANOS vs MICROS on a single file
+    AND on a Spark-style directory of part files (first part sniffed)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from movie_data_pipeline_spark.sources.registry import _events_ts_is_nanos
+
+    def write(path, unit):
+        tbl = pa.table({"ts": pa.array([1, 2, 3], pa.timestamp(unit))})
+        pq.write_table(tbl, path, coerce_timestamps=None)
+
+    micros_f = tmp_path / "micros.parquet"
+    nanos_f = tmp_path / "nanos.parquet"
+    write(str(micros_f), "us")
+    write(str(nanos_f), "ns")
+    assert _events_ts_is_nanos(str(micros_f)) is False
+    assert _events_ts_is_nanos(str(nanos_f)) is True
+
+    # directory layout: part files inside <table>.parquet/
+    d = tmp_path / "events.parquet"
+    d.mkdir()
+    write(str(d / "part-00000.parquet"), "ns")
+    (d / "_SUCCESS").write_text("")
+    assert _events_ts_is_nanos(str(d)) is True
