@@ -1490,3 +1490,193 @@ def q209_cluster_best_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("component")
     )
+
+
+# --------------------------------------------------------------------------
+# q229 — dedup threshold sensitivity curve
+# --------------------------------------------------------------------------
+_CURVE_THRESHOLDS = ("0.2", "0.3", "0.5", "0.7")
+
+
+@query(
+    "q229_dedup_threshold_curve",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM shingles a JOIN shingles b
+        ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    jac AS (
+      SELECT doc_a, doc_b,
+             n_common * 1.0 / (ca.n + cb.n - n_common) AS j
+      FROM common
+      JOIN counts ca ON ca.doc_id = doc_a
+      JOIN counts cb ON cb.doc_id = doc_b),
+    t(threshold) AS (VALUES {", ".join(f"({t})" for t in _CURVE_THRESHOLDS)})
+    SELECT threshold,
+           CAST(COUNT(CASE WHEN j >= threshold THEN 1 END) AS BIGINT)
+             AS n_pairs,
+           CAST(COUNT(DISTINCT CASE WHEN j >= threshold THEN doc_b END)
+                AS BIGINT) AS n_docs_droppable
+    FROM jac CROSS JOIN t
+    GROUP BY threshold
+    ORDER BY threshold
+    """,
+    tags=("extension", "dedup", "audit", "sensitivity"),
+)
+def q229_dedup_threshold_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dedup threshold sensitivity curve: how many near-dup pairs, and
+    how many documents become droppable (appear as the higher id of a
+    qualifying pair), at Jaccard thresholds 0.2/0.3/0.5/0.7 — the
+    decision table behind picking a production threshold, computed in
+    ONE pass: pairwise Jaccard once (q18's bucketed machinery,
+    uncapped), then a tiny broadcast threshold dimension fans each pair
+    into its qualifying rows. Re-running the whole pipeline per
+    candidate threshold — the naive way sensitivity studies get run —
+    costs 4x the dominant shingle-join for zero extra information.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, threshold=0.0).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+    thresholds = spark.createDataFrame(
+        [(float(t),) for t in _CURVE_THRESHOLDS], "threshold DOUBLE"
+    )
+    hit = F.when(F.col("jaccard") >= F.col("threshold"), True)
+    return (
+        pairs.crossJoin(F.broadcast(thresholds))
+        .groupBy("threshold")
+        .agg(
+            F.count(hit).alias("n_pairs"),
+            F.count_distinct(
+                F.when(
+                    F.col("jaccard") >= F.col("threshold"), F.col("doc_b")
+                )
+            ).alias("n_docs_droppable"),
+        )
+        .orderBy("threshold")
+    )
+
+
+# --------------------------------------------------------------------------
+# q228 — transitive-closure chaining audit
+# --------------------------------------------------------------------------
+_CHAIN_J = "0.2"  # cluster-forming threshold (q63/q182's)
+
+
+@query(
+    "q228_chaining_audit",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM shingles a JOIN shingles b
+        ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    jac AS (
+      SELECT doc_a, doc_b,
+             n_common * 1.0 / (ca.n + cb.n - n_common) AS j
+      FROM common
+      JOIN counts ca ON ca.doc_id = doc_a
+      JOIN counts cb ON cb.doc_id = doc_b),
+    pairs AS (SELECT doc_a, doc_b FROM jac WHERE j >= {_CHAIN_J}),
+    comp(doc_id, label) AS (
+      SELECT doc_id, doc_id AS label FROM documents
+      UNION
+      SELECT e.hi, MIN(c.label)
+      FROM (SELECT doc_a AS lo, doc_b AS hi FROM pairs
+            UNION ALL SELECT doc_b AS lo, doc_a AS hi FROM pairs) e
+      JOIN comp c ON c.doc_id = e.lo
+      GROUP BY e.hi),
+    final_comp AS (
+      SELECT doc_id, MIN(label) AS component FROM comp GROUP BY doc_id),
+    sized AS (
+      SELECT component, COUNT(*) AS n_members
+      FROM final_comp GROUP BY component HAVING COUNT(*) >= 2),
+    members AS (
+      SELECT fc.component, fc.doc_id
+      FROM final_comp fc JOIN sized USING (component)),
+    within AS (
+      SELECT m1.component,
+             COALESCE(j.j, 0.0) AS pair_j
+      FROM members m1
+      JOIN members m2
+        ON m1.component = m2.component AND m1.doc_id < m2.doc_id
+      LEFT JOIN jac j ON j.doc_a = m1.doc_id AND j.doc_b = m2.doc_id)
+    SELECT s.component, CAST(s.n_members AS BIGINT) AS n_members,
+           floor((MIN(w.pair_j)) * 10000 + 0.5) / 10000 AS min_pair_jaccard,
+           CAST(COUNT(CASE WHEN w.pair_j < {_CHAIN_J} THEN 1 END) AS BIGINT)
+             AS n_below_threshold_pairs
+    FROM sized s JOIN within w USING (component)
+    GROUP BY s.component, s.n_members
+    ORDER BY min_pair_jaccard, component
+    """,
+    tags=("extension", "dedup", "audit", "chaining"),
+)
+def q228_chaining_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chaining audit for transitive-closure dedup — THE known failure
+    mode of connected-component clustering (A~B, B~C merges A with C
+    even when J(A,C) ≈ 0): per multi-member cluster, the minimum
+    pairwise Jaccard over ALL member pairs (0 for pairs sharing no
+    shingle) and how many within-cluster pairs fall below the
+    cluster-forming threshold. A cluster with min_pair_jaccard far
+    under the threshold is a chain merge, and dropping all-but-one of
+    its members (q182's policy) would discard non-duplicate content —
+    this report is the evidence base for switching such corpora to
+    stricter thresholds or clique-style (q174 SemDeDup-cell) policies.
+
+    Scale: within-cluster pairing is quadratic in CLUSTER size, which
+    the cluster-forming threshold itself bounds (pathological chains
+    are precisely what gets flagged); pairs join the already-computed
+    Jaccard frame, so no text is re-touched.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    jac = jaccard_pairs(docs, threshold=0.0).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+    jac = jac.persist()
+    pairs = jac.filter(F.col("jaccard") >= float(_CHAIN_J)).select(
+        "doc_a", "doc_b"
+    )
+    comp = connected_components(
+        pairs, nodes=docs.select("doc_id"), src="doc_a", dst="doc_b"
+    )
+    sized = (
+        comp.groupBy("component")
+        .agg(F.count("*").alias("n_members"))
+        .filter(F.col("n_members") >= 2)
+    )
+    members = comp.join(sized, "component").select("component", "node")
+    m1 = members.select("component", F.col("node").alias("doc_a"))
+    m2 = members.select("component", F.col("node").alias("doc_b"))
+    within = (
+        m1.join(m2, "component")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .join(jac, ["doc_a", "doc_b"], "left")
+        .select(
+            "component",
+            F.coalesce(F.col("jaccard"), F.lit(0.0)).alias("pair_j"),
+        )
+    )
+    return (
+        within.join(sized, "component")
+        .groupBy("component", "n_members")
+        .agg(
+            round4(F.min("pair_j")).alias("min_pair_jaccard"),
+            F.count(
+                F.when(F.col("pair_j") < float(_CHAIN_J), True)
+            ).alias("n_below_threshold_pairs"),
+        )
+        .select(
+            "component",
+            F.col("n_members").cast("long").alias("n_members"),
+            "min_pair_jaccard",
+            "n_below_threshold_pairs",
+        )
+        .orderBy("min_pair_jaccard", "component")
+    )
