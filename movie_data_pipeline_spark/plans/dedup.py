@@ -1538,11 +1538,14 @@ def q229_dedup_threshold_curve(
     into its qualifying rows. Re-running the whole pipeline per
     candidate threshold — the naive way sensitivity studies get run —
     costs 4x the dominant shingle-join for zero extra information.
+    The pair generator prunes at the LOWEST curve threshold — pairs
+    under 0.2 are never counted by any curve row, so they never leave
+    the map side.
     """
     docs = load_table(spark, sf_dir, "documents")
-    pairs = jaccard_pairs(docs, threshold=0.0).select(
-        "doc_a", "doc_b", "jaccard"
-    )
+    pairs = jaccard_pairs(
+        docs, threshold=float(_CURVE_THRESHOLDS[0])
+    ).select("doc_a", "doc_b", "jaccard")
     thresholds = spark.createDataFrame(
         [(float(t),) for t in _CURVE_THRESHOLDS], "threshold DOUBLE"
     )
@@ -1632,8 +1635,12 @@ def q228_chaining_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: within-cluster pairing is quadratic in CLUSTER size, which
     the cluster-forming threshold itself bounds (pathological chains
-    are precisely what gets flagged); pairs join the already-computed
-    Jaccard frame, so no text is re-touched.
+    are precisely what gets flagged). As registered, the audit joins
+    the UNTHRESHOLDED pairwise-Jaccard frame (below-threshold
+    within-cluster scores are the whole point) — at corpus scale,
+    semi-join the shingle frame down to flagged-cluster members first
+    and recompute pair overlap inside clusters only, the same
+    restrict-then-recompute shape as q121's sampled audit.
     """
     docs = load_table(spark, sf_dir, "documents")
     jac = jaccard_pairs(docs, threshold=0.0).select(
