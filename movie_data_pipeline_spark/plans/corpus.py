@@ -1174,3 +1174,69 @@ def q224_bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), F.asc("pair"))
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# q230 — vocabulary coverage / OOV-rate audit per source
+# --------------------------------------------------------------------------
+_VOCAB_K = 1000  # fixed-size vocabulary under audit
+
+
+@query(
+    "q230_vocab_coverage",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, unnest({_TOKS_SQL}) AS tok FROM documents),
+    cnt AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+    vocab AS (
+      SELECT tok FROM cnt ORDER BY c DESC, tok LIMIT {_VOCAB_K}),
+    marked AS (
+      SELECT t.source,
+             CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+      FROM toks t LEFT JOIN vocab v USING (tok))
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(oov) AS BIGINT) AS n_oov,
+           {r4("SUM(oov) * 1.0 / COUNT(*)")} AS oov_rate
+    FROM marked
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("extension", "corpus", "tokenizer", "coverage"),
+)
+def q230_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage audit: fix a top-{_VOCAB_K}-by-frequency
+    vocabulary (ties broken by token text — deterministic across
+    engines) and report each source's out-of-vocabulary token rate —
+    the tokenizer-selection metric that says which sources a fixed
+    vocab underserves (a high-OOV source inflates sequence lengths and
+    degrades its downstream loss; the fix is a bigger vocab, q224's
+    further merges, or byte-fallback). Plan: one token-count aggregate,
+    a vocab top-k that is metadata-sized and broadcast into a left
+    join against the token stream, one map-side-combined groupBy — at
+    100 TB the only big exchange is the token count itself.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("tok"))
+        .limit(_VOCAB_K)
+        .select("tok", F.lit(True).alias("in_vocab"))
+    )
+    marked = toks.join(F.broadcast(vocab), "tok", "left").select(
+        "source",
+        F.when(F.col("in_vocab").isNull(), 1).otherwise(0).alias("oov"),
+    )
+    return (
+        marked.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("oov").cast("long").alias("n_oov"),
+            round4(F.sum("oov") / F.count("*")).alias("oov_rate"),
+        )
+        .orderBy("source")
+    )
