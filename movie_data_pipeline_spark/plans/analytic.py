@@ -3027,3 +3027,70 @@ def q203_customer_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+# --------------------------------------------------------------------------
+# q234 — l-diversity audit (companion to q186 k-anonymity)
+# --------------------------------------------------------------------------
+@query(
+    "q234_l_diversity",
+    oracle="""
+    WITH qi AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket
+      FROM customer),
+    classes AS (
+      SELECT c_nationkey, c_mktsegment,
+             COUNT(*) AS k,
+             COUNT(DISTINCT bal_bucket) AS l
+      FROM qi GROUP BY 1, 2)
+    SELECT CAST(l AS BIGINT) AS l_distinct,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(k) AS BIGINT) AS n_rows,
+           CAST(MIN(k) AS BIGINT) AS min_class_size
+    FROM classes
+    GROUP BY l
+    ORDER BY l_distinct
+    """,
+    tags=("extension", "privacy", "l-diversity", "audit"),
+)
+def q234_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the release-gate k-anonymity (q186) cannot
+    express: a quasi-identifier class can be large (high k) yet leak
+    the sensitive attribute completely if every member SHARES it
+    (homogeneity attack). Per (nation, segment) class, count DISTINCT
+    sensitive values (the q186 balance bucket) and histogram classes by
+    that l — classes at l=1 are exactly the homogeneous leaks a k-only
+    audit waves through. One hash aggregate with a distinct count per
+    class; same scale shape as q186.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    classes = (
+        cust.select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000.0)
+            .cast("long")
+            .alias("bal_bucket"),
+        )
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count("*").alias("k"),
+            F.count_distinct("bal_bucket").alias("l"),
+        )
+    )
+    return (
+        classes.groupBy("l")
+        .agg(
+            F.count("*").cast("long").alias("n_classes"),
+            F.sum("k").cast("long").alias("n_rows"),
+            F.min("k").cast("long").alias("min_class_size"),
+        )
+        .select(
+            F.col("l").cast("long").alias("l_distinct"),
+            "n_classes",
+            "n_rows",
+            "min_class_size",
+        )
+        .orderBy("l_distinct")
+    )

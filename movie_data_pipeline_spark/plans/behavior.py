@@ -1694,3 +1694,97 @@ def q201_markov_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+# --------------------------------------------------------------------------
+# q235 — strict-order funnel conversion (view → click → purchase)
+# --------------------------------------------------------------------------
+_FUNNEL_WINDOW_MIN = 60
+
+
+@query(
+    "q235_funnel_conversion",
+    oracle=f"""
+    WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+    c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    s1 AS (SELECT DISTINCT user_id FROM v),
+    s2 AS (
+      SELECT DISTINCT c.user_id
+      FROM c JOIN v ON v.user_id = c.user_id
+       AND c.ts > v.ts
+       AND c.ts <= v.ts + INTERVAL {_FUNNEL_WINDOW_MIN} MINUTE),
+    s3 AS (
+      SELECT DISTINCT p.user_id
+      FROM p
+      JOIN c ON c.user_id = p.user_id
+       AND p.ts > c.ts
+       AND p.ts <= c.ts + INTERVAL {_FUNNEL_WINDOW_MIN} MINUTE
+      JOIN v ON v.user_id = c.user_id
+       AND c.ts > v.ts
+       AND c.ts <= v.ts + INTERVAL {_FUNNEL_WINDOW_MIN} MINUTE)
+    SELECT stage, n_users,
+           {r4("n_users * 1.0 / NULLIF((SELECT COUNT(*) FROM s1), 0)")}
+             AS share_of_stage1
+    FROM (
+      SELECT 1 AS stage, (SELECT COUNT(*) FROM s1) AS n_users
+      UNION ALL SELECT 2, (SELECT COUNT(*) FROM s2)
+      UNION ALL SELECT 3, (SELECT COUNT(*) FROM s3)) t
+    ORDER BY stage
+    """,
+    tags=("extension", "behavior", "funnel"),
+)
+def q235_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order funnel: users who viewed; users whose click
+    followed a view within 60 minutes; users whose purchase followed
+    such a click within 60 minutes — each stage's user count and its
+    share of stage 1. The product-analytics primitive q184's
+    attribution weights sit on top of: attribution divides credit,
+    the funnel says where the population leaks.
+
+    Plan: per-stage frames are equi-joined on user with an event-time
+    range predicate — the q36 interval-join shape; at 100 TB bucket
+    both sides by time window so the range predicate becomes a bucket
+    equi-join plus refine, and the distinct-user counts stay
+    map-side-combined. Timestamps compare exactly (NTZ micros both
+    engines); counts are integers; the only ratio is one division
+    quantized with round4.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("tv")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("tc")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("tp")
+    )
+    win = F.expr(f"INTERVAL {_FUNNEL_WINDOW_MIN} MINUTES")
+    s1 = v.select("user_id").distinct()
+    vc = (
+        c.join(v, "user_id")
+        .filter(
+            (F.col("tc") > F.col("tv")) & (F.col("tc") <= F.col("tv") + win)
+        )
+        .select("user_id", "tc")
+    )
+    s2 = vc.select("user_id").distinct()
+    s3 = (
+        p.join(vc.select("user_id", "tc").distinct(), "user_id")
+        .filter(
+            (F.col("tp") > F.col("tc")) & (F.col("tp") <= F.col("tc") + win)
+        )
+        .select("user_id")
+        .distinct()
+    )
+    n1 = s1.count()
+    rows = [(1, n1), (2, s2.count()), (3, s3.count())]
+    out = spark.createDataFrame(rows, "stage INT, n_users BIGINT")
+    return out.select(
+        "stage",
+        "n_users",
+        round4(F.col("n_users") / F.lit(float(n1))).alias(
+            "share_of_stage1"
+        ),
+    ).orderBy("stage")
