@@ -18,6 +18,7 @@ from movie_data_pipeline_spark.operators.dedup import (
     LSH_BAND_ROWS,
     MINHASH_P,
     containment_pairs,
+    doc_shingles,
     exact_duplicates,
     incremental_lsh_matches,
     jaccard_pairs,
@@ -1686,4 +1687,58 @@ def q228_chaining_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_below_threshold_pairs",
         )
         .orderBy("min_pair_jaccard", "component")
+    )
+
+
+# --------------------------------------------------------------------------
+# q239 — stop-shingle lexicon (df-cap calibration table)
+# --------------------------------------------------------------------------
+@query(
+    "q239_stop_shingle_lexicon",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    df AS (SELECT sh, COUNT(*) AS doc_freq FROM shingles GROUP BY sh),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT sh AS shingle,
+           CAST(doc_freq AS BIGINT) AS doc_freq,
+           {r4("doc_freq * 1.0 / n_docs")} AS df_share,
+           CAST(doc_freq * (doc_freq - 1) // 2 AS BIGINT)
+             AS pairs_if_uncapped
+    FROM df CROSS JOIN n
+    ORDER BY doc_freq DESC, shingle
+    LIMIT 25
+    """,
+    tags=("extension", "dedup", "calibration", "stop-shingles"),
+)
+def q239_stop_shingle_lexicon(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The ``max_shingle_df`` calibration table: top-25 shingles by
+    document frequency with their corpus share and — the decision
+    column — the candidate-pair count each one alone would generate
+    uncapped (df·(df−1)/2, the per-bucket quadratic
+    ``operators/dedup.jaccard_pairs`` documents). This is how the df
+    cap gets SET instead of guessed: the knee of this table is the cap,
+    and everything above it is boilerplate by construction (a shingle
+    in 30% of documents identifies nothing). One groupBy over the
+    shingle frame plus a global top-k; the heavy explode is q18's
+    existing machinery.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = doc_shingles(docs, "doc_id", "text", 3)
+    df_tbl = sh.groupBy("shingle").agg(F.count("*").alias("doc_freq"))
+    n_docs = docs.count()
+    return (
+        df_tbl.select(
+            "shingle",
+            F.col("doc_freq").cast("long").alias("doc_freq"),
+            round4(F.col("doc_freq") / F.lit(float(n_docs))).alias(
+                "df_share"
+            ),
+            (F.col("doc_freq") * (F.col("doc_freq") - 1) / 2)
+            .cast("long")
+            .alias("pairs_if_uncapped"),
+        )
+        .orderBy(F.desc("doc_freq"), F.asc("shingle"))
+        .limit(25)
     )

@@ -956,3 +956,78 @@ def q223_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("anchor_id", F.desc("cos_sim"), "negative_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q238 — embedding outlier quarantine list
+# --------------------------------------------------------------------------
+@query(
+    "q238_embedding_outliers",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label,
+             sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                                          x -> x * x))) AS nrm
+      FROM embeddings),
+    stats AS (
+      SELECT CAST(SUM(CAST(nrm AS DECIMAL(38,18))) AS DOUBLE)
+               / COUNT(*) AS mu,
+             sqrt(CAST(SUM(CAST(nrm * nrm AS DECIMAL(38,18))) AS DOUBLE)
+                    / COUNT(*)
+                  - (CAST(SUM(CAST(nrm AS DECIMAL(38,18))) AS DOUBLE)
+                       / COUNT(*))
+                    * (CAST(SUM(CAST(nrm AS DECIMAL(38,18))) AS DOUBLE)
+                         / COUNT(*))) AS sigma
+      FROM v)
+    SELECT vec_id, label,
+           floor((nrm) * 10000 + 0.5) / 10000 AS norm,
+           floor(((nrm - mu) / sigma) * 10000 + 0.5) / 10000 AS z
+    FROM v CROSS JOIN stats
+    WHERE abs((nrm - mu) / sigma) > 2.5
+    ORDER BY vec_id
+    """,
+    tags=("extension", "similarity", "quality", "outliers"),
+)
+def q238_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector quarantine list: embeddings whose L2 norm sits more
+    than 2.5 population standard deviations from the corpus mean —
+    degenerate near-zero vectors and exploding outliers both poison
+    cosine ANN (norms cancel in cosine but dominate every dot-product
+    and centroid step), and q199's per-DIMENSION health audit cannot
+    name the offending rows. The norm is the same sequential-fold dot
+    both engines run over identical element order; mean and variance
+    accumulate per-term DECIMAL casts (q61 discipline) so the z-score
+    threshold cannot drift across partition orders. Map stage + one
+    1-row broadcast of (mu, sigma).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(e, lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    v = emb.select("vec_id", "label", nrm.alias("nrm"))
+    dec = lambda c: F.sum(c.cast("decimal(38,18)")).cast("double")  # noqa: E731
+    stats = v.agg(
+        (dec(F.col("nrm")) / F.count("*")).alias("mu"),
+        F.sqrt(
+            dec(F.col("nrm") * F.col("nrm")) / F.count("*")
+            - (dec(F.col("nrm")) / F.count("*"))
+            * (dec(F.col("nrm")) / F.count("*"))
+        ).alias("sigma"),
+    )
+    z = (F.col("nrm") - F.col("mu")) / F.col("sigma")
+    return (
+        v.crossJoin(F.broadcast(stats))
+        .filter(F.abs(z) > 2.5)
+        .select(
+            "vec_id",
+            "label",
+            round4(F.col("nrm")).alias("norm"),
+            round4(z).alias("z"),
+        )
+        .orderBy("vec_id")
+    )
