@@ -1031,3 +1031,102 @@ def q238_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q240 — label-MRR retrieval quality of the embedding space
+# --------------------------------------------------------------------------
+@query(
+    "q240_label_mrr",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, label AS q_label,
+                      embedding::DOUBLE[] AS q_vec
+               FROM embeddings WHERE {_QUERY_PRED}),
+    scored AS (
+      SELECT q.query_id, q.q_label, e.label,
+             list_cosine_similarity(e.embedding::DOUBLE[], q.q_vec) AS cs,
+             e.vec_id
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id),
+    ranked AS (
+      SELECT query_id, q_label, label,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cs DESC, vec_id) AS rnk
+      FROM scored),
+    firsthit AS (
+      SELECT query_id, q_label, MIN(rnk) AS first_rank
+      FROM ranked WHERE label = q_label
+      GROUP BY query_id, q_label)
+    SELECT q.q_label AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           {r4("CAST(SUM(CAST(COALESCE(1.0 / f.first_rank, 0.0)"
+               " AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*)")} AS mrr,
+           CAST(COUNT(CASE WHEN f.first_rank <= 10 THEN 1 END) AS BIGINT)
+             AS n_hit_at_10
+    FROM q LEFT JOIN firsthit f USING (query_id)
+    GROUP BY q.q_label
+    ORDER BY label
+    """,
+    tags=("extension", "similarity", "retrieval", "mrr"),
+)
+def q240_label_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval quality of the embedding SPACE (not the index): per
+    label, the mean reciprocal rank of the first same-label neighbor
+    under exact cosine ranking, plus hit@10 — labels whose own members
+    don't retrieve each other make every downstream ANN/RAG number
+    meaningless, and q132's recall audit (index vs brute force) cannot
+    see it because both sides share the embedding. Complements q177's
+    silhouette with the metric retrieval people actually quote.
+    Reciprocal ranks sum as DECIMAL casts; ranking ties break on
+    vec_id; queries with NO same-label neighbor contribute 0 (LEFT
+    join + coalesce — dropping them would inflate the score).
+    """
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.expr(_QUERY_PRED)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_vec"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(anchors))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "q_label",
+            "label",
+            "vec_id",
+            cosine(F.col("embedding"), F.col("q_vec")).alias("cs"),
+        )
+    )
+    ranked = scored.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.desc("cs"), F.asc("vec_id")
+            )
+        ),
+    )
+    firsthit = (
+        ranked.filter(F.col("label") == F.col("q_label"))
+        .groupBy("query_id")
+        .agg(F.min("rnk").alias("first_rank"))
+    )
+    rr = F.coalesce(1.0 / F.col("first_rank"), F.lit(0.0))
+    return (
+        anchors.select("query_id", "q_label")
+        .join(firsthit, "query_id", "left")
+        .groupBy(F.col("q_label").alias("label"))
+        .agg(
+            F.count("*").cast("long").alias("n_queries"),
+            round4(
+                F.sum(rr.cast("decimal(38,18)")).cast("double")
+                / F.count("*")
+            ).alias("mrr"),
+            F.count(F.when(F.col("first_rank") <= 10, True))
+            .cast("long")
+            .alias("n_hit_at_10"),
+        )
+        .orderBy("label")
+    )
