@@ -80,6 +80,9 @@ HEADLINE = [
     "q206_source_mixing_weights",
     "q208_quality_quantile_gate",
     "q209_cluster_best_rep",
+    # round-3 late batch: LM scoring + threshold sensitivity
+    "q211_doc_lm_score",
+    "q229_dedup_threshold_curve",
 ]
 
 
