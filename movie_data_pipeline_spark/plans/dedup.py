@@ -1637,11 +1637,18 @@ def q228_chaining_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: within-cluster pairing is quadratic in CLUSTER size, which
     the cluster-forming threshold itself bounds (pathological chains
     are precisely what gets flagged). As registered, the audit joins
-    the UNTHRESHOLDED pairwise-Jaccard frame (below-threshold
-    within-cluster scores are the whole point) — at corpus scale,
-    semi-join the shingle frame down to flagged-cluster members first
-    and recompute pair overlap inside clusters only, the same
-    restrict-then-recompute shape as q121's sampled audit.
+    a pairwise-Jaccard frame with NO threshold (below-threshold
+    within-cluster scores are the whole point), computed ONCE over the
+    corpus, persisted, and reused for both cluster formation and the
+    audit join. The tempting "restrict-then-recompute" variant
+    (semi-join documents down to flagged-cluster members, recompute
+    unthresholded Jaccard there) was built and MEASURED AGAINST this
+    plan: it pays a second shingle pass and, on duplication-heavy
+    corpora where most documents belong to some cluster, degenerates
+    to the full corpus anyway (the 10x replica OOMed its broadcast
+    where this plan ran in 30 s) — restrict-then-recompute only wins
+    when flagged members are a small minority, so it is the documented
+    corpus-scale OPTION, not the default.
     """
     docs = load_table(spark, sf_dir, "documents")
     jac = jaccard_pairs(docs, threshold=0.0).select(
