@@ -1788,3 +1788,68 @@ def q235_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_of_stage1"
         ),
     ).orderBy("stage")
+
+
+# --------------------------------------------------------------------------
+# q242 — time-decayed trending activity ranking
+# --------------------------------------------------------------------------
+@query(
+    "q242_trending_users",
+    oracle="""
+    WITH mx AS (SELECT MAX(ts) AS t_max FROM events),
+    scored AS (
+      SELECT user_id,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(
+               exp(-((epoch_us(mx.t_max) - epoch_us(ts))
+                     / 86400000000.0))
+               AS DECIMAL(38,18))) AS DOUBLE) AS raw
+      FROM events CROSS JOIN mx
+      GROUP BY user_id)
+    SELECT user_id, n_events,
+           floor((raw) * 10000 + 0.5) / 10000 AS decayed_score
+    FROM scored
+    ORDER BY decayed_score DESC, user_id
+    LIMIT 20
+    """,
+    tags=("extension", "behavior", "trending", "decay"),
+)
+def q242_trending_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed trending ranking: each event contributes
+    ``exp(-age/24h)`` relative to the corpus horizon, summed per user —
+    the recency-weighted activity score behind every trending/what's-
+    hot surface (a plain count ranks dead-but-large histories first;
+    exponential decay with a 1-day half-life-ish constant ranks NOW).
+    Top-20 users by quantized score, ties broken by user_id.
+
+    Determinism: age is exact integer microseconds over a double
+    constant, exp runs on identical inputs on both engines, and the
+    per-user sum accumulates DECIMAL(38,18) casts (q189's decay-fit
+    discipline) so partition order cannot move the round4 boundary;
+    the final rank orders on the QUANTIZED score. One map-side-combined
+    aggregate plus a top-k — no shuffle beyond the groupBy at any
+    scale.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("t_max"))
+    age_us = F.expr("timestampdiff(MICROSECOND, ts, t_max)")
+    decay = F.exp(-(age_us / F.lit(86400000000.0)))
+    scored = (
+        ev.crossJoin(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(decay.cast("decimal(38,18)"))
+            .cast("double")
+            .alias("raw"),
+        )
+    )
+    return (
+        scored.select(
+            "user_id",
+            "n_events",
+            round4(F.col("raw")).alias("decayed_score"),
+        )
+        .orderBy(F.desc("decayed_score"), F.asc("user_id"))
+        .limit(20)
+    )
