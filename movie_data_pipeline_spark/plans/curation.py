@@ -1052,3 +1052,76 @@ def q225_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# --------------------------------------------------------------------------
+# q243 — token-budget greedy fill (budgeted corpus selection)
+# --------------------------------------------------------------------------
+_FILL_BUDGET = 100_000  # token budget the selection must fit
+
+
+@query(
+    "q243_budget_fill",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             CAST(len(t) AS BIGINT) AS n_tokens,
+             len(list_filter(t, w -> w IN {_EN_SET})) * 1.0 / len(t)
+               AS quality
+      FROM (SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\\s+') AS t
+            FROM documents)),
+    running AS (
+      SELECT *,
+             SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM scored),
+    chosen AS (SELECT * FROM running WHERE cum_tokens <= {_FILL_BUDGET})
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_used,
+           floor((MIN(quality)) * 10000 + 0.5) / 10000
+             AS min_quality_admitted,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc_id
+    FROM chosen
+    """,
+    tags=("extension", "curation", "budget", "selection"),
+)
+def q243_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted corpus selection: fill a {_FILL_BUDGET}-token budget
+    greedily from the highest-quality documents down (stopword-ratio
+    quality, doc_id tiebreak) — take every document while the running
+    token total stays within budget. This is the knapsack-greedy that
+    turns per-document scores (q24/q211) and per-source gates (q208)
+    into an actual training-set CUT under a compute budget, reporting
+    how deep into the quality distribution the budget reaches.
+
+    NO single-reducer window: the inclusive running token sum comes
+    from the distributed prefix-sum (``operators/prefix.
+    attach_running_sums`` — range partition on (quality DESC, doc_id),
+    local window, broadcast offsets), the same machinery as
+    q120/q123; token counts are integers, so the distributed sum is
+    bit-equal to the sequential fold.
+    """
+    from movie_data_pipeline_spark.operators.prefix import (
+        attach_running_sums,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        F.size(t).cast("long").alias("n_tokens"),
+        (stopword_count(t, ENGLISH_STOPWORDS) / F.size(t)).alias("quality"),
+    )
+    running, _n = attach_running_sums(
+        scored,
+        [F.col("quality").desc(), F.col("doc_id").asc()],
+        {"cum_tokens": "n_tokens"},
+    )
+    chosen = running.filter(F.col("cum_tokens") <= _FILL_BUDGET)
+    return chosen.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("tokens_used"),
+        round4(F.min("quality")).alias("min_quality_admitted"),
+        F.max("doc_id").cast("long").alias("last_doc_id"),
+    )
