@@ -67,21 +67,28 @@ _DRIVER_VERIFIED: frozenset[str] = _load_driver_verified()
 
 
 # Hand-picked head of this round's 50-query verification window: the
-# heaviest extension operators (VERDICT r2 "promote these first") ahead
-# of the oldest unverified block.  Names not in REGISTRY are ignored.
+# most algorithmically intricate never-verified oracles (VERDICT r3 #5
+# "promote these first" — numeric ordering alone would stop at ~q152
+# and never reach them), ahead of the oldest unverified block.  Names
+# not in REGISTRY or already driver-verified are ignored.
 _PRIORITY: tuple[str, ...] = (
-    "q204_streaming_hourly_upsert",  # streaming replay — VERDICT r2 #7
-    "q205_streaming_dedup_gate",  # streaming ingest-gate replay
-    "q206_source_mixing_weights", "q208_quality_quantile_gate",
-    "q209_cluster_best_rep",
-    "q210_streaming_drift_replay",  # drift-monitor sink replay
-    "q220_streaming_join_replay",  # stream-stream interval join replay
-    "q221_streaming_session_replay",  # native session-window replay
-    "q63_duplicate_clusters", "q72_sequence_packing", "q92_pii_redaction",
-    "q144_ppjoin_pairs", "q146_span_scrubbed_corpus",
-    "q149_containment_pairs", "q174_semantic_dedup",
-    "q175_entity_resolution",
+    "q155_kcore_peeling",  # iterative k-core — VERDICT r3 #5
+    "q171_pca_power_iteration",
+    "q176_item_item_cf",
+    "q179_lpa_communities",
+    "q185_trigram_search",
+    "q191_kaplan_meier",
+    "q228_chaining_audit",  # Jaccard df-cap rework (VERDICT r3 #3)
+    "q229_dedup_threshold_curve",
+    "q239_stop_shingle_lexicon",
 )
+
+# Queries whose registered plan AND oracle changed semantics this round
+# (round 4: the q239-calibrated ``max_shingle_df`` cap wired into the
+# Jaccard family — VERDICT r3 #3).  A prior green driver row verified
+# the OLD semantics, so these re-enter the verification window even
+# though ``_DRIVER_VERIFIED`` contains them.
+_FORCE_REVERIFY: tuple[str, ...] = ()
 
 
 def _qnum(name: str) -> tuple[int, str]:
@@ -97,13 +104,24 @@ def _rotation_order() -> list[str]:
     """Catalog names, never-driver-verified first (priority window, then
     remaining unverified in ascending query number — oldest block first
     — then verified sorted)."""
-    priority = [n for n in _PRIORITY if n in REGISTRY]
+    priority = [
+        n for n in _PRIORITY
+        if n in REGISTRY
+        and (n not in _DRIVER_VERIFIED or n in _FORCE_REVERIFY)
+    ]
+    priority += [
+        n for n in _FORCE_REVERIFY
+        if n in REGISTRY and n in _DRIVER_VERIFIED and n not in priority
+    ]
     rest_unverified = sorted(
         (n for n in REGISTRY
          if n not in _DRIVER_VERIFIED and n not in priority),
         key=_qnum,
     )
-    verified = sorted(n for n in REGISTRY if n in _DRIVER_VERIFIED)
+    verified = sorted(
+        n for n in REGISTRY
+        if n in _DRIVER_VERIFIED and n not in priority
+    )
     return priority + rest_unverified + verified
 
 

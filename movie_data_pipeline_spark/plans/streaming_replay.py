@@ -32,6 +32,47 @@ from movie_data_pipeline_spark.plans.dedup import _MINHASH_LONG_CTES
 from movie_data_pipeline_spark.operators.dedup import LSH_BAND_ROWS
 
 
+def _await(q, what: str, timeout: int = 600) -> None:
+    """Block until the stream finishes; FAIL LOUDLY on timeout.
+
+    ``awaitTermination(timeout)`` returns False when the stream is
+    still running — ignoring that (pre-round-4 behavior) would read a
+    partially-written sink and rmtree directories under a live stream,
+    silently corrupting the replay result (ADVICE r3)."""
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise RuntimeError(
+            f"{what}: streaming replay did not finish within {timeout}s"
+        )
+
+
+def _assert_single_file(path: str, what: str) -> None:
+    """q205/q210's oracles pin SINGLE-micro-batch semantics; the batch
+    count follows the source file count under availableNow.  The
+    testdata tables are one parquet file today, but ``stream_table``
+    also accepts directory layouts — if the layout ever grows more
+    part files these oracles would silently diverge (ADVICE r3), so a
+    layout change must fail loudly instead."""
+    import glob as _glob
+    import os as _os
+
+    if _os.path.isdir(path):
+        parts = [
+            p
+            for p in _glob.glob(_os.path.join(path, "**", "*.parquet"),
+                                recursive=True)
+            if _os.path.isfile(p)
+        ]
+    else:
+        parts = [path]
+    if len(parts) != 1:
+        raise AssertionError(
+            f"{what}: oracle pins single-batch semantics but source "
+            f"{path} has {len(parts)} parquet files (≥2 micro-batches); "
+            "use the multi-batch replay (q244) for that layout"
+        )
+
+
 @query(
     "q204_streaming_hourly_upsert",
     oracle=f"""
@@ -81,7 +122,7 @@ def q204_streaming_hourly_upsert(
         q = start_upsert_stream(
             stats, table, ckpt, keys=["ts_hour_epoch", "event_type"]
         )
-        q.awaitTermination(600)
+        _await(q, "q204")
         result = (
             spark.read.parquet(table)
             .select(
@@ -143,12 +184,15 @@ def q205_streaming_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         start_dedup_gate_stream,
     )
 
+    from movie_data_pipeline_spark.sources.registry import table_path
+
+    _assert_single_file(table_path(sf_dir, "documents"), "q205")
     base = tempfile.mkdtemp(prefix="mdp-q205-")
     acc, idx, ckpt = f"{base}/acc", f"{base}/idx", f"{base}/ckpt"
     try:
         docs = stream_table(spark, sf_dir, "documents")
         q = start_dedup_gate_stream(docs, acc, idx, ckpt)
-        q.awaitTermination(600)
+        _await(q, "q205")
         result = (
             VersionedTable(acc)
             .read(spark)
@@ -236,7 +280,7 @@ def q220_streaming_join_replay(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(600)
+        _await(q, "q220")
         result = (
             spark.read.parquet(out)
             .select(
@@ -258,7 +302,7 @@ def q220_streaming_join_replay(
     "q221_streaming_session_replay",
     oracle="""
     WITH marked AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, event_id, value,
              CASE WHEN LAG(ts) OVER w IS NULL
                   OR date_diff('microsecond', LAG(ts) OVER w, ts)
                        >= 900000000
@@ -267,7 +311,11 @@ def q220_streaming_join_replay(
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     numbered AS (
       SELECT user_id, ts, value,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             -- same (ts, event_id) tiebreak as the gap-marking window:
+             -- ts-only ordering could assign two same-ts events
+             -- different sids depending on engine tie order (ADVICE r3)
+             SUM(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
                                     ROWS UNBOUNDED PRECEDING) AS sid
       FROM marked)
     SELECT user_id,
@@ -353,7 +401,7 @@ def q221_streaming_session_replay(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(600)
+        _await(q, "q221")
         result = (
             spark.read.parquet(out)
             .select(
@@ -427,6 +475,9 @@ def q210_streaming_drift_replay(
         start_mix_drift_stream,
     )
 
+    from movie_data_pipeline_spark.sources.registry import table_path
+
+    _assert_single_file(table_path(sf_dir, "events"), "q210")
     events = load_table(spark, sf_dir, "events")
     half = events.filter(F.col("user_id") % 2 == 0)
     n_half = half.count()
@@ -440,7 +491,7 @@ def q210_streaming_drift_replay(
         q = start_mix_drift_stream(
             stream_table(spark, sf_dir, "events"), baseline, out, ckpt
         )
-        q.awaitTermination(600)
+        _await(q, "q210")
         result = spark.read.parquet(out).select(
             "batch_id",
             "n_events",

@@ -65,7 +65,9 @@ def test_rotation_window_is_fresh():
     names = list(e.queries())
     assert len(names) == len(set(names)) == len(REGISTRY)
     window = names[:50]
-    assert not set(window) & e._DRIVER_VERIFIED
+    # Already-verified names may only re-enter the window via the
+    # explicit _FORCE_REVERIFY list (semantics changed this round).
+    assert set(window) & e._DRIVER_VERIFIED <= set(e._FORCE_REVERIFY)
     oracles = e.oracle_sql()
     assert all(n in oracles for n in window)
     # verified names are still served (tail), under canonical names
