@@ -81,6 +81,8 @@ _PRIORITY: tuple[str, ...] = (
     "q228_chaining_audit",  # Jaccard df-cap rework (VERDICT r3 #3)
     "q229_dedup_threshold_curve",
     "q239_stop_shingle_lexicon",
+    "q244_streaming_multibatch_gate",  # new this round — VERDICT r3 #7
+    "q245_df_cap_sensitivity",  # new this round — VERDICT r3 #3
 )
 
 # Queries whose registered plan AND oracle changed semantics this round

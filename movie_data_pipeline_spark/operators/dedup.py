@@ -39,6 +39,20 @@ MINHASH_P = 2_038_074_743
 NUM_HASHES = 16
 LSH_BAND_ROWS = 4  # → 4 bands of 4 rows
 
+# Registered default for ``jaccard_pairs(max_shingle_df=...)`` — the
+# document-frequency cap every catalog plan (and its DuckDB oracle)
+# applies to the shingle buckets.  Calibrated against q239's
+# stop-shingle lexicon: the test corpus's highest-df shingle reaches
+# df=25 at sf0.1 (0.5% share), so 1000 is ~40x above the observed knee
+# and provably drops NOTHING at any tested scale — while at 100 TB it
+# bounds the per-bucket pair blow-up to df*(df-1)/2 <= ~500k pairs per
+# stop-shingle instead of quadratic in corpus size (a shingle present
+# in >1000 documents is boilerplate, not duplication evidence; real
+# copy-clusters are collapsed by exact dedup *before* Jaccard runs).
+# q245 driver-verifies the capped code path with a cap that BINDS at
+# sf0.01 (see plans/dedup.py).
+JACCARD_MAX_SHINGLE_DF = 1000
+
 
 def minhash_coeffs(k: int = NUM_HASHES) -> list[tuple[int, int, int]]:
     """Deterministic (h_idx, a, b) coefficient table."""

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from movie_data_pipeline_spark.functions.text import tokens
+from movie_data_pipeline_spark.operators.dedup import JACCARD_MAX_SHINGLE_DF
 from movie_data_pipeline_spark.operators.packing import pack_documents
 from movie_data_pipeline_spark.plans.core import query, r4, round4
 from movie_data_pipeline_spark.plans.text import (
@@ -447,10 +448,15 @@ def q127_training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
              END AS sh
       FROM toks JOIN qk USING (doc_id)),
     shingles AS (SELECT DISTINCT doc_id, sh FROM sh0),
-    counts AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    sh_keep AS (
+      SELECT sh FROM shingles GROUP BY sh
+      HAVING COUNT(*) <= {JACCARD_MAX_SHINGLE_DF}),
+    shingles_c AS (
+      SELECT s.doc_id, s.sh FROM shingles s JOIN sh_keep USING (sh)),
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM shingles_c GROUP BY doc_id),
     common AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-      FROM shingles a JOIN shingles b
+      FROM shingles_c a JOIN shingles_c b
         ON a.sh = b.sh AND a.doc_id < b.doc_id
       GROUP BY 1, 2),
     prs AS (
@@ -500,7 +506,9 @@ def q139_corpus_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     they hand off — breaks this one hash. Downstream, the kept set
     feeds q72's packing and q127's shard manifest.
     """
-    from movie_data_pipeline_spark.operators.dedup import jaccard_pairs
+    from movie_data_pipeline_spark.operators.dedup import (
+        jaccard_pairs,
+    )
     from movie_data_pipeline_spark.operators.graph import connected_components
 
     docs = load_table(spark, sf_dir, "documents")
@@ -510,7 +518,11 @@ def q139_corpus_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     kept_docs = docs.join(qk, "doc_id").select("doc_id", "text")
-    pairs = jaccard_pairs(kept_docs, threshold=0.2).select("doc_a", "doc_b")
+    pairs = jaccard_pairs(
+        kept_docs,
+        max_shingle_df=JACCARD_MAX_SHINGLE_DF,
+        threshold=0.2,
+    ).select("doc_a", "doc_b")
     comp = connected_components(pairs, nodes=qk, src="doc_a", dst="doc_b")
     fk = comp.filter(F.col("node") == F.col("component")).select(
         F.col("node").alias("doc_id")

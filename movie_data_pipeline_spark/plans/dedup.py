@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from movie_data_pipeline_spark.operators.dedup import (
+    JACCARD_MAX_SHINGLE_DF,
     LSH_BAND_ROWS,
     MINHASH_P,
     containment_pairs,
@@ -54,6 +55,18 @@ _SHINGLES_CTE = f"""
              END AS sh
       FROM toks))
 """
+# Document-frequency cap (operators/dedup.JACCARD_MAX_SHINGLE_DF) as a
+# CTE pair: every Jaccard-family oracle computes counts/common over the
+# capped shingle set, mirroring ``jaccard_pairs(max_shingle_df=...)``
+# exactly (sizes are measured AFTER the cap in both engines).  MinHash
+# CTEs intentionally keep reading the uncapped ``shingles`` — the LSH
+# operators don't df-cap.
+_CAPPED_CTES = f"""sh_keep AS (
+      SELECT sh FROM shingles GROUP BY sh
+      HAVING COUNT(*) <= {JACCARD_MAX_SHINGLE_DF}),
+    shingles_c AS (
+      SELECT s.doc_id, s.sh FROM shingles s JOIN sh_keep USING (sh))"""
+
 _BH_SQL = "CAST(('0x' || substr(md5({col}), 1, 8)) AS BIGINT)"
 
 _COEFF_VALUES = ", ".join(f"({i}, {a}, {b})" for i, a, b in minhash_coeffs())
@@ -93,10 +106,11 @@ def q17_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q18_ngram_jaccard_dupes",
     oracle=f"""
     WITH {_SHINGLES_CTE},
-    counts AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    {_CAPPED_CTES},
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM shingles_c GROUP BY doc_id),
     common AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-      FROM shingles a JOIN shingles b
+      FROM shingles_c a JOIN shingles_c b
         ON a.sh = b.sh AND a.doc_id < b.doc_id
       GROUP BY 1, 2)
     SELECT doc_a, doc_b,
@@ -118,7 +132,7 @@ def q18_ngram_jaccard_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     the reported jaccard is rounded.
     """
     docs = load_table(spark, sf_dir, "documents")
-    pairs = jaccard_pairs(docs, threshold=0.2)
+    pairs = jaccard_pairs(docs, max_shingle_df=JACCARD_MAX_SHINGLE_DF, threshold=0.2)
     return pairs.select(
         "doc_a", "doc_b", round4(F.col("jaccard")).alias("jaccard")
     ).orderBy("doc_a", "doc_b")
@@ -315,10 +329,11 @@ def q74_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 # members) and q82 (kept canonical corpus). Requires WITH RECURSIVE.
 _CLUSTER_CTES = f"""
     {_SHINGLES_CTE},
-    counts AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    {_CAPPED_CTES},
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM shingles_c GROUP BY doc_id),
     common AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-      FROM shingles a JOIN shingles b
+      FROM shingles_c a JOIN shingles_c b
         ON a.sh = b.sh AND a.doc_id < b.doc_id
       GROUP BY 1, 2),
     pairs AS (
@@ -367,7 +382,7 @@ def q63_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     loop is the scale path).
     """
     docs = load_table(spark, sf_dir, "documents")
-    pairs = jaccard_pairs(docs, threshold=0.2).select("doc_a", "doc_b")
+    pairs = jaccard_pairs(docs, max_shingle_df=JACCARD_MAX_SHINGLE_DF, threshold=0.2).select("doc_a", "doc_b")
     return duplicate_clusters(pairs, docs).orderBy("doc_id")
 
 
@@ -430,7 +445,7 @@ def q82_dedup_kept_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle keyed on the component id.
     """
     docs = load_table(spark, sf_dir, "documents")
-    pairs = jaccard_pairs(docs, threshold=0.2).select("doc_a", "doc_b")
+    pairs = jaccard_pairs(docs, max_shingle_df=JACCARD_MAX_SHINGLE_DF, threshold=0.2).select("doc_a", "doc_b")
     comp = connected_components(
         pairs, nodes=docs.select("doc_id"), src="doc_a", dst="doc_b"
     )
@@ -548,10 +563,11 @@ _MINHASH_LONG_CTES_SAMPLED = _MINHASH_LONG_CTES.replace(
       SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
       FROM bands x JOIN bands y
         ON x.band = y.band AND x.band_sig = y.band_sig AND x.doc_id < y.doc_id),
-    counts AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    {_CAPPED_CTES},
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM shingles_c GROUP BY doc_id),
     common AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-      FROM shingles a JOIN shingles b
+      FROM shingles_c a JOIN shingles_c b
         ON a.sh = b.sh AND a.doc_id < b.doc_id
       GROUP BY 1, 2),
     truth AS (
@@ -606,7 +622,7 @@ def q121_lsh_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = lsh_candidate_pairs_wide(minhash_signatures_wide(docs)).select(
         "doc_a", "doc_b"
     )
-    truth = jaccard_pairs(docs, threshold=float(_AUDIT_J)).select("doc_a", "doc_b")
+    truth = jaccard_pairs(docs, max_shingle_df=JACCARD_MAX_SHINGLE_DF, threshold=float(_AUDIT_J)).select("doc_a", "doc_b")
     hits = cand.join(truth, ["doc_a", "doc_b"], "left_semi")
     n_c = cand.agg(F.count("*").alias("n_candidates"))
     n_t = truth.agg(F.count("*").alias("n_true_pairs"))
@@ -704,7 +720,7 @@ def q134_duplicate_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     q63's propagation wins on the dense low-diameter common case.
     """
     docs = load_table(spark, sf_dir, "documents")
-    pairs = jaccard_pairs(docs, threshold=0.2).select("doc_a", "doc_b")
+    pairs = jaccard_pairs(docs, max_shingle_df=JACCARD_MAX_SHINGLE_DF, threshold=0.2).select("doc_a", "doc_b")
     return duplicate_clusters(pairs, docs, algorithm="star").orderBy("doc_id")
 
 
@@ -880,10 +896,11 @@ def q146_span_scrubbed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q149_containment_pairs",
     oracle=f"""
     WITH {_SHINGLES_CTE},
-    counts AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    {_CAPPED_CTES},
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM shingles_c GROUP BY doc_id),
     common AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-      FROM shingles a JOIN shingles b
+      FROM shingles_c a JOIN shingles_c b
         ON a.sh = b.sh AND a.doc_id < b.doc_id
       GROUP BY 1, 2),
     both_dir AS (
@@ -910,7 +927,9 @@ def q149_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`movie_data_pipeline_spark.operators.dedup.containment_pairs`.
     """
     docs = load_table(spark, sf_dir, "documents")
-    pairs = containment_pairs(docs, threshold=0.8)
+    pairs = containment_pairs(
+        docs, threshold=0.8, max_shingle_df=JACCARD_MAX_SHINGLE_DF
+    )
     return pairs.select(
         "src_doc", "dst_doc", round4(F.col("containment")).alias("containment")
     ).orderBy("src_doc", "dst_doc")
@@ -923,10 +942,11 @@ def q149_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q173_leakage_free_split",
     oracle=f"""
     WITH RECURSIVE {_SHINGLES_CTE},
-    counts AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    {_CAPPED_CTES},
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM shingles_c GROUP BY doc_id),
     common AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-      FROM shingles a JOIN shingles b
+      FROM shingles_c a JOIN shingles_c b
         ON a.sh = b.sh AND a.doc_id < b.doc_id
       GROUP BY 1, 2),
     pairs AS (
@@ -984,7 +1004,7 @@ def q173_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-joins of the pair list against the assignment.
     """
     docs = load_table(spark, sf_dir, "documents")
-    pairs = jaccard_pairs(docs, threshold=0.2).select("doc_a", "doc_b")
+    pairs = jaccard_pairs(docs, max_shingle_df=JACCARD_MAX_SHINGLE_DF, threshold=0.2).select("doc_a", "doc_b")
     comp = connected_components(
         pairs, nodes=docs.select("doc_id"), src="doc_a", dst="doc_b"
     )
@@ -1205,10 +1225,11 @@ def q175_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q182_dedup_savings",
     oracle=f"""
     WITH RECURSIVE {_SHINGLES_CTE},
-    counts AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    {_CAPPED_CTES},
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM shingles_c GROUP BY doc_id),
     common AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-      FROM shingles a JOIN shingles b
+      FROM shingles_c a JOIN shingles_c b
         ON a.sh = b.sh AND a.doc_id < b.doc_id
       GROUP BY 1, 2),
     pairs AS (
@@ -1263,7 +1284,7 @@ def q182_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
     component join — no second scan of the text.
     """
     docs = load_table(spark, sf_dir, "documents").persist()
-    pairs = jaccard_pairs(docs, threshold=0.2).select("doc_a", "doc_b")
+    pairs = jaccard_pairs(docs, max_shingle_df=JACCARD_MAX_SHINGLE_DF, threshold=0.2).select("doc_a", "doc_b")
     comp = connected_components(
         pairs, nodes=docs.select("doc_id"), src="doc_a", dst="doc_b"
     )
@@ -1298,10 +1319,11 @@ def q182_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q202_dedup_evidence",
     oracle=f"""
     WITH {_SHINGLES_CTE},
-    counts AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    {_CAPPED_CTES},
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM shingles_c GROUP BY doc_id),
     common AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-      FROM shingles a JOIN shingles b
+      FROM shingles_c a JOIN shingles_c b
         ON a.sh = b.sh AND a.doc_id < b.doc_id
       GROUP BY 1, 2),
     pairs AS (
@@ -1319,8 +1341,8 @@ def q182_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
              array_to_string(
                (list_sort(array_agg(DISTINCT sa.sh)))[1:5], '|') AS evidence
       FROM top t
-      JOIN shingles sa ON sa.doc_id = t.doc_a
-      JOIN shingles sb ON sb.doc_id = t.doc_b AND sb.sh = sa.sh
+      JOIN shingles_c sa ON sa.doc_id = t.doc_a
+      JOIN shingles_c sb ON sb.doc_id = t.doc_b AND sb.sh = sa.sh
       GROUP BY 1, 2, 3, 4)
     SELECT doc_a, doc_b, CAST(n_common AS BIGINT) AS n_shared_shingles,
            {r4('j')} AS jaccard, evidence
@@ -1345,7 +1367,7 @@ def q202_dedup_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking orders on the round4-quantized score (q23's discipline).
     """
     docs = load_table(spark, sf_dir, "documents")
-    pairs = jaccard_pairs(docs, threshold=0.2)
+    pairs = jaccard_pairs(docs, max_shingle_df=JACCARD_MAX_SHINGLE_DF, threshold=0.2)
     top = (
         pairs.orderBy(round4(F.col("jaccard")).desc(), F.asc("doc_a"), F.asc("doc_b"))
         .limit(10)
@@ -1354,6 +1376,15 @@ def q202_dedup_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = docs.select(
         "doc_id", F.explode(word_shingles(F.col("text"))).alias("sh")
     )
+    # evidence shingles obey the same df cap as the pair machinery —
+    # a capped-out stop-shingle must not reappear as "evidence"
+    keep = (
+        sh.groupBy("sh")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= JACCARD_MAX_SHINGLE_DF)
+        .select("sh")
+    )
+    sh = sh.join(keep, "sh")
     sa = sh.select(F.col("doc_id").alias("doc_a"), "sh")
     sb = sh.select(F.col("doc_id").alias("db"), F.col("sh").alias("shb"))
     shared = (
@@ -1383,10 +1414,11 @@ def q202_dedup_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q209_cluster_best_rep",
     oracle=f"""
     WITH RECURSIVE {_SHINGLES_CTE},
-    counts AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    {_CAPPED_CTES},
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM shingles_c GROUP BY doc_id),
     common AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-      FROM shingles a JOIN shingles b
+      FROM shingles_c a JOIN shingles_c b
         ON a.sh = b.sh AND a.doc_id < b.doc_id
       GROUP BY 1, 2),
     pairs AS (
@@ -1449,7 +1481,7 @@ def q209_cluster_best_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
     no extra shuffle beyond the groupBy it shares.
     """
     docs = load_table(spark, sf_dir, "documents").persist()
-    pairs = jaccard_pairs(docs, threshold=0.2).select("doc_a", "doc_b")
+    pairs = jaccard_pairs(docs, max_shingle_df=JACCARD_MAX_SHINGLE_DF, threshold=0.2).select("doc_a", "doc_b")
     comp = connected_components(
         pairs, nodes=docs.select("doc_id"), src="doc_a", dst="doc_b"
     )
@@ -1503,10 +1535,11 @@ _CURVE_THRESHOLDS = ("0.2", "0.3", "0.5", "0.7")
     "q229_dedup_threshold_curve",
     oracle=f"""
     WITH RECURSIVE {_SHINGLES_CTE},
-    counts AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    {_CAPPED_CTES},
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM shingles_c GROUP BY doc_id),
     common AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-      FROM shingles a JOIN shingles b
+      FROM shingles_c a JOIN shingles_c b
         ON a.sh = b.sh AND a.doc_id < b.doc_id
       GROUP BY 1, 2),
     jac AS (
@@ -1545,7 +1578,9 @@ def q229_dedup_threshold_curve(
     """
     docs = load_table(spark, sf_dir, "documents")
     pairs = jaccard_pairs(
-        docs, threshold=float(_CURVE_THRESHOLDS[0])
+        docs,
+        max_shingle_df=JACCARD_MAX_SHINGLE_DF,
+        threshold=float(_CURVE_THRESHOLDS[0]),
     ).select("doc_a", "doc_b", "jaccard")
     thresholds = spark.createDataFrame(
         [(float(t),) for t in _CURVE_THRESHOLDS], "threshold DOUBLE"
@@ -1576,10 +1611,11 @@ _CHAIN_J = "0.2"  # cluster-forming threshold (q63/q182's)
     "q228_chaining_audit",
     oracle=f"""
     WITH RECURSIVE {_SHINGLES_CTE},
-    counts AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    {_CAPPED_CTES},
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM shingles_c GROUP BY doc_id),
     common AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-      FROM shingles a JOIN shingles b
+      FROM shingles_c a JOIN shingles_c b
         ON a.sh = b.sh AND a.doc_id < b.doc_id
       GROUP BY 1, 2),
     jac AS (
@@ -1638,9 +1674,15 @@ def q228_chaining_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cluster-forming threshold itself bounds (pathological chains
     are precisely what gets flagged). As registered, the audit joins
     a pairwise-Jaccard frame with NO threshold (below-threshold
-    within-cluster scores are the whole point), computed ONCE over the
-    corpus, persisted, and reused for both cluster formation and the
-    audit join. The tempting "restrict-then-recompute" variant
+    within-cluster scores are the whole point) but WITH the
+    registered ``JACCARD_MAX_SHINGLE_DF`` document-frequency cap
+    (round 4, VERDICT r3 #3): the unthresholded frame's worst case on
+    a stop-shingle-heavy corpus was the one quadratic shape left in
+    the repo, and the cap bounds every bucket to df*(df-1)/2 ≤ ~500k
+    pairs while dropping nothing at any tested scale (q239 shows the
+    corpus max df is 25 at sf0.1). The frame is computed ONCE over
+    the corpus, persisted, and reused for both cluster formation and
+    the audit join. The tempting "restrict-then-recompute" variant
     (semi-join documents down to flagged-cluster members, recompute
     unthresholded Jaccard there) was built and MEASURED AGAINST this
     plan: it pays a second shingle pass and, on duplication-heavy
@@ -1651,9 +1693,9 @@ def q228_chaining_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-scale OPTION, not the default.
     """
     docs = load_table(spark, sf_dir, "documents")
-    jac = jaccard_pairs(docs, threshold=0.0).select(
-        "doc_a", "doc_b", "jaccard"
-    )
+    jac = jaccard_pairs(
+        docs, max_shingle_df=JACCARD_MAX_SHINGLE_DF, threshold=0.0
+    ).select("doc_a", "doc_b", "jaccard")
     jac = jac.persist()
     pairs = jac.filter(F.col("jaccard") >= float(_CHAIN_J)).select(
         "doc_a", "doc_b"
@@ -1730,6 +1772,13 @@ def q239_stop_shingle_lexicon(
     in 30% of documents identifies nothing). One groupBy over the
     shingle frame plus a global top-k; the heavy explode is q18's
     existing machinery.
+
+    Round 4: this table's output now FEEDS the registered default —
+    ``operators/dedup.JACCARD_MAX_SHINGLE_DF`` (1000, ~40x the max df
+    this table reports at sf0.1) is wired into every catalog
+    ``jaccard_pairs`` call site and mirrored in each oracle's capped
+    shingle CTE; q245 prices the cap's evidence loss per tightening
+    step and driver-verifies the binding-cap semantics.
     """
     docs = load_table(spark, sf_dir, "documents")
     sh = doc_shingles(docs, "doc_id", "text", 3)
@@ -1742,10 +1791,158 @@ def q239_stop_shingle_lexicon(
             round4(F.col("doc_freq") / F.lit(float(n_docs))).alias(
                 "df_share"
             ),
-            (F.col("doc_freq") * (F.col("doc_freq") - 1) / 2)
+            # integer div, not /2-then-cast: double division loses
+            # exactness past 2^53 (doc_freq ~ 9.5e7) — ADVICE r3
+            F.expr("doc_freq * (doc_freq - 1L) div 2")
             .cast("long")
             .alias("pairs_if_uncapped"),
         )
         .orderBy(F.desc("doc_freq"), F.asc("shingle"))
         .limit(25)
+    )
+
+
+# --------------------------------------------------------------------------
+# q245 — df-cap sensitivity curve (driver-verifies the CAPPED code path)
+# --------------------------------------------------------------------------
+_CAP_GRID = (4, 8, JACCARD_MAX_SHINGLE_DF)
+_CAP_VALUES = ", ".join(f"({c})" for c in _CAP_GRID)
+
+
+@query(
+    "q245_df_cap_sensitivity",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    dfreq AS (SELECT sh, COUNT(*) AS df FROM shingles GROUP BY sh),
+    caps(df_cap) AS (VALUES {_CAP_VALUES}),
+    shc AS (
+      SELECT c.df_cap, s.doc_id, s.sh
+      FROM shingles s
+      JOIN dfreq d ON d.sh = s.sh
+      JOIN caps c ON d.df <= c.df_cap),
+    counts AS (
+      SELECT df_cap, doc_id, COUNT(*) AS n FROM shc GROUP BY 1, 2),
+    common AS (
+      SELECT a.df_cap, a.doc_id AS doc_a, b.doc_id AS doc_b,
+             COUNT(*) AS n_common
+      FROM shc a JOIN shc b
+        ON a.df_cap = b.df_cap AND a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3),
+    pairs AS (
+      SELECT c.df_cap, doc_a, doc_b, n_common, ca.n AS na, cb.n AS nb
+      FROM common c
+      JOIN counts ca ON ca.df_cap = c.df_cap AND ca.doc_id = c.doc_a
+      JOIN counts cb ON cb.df_cap = c.df_cap AND cb.doc_id = c.doc_b
+      WHERE n_common * 1.0 / (ca.n + cb.n - n_common) >= 0.2),
+    agg AS (
+      SELECT df_cap, COUNT(*) AS n_pairs,
+             COUNT(DISTINCT doc_b) AS n_docs_droppable,
+             SUM(n_common) AS sum_common,
+             SUM(na + nb) AS sum_sizes
+      FROM pairs GROUP BY df_cap)
+    SELECT CAST(c.df_cap AS BIGINT) AS df_cap,
+           CAST(COALESCE(a.n_pairs, 0) AS BIGINT) AS n_pairs,
+           CAST(COALESCE(a.n_docs_droppable, 0) AS BIGINT)
+             AS n_docs_droppable,
+           CAST(COALESCE(a.sum_common, 0) AS BIGINT) AS sum_common,
+           CAST(COALESCE(a.sum_sizes, 0) AS BIGINT) AS sum_sizes
+    FROM caps c LEFT JOIN agg a USING (df_cap)
+    ORDER BY df_cap
+    """,
+    tags=("extension", "dedup", "calibration", "df-cap"),
+)
+def q245_df_cap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evidence-loss curve for the ``max_shingle_df`` cap: near-dup
+    pair count and droppable-doc count at Jaccard ≥ 0.2 under each
+    candidate cap, including the registered default
+    (``JACCARD_MAX_SHINGLE_DF``). The tight caps (4, 8) BIND on the
+    test corpus (its max df is 7 at sf0.01), so this query is the
+    driver-grade verification of the capped ``jaccard_pairs`` bucket
+    semantics — sizes measured after the cap, buckets dropped whole —
+    that the production-sized default exercises only vacuously at
+    test scale; any divergence between the Spark cap filter and the
+    oracle's HAVING df <= cap breaks this hash. Operationally it is
+    the companion to q239's lexicon: q239 proposes the cap, this
+    query prices it (pairs/docs lost per tightening step).
+
+    Scale: ONE bucket shuffle total — the cap grid is broadcast and
+    joined against the bucket frame (|caps| ~ 3 replication), so the
+    curve costs |caps|x one jaccard pass rather than |caps| passes;
+    all downstream joins key on (df_cap, doc) and stay shuffle-local.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = doc_shingles(docs, "doc_id", "text", 3)
+    buckets = sh.groupBy("shingle").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ids")
+    )
+    caps = spark.createDataFrame(
+        [(int(c),) for c in _CAP_GRID], "df_cap LONG"
+    )
+    bc = buckets.join(
+        F.broadcast(caps), F.size("ids") <= F.col("df_cap")
+    ).persist()
+    sizes = (
+        bc.select("df_cap", F.explode("ids").alias("doc_id"))
+        .groupBy("df_cap", "doc_id")
+        .agg(F.count("*").alias("n"))
+    )
+    ids = F.col("ids")
+    pair_array = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids) - i - 1),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    common = (
+        bc.filter(F.size("ids") > 1)
+        .select("df_cap", F.explode(pair_array).alias("p"))
+        .groupBy(
+            "df_cap",
+            F.col("p.doc_a").alias("doc_a"),
+            F.col("p.doc_b").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(
+        "df_cap", F.col("doc_id").alias("doc_a"), F.col("n").alias("na")
+    )
+    sb = sizes.select(
+        "df_cap", F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")
+    )
+    pairs = (
+        common.join(sa, ["df_cap", "doc_a"])
+        .join(sb, ["df_cap", "doc_b"])
+        .filter(
+            F.col("n_common")
+            / (F.col("na") + F.col("nb") - F.col("n_common"))
+            >= 0.2
+        )
+    )
+    agg = pairs.groupBy("df_cap").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.count_distinct("doc_b").cast("long").alias("n_docs_droppable"),
+        # exact integer checksums over the qualifying pairs: these DO
+        # shift when a binding cap drops shared shingles, so the hash
+        # verifies the capped bucket semantics even when the pair SET
+        # is cap-invariant (as on this corpus)
+        F.sum("n_common").cast("long").alias("sum_common"),
+        F.sum(F.col("na") + F.col("nb")).cast("long").alias("sum_sizes"),
+    )
+    return (
+        caps.join(agg, "df_cap", "left")
+        .select(
+            "df_cap",
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce("n_docs_droppable", F.lit(0))
+            .cast("long")
+            .alias("n_docs_droppable"),
+            F.coalesce("sum_common", F.lit(0))
+            .cast("long")
+            .alias("sum_common"),
+            F.coalesce("sum_sizes", F.lit(0)).cast("long").alias("sum_sizes"),
+        )
+        .orderBy("df_cap")
     )
