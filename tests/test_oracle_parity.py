@@ -72,3 +72,24 @@ def test_rotation_window_is_fresh():
     assert all(n in oracles for n in window)
     # verified names are still served (tail), under canonical names
     assert set(names) == set(REGISTRY)
+
+
+def test_force_reverify_reenters_window(monkeypatch):
+    """A verified name listed in _FORCE_REVERIFY re-enters the head of
+    the rotation (semantics changed → its old green row is stale);
+    names absent from it stay in the verified tail."""
+    import __spark_entry__ as e
+
+    verified = sorted(e._DRIVER_VERIFIED)[:2]
+    if len(verified) < 2:
+        return  # no CORRECTNESS files present — nothing to re-verify
+    forced, control = verified[0], verified[1]
+    monkeypatch.setattr(e, "_FORCE_REVERIFY", (forced,))
+    order = e._rotation_order()
+    assert len(order) == len(set(order)) == len(REGISTRY)
+    assert order.index(forced) < 50
+    # the non-forced verified name stays behind every unverified one
+    first_verified_tail = min(
+        order.index(n) for n in e._DRIVER_VERIFIED if n != forced
+    )
+    assert order.index(control) >= first_verified_tail
