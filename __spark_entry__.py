@@ -40,10 +40,17 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # query in the re-verification window.
 
 
-def _load_driver_verified() -> frozenset[str]:
+def _load_green_rounds() -> dict[str, int]:
+    """name -> latest round number whose CORRECTNESS row was fully
+    green (rows+schema+hash, no err)."""
     here = os.path.dirname(os.path.abspath(__file__))
-    verified: set[str] = set()
+    green_round: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        stem = os.path.basename(path)[len("CORRECTNESS_r"):].split(".")[0]
+        try:
+            rnd = int(stem)
+        except ValueError:
+            continue
         try:
             with open(path) as fh:
                 data = json.load(fh)
@@ -59,11 +66,13 @@ def _load_driver_verified() -> frozenset[str]:
                 and not row.get("err")
             )
             if green:
-                verified.add(key[2:] if key.startswith("a_") else key)
-    return frozenset(verified)
+                name = key[2:] if key.startswith("a_") else key
+                green_round[name] = max(green_round.get(name, 0), rnd)
+    return green_round
 
 
-_DRIVER_VERIFIED: frozenset[str] = _load_driver_verified()
+_GREEN_ROUND: dict[str, int] = _load_green_rounds()
+_DRIVER_VERIFIED: frozenset[str] = frozenset(_GREEN_ROUND)
 
 
 # Hand-picked head of this round's 50-query verification window: the
@@ -85,12 +94,43 @@ _PRIORITY: tuple[str, ...] = (
     "q245_df_cap_sensitivity",  # new this round — VERDICT r3 #3
 )
 
-# Queries whose registered plan AND oracle changed semantics this round
-# (round 4: the q239-calibrated ``max_shingle_df`` cap wired into the
-# Jaccard family — VERDICT r3 #3).  A prior green driver row verified
-# the OLD semantics, so these re-enter the verification window even
-# though ``_DRIVER_VERIFIED`` contains them.
-_FORCE_REVERIFY: tuple[str, ...] = ()
+# Queries whose registered plan AND oracle changed semantics in some
+# round AFTER their last green driver row (round 4: the
+# q239-calibrated ``max_shingle_df`` cap wired into the Jaccard
+# family — VERDICT r3 #3).  Their old green rows verified the OLD
+# semantics, so each re-enters the verification window until the
+# driver records a green row from a round >= the change round (the r4
+# rows themselves were recorded post-change, so any r4+ green counts).
+# Placement math (VERDICT r4 #1/#3): forced names are inserted AFTER
+# ``rest_unverified`` — never displacing never-driver-verified queries
+# from the 50-row window — so with 68 never-verified names in r5 they
+# sit at positions 69-75 (outside the window, r5 stays 50 fresh
+# first-time names), and in r6, with only 18 never-verified left, they
+# land at positions 19-25 and all get re-verified.  Once re-greened
+# they auto-deactivate via ``_GREEN_ROUND``; nothing to hand-edit.
+_REVERIFY_QUEUE: dict[str, int] = {
+    # name -> first round whose green row counts as post-change
+    "q18_ngram_jaccard_dupes": 4,
+    "q63_duplicate_clusters": 4,
+    "q82_dedup_kept_corpus": 4,
+    "q121_lsh_quality_audit": 4,
+    "q134_duplicate_clusters_star": 4,
+    "q149_containment_pairs": 4,
+    "q209_cluster_best_rep": 4,
+}
+
+
+def _active_reverify(
+    queue: dict[str, int], green_round: dict[str, int]
+) -> tuple[str, ...]:
+    return tuple(
+        n for n, since in queue.items() if green_round.get(n, 0) < since
+    )
+
+
+_FORCE_REVERIFY: tuple[str, ...] = _active_reverify(
+    _REVERIFY_QUEUE, _GREEN_ROUND
+)
 
 
 def _qnum(name: str) -> tuple[int, str]:
@@ -103,28 +143,29 @@ def _qnum(name: str) -> tuple[int, str]:
 
 
 def _rotation_order() -> list[str]:
-    """Catalog names, never-driver-verified first (priority window, then
-    remaining unverified in ascending query number — oldest block first
-    — then verified sorted)."""
+    """Catalog names, never-driver-verified first (priority window,
+    then remaining unverified in ascending query number — oldest block
+    first), then the force-reverify queue (stale greens re-enter only
+    once no never-verified name would be displaced from the window),
+    then verified sorted."""
     priority = [
         n for n in _PRIORITY
-        if n in REGISTRY
-        and (n not in _DRIVER_VERIFIED or n in _FORCE_REVERIFY)
-    ]
-    priority += [
-        n for n in _FORCE_REVERIFY
-        if n in REGISTRY and n in _DRIVER_VERIFIED and n not in priority
+        if n in REGISTRY and n not in _DRIVER_VERIFIED
     ]
     rest_unverified = sorted(
         (n for n in REGISTRY
          if n not in _DRIVER_VERIFIED and n not in priority),
         key=_qnum,
     )
+    forced = [
+        n for n in _FORCE_REVERIFY
+        if n in REGISTRY and n in _DRIVER_VERIFIED
+    ]
     verified = sorted(
         n for n in REGISTRY
-        if n in _DRIVER_VERIFIED and n not in priority
+        if n in _DRIVER_VERIFIED and n not in forced
     )
-    return priority + rest_unverified + verified
+    return priority + rest_unverified + forced + verified
 
 
 def entry(spark: SparkSession) -> DataFrame:

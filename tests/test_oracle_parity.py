@@ -75,9 +75,11 @@ def test_rotation_window_is_fresh():
 
 
 def test_force_reverify_reenters_window(monkeypatch):
-    """A verified name listed in _FORCE_REVERIFY re-enters the head of
-    the rotation (semantics changed → its old green row is stale);
-    names absent from it stay in the verified tail."""
+    """A verified name listed in _FORCE_REVERIFY re-enters the rotation
+    AFTER every never-verified name (it must not displace a first-time
+    query from the 50-row window — VERDICT r4 #1) but BEFORE the
+    verified tail, so it is re-verified as soon as the never-verified
+    backlog leaves room; names absent from it stay in the tail."""
     import __spark_entry__ as e
 
     verified = sorted(e._DRIVER_VERIFIED)[:2]
@@ -87,9 +89,55 @@ def test_force_reverify_reenters_window(monkeypatch):
     monkeypatch.setattr(e, "_FORCE_REVERIFY", (forced,))
     order = e._rotation_order()
     assert len(order) == len(set(order)) == len(REGISTRY)
-    assert order.index(forced) < 50
-    # the non-forced verified name stays behind every unverified one
-    first_verified_tail = min(
+    n_unverified = sum(1 for n in order if n not in e._DRIVER_VERIFIED)
+    # directly after the full never-verified block
+    assert order.index(forced) == n_unverified
+    # the non-forced verified names all come after the forced one
+    assert order.index(control) > order.index(forced)
+    first_other_verified = min(
         order.index(n) for n in e._DRIVER_VERIFIED if n != forced
     )
-    assert order.index(control) >= first_verified_tail
+    assert first_other_verified > order.index(forced)
+
+
+def test_force_reverify_autodeactivates():
+    """A queue entry stays active only until a green driver row from a
+    round >= its change round exists; re-greened names drop out with no
+    manual edit."""
+    import __spark_entry__ as e
+
+    queue = {"qX": 4, "qY": 4, "qZ": 6}
+    green = {"qX": 2, "qY": 5, "qZ": 6}  # qX stale, qY/qZ re-greened
+    assert e._active_reverify(queue, green) == ("qX",)
+    # never-greened names stay active too (red rows keep them queued)
+    assert e._active_reverify({"qW": 4}, {}) == ("qW",)
+
+
+def test_reverify_queue_live_state():
+    """The 7 cap-reworked names (VERDICT r4 #1) are queued; the ones
+    whose latest green row predates the change (r1-r3) are active
+    (q82 was IN the r4 window, so its r4 row already verifies the
+    capped semantics and it auto-deactivates), and their placement
+    leaves the current window entirely never-verified."""
+    import __spark_entry__ as e
+
+    assert len(e._REVERIFY_QUEUE) == 7
+    for n in e._REVERIFY_QUEUE:
+        assert n in REGISTRY
+    active = set(e._FORCE_REVERIFY)
+    # active = exactly those without a post-change (round>=4) green row
+    expected = {
+        n for n, since in e._REVERIFY_QUEUE.items()
+        if e._GREEN_ROUND.get(n, 0) < since
+    }
+    assert active == expected
+    window = list(e.queries())[:50]
+    n_unverified = sum(
+        1 for n in REGISTRY if n not in e._DRIVER_VERIFIED
+    )
+    if n_unverified >= 50:
+        # backlog still fills the window: forced names must wait
+        assert not (set(window) & active)
+    else:
+        # backlog drained: forced names enter right after it
+        assert active <= set(window[:n_unverified + len(active)])
