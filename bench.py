@@ -83,6 +83,13 @@ HEADLINE = [
     # round-3 late batch: LM scoring + threshold sensitivity
     "q211_doc_lm_score",
     "q229_dedup_threshold_curve",
+    # round-4 additions (VERDICT r4 #5): cap calibration + sensitivity,
+    # token-budget fill, and one streaming replay so regressions in the
+    # newest families are measurable
+    "q239_stop_shingle_lexicon",
+    "q243_budget_fill",
+    "q245_df_cap_sensitivity",
+    "q244_streaming_multibatch_gate",
 ]
 
 
@@ -211,6 +218,37 @@ def main() -> None:
         for name in names:
             runs[name].append(run_query(spark, name, sf_dir))
         done_passes += 1
+
+    def _noise_band() -> float:
+        spreads = sorted(
+            (max(v) - min(v)) / min(v) * 100
+            for v in runs.values()
+            if v and min(v) > 0
+        )
+        return round(spreads[len(spreads) // 2], 1) if spreads else 0.0
+
+    # Drift escalation (VERDICT r4 #2): a one-sided VM slowdown can
+    # drown all n standard passes at once — min-of-n then records a
+    # number the file itself flags as noise (BENCH_r04: 42.7% band,
+    # judge rerun 20% faster across the board).  When the measured
+    # band exceeds the threshold, keep adding whole interleaved passes
+    # (bounded, budget-respecting) so at least one pass likely lands in
+    # a quiet window; the escalation itself is recorded in the output.
+    noise_threshold = float(
+        os.environ.get("SPARK_GRAFT_NOISE_THRESHOLD_PCT", "30")
+    )
+    max_extra = int(os.environ.get("SPARK_GRAFT_MAX_EXTRA_PASSES", "2"))
+    extra_passes = 0
+    while (
+        done_passes >= 2
+        and extra_passes < max_extra
+        and _noise_band() > noise_threshold
+        and time.perf_counter() - t_start <= budget_s
+    ):
+        for name in names:
+            runs[name].append(run_query(spark, name, sf_dir))
+        done_passes += 1
+        extra_passes += 1
     repeats = done_passes
 
     # reference-workload replica (BASELINE.md: ~32 s compute-bound).
@@ -244,10 +282,13 @@ def main() -> None:
         "repeats": repeats,
         "noise_band_pct": noise_band,
     }
+    if extra_passes:
+        out["escalated_passes"] = extra_passes
     line = json.dumps(out, separators=(",", ":"))
     if len(line) > 1900:  # belt-and-braces: never outgrow the capture
         out.pop("noise_band_pct", None)
         out.pop("repeats", None)
+        out.pop("escalated_passes", None)
         line = json.dumps(out, separators=(",", ":"))
 
     detail = {
@@ -256,6 +297,8 @@ def main() -> None:
         "spread_pct": spread_pct,
         "noise_band_pct": noise_band,
         "repeats": repeats,
+        "escalated_passes": extra_passes,
+        "noise_threshold_pct": noise_threshold,
         "sf": sf,
         "runs": {n: [round(x, 4) for x in v] for n, v in runs.items()},
     }

@@ -241,8 +241,12 @@ def write_warehouse_jdbc(
       cluster's core count.
 
     ``properties`` carries driver/user/password (the reference reads
-    these from .env, etl1.py:552-561); sandbox has no RDBMS, so the
-    contract test asserts the writer plumbing, not a live roundtrip.
+    these from .env, etl1.py:552-561). Verified two ways: a plumbing
+    contract test against an intercepted writer (any RDBMS url), and a
+    LIVE end-to-end roundtrip against embedded Apache Derby (bundled
+    in pyspark's jars — tests/test_jdbc_sink.py::
+    test_jdbc_live_derby_roundtrip): pre-created DDL, truncate-refresh
+    of non-empty tables with PKs surviving, values hash-compared back.
     """
     props = {
         "batchsize": str(batchsize),

@@ -1931,7 +1931,7 @@ def q245_df_cap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_common").cast("long").alias("sum_common"),
         F.sum(F.col("na") + F.col("nb")).cast("long").alias("sum_sizes"),
     )
-    return (
+    out = (
         caps.join(agg, "df_cap", "left")
         .select(
             "df_cap",
@@ -1946,3 +1946,9 @@ def q245_df_cap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("df_cap")
     )
+    # |caps| rows — materialize eagerly so the multi-consumer bucket
+    # cache can be released instead of leaking block-manager state for
+    # the rest of the session (ADVICE r4).
+    out = out.localCheckpoint(eager=True)
+    bc.unpersist()
+    return out

@@ -605,11 +605,21 @@ def q244_streaming_multibatch_gate(
         )
         q = start_dedup_gate_stream(stream, acc, idx, ckpt)
         _await(q, "q244")
-        n_commits = len(VersionedTable(idx).versions())
-        if n_commits < 2:
+        # Multi-batch assertion from the QUERY'S OWN progress, not the
+        # index commit count (ADVICE r4): dedup_gate_batch_writer skips
+        # the index commit for a zero-survivor micro-batch, so a
+        # legitimately all-duplicate batch would false-alarm an
+        # index-commit assertion even though two batches ran.
+        fed = {
+            p["batchId"]
+            for p in q.recentProgress
+            if p.get("numInputRows", 0) > 0
+        }
+        if len(fed) < 2:
             raise AssertionError(
-                f"q244: expected >=2 index commits (one per micro-batch), "
-                f"got {n_commits} — the stream did not run multi-batch"
+                f"q244: expected >=2 data-carrying micro-batches, got "
+                f"batchIds {sorted(fed)} — the stream did not run "
+                f"multi-batch"
             )
         result = (
             VersionedTable(acc)

@@ -394,6 +394,90 @@ def test_transform_with_state_running_totals(spark, tmp_path):
     assert len(u1) >= 2 and sorted(u1) == u1
 
 
+def test_running_totals_processor_contract():
+    """The transformWithStateInPandas processor's LOGIC, exercised
+    without the Spark streaming runtime (VERDICT r4 #6: protobuf gates
+    the state server in this sandbox, so the only code the e2e skip
+    leaves unexecuted should be the API binding itself, not the fold).
+
+    Contract verified with a fake ValueState handle:
+    - init wires exactly one ValueState under the documented name/type;
+    - a cold key folds from (0, 0.0);
+    - each batch emits ONE cumulative row for the key;
+    - state round-trips: batch 2 resumes from batch 1's totals, and
+      a fresh processor instance (executor restart) resumes from the
+      persisted pair — the cross-batch semantics q-e2e would assert;
+    - the emitted frame matches RUNNING_TOTALS_SCHEMA's columns.
+    """
+    import pandas as pd
+
+    from movie_data_pipeline_spark.streaming.events import (
+        RUNNING_TOTALS_SCHEMA,
+        RunningTotals,
+    )
+
+    class FakeValueState:
+        def __init__(self):
+            self.value = None
+
+        def exists(self):
+            return self.value is not None
+
+        def get(self):
+            return self.value
+
+        def update(self, v):
+            self.value = tuple(v)
+
+    class FakeHandle:
+        def __init__(self):
+            self.states = {}
+
+        def getValueState(self, name, schema):
+            assert name == "totals"
+            assert schema == "n LONG, total DOUBLE"
+            return self.states.setdefault(name, FakeValueState())
+
+    handle = FakeHandle()
+    proc = RunningTotals()
+    proc.init(handle)
+    assert set(handle.states) == {"totals"}
+
+    key = (7,)
+    # batch 1: two Arrow chunks for the same key
+    out1 = list(
+        proc.handleInputRows(
+            key,
+            iter(
+                [
+                    pd.DataFrame({"value": [10.0, 5.0]}),
+                    pd.DataFrame({"value": [1.0]}),
+                ]
+            ),
+            None,
+        )
+    )
+    assert len(out1) == 1
+    assert list(out1[0].columns) == [f.name for f in RUNNING_TOTALS_SCHEMA]
+    assert out1[0].iloc[0].tolist() == [7, 3, 16.0]
+    assert handle.states["totals"].value == (3, 16.0)
+
+    # batch 2: same processor instance accumulates
+    out2 = list(
+        proc.handleInputRows(key, iter([pd.DataFrame({"value": [4.0]})]), None)
+    )
+    assert out2[0].iloc[0].tolist() == [7, 4, 20.0]
+
+    # executor restart: a NEW instance over the same persisted state
+    proc2 = RunningTotals()
+    proc2.init(handle)
+    out3 = list(
+        proc2.handleInputRows(key, iter([pd.DataFrame({"value": [0.5]})]), None)
+    )
+    assert out3[0].iloc[0].tolist() == [7, 5, 20.5]
+    proc2.close()
+
+
 def test_stream_table_directory_layout(spark, tmp_path):
     """stream_table must handle BOTH table layouts: the driver's
     single-file `<t>.parquet` AND a Spark-written `<t>.parquet/`
