@@ -101,6 +101,8 @@ def _short(name: str) -> str:
     BENCH_DETAIL.json."""
     if name == "movielens_etl_full":
         return "etl"
+    if name == "movielens_etl_jdbc":
+        return "etl_jdbc"
     return name.split("_", 1)[0]
 
 
@@ -181,6 +183,79 @@ def run_movielens_pipeline(spark) -> float | None:
         shutil.rmtree(out, ignore_errors=True)
 
 
+def run_movielens_pipeline_jdbc(spark) -> float | None:
+    """Extract → transform → JDBC full-refresh load into embedded
+    Derby: the closest sandbox analog of the reference's ACTUAL sink
+    (pandas → SQLAlchemy → MySQL, etl1.py:483-506 — its ~32 s
+    compute-bound number INCLUDES the database load). Gated behind
+    SPARK_GRAFT_BENCH_JDBC=1 — an embedded single-JVM database load is
+    informative for the baseline comparison but too slow/noisy for the
+    per-round headline loop."""
+    if os.environ.get("SPARK_GRAFT_BENCH_JDBC") != "1":
+        return None
+    if not os.path.exists(f"{REFERENCE_DATA}/movies.csv"):
+        return None
+    import shutil
+    import tempfile
+
+    from movie_data_pipeline_spark.pipeline.movies_etl import (
+        WAREHOUSE_TABLES,
+        build_warehouse,
+        write_warehouse_jdbc,
+    )
+    from movie_data_pipeline_spark.sources.movielens import (
+        read_links,
+        read_movies,
+        read_ratings,
+    )
+
+    base = tempfile.mkdtemp(prefix="mdp-bench-jdbc-")
+    url = f"jdbc:derby:{base}/db;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    try:
+        # pre-create DDL, as the reference's schema.sql does (strings
+        # as CLOB: Spark's dialect-default JDBC type for StringType)
+        jvm = spark.sparkContext._jvm
+        jvm.java.lang.Class.forName(driver)
+        wh0, _ = build_warehouse(
+            spark,
+            read_movies(spark, REFERENCE_DATA),
+            read_ratings(spark, REFERENCE_DATA),
+            read_links(spark, REFERENCE_DATA),
+            enrichment=None,
+        )
+        type_map = {
+            "int": "INTEGER", "bigint": "BIGINT", "double": "DOUBLE",
+            "string": "CLOB", "timestamp": "TIMESTAMP",
+        }
+        conn = jvm.java.sql.DriverManager.getConnection(url)
+        try:
+            st = conn.createStatement()
+            for name in WAREHOUSE_TABLES:
+                df = getattr(wh0, name)
+                cols = ", ".join(
+                    f"{f.name} {type_map[f.dataType.simpleString()]}"
+                    for f in df.schema.fields
+                )
+                st.executeUpdate(f"CREATE TABLE {name} ({cols})")
+        finally:
+            conn.close()
+        t0 = time.perf_counter()
+        wh, _ = build_warehouse(
+            spark,
+            read_movies(spark, REFERENCE_DATA),
+            read_ratings(spark, REFERENCE_DATA),
+            read_links(spark, REFERENCE_DATA),
+            enrichment=None,
+        )
+        write_warehouse_jdbc(
+            wh, url, properties={"driver": driver}, num_partitions=4
+        )
+        return time.perf_counter() - t0
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -259,6 +334,9 @@ def main() -> None:
         runs["movielens_etl_full"] = [
             run_movielens_pipeline(spark) for _ in range(repeats)
         ]
+    jdbc_secs = run_movielens_pipeline_jdbc(spark)
+    if jdbc_secs is not None:
+        runs["movielens_etl_jdbc"] = [jdbc_secs]
 
     timings = {n: round(min(v), 4) for n, v in runs.items()}
     spread_pct = {
