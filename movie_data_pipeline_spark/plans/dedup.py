@@ -1952,3 +1952,157 @@ def q245_df_cap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     bc.unpersist()
     return out
+
+
+# --------------------------------------------------------------------------
+# q246 — verbatim substring runs (positional evidence beyond set overlap)
+# --------------------------------------------------------------------------
+_RUN_N = 5  # shingle width in words
+_RUN_CAP = 64  # max (doc,pos) entries per shingle bucket
+_RUN_MIN_WORDS = 7  # report runs of >= 3 consecutive shingles
+
+
+@query(
+    "q246_substring_runs",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\\s+') AS toks
+      FROM documents),
+    pos AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(toks[i:i + {_RUN_N - 1}], ' ') AS shingle
+      FROM t, unnest(generate_series(1, len(toks) - {_RUN_N - 1})) AS s(i)
+      WHERE len(toks) >= {_RUN_N}),
+    keep AS (
+      SELECT shingle FROM pos
+      GROUP BY shingle HAVING COUNT(*) <= {_RUN_CAP}),
+    p AS (SELECT pos.* FROM pos JOIN keep USING (shingle)),
+    match AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.pos - b.pos AS diff, a.pos AS pa
+      FROM p a JOIN p b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+    islands AS (
+      SELECT doc_a, doc_b, diff, pa,
+             pa - ROW_NUMBER() OVER (
+               PARTITION BY doc_a, doc_b, diff ORDER BY pa) AS island
+      FROM match),
+    runs AS (
+      SELECT doc_a, doc_b, diff, island, COUNT(*) AS run_shingles
+      FROM islands GROUP BY 1, 2, 3, 4),
+    per_pair AS (
+      SELECT doc_a, doc_b,
+             MAX(run_shingles) + {_RUN_N - 1} AS max_run_words,
+             COUNT(*) AS n_runs,
+             SUM(run_shingles) AS n_shared_positions
+      FROM runs GROUP BY doc_a, doc_b)
+    SELECT doc_a, doc_b,
+           CAST(max_run_words AS BIGINT) AS max_run_words,
+           CAST(n_runs AS BIGINT) AS n_runs,
+           CAST(n_shared_positions AS BIGINT) AS n_shared_positions
+    FROM per_pair
+    WHERE max_run_words >= {_RUN_MIN_WORDS}
+    ORDER BY max_run_words DESC, doc_a, doc_b
+    LIMIT 100
+    """,
+    tags=("extension", "dedup", "substring", "verbatim"),
+)
+def q246_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest VERBATIM shared word runs per document pair — the
+    positional complement of set-overlap dedup (Lee et al.'s ExactSubstr
+    argument: templated boilerplate and quote-chains duplicate long
+    contiguous spans while the documents' shingle SETS stay dissimilar,
+    so Jaccard never fires). A pair's evidence here is "these two
+    documents share a {_RUN_MIN_WORDS}+-word contiguous passage", with
+    the run length, run count, and total aligned positions.
+
+    Plan: positional {_RUN_N}-gram shingles (posexplode keeps the
+    offset the set-based q18 path deliberately drops) group into
+    per-shingle (doc,pos) buckets; pairs generate MAP-SIDE from each
+    sorted bucket array (the jaccard_pairs shape — one shuffle, no
+    self-join) keeping both offsets; a match at alignment
+    ``diff = pos_a - pos_b`` then belongs to a contiguous run iff
+    consecutive pos_a share the diff, which is gaps-and-islands:
+    ``pos_a - row_number()`` per (pair, diff) window — PARTITIONED by
+    the pair+alignment key, so the window state is one run's worth per
+    task, never a global sort. The {_RUN_CAP}-entry bucket cap is the
+    same stop-shingle quadratic bound the capped Jaccard family uses
+    (calibrated by q239, priced by q245); integer-only outputs make the
+    oracle hash exact.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    grams = F.when(
+        F.size(t) >= _RUN_N,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (_RUN_N - 1)),
+            lambda i: F.array_join(F.slice(t, i, _RUN_N), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pos = docs.select(
+        "doc_id", F.posexplode(grams).alias("pos0", "shingle")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "shingle")
+    buckets = (
+        pos.groupBy("shingle")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "pos"))
+            ).alias("entries")
+        )
+        .filter(
+            (F.size("entries") > 1) & (F.size("entries") <= _RUN_CAP)
+        )
+    )
+    e = F.col("entries")
+    pair_array = F.flatten(
+        F.transform(
+            e,
+            lambda x, i: F.transform(
+                F.slice(e, i + 2, F.size(e) - i - 1),
+                lambda y: F.struct(
+                    x["doc_id"].alias("doc_a"),
+                    y["doc_id"].alias("doc_b"),
+                    (x["pos"] - y["pos"]).alias("diff"),
+                    x["pos"].alias("pa"),
+                ),
+            ),
+        )
+    )
+    match = (
+        buckets.select(F.explode(pair_array).alias("m"))
+        .filter(F.col("m.doc_a") != F.col("m.doc_b"))
+        .select(
+            # bucket arrays sort by (doc_id, pos), so cross-doc array
+            # pairs already satisfy doc_a < doc_b after the != filter;
+            # recompute diff/pa from the canonical orientation anyway
+            # so the invariant is explicit, not positional
+            F.least("m.doc_a", "m.doc_b").alias("doc_a"),
+            F.greatest("m.doc_a", "m.doc_b").alias("doc_b"),
+            F.when(
+                F.col("m.doc_a") < F.col("m.doc_b"), F.col("m.diff")
+            ).otherwise(-F.col("m.diff")).alias("diff"),
+            F.when(
+                F.col("m.doc_a") < F.col("m.doc_b"), F.col("m.pa")
+            ).otherwise(F.col("m.pa") - F.col("m.diff")).alias("pa"),
+        )
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diff").orderBy("pa")
+    islands = match.withColumn(
+        "island", F.col("pa") - F.row_number().over(w)
+    )
+    runs = islands.groupBy("doc_a", "doc_b", "diff", "island").agg(
+        F.count("*").alias("run_shingles")
+    )
+    per_pair = runs.groupBy("doc_a", "doc_b").agg(
+        (F.max("run_shingles") + F.lit(_RUN_N - 1))
+        .cast("long")
+        .alias("max_run_words"),
+        F.count("*").cast("long").alias("n_runs"),
+        F.sum("run_shingles").cast("long").alias("n_shared_positions"),
+    )
+    return (
+        per_pair.filter(F.col("max_run_words") >= _RUN_MIN_WORDS)
+        .orderBy(F.desc("max_run_words"), "doc_a", "doc_b")
+        .limit(100)
+    )

@@ -1130,3 +1130,90 @@ def q240_label_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --------------------------------------------------------------------------
+# q247 — embedding-space benchmark decontamination
+# --------------------------------------------------------------------------
+_DECON_EVAL_PRED = "vec_id % 20 = 0"  # the held-out benchmark slice
+_DECON_TAU = 0.35  # p99.9 of the train-eval cosine distribution ~0.379
+
+
+@query(
+    "q247_embedding_decontamination",
+    oracle=f"""
+    WITH ev AS (SELECT vec_id AS eval_id, embedding::DOUBLE[] AS e_vec
+                FROM embeddings WHERE {_DECON_EVAL_PRED}),
+    tr AS (SELECT vec_id, embedding::DOUBLE[] AS t_vec
+           FROM embeddings WHERE NOT ({_DECON_EVAL_PRED})),
+    hits AS (
+      SELECT tr.vec_id, ev.eval_id,
+             {r4('list_cosine_similarity(tr.t_vec, ev.e_vec)')} AS cs
+      FROM tr CROSS JOIN ev),
+    flagged AS (SELECT * FROM hits WHERE cs >= {_DECON_TAU}),
+    agg AS (
+      SELECT vec_id,
+             COUNT(*) AS n_eval_hits,
+             MAX(cs) AS max_cos
+      FROM flagged GROUP BY vec_id)
+    SELECT a.vec_id,
+           CAST(a.n_eval_hits AS BIGINT) AS n_eval_hits,
+           a.max_cos,
+           CAST(MIN(f.eval_id) AS BIGINT) AS nearest_eval_id
+    FROM agg a JOIN flagged f
+      ON f.vec_id = a.vec_id AND f.cs = a.max_cos
+    GROUP BY a.vec_id, a.n_eval_hits, a.max_cos
+    ORDER BY a.vec_id
+    """,
+    tags=("extension", "similarity", "decontamination"),
+)
+def q247_embedding_decontamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Benchmark decontamination in EMBEDDING space: training vectors
+    whose cosine to any held-out benchmark vector reaches τ are
+    flagged with their hit count, max similarity, and nearest
+    benchmark id. The semantic complement of q88's n-gram
+    decontamination — paraphrased leakage shares no 8-gram but sits
+    next to the benchmark in embedding space (the Phi/llm-decontaminate
+    argument); a training pipeline runs BOTH before a data release.
+
+    Shape (the 100 TB-safe one): the benchmark side is TINY by
+    construction (eval suites are thousands of rows), so it broadcasts
+    and the corpus side is ONE scan with map-side zip_with/aggregate
+    cosine math — no shuffle at all until the per-vector aggregate,
+    which is a narrow (vec_id)-keyed combine over τ-surviving rows
+    only. The nearest-eval attribution joins flagged rows back on the
+    quantized max — ties resolve to the smallest eval id on both
+    engines. Threshold and max comparisons happen on round4-QUANTIZED
+    cosines on both sides, so an engine ulp cannot flip a boundary
+    decision (the q22/q23 contract). For corpora where even one scan
+    per release is too hot, the LSH-bucketed variant
+    (operators.similarity.cosine_topk_lsh) pre-bins both sides — same
+    flag, sub-linear candidates (recall audited by q132's harness).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    ev = emb.filter(F.expr(_DECON_EVAL_PRED)).select(
+        F.col("vec_id").alias("eval_id"), F.col("embedding").alias("e_vec")
+    )
+    tr = emb.filter(~F.expr(_DECON_EVAL_PRED))
+    hits = tr.crossJoin(F.broadcast(ev)).select(
+        "vec_id",
+        "eval_id",
+        round4(cosine(F.col("embedding"), F.col("e_vec"))).alias("cs"),
+    )
+    flagged = hits.filter(F.col("cs") >= F.lit(_DECON_TAU))
+    agg = flagged.groupBy("vec_id").agg(
+        F.count("*").cast("long").alias("n_eval_hits"),
+        F.max("cs").alias("max_cos"),
+    )
+    return (
+        agg.join(
+            flagged.select("vec_id", F.col("cs").alias("max_cos"), "eval_id"),
+            ["vec_id", "max_cos"],
+        )
+        .groupBy("vec_id", "n_eval_hits", "max_cos")
+        .agg(F.min("eval_id").cast("long").alias("nearest_eval_id"))
+        .select("vec_id", "n_eval_hits", "max_cos", "nearest_eval_id")
+        .orderBy("vec_id")
+    )
