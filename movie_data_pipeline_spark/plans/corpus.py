@@ -1240,3 +1240,115 @@ def q230_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# q249 — crawl-order novelty curve (marginal new content per decile)
+# --------------------------------------------------------------------------
+_SHINGLES3_CTE = f"""
+  toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+  shingles AS (
+    SELECT DISTINCT doc_id, sh FROM (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3
+               THEN unnest(list_transform(generate_series(1, len(t) - 2),
+                                          i -> array_to_string(t[i:i+2], ' ')))
+               ELSE array_to_string(t, ' ')
+             END AS sh
+      FROM toks))
+"""
+
+
+@query(
+    "q249_crawl_novelty_curve",
+    oracle=f"""
+    WITH {_SHINGLES3_CTE},
+    first_seen AS (
+      SELECT sh, MIN(doc_id) AS first_doc FROM shingles GROUP BY sh),
+    per_doc AS (
+      SELECT s.doc_id,
+             COUNT(*) AS n_shingles,
+             SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+               AS n_novel
+      FROM shingles s JOIN first_seen f USING (sh)
+      GROUP BY s.doc_id),
+    bounds AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi
+               FROM documents),
+    binned AS (
+      SELECT LEAST(9, ((p.doc_id - b.lo) * 10) // (b.hi - b.lo + 1))
+               AS decile,
+             p.n_shingles, p.n_novel
+      FROM per_doc p CROSS JOIN bounds b)
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_shingles) AS BIGINT) AS sum_shingles,
+           CAST(SUM(n_novel) AS BIGINT) AS sum_novel,
+           {r4('SUM(n_novel) * 1.0 / SUM(n_shingles)')} AS novelty_rate
+    FROM binned
+    GROUP BY decile
+    ORDER BY decile
+    """,
+    tags=("extension", "corpus", "curation", "novelty"),
+)
+def q249_crawl_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marginal-novelty curve over crawl order: per doc_id decile, the
+    fraction of each document's word-3-gram shingles whose FIRST
+    occurrence (by ingestion order = doc_id) is that document. This is
+    the diminishing-returns measurement behind crawl budgeting — when
+    the tail deciles' novelty rate collapses, additional crawling of
+    the same frontier buys duplicated content, and the dedup pipeline
+    (q17/q18/q126) will discard most of it post-hoc; this query prices
+    that BEFORE the crawl spends the budget (the continuous form is the
+    stored-index novelty check the q205 ingest gate applies per batch).
+
+    Shape: two narrow shuffles — min(doc_id) per shingle (the same
+    first-seen-wins reduction exact dedup uses), then a per-doc count
+    join that stays shuffle-local on doc_id; the decile binning uses
+    pure integer arithmetic against a broadcast 1-row bounds frame so
+    both engines bin identically. At 100 TB the first-seen frame IS the
+    incremental dedup index (operators/dedup.band_signatures stores the
+    LSH form of exactly this), so the curve falls out of state the
+    pipeline already maintains.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from movie_data_pipeline_spark.operators.dedup import doc_shingles
+
+    sh = doc_shingles(docs, "doc_id", "text", 3)
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(
+                (F.col("first_doc") == F.col("doc_id")).cast("long")
+            ).alias("n_novel"),
+        )
+    )
+    bounds = docs.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    )
+    binned = per_doc.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.lit(9),
+            ((F.col("doc_id") - F.col("lo")) * 10)
+            .cast("long")
+            / (F.col("hi") - F.col("lo") + 1),
+        )
+        .cast("long")
+        .alias("decile"),
+        "n_shingles",
+        "n_novel",
+    )
+    return (
+        binned.groupBy("decile")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_shingles").cast("long").alias("sum_shingles"),
+            F.sum("n_novel").cast("long").alias("sum_novel"),
+            round4(F.sum("n_novel") / F.sum("n_shingles")).alias(
+                "novelty_rate"
+            ),
+        )
+        .orderBy("decile")
+    )

@@ -2106,3 +2106,207 @@ def q246_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("max_run_words"), "doc_a", "doc_b")
         .limit(100)
     )
+
+
+# --------------------------------------------------------------------------
+# q248 — LSH banding S-curve sweep (bands x rows calibration)
+# --------------------------------------------------------------------------
+_SWEEP_TAU = 0.2
+# (bands, rows) with bands*rows == NUM_HASHES, plus the analytic
+# candidate probability at jaccard == tau: 1 - (1 - tau^r)^b, rendered
+# as a round4-quantized literal so BOTH engines carry the identical
+# constant (no cross-engine pow in the compared values).
+_SWEEP_CONFIGS = ((16, 1), (8, 2), (4, 4), (2, 8))
+_SWEEP_ANALYTIC = {
+    (b, r): __import__("math").floor(
+        (1 - (1 - _SWEEP_TAU**r) ** b) * 10000 + 0.5
+    )
+    / 10000
+    for b, r in _SWEEP_CONFIGS
+}
+_SWEEP_CFG_VALUES = ", ".join(f"({b}, {r})" for b, r in _SWEEP_CONFIGS)
+_SWEEP_AN_VALUES = ", ".join(
+    f"({b}, {r}, {_SWEEP_ANALYTIC[(b, r)]})" for b, r in _SWEEP_CONFIGS
+)
+
+
+@query(
+    "q248_lsh_scurve_sweep",
+    oracle=f"""
+    WITH {_MINHASH_LONG_CTES},
+    cfg(n_bands, band_rows) AS (VALUES {_SWEEP_CFG_VALUES}),
+    an(n_bands, band_rows, p) AS (VALUES {_SWEEP_AN_VALUES}),
+    bands AS (
+      SELECT s.doc_id, c.n_bands, c.band_rows,
+             s.h_idx // c.band_rows AS band,
+             STRING_AGG(CAST(s.min_hash AS VARCHAR), '-'
+                        ORDER BY s.h_idx) AS sig
+      FROM sigs s CROSS JOIN cfg c
+      GROUP BY 1, 2, 3, 4),
+    cand AS (
+      SELECT DISTINCT a.n_bands, a.band_rows,
+             a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.n_bands = b.n_bands AND a.band_rows = b.band_rows
+       AND a.band = b.band AND a.sig = b.sig
+       AND a.doc_id < b.doc_id),
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM shingles a JOIN shingles b
+        ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    tj AS (
+      SELECT doc_a, doc_b,
+             n_common * 1.0 / (ca.n + cb.n - n_common) AS j
+      FROM common
+      JOIN counts ca ON ca.doc_id = doc_a
+      JOIN counts cb ON cb.doc_id = doc_b),
+    gt AS (SELECT COUNT(*) AS g FROM tj WHERE j >= {_SWEEP_TAU}),
+    agg AS (
+      SELECT n_bands, band_rows,
+             COUNT(*) AS n_candidates,
+             SUM(CASE WHEN j >= {_SWEEP_TAU} THEN 1 ELSE 0 END)
+               AS n_true_pos
+      FROM cand LEFT JOIN tj USING (doc_a, doc_b)
+      GROUP BY 1, 2)
+    SELECT CAST(c.n_bands AS BIGINT) AS n_bands,
+           CAST(c.band_rows AS BIGINT) AS band_rows,
+           CAST(COALESCE(a.n_candidates, 0) AS BIGINT) AS n_candidates,
+           CAST(COALESCE(a.n_true_pos, 0) AS BIGINT) AS n_true_pos,
+           {r4(f'COALESCE(a.n_true_pos, 0) * 1.0 / NULLIF(gt.g, 0)')}
+             AS recall_at_tau,
+           CASE WHEN COALESCE(a.n_candidates, 0) > 0
+                THEN {r4('a.n_true_pos * 1.0 / a.n_candidates')}
+           END AS precision_at_tau,
+           an.p AS analytic_p_at_tau
+    FROM cfg c
+    LEFT JOIN agg a USING (n_bands, band_rows)
+    JOIN an USING (n_bands, band_rows)
+    CROSS JOIN gt
+    ORDER BY n_bands DESC
+    """,
+    tags=("extension", "dedup", "lsh", "calibration"),
+)
+def q248_lsh_scurve_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding S-curve sweep: candidate count, recall, and precision at
+    jaccard >= 0.2 for every (bands x rows) split of the 16-hash
+    MinHash family, next to the analytic candidate probability
+    1-(1-tau^r)^b. This is THE calibration that picks b x r before a
+    100 TB dedup run (q121 audits the one registered config against its
+    candidates; this prices the alternatives): more rows per band walks
+    down the S-curve — fewer false candidates, lower recall — and the
+    measured columns show where the corpus actually sits vs theory.
+
+    Shape: signatures are computed ONCE (one shuffle, 16 parallel mins
+    — minhash_signatures_wide); each config's band signatures are
+    map-side column concats over that same frame, unioned with the
+    config tag, so the sweep costs |configs| x one bucket shuffle over
+    narrow (config, band, sig) rows — never |configs| corpus scans.
+    Ground-truth jaccard is the same bucket path q18 runs (threshold 0
+    keeps every overlapping pair; at calibration scale the uncapped df
+    distribution is q239-small; on a web corpus, run the sweep on the
+    q39-style deterministic sample exactly as q121 does). The analytic
+    column is a PRE-QUANTIZED literal, identical on both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    wide = minhash_signatures_wide(docs)
+    per_cfg = []
+    for b, r in _SWEEP_CONFIGS:
+        band_cols = [
+            F.concat_ws(
+                "-",
+                *[
+                    F.col(f"h{band * r + j}").cast("string")
+                    for j in range(r)
+                ],
+            ).alias(f"band{band}")
+            for band in range(b)
+        ]
+        stack = "stack({n}, {args}) AS (band, sig)".format(
+            n=b,
+            args=", ".join(
+                f"CAST({band} AS BIGINT), band{band}" for band in range(b)
+            ),
+        )
+        long = wide.select("doc_id", *band_cols).select(
+            "doc_id", F.expr(stack)
+        )
+        ids = F.col("ids")
+        pair_array = F.flatten(
+            F.transform(
+                ids,
+                lambda x, i: F.transform(
+                    F.slice(ids, i + 2, F.size(ids) - i - 1),
+                    lambda y: F.struct(
+                        x.alias("doc_a"), y.alias("doc_b")
+                    ),
+                ),
+            )
+        )
+        cand = (
+            long.groupBy("band", "sig")
+            .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+            .filter(F.size("ids") > 1)
+            .select(F.explode(pair_array).alias("p"))
+            .select(
+                F.col("p.doc_a").alias("doc_a"),
+                F.col("p.doc_b").alias("doc_b"),
+            )
+            .distinct()
+            .select(
+                F.lit(b).cast("long").alias("n_bands"),
+                F.lit(r).cast("long").alias("band_rows"),
+                "doc_a",
+                "doc_b",
+            )
+        )
+        per_cfg.append(cand)
+    cands = per_cfg[0]
+    for frame in per_cfg[1:]:
+        cands = cands.unionByName(frame)
+    tj = jaccard_pairs(docs, threshold=0.0, max_shingle_df=None).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+    gt = tj.filter(F.col("jaccard") >= _SWEEP_TAU).agg(
+        F.count("*").alias("g")
+    )
+    agg = (
+        cands.join(tj, ["doc_a", "doc_b"], "left")
+        .groupBy("n_bands", "band_rows")
+        .agg(
+            F.count("*").cast("long").alias("n_candidates"),
+            F.sum(
+                (F.col("jaccard") >= _SWEEP_TAU).cast("long")
+            ).alias("n_true_pos"),
+        )
+    )
+    cfg = spark.createDataFrame(
+        [(int(b), int(r), float(_SWEEP_ANALYTIC[(b, r)])) for b, r in _SWEEP_CONFIGS],
+        "n_bands LONG, band_rows LONG, analytic_p_at_tau DOUBLE",
+    )
+    out = (
+        cfg.join(agg, ["n_bands", "band_rows"], "left")
+        .crossJoin(F.broadcast(gt))
+        .select(
+            "n_bands",
+            "band_rows",
+            F.coalesce("n_candidates", F.lit(0))
+            .cast("long")
+            .alias("n_candidates"),
+            F.coalesce("n_true_pos", F.lit(0))
+            .cast("long")
+            .alias("n_true_pos"),
+            round4(
+                F.coalesce("n_true_pos", F.lit(0))
+                / F.nullif(F.col("g"), F.lit(0))
+            ).alias("recall_at_tau"),
+            F.when(
+                F.coalesce("n_candidates", F.lit(0)) > 0,
+                round4(F.col("n_true_pos") / F.col("n_candidates")),
+            ).alias("precision_at_tau"),
+            "analytic_p_at_tau",
+        )
+        .orderBy(F.desc("n_bands"))
+    )
+    return out
