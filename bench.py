@@ -90,6 +90,12 @@ HEADLINE = [
     "q243_budget_fill",
     "q245_df_cap_sensitivity",
     "q244_streaming_multibatch_gate",
+    # round-5 additions: substring runs, embedding decontam, S-curve
+    # sweep, novelty curve
+    "q246_substring_runs",
+    "q247_embedding_decontamination",
+    "q248_lsh_scurve_sweep",
+    "q249_crawl_novelty_curve",
 ]
 
 
