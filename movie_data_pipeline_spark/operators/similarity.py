@@ -61,11 +61,20 @@ def cosine_topk(
     scanned once. Ties break on neighbor_id for determinism. Self-pairs
     are excluded.
     """
+    # Norms are projected ONCE PER VECTOR below the join — the inline
+    # cosine() form re-folds each side's norm per PAIR, i.e. |queries|
+    # redundant folds per corpus vector (measured 3-4x on q247's probe).
+    # Same expression tree and fold order, so quantized values are
+    # bit-identical to the inline form the oracles mirror.
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-    )
+        F.col(id_col).alias("query_id"),
+        _to_double(F.col(vec_col)).alias("q_vec"),
+    ).select("query_id", "q_vec", l2_norm(F.col("q_vec")).alias("q_norm"))
     c = spread(corpus).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("neighbor_id"),
+        _to_double(F.col(vec_col)).alias("c_vec"),
+    ).select(
+        "neighbor_id", "c_vec", l2_norm(F.col("c_vec")).alias("c_norm")
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -73,7 +82,10 @@ def cosine_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
+            (
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -125,15 +137,26 @@ def cosine_topk_lsh(
     a shuffle equi-join — no cross join anywhere.
     """
     planes = [_hyperplane(dim, i) for i in range(n_planes)]
+    # per-vector norms projected below the join (see cosine_topk)
     c = spread(corpus).select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
+        _to_double(F.col(vec_col)).alias("c_vec"),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    ).select(
+        "neighbor_id",
+        "c_vec",
+        "bucket",
+        l2_norm(F.col("c_vec")).alias("c_norm"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
+        _to_double(F.col(vec_col)).alias("q_vec"),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    ).select(
+        "query_id",
+        "q_vec",
+        "bucket",
+        l2_norm(F.col("q_vec")).alias("q_norm"),
     )
     scored = (
         c.join(F.broadcast(q), "bucket")
@@ -141,7 +164,10 @@ def cosine_topk_lsh(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
+            (
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
