@@ -284,18 +284,34 @@ def cosine_topk_ivf(
         .filter(F.col("cell_rank") <= nprobe)
         .select("query_id", "q_vec", "cell")
     )
+    # per-vector norms projected below the cell join (see cosine_topk)
     c = assigned.select(
         F.col("cell"),
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
+        _to_double(F.col(vec_col)).alias("c_vec"),
+    ).select(
+        "cell",
+        "neighbor_id",
+        "c_vec",
+        l2_norm(F.col("c_vec")).alias("c_norm"),
+    )
+    probed_n = probed.select(
+        "query_id",
+        "cell",
+        _to_double(F.col("q_vec")).alias("q_vec"),
+    ).select(
+        "query_id", "cell", "q_vec", l2_norm(F.col("q_vec")).alias("q_norm")
     )
     scored = (
-        c.join(F.broadcast(probed), "cell")
+        c.join(F.broadcast(probed_n), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
+            (
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
