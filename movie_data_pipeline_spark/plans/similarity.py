@@ -91,11 +91,29 @@ def q23_embedding_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector) keeps the all-pairs comparison O((n/10)²) — the full-corpus
     path is exactly the LSH operator tested separately.
     """
+    from movie_data_pipeline_spark.operators.similarity import (
+        _to_double,
+        dot,
+        l2_norm,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings").filter("vec_id % 10 = 0")
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    # norms projected once per vector, not once per pair (see
+    # operators.similarity.cosine_topk — values bit-identical)
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        _to_double(F.col("embedding")).alias("ea"),
+    ).select("vec_a", "ea", l2_norm(F.col("ea")).alias("na"))
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        _to_double(F.col("embedding")).alias("eb"),
+    ).select("vec_b", "eb", l2_norm(F.col("eb")).alias("nb"))
     pairs = a.join(b, F.col("vec_a") < F.col("vec_b")).select(
-        "vec_a", "vec_b", cosine(F.col("ea"), F.col("eb")).alias("cs")
+        "vec_a",
+        "vec_b",
+        (dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))).alias(
+            "cs"
+        ),
     )
     return (
         pairs.select(
@@ -349,20 +367,32 @@ def q153_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     never shuffled; swap the scan for the IVF/LSH probe join when
     |queries| stops fitting a broadcast.
     """
+    from movie_data_pipeline_spark.operators.similarity import (
+        _to_double,
+        dot,
+        l2_norm,
+    )
+    from pyspark.sql.window import Window
+
     emb = load_table(spark, sf_dir, "embeddings")
+    # norms projected once per vector, not once per pair (see
+    # operators.similarity.cosine_topk — values bit-identical)
     q = emb.filter(F.expr(_QUERY_PRED)).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("q_label"),
-        F.col("embedding").alias("q_vec"),
+        _to_double(F.col("embedding")).alias("q_vec"),
+    ).select(
+        "query_id", "q_label", "q_vec",
+        l2_norm(F.col("q_vec")).alias("q_norm"),
     )
     c = emb.select(
         F.col("vec_id").alias("negative_id"),
         F.col("label").alias("neg_label"),
-        F.col("embedding").alias("c_vec"),
+        _to_double(F.col("embedding")).alias("c_vec"),
+    ).select(
+        "negative_id", "neg_label", "c_vec",
+        l2_norm(F.col("c_vec")).alias("c_norm"),
     )
-    from movie_data_pipeline_spark.operators.similarity import cosine
-    from pyspark.sql.window import Window
-
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(
@@ -373,7 +403,10 @@ def q153_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "negative_id",
             "neg_label",
-            cosine(F.col("q_vec"), F.col("c_vec")).alias("cs"),
+            (
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("cs"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("negative_id"))
@@ -470,18 +503,30 @@ def q172_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     on vec_id at every argmax on both engines.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    from movie_data_pipeline_spark.operators.similarity import cosine
-
-    q = emb.filter(F.col("vec_id") == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+    from movie_data_pipeline_spark.operators.similarity import (
+        _to_double,
+        dot,
+        l2_norm,
     )
+
+    # query norm projected once, not re-folded per corpus row (see
+    # operators.similarity.cosine_topk — values bit-identical)
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"),
+        _to_double(F.col("embedding")).alias("q_vec"),
+    ).select("query_id", "q_vec", l2_norm(F.col("q_vec")).alias("q_norm"))
+    ed = _to_double(F.col("embedding"))
     pool = (
-        emb.crossJoin(F.broadcast(q))
+        emb.select("vec_id", "embedding", l2_norm(ed).alias("e_norm"))
+        .crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "vec_id",
             "embedding",
-            cosine(F.col("embedding"), F.col("q_vec")).alias("rel"),
+            (
+                dot(ed, F.col("q_vec"))
+                / (F.col("e_norm") * F.col("q_norm"))
+            ).alias("rel"),
         )
         .orderBy(F.desc("rel"), F.asc("vec_id"))
         .limit(_MMR_POOL)
@@ -607,24 +652,35 @@ def q174_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         lsh_bucket(F.col("embedding"), planes).alias("cell"),
     ).persist()
+    from movie_data_pipeline_spark.operators.similarity import (
+        _to_double,
+        dot,
+        l2_norm,
+    )
+
+    # norms projected once per vector, not once per cell-mate pair
+    # (see operators.similarity.cosine_topk — values bit-identical)
     a = cells.select(
         "cell",
         F.col("vec_id").alias("va"),
         F.col("label").alias("la"),
-        F.col("embedding").alias("ea"),
-    )
+        _to_double(F.col("embedding")).alias("ea"),
+    ).select("cell", "va", "la", "ea", l2_norm(F.col("ea")).alias("na"))
     bb = cells.select(
         "cell",
         F.col("vec_id").alias("vb"),
         F.col("label").alias("lb"),
-        F.col("embedding").alias("eb"),
-    )
+        _to_double(F.col("embedding")).alias("eb"),
+    ).select("cell", "vb", "lb", "eb", l2_norm(F.col("eb")).alias("nb"))
     pairs = (
         a.join(bb, "cell")
         .filter(F.col("va") < F.col("vb"))
         .select(
             "cell", "va", "la", "vb", "lb",
-            cosine(F.col("ea"), F.col("eb")).alias("cs"),
+            (
+                dot(F.col("ea"), F.col("eb"))
+                / (F.col("na") * F.col("nb"))
+            ).alias("cs"),
         )
         .filter(round4(F.col("cs")) >= _SEM_TAU)
     )
@@ -918,23 +974,42 @@ def q223_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     at corpus scale the scan is replaced by the ANN index (q22's LSH /
     IVF variants) and this exact ranking runs on the candidate pool.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
-    anchors = emb.filter(F.expr(_QUERY_PRED)).select(
-        F.col("vec_id").alias("anchor_id"),
-        F.col("label").alias("anchor_label"),
-        F.col("embedding").alias("q_vec"),
+    from movie_data_pipeline_spark.operators.similarity import (
+        _to_double,
+        dot,
+        l2_norm,
     )
     from pyspark.sql.window import Window
 
+    emb = load_table(spark, sf_dir, "embeddings")
+    # norms projected once per vector, not once per (anchor, corpus)
+    # pair (see operators.similarity.cosine_topk — bit-identical)
+    anchors = emb.filter(F.expr(_QUERY_PRED)).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        _to_double(F.col("embedding")).alias("q_vec"),
+    ).select(
+        "anchor_id", "anchor_label", "q_vec",
+        l2_norm(F.col("q_vec")).alias("q_norm"),
+    )
     scored = (
-        emb.crossJoin(F.broadcast(anchors))
+        emb.select(
+            "vec_id", "label", _to_double(F.col("embedding")).alias("e_vec")
+        )
+        .select(
+            "vec_id", "label", "e_vec", l2_norm(F.col("e_vec")).alias("e_norm")
+        )
+        .crossJoin(F.broadcast(anchors))
         .filter(F.col("label") != F.col("anchor_label"))
         .select(
             "anchor_id",
             "anchor_label",
             F.col("vec_id").alias("negative_id"),
             F.col("label").alias("negative_label"),
-            cosine(F.col("embedding"), F.col("q_vec")).alias("cs"),
+            (
+                dot(F.col("e_vec"), F.col("q_vec"))
+                / (F.col("e_norm") * F.col("q_norm"))
+            ).alias("cs"),
         )
     )
     ranked = scored.withColumn(
@@ -1083,21 +1158,41 @@ def q240_label_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
+    from movie_data_pipeline_spark.operators.similarity import (
+        _to_double,
+        dot,
+        l2_norm,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings")
+    # norms projected once per vector, not once per (anchor, corpus)
+    # pair (see operators.similarity.cosine_topk — bit-identical)
     anchors = emb.filter(F.expr(_QUERY_PRED)).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("q_label"),
-        F.col("embedding").alias("q_vec"),
+        _to_double(F.col("embedding")).alias("q_vec"),
+    ).select(
+        "query_id", "q_label", "q_vec",
+        l2_norm(F.col("q_vec")).alias("q_norm"),
     )
     scored = (
-        emb.crossJoin(F.broadcast(anchors))
+        emb.select(
+            "vec_id", "label", _to_double(F.col("embedding")).alias("e_vec")
+        )
+        .select(
+            "vec_id", "label", "e_vec", l2_norm(F.col("e_vec")).alias("e_norm")
+        )
+        .crossJoin(F.broadcast(anchors))
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             "q_label",
             "label",
             "vec_id",
-            cosine(F.col("embedding"), F.col("q_vec")).alias("cs"),
+            (
+                dot(F.col("e_vec"), F.col("q_vec"))
+                / (F.col("e_norm") * F.col("q_norm"))
+            ).alias("cs"),
         )
     )
     ranked = scored.withColumn(
