@@ -1352,3 +1352,105 @@ def q249_crawl_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# --------------------------------------------------------------------------
+# q250 — chunk-granularity dedup rate (RAG-ingestion redundancy)
+# --------------------------------------------------------------------------
+@query(
+    "q250_chunk_dedup_rate",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, {_TOKS_SQL} AS t FROM documents),
+    starts AS (
+      SELECT source, t,
+             unnest(list_filter(generate_series(1, len(t), {CHUNK_STRIDE}),
+                    s -> s = 1 OR s - {CHUNK_STRIDE} + {CHUNK_TOKENS - 1} < len(t))) AS s
+      FROM toks),
+    chunks AS (
+      SELECT source,
+             md5(array_to_string(t[s:s + {CHUNK_TOKENS - 1}], ' ')) AS dg
+      FROM starts),
+    per AS (
+      SELECT source, COUNT(*) AS n_chunks,
+             COUNT(DISTINCT dg) AS n_unique
+      FROM chunks GROUP BY source),
+    multi AS (
+      SELECT dg FROM (
+        SELECT dg, COUNT(DISTINCT source) AS ns FROM chunks GROUP BY dg)
+      WHERE ns > 1),
+    shared AS (
+      SELECT source, COUNT(*) AS n_shared
+      FROM chunks JOIN multi USING (dg) GROUP BY source)
+    SELECT p.source,
+           CAST(p.n_chunks AS BIGINT) AS n_chunks,
+           CAST(p.n_unique AS BIGINT) AS n_unique_chunks,
+           {r4('1.0 - p.n_unique * 1.0 / p.n_chunks')} AS dup_rate,
+           CAST(COALESCE(s.n_shared, 0) AS BIGINT)
+             AS n_chunks_shared_xsource
+    FROM per p LEFT JOIN shared s USING (source)
+    ORDER BY p.source
+    """,
+    tags=("extension", "corpus", "dedup", "chunking", "rag"),
+)
+def q250_chunk_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup measured at CHUNK granularity — the unit a RAG/vector-DB
+    ingestion actually stores: per source, the stride-chunk count
+    (q87's chunker verbatim), distinct-digest count, within-source
+    duplicate rate, and how many chunks share their digest with
+    ANOTHER source (cross-source boilerplate at chunk level). Document
+    dedup (q17) misses this entirely: two distinct documents that
+    embed the same boilerplate paragraph produce duplicate CHUNKS,
+    which bloat the vector index and skew retrieval toward the
+    repeated span — this report prices chunk-level dedup before the
+    embedding spend.
+
+    Shape: the chunker is q87's pure map stage; everything downstream
+    keys on a 16-byte md5 digest, never chunk text (q17's shuffle
+    discipline) — one digest-grouped aggregate for the multi-source
+    set, one source-grouped aggregate for the report, both narrow.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    n = F.size(t)
+    stride = F.lit(CHUNK_STRIDE)
+    starts = F.filter(
+        F.sequence(F.lit(1), n, stride),
+        lambda s: (s == F.lit(1)) | (s - stride + F.lit(CHUNK_TOKENS - 1) < n),
+    )
+    chunk = F.slice(F.col("t"), F.col("s"), CHUNK_TOKENS)
+    chunks = (
+        docs.select("source", t.alias("t"), F.explode(starts).alias("s"))
+        .select("source", F.md5(F.array_join(chunk, " ")).alias("dg"))
+    )
+    per = chunks.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.count_distinct("dg").cast("long").alias("n_unique_chunks"),
+    )
+    multi = (
+        chunks.groupBy("dg")
+        .agg(F.count_distinct("source").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .select("dg")
+    )
+    shared = (
+        chunks.join(multi, "dg")
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    return (
+        per.join(shared, "source", "left")
+        .select(
+            "source",
+            "n_chunks",
+            "n_unique_chunks",
+            round4(
+                F.lit(1.0)
+                - F.col("n_unique_chunks") * F.lit(1.0) / F.col("n_chunks")
+            ).alias("dup_rate"),
+            F.coalesce("n_shared", F.lit(0))
+            .cast("long")
+            .alias("n_chunks_shared_xsource"),
+        )
+        .orderBy("source")
+    )
