@@ -96,6 +96,7 @@ HEADLINE = [
     "q247_embedding_decontamination",
     "q248_lsh_scurve_sweep",
     "q249_crawl_novelty_curve",
+    "q250_chunk_dedup_rate",
 ]
 
 
