@@ -19,4 +19,5 @@ from movie_data_pipeline_spark.plans import curation  # noqa: E402,F401
 from movie_data_pipeline_spark.plans import behavior  # noqa: E402,F401
 from movie_data_pipeline_spark.plans import corpus  # noqa: E402,F401
 from movie_data_pipeline_spark.plans import ml  # noqa: E402,F401
+from movie_data_pipeline_spark.plans import sketches  # noqa: E402,F401
 from movie_data_pipeline_spark.plans import streaming_replay  # noqa: E402,F401

@@ -1,0 +1,573 @@
+"""Probabilistic-sketch queries over ``documents``: KMV (bottom-k)
+distinct counting (q251), a Count-Min frequency sketch with a
+heavy-hitter audit (q252), a Bloom-filter membership gate with a
+measured false-positive rate (q253), and KMV set-operation estimates
+for cross-source overlap (q254).
+
+Sketches are how a 100 TB engine answers "how many distinct / how
+often / have we seen this" without shuffling the universe: the sketch
+state is tiny (k hashes, d*w counters, m bits), mergeable, and
+map-side-combinable, so the exchange carries kilobytes where the exact
+answer would carry the keyspace. Each query here builds the sketch AND
+the exact answer side by side, so the estimate's error is measured,
+not assumed — the calibration discipline q121/q132/q248 apply to LSH
+and ANN, extended to the cardinality/frequency/membership sketches.
+
+Engine-native approximations (``approx_count_distinct``'s HLL++,
+DuckDB's ``approx_distinct``) are deliberately NOT used in the
+oracle-compared columns: their estimates are implementation-defined
+and differ across engines. These sketches are built from the same
+md5-derived hashes on both sides (the q19 MinHash discipline,
+``operators/dedup.py``), so every estimate is bit-reproducible.
+
+Reference scope note: the reference (pradeepsoftdev04/movie-data-pipeline)
+has no sketch surface — these queries are part of the LLM-pipeline
+extension mandated by the build brief, following the same oracle
+discipline as the §2 parity queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from movie_data_pipeline_spark.functions.text import tokens
+from movie_data_pipeline_spark.operators.dedup import doc_shingles
+from movie_data_pipeline_spark.operators.util import spread
+from movie_data_pipeline_spark.plans.core import query, r4, round4
+from movie_data_pipeline_spark.sources.registry import load_table
+
+_TOKS_SQL = "string_split_regex(lower(trim(text)), '\\s+')"
+
+# 48-bit md5-prefix hash: fits a double exactly (48 < 53 mantissa
+# bits), so u = h / 2**48 is the same IEEE value on both engines.
+H48_SPACE = float(1 << 48)
+
+
+def h48(col):
+    """Deterministic 48-bit hash as BIGINT, identical across engines."""
+    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("long")
+
+
+def _h48_sql(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 12)) AS BIGINT)"
+
+
+# Per-source DISTINCT word-3-gram shingles (the q249 shingle geometry:
+# docs shorter than 3 words contribute one whole-doc shingle).
+_SRC_SHINGLES_CTE = f"""
+  toks AS (SELECT source, {_TOKS_SQL} AS t FROM documents),
+  shingles AS (
+    SELECT DISTINCT source, sh FROM (
+      SELECT source,
+             CASE WHEN len(t) >= 3
+               THEN unnest(list_transform(generate_series(1, len(t) - 2),
+                                          i -> array_to_string(t[i:i+2], ' ')))
+               ELSE array_to_string(t, ' ')
+             END AS sh
+      FROM toks))
+"""
+
+KMV_K = 64  # bottom-k size for q251/q254
+# (k-1) * 2**48 pre-folded to one double literal: 63 needs 6 mantissa
+# bits so the product is exactly representable, and a single literal
+# sidesteps DuckDB's DECIMAL literal-multiplication overflow.
+KMV_NUM = float((KMV_K - 1) * (1 << 48))
+
+CM_ROWS = 4  # Count-Min depth (independent hash rows)
+CM_WIDTH = 512  # Count-Min width (buckets per row)
+CM_TOP = 20  # audited heavy-hitter candidates
+
+BLOOM_M = 16384  # Bloom bits
+BLOOM_K = 3  # Bloom hash functions
+BLOOM_SRC = "src0"  # insert set: this source's shingles
+
+
+def _src_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return doc_shingles(docs, id_col="source", text_col="text", n=3).distinct()
+
+
+# --------------------------------------------------------------------------
+# q251 — KMV (bottom-k) distinct-count sketch vs exact, per source
+# --------------------------------------------------------------------------
+@query(
+    "q251_kmv_distinct_audit",
+    oracle=f"""
+    WITH {_SRC_SHINGLES_CTE},
+    hashed AS (
+      SELECT source, sh, {_h48_sql('sh')} AS h FROM shingles),
+    stats AS (
+      SELECT source, COUNT(DISTINCT sh) AS n_sh, COUNT(DISTINCT h) AS n_h
+      FROM hashed GROUP BY source),
+    ranked AS (
+      SELECT source, h,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+      FROM (SELECT DISTINCT source, h FROM hashed)),
+    kth AS (SELECT source, h AS h_k FROM ranked WHERE rn = {KMV_K}),
+    est AS (
+      SELECT s.source, s.n_sh,
+             {r4(f'CASE WHEN s.n_h >= {KMV_K} '
+                 f'THEN {KMV_NUM!r} / k.h_k '
+                 'ELSE CAST(s.n_h AS DOUBLE) END')} AS kmv_est
+      FROM stats s LEFT JOIN kth k USING (source))
+    SELECT source,
+           CAST(n_sh AS BIGINT) AS exact_distinct,
+           kmv_est,
+           {r4('(kmv_est - n_sh) / n_sh')} AS rel_err
+    FROM est
+    ORDER BY source
+    """,
+    tags=("extension", "sketch", "cardinality"),
+)
+def q251_kmv_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k (KMV) distinct-count sketch per source over word-3-gram
+    shingles, with the exact count and the sketch's relative error next
+    to it. Estimator: (k-1) / u_k where u_k is the k-th smallest
+    normalized hash — the classic KMV estimate; sources holding fewer
+    than k distinct hashes fall back to the (exact) hash count the
+    sketch retains.
+
+    Why md5 and not ``approx_count_distinct``: the audit needs the SAME
+    estimate on both engines, and HLL++ is implementation-defined.
+    48 hash bits keep u = h/2^48 exactly representable in a double, so
+    the estimate is bit-reproducible (the q19 MinHash discipline).
+
+    Shape/scale: the per-source state is k=64 longs — mergeable by
+    "union then keep smallest k", which is exactly what the window
+    row_number computes declaratively here; at 100 TB the same sketch
+    folds associatively per partition before one k-row-per-source
+    exchange (no distinct-universe shuffle), which is how this pairs
+    with the incremental dedup index (``operators/dedup.band_signatures``)
+    for continuous cardinality monitoring. The exact side (one
+    COUNT DISTINCT) is the audit baseline the estimate is graded
+    against, as q132 does for ANN recall.
+    """
+    sh = _src_shingles(spark, sf_dir)
+    hashed = sh.select(
+        "source", "shingle", h48(F.col("shingle")).alias("h")
+    )
+    stats = hashed.groupBy("source").agg(
+        F.countDistinct("shingle").alias("n_sh"),
+        F.countDistinct("h").alias("n_h"),
+    )
+    dh = hashed.select("source", "h").distinct()
+    rn = F.row_number().over(Window.partitionBy("source").orderBy("h"))
+    kth = (
+        dh.withColumn("rn", rn)
+        .filter(F.col("rn") == KMV_K)
+        .select("source", F.col("h").alias("h_k"))
+    )
+    est = stats.join(kth, "source", "left").select(
+        "source",
+        F.col("n_sh").cast("long").alias("exact_distinct"),
+        round4(
+            F.when(
+                F.col("n_h") >= KMV_K,
+                F.lit(KMV_NUM) / F.col("h_k"),
+            ).otherwise(F.col("n_h").cast("double"))
+        ).alias("kmv_est"),
+    )
+    return est.select(
+        "source",
+        "exact_distinct",
+        "kmv_est",
+        round4(
+            (F.col("kmv_est") - F.col("exact_distinct"))
+            / F.col("exact_distinct")
+        ).alias("rel_err"),
+    ).orderBy("source")
+
+
+# --------------------------------------------------------------------------
+# q252 — Count-Min sketch heavy-hitter audit
+# --------------------------------------------------------------------------
+@query(
+    "q252_countmin_heavy_hitters",
+    oracle=f"""
+    WITH occ AS (
+      SELECT unnest({_TOKS_SQL}) AS token FROM documents),
+    truec AS (
+      SELECT token, COUNT(*) AS true_cnt FROM occ GROUP BY token),
+    cand AS (
+      SELECT token, true_cnt FROM truec
+      ORDER BY true_cnt DESC, token LIMIT {CM_TOP}),
+    hrows(i) AS (VALUES (0), (1), (2), (3)),
+    sk AS (
+      SELECT i,
+             {_h48_sql("CAST(i AS VARCHAR) || ':' || token")} % {CM_WIDTH}
+               AS bucket,
+             COUNT(*) AS c
+      FROM occ CROSS JOIN hrows GROUP BY 1, 2),
+    cb AS (
+      SELECT c.token, c.true_cnt, r.i,
+             {_h48_sql("CAST(r.i AS VARCHAR) || ':' || c.token")} % {CM_WIDTH}
+               AS bucket
+      FROM cand c CROSS JOIN hrows r),
+    est AS (
+      SELECT cb.token, cb.true_cnt, MIN(sk.c) AS cm_est
+      FROM cb JOIN sk ON sk.i = cb.i AND sk.bucket = cb.bucket
+      GROUP BY cb.token, cb.true_cnt)
+    SELECT token,
+           CAST(true_cnt AS BIGINT) AS true_cnt,
+           CAST(cm_est AS BIGINT) AS cm_est,
+           CAST(cm_est - true_cnt AS BIGINT) AS overcount
+    FROM est
+    ORDER BY true_cnt DESC, token
+    """,
+    tags=("extension", "sketch", "frequency"),
+)
+def q252_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (d=4 rows x w=512 buckets) over the token
+    occurrence stream, audited on the true top-20 heavy hitters: the
+    sketch's point estimate (min over rows of the hashed bucket's
+    count) next to the exact count. CM never under-counts, so
+    ``overcount`` is the collision inflation — the quantity that decides
+    whether w is wide enough for the downstream use (frequency-based
+    vocabulary pruning, q89's top-K gate, stop-shingle calibration
+    q239).
+
+    Shape/scale: the sketch build is a 4x narrow map (one md5 per row
+    id) into a GROUP BY with at most d*w = 2048 groups — map-side
+    combine collapses every partition to <=2048 rows before the
+    exchange, so the shuffle is O(partitions * d * w) regardless of
+    corpus size; that is the whole point of CM at 100 TB. The audit
+    side (exact counts) exists to grade the sketch; in production the
+    candidate set comes from the sketch itself or an external
+    watchlist, not from an exact pass.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    occ = spread(docs).select(F.explode(tokens(F.col("text"))).alias("token"))
+    truec = occ.groupBy("token").agg(F.count("*").alias("true_cnt"))
+    cand = truec.orderBy(F.desc("true_cnt"), "token").limit(CM_TOP)
+
+    def bucket(i_col, tok_col):
+        return F.pmod(
+            h48(F.concat(i_col.cast("string"), F.lit(":"), tok_col)),
+            F.lit(CM_WIDTH),
+        )
+
+    occ4 = occ.select(
+        "token",
+        F.explode(F.sequence(F.lit(0), F.lit(CM_ROWS - 1))).alias("i"),
+    )
+    sk = (
+        occ4.select("i", bucket(F.col("i"), F.col("token")).alias("bucket"))
+        .groupBy("i", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    cb = cand.select(
+        "token",
+        "true_cnt",
+        F.explode(F.sequence(F.lit(0), F.lit(CM_ROWS - 1))).alias("i"),
+    ).select(
+        "token",
+        "true_cnt",
+        "i",
+        bucket(F.col("i"), F.col("token")).alias("bucket"),
+    )
+    est = (
+        cb.join(sk, ["i", "bucket"])
+        .groupBy("token", "true_cnt")
+        .agg(F.min("c").alias("cm_est"))
+    )
+    return est.select(
+        "token",
+        F.col("true_cnt").cast("long").alias("true_cnt"),
+        F.col("cm_est").cast("long").alias("cm_est"),
+        (F.col("cm_est") - F.col("true_cnt")).cast("long").alias("overcount"),
+    ).orderBy(F.desc("true_cnt"), "token")
+
+
+# --------------------------------------------------------------------------
+# q253 — Bloom-filter membership gate with measured FPR
+# --------------------------------------------------------------------------
+@query(
+    "q253_bloom_fpr_audit",
+    oracle=f"""
+    WITH {_SRC_SHINGLES_CTE},
+    ins AS (SELECT sh FROM shingles WHERE source = '{BLOOM_SRC}'),
+    hrows(i) AS (VALUES (0), (1), (2)),
+    bits AS (
+      SELECT DISTINCT
+             {_h48_sql("CAST(i AS VARCHAR) || ':' || sh")} % {BLOOM_M} AS bit
+      FROM ins CROSS JOIN hrows),
+    probes AS (
+      SELECT s.source, s.sh FROM shingles s
+      WHERE s.source <> '{BLOOM_SRC}'
+        AND NOT EXISTS (SELECT 1 FROM ins i WHERE i.sh = s.sh)),
+    pb AS (
+      SELECT p.source, p.sh, r.i,
+             {_h48_sql("CAST(r.i AS VARCHAR) || ':' || p.sh")} % {BLOOM_M}
+               AS bit
+      FROM probes p CROSS JOIN hrows r),
+    scored AS (
+      SELECT pb.source, pb.sh,
+             SUM(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END) AS nhit
+      FROM pb LEFT JOIN bits b USING (bit)
+      GROUP BY pb.source, pb.sh),
+    fp AS (
+      SELECT source, COUNT(*) AS n_probes,
+             SUM(CASE WHEN nhit = {BLOOM_K} THEN 1 ELSE 0 END) AS n_fp
+      FROM scored GROUP BY source),
+    meta AS (
+      SELECT (SELECT COUNT(*) FROM bits) AS bits_set,
+             (SELECT COUNT(*) FROM ins) AS n_inserted)
+    SELECT f.source,
+           CAST(m.n_inserted AS BIGINT) AS n_inserted,
+           CAST(m.bits_set AS BIGINT) AS bits_set,
+           {r4(f'm.bits_set * 1.0 / {BLOOM_M}')} AS fill_ratio,
+           CAST(f.n_probes AS BIGINT) AS n_probes,
+           CAST(f.n_fp AS BIGINT) AS n_false_pos,
+           {r4('f.n_fp * 1.0 / f.n_probes')} AS fpr
+    FROM fp f CROSS JOIN meta m
+    ORDER BY f.source
+    """,
+    tags=("extension", "sketch", "membership"),
+)
+def q253_bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter (m=16384 bits, k=3 md5-derived hash functions) built
+    from one source's distinct shingles, probed with every OTHER
+    source's shingles that are true negatives (anti-joined on the raw
+    shingle), reporting the measured false-positive rate per probing
+    source plus the filter's fill ratio. This is the membership gate a
+    crawl frontier or ingest dedup path consults before paying for the
+    exact check (q126's incremental index): the measured FPR prices the
+    wasted exact lookups.
+
+    Shape/scale: the filter is a DISTINCT over k*n hashed bits — at
+    most m=16384 rows, broadcast to the probe side (the executed plan
+    joins probes against a broadcast bit set; nothing corpus-sized
+    shuffles). A probe is positive iff all k of its bit positions are
+    set, computed as a 3-row-per-probe left join + count — the
+    declarative form of "AND over k bit tests". The exact-membership
+    anti-join exists only to restrict probes to true negatives so the
+    FPR numerator is pure false positives.
+    """
+    sh = _src_shingles(spark, sf_dir)
+    ins = sh.filter(F.col("source") == BLOOM_SRC).select("shingle")
+    ks = F.explode(F.sequence(F.lit(0), F.lit(BLOOM_K - 1))).alias("i")
+
+    def bit(i_col, sh_col):
+        return F.pmod(
+            h48(F.concat(i_col.cast("string"), F.lit(":"), sh_col)),
+            F.lit(BLOOM_M),
+        )
+
+    bits = (
+        ins.select("shingle", ks)
+        .select(bit(F.col("i"), F.col("shingle")).alias("bit"))
+        .distinct()
+    )
+    probes = (
+        sh.filter(F.col("source") != BLOOM_SRC)
+        .join(ins, "shingle", "left_anti")
+        .select("source", "shingle")
+    )
+    pb = probes.select("source", "shingle", ks).select(
+        "source",
+        "shingle",
+        bit(F.col("i"), F.col("shingle")).alias("bit"),
+    )
+    scored = (
+        pb.join(F.broadcast(bits.withColumn("hit", F.lit(1))), "bit", "left")
+        .groupBy("source", "shingle")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("nhit"))
+    )
+    fp = scored.groupBy("source").agg(
+        F.count("*").alias("n_probes"),
+        F.sum((F.col("nhit") == BLOOM_K).cast("long")).alias("n_fp"),
+    )
+    meta = bits.agg(F.count("*").alias("bits_set")).crossJoin(
+        ins.agg(F.count("*").alias("n_inserted"))
+    )
+    return (
+        fp.crossJoin(F.broadcast(meta))
+        .select(
+            "source",
+            F.col("n_inserted").cast("long").alias("n_inserted"),
+            F.col("bits_set").cast("long").alias("bits_set"),
+            round4(F.col("bits_set") / F.lit(float(BLOOM_M))).alias(
+                "fill_ratio"
+            ),
+            F.col("n_probes").cast("long").alias("n_probes"),
+            F.col("n_fp").cast("long").alias("n_false_pos"),
+            round4(F.col("n_fp") / F.col("n_probes")).alias("fpr"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# q254 — KMV set-operation estimates: cross-source overlap
+# --------------------------------------------------------------------------
+@query(
+    "q254_kmv_overlap_estimates",
+    oracle=f"""
+    WITH {_SRC_SHINGLES_CTE},
+    hashed AS (
+      SELECT DISTINCT source, {_h48_sql('sh')} AS h FROM shingles),
+    ranked AS (
+      SELECT source, h,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+      FROM hashed),
+    bk AS (SELECT source, h FROM ranked WHERE rn <= {KMV_K}),
+    srcs AS (SELECT DISTINCT source FROM documents),
+    pairs AS (
+      SELECT a.source AS sa, b.source AS sb
+      FROM srcs a JOIN srcs b ON a.source < b.source),
+    uni AS (
+      SELECT DISTINCT sa, sb, h FROM (
+        SELECT p.sa, p.sb, k.h FROM pairs p JOIN bk k ON k.source = p.sa
+        UNION ALL
+        SELECT p.sa, p.sb, k.h FROM pairs p JOIN bk k ON k.source = p.sb)),
+    uranked AS (
+      SELECT sa, sb, h,
+             ROW_NUMBER() OVER (PARTITION BY sa, sb ORDER BY h) AS rn
+      FROM uni),
+    theta AS (SELECT sa, sb, h AS h_k FROM uranked WHERE rn = {KMV_K}),
+    common AS (
+      SELECT p.sa, p.sb, a.h
+      FROM pairs p
+      JOIN bk a ON a.source = p.sa
+      JOIN bk b ON b.source = p.sb AND b.h = a.h),
+    cm AS (
+      SELECT t.sa, t.sb,
+             COUNT(c.h) FILTER (WHERE c.h <= t.h_k) AS n_common
+      FROM theta t LEFT JOIN common c ON c.sa = t.sa AND c.sb = t.sb
+      GROUP BY t.sa, t.sb),
+    sizes AS (SELECT source, COUNT(*) AS n FROM shingles GROUP BY source),
+    ex AS (
+      SELECT x.source AS sa, y.source AS sb, COUNT(*) AS n_int
+      FROM shingles x JOIN shingles y
+        ON x.sh = y.sh AND x.source < y.source
+      GROUP BY 1, 2),
+    est AS (
+      SELECT c.sa, c.sb, c.n_common,
+             {KMV_NUM!r} / t.h_k AS est_union,
+             c.n_common / {KMV_K}.0 AS j_est_raw
+      FROM cm c JOIN theta t ON t.sa = c.sa AND t.sb = c.sb)
+    SELECT p.sa AS source_a, p.sb AS source_b,
+           CAST(COALESCE(x.n_int, 0) AS BIGINT) AS exact_inter,
+           {r4('COALESCE(x.n_int, 0) * 1.0 / '
+               '(na.n + nb.n - COALESCE(x.n_int, 0))')} AS exact_jaccard,
+           {r4('e.j_est_raw * e.est_union')} AS est_inter,
+           {r4('e.j_est_raw')} AS est_jaccard
+    FROM pairs p
+    JOIN est e ON e.sa = p.sa AND e.sb = p.sb
+    JOIN sizes na ON na.source = p.sa
+    JOIN sizes nb ON nb.source = p.sb
+    LEFT JOIN ex x ON x.sa = p.sa AND x.sb = p.sb
+    ORDER BY source_a, source_b
+    """,
+    tags=("extension", "sketch", "cardinality", "decontamination"),
+)
+def q254_kmv_overlap_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source content overlap estimated from KMV sketches, graded
+    against the exact answer: for every source pair, the estimated
+    intersection size and Jaccard (theta-sketch style: J = |common
+    hashes among the union's bottom-k| / k, intersection = J * KMV
+    union estimate) next to the exact distinct-shingle intersection and
+    Jaccard. This is the sketch form of cross-corpus contamination
+    measurement (q178's transfer matrix, q88's decontamination): at
+    real scale you can afford one 64-long sketch per source/shard, not
+    a pairwise exact shingle join.
+
+    Shape/scale: the sketch side touches only 20 sketches x 64 longs —
+    every pair computation (union bottom-k, theta, common count) runs
+    on broadcast-sized frames; adding a source never rescans the
+    others. The exact side (a shingle self-join) is the audit baseline
+    and is the thing that does NOT scale — which is precisely what the
+    side-by-side demonstrates. j_est = c/64 and est_union = 63*2^48/h_k
+    are exact-dyadic / correctly-rounded IEEE ops, so both engines
+    produce identical doubles before quantization.
+    """
+    sh = _src_shingles(spark, sf_dir)
+    hashed = sh.select("source", h48(F.col("shingle")).alias("h")).distinct()
+    rn = F.row_number().over(Window.partitionBy("source").orderBy("h"))
+    bk = hashed.withColumn("rn", rn).filter(F.col("rn") <= KMV_K).select(
+        "source", "h"
+    )
+    srcs = sh.select("source").distinct()
+    pairs = (
+        srcs.select(F.col("source").alias("sa"))
+        .join(
+            srcs.select(F.col("source").alias("sb")),
+            F.col("sa") < F.col("sb"),
+        )
+    )
+    uni = (
+        pairs.join(bk.withColumnRenamed("source", "sa"), "sa")
+        .select("sa", "sb", "h")
+        .unionAll(
+            pairs.join(bk.withColumnRenamed("source", "sb"), "sb").select(
+                "sa", "sb", "h"
+            )
+        )
+        .distinct()
+    )
+    urn = F.row_number().over(Window.partitionBy("sa", "sb").orderBy("h"))
+    theta = (
+        uni.withColumn("rn", urn)
+        .filter(F.col("rn") == KMV_K)
+        .select("sa", "sb", F.col("h").alias("h_k"))
+    )
+    common = (
+        bk.select(F.col("source").alias("sa"), "h")
+        .join(bk.select(F.col("source").alias("sb"), "h"), "h")
+        .filter(F.col("sa") < F.col("sb"))
+        .select("sa", "sb", "h")
+    )
+    cm = (
+        theta.join(common, ["sa", "sb"], "left")
+        .groupBy("sa", "sb", "h_k")
+        .agg(
+            F.sum(
+                F.when(F.col("h") <= F.col("h_k"), 1).otherwise(0)
+            ).alias("n_common")
+        )
+    )
+    sizes = sh.groupBy("source").agg(F.count("*").alias("n"))
+    ex = (
+        sh.select(F.col("source").alias("sa"), "shingle")
+        .join(
+            sh.select(F.col("source").alias("sb"), "shingle"), "shingle"
+        )
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count("*").alias("n_int"))
+    )
+    est = cm.select(
+        "sa",
+        "sb",
+        "n_common",
+        (F.lit(KMV_NUM) / F.col("h_k")).alias("est_union"),
+        (F.col("n_common") / F.lit(float(KMV_K))).alias("j_est_raw"),
+    )
+    return (
+        pairs.join(est, ["sa", "sb"])
+        .join(sizes.withColumnRenamed("source", "sa").withColumnRenamed("n", "na"), "sa")
+        .join(sizes.withColumnRenamed("source", "sb").withColumnRenamed("n", "nb"), "sb")
+        .join(ex, ["sa", "sb"], "left")
+        .select(
+            F.col("sa").alias("source_a"),
+            F.col("sb").alias("source_b"),
+            F.coalesce(F.col("n_int"), F.lit(0)).cast("long").alias(
+                "exact_inter"
+            ),
+            round4(
+                F.coalesce(F.col("n_int"), F.lit(0))
+                / (
+                    F.col("na")
+                    + F.col("nb")
+                    - F.coalesce(F.col("n_int"), F.lit(0))
+                )
+            ).alias("exact_jaccard"),
+            round4(F.col("j_est_raw") * F.col("est_union")).alias(
+                "est_inter"
+            ),
+            round4(F.col("j_est_raw")).alias("est_jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
