@@ -3094,3 +3094,129 @@ def q234_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_distinct")
     )
+
+
+# --------------------------------------------------------------------------
+# q258 — two-sample Kolmogorov-Smirnov drift test per source
+# --------------------------------------------------------------------------
+KS_ALPHA_COEF = 1.358  # c(alpha) for alpha = 0.05
+
+
+@query(
+    "q258_ks_source_drift",
+    oracle=f"""
+    WITH vals AS (SELECT DISTINCT n_chars AS v FROM documents),
+    srcs AS (SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source),
+    cnts AS (SELECT source, n_chars AS v, COUNT(*) AS c
+             FROM documents GROUP BY 1, 2),
+    grid AS (
+      SELECT s.source, s.n_s, g.v, COALESCE(c.c, 0) AS c
+      FROM srcs s CROSS JOIN vals g
+      LEFT JOIN cnts c ON c.source = s.source AND c.v = g.v),
+    cum AS (
+      SELECT source, n_s, v,
+             SUM(c) OVER (PARTITION BY source ORDER BY v) AS cs
+      FROM grid),
+    gc AS (SELECT v, SUM(cs) AS gcs FROM cum GROUP BY v),
+    tot AS (SELECT COUNT(*) AS n FROM documents),
+    d AS (
+      SELECT c.source, c.n_s, t.n,
+             MAX(ABS(CAST(c.cs AS DOUBLE) / c.n_s
+                     - CAST(g.gcs - c.cs AS DOUBLE) / (t.n - c.n_s)))
+               AS ks
+      FROM cum c JOIN gc g USING (v) CROSS JOIN tot t
+      GROUP BY c.source, c.n_s, t.n),
+    q AS (
+      SELECT source, n_s,
+             {r4('ks')} AS ks_stat,
+             {r4(f'{KS_ALPHA_COEF!r} * sqrt(CAST(n AS DOUBLE) '
+                 '/ (n_s * (n - n_s)))')} AS ks_crit
+      FROM d)
+    SELECT source, CAST(n_s AS BIGINT) AS n_src, ks_stat, ks_crit,
+           CAST(CASE WHEN ks_stat > ks_crit THEN 1 ELSE 0 END AS BIGINT)
+             AS drift_flag
+    FROM q
+    ORDER BY source
+    """,
+    tags=("extension", "analytic", "drift", "distribution-test"),
+)
+def q258_ks_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test of each source's document
+    length distribution against the rest of the corpus: the KS
+    statistic (max CDF gap), the alpha=0.05 critical value
+    c(alpha) * sqrt((n1+n2)/(n1*n2)), and a drift flag. This is the
+    distribution-shift monitor a training-data pipeline runs per
+    ingest batch/source BEFORE mixing (q206) — a source whose length
+    (or quality-score, or perplexity) distribution drifts from the
+    corpus gets quarantined for curation review, the nonparametric
+    complement of the embedding-drift check (q238) and the robust
+    location tests (q180).
+
+    Shape/scale: the empirical CDFs are evaluated on the shared
+    distinct-value grid (bounded by the value domain, not the row
+    count) via a per-source cumulative window — partitioned by source,
+    audit-clean. The global cumulative needed for the "rest" CDF falls
+    out of the SAME frame for free: on a complete grid,
+    global_cum(v) = sum over sources of cum(s, v), so one groupBy
+    replaces a second corpus scan + unpartitioned window. Every CDF
+    value is an exact integer ratio (correctly rounded double
+    division), the max-gap is order-free, and the drift decision
+    compares round4-QUANTIZED statistic vs critical value on both
+    engines (IEEE sqrt is correctly rounded, so ks_crit is
+    bit-identical).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    vals = docs.select(F.col("n_chars").alias("v")).distinct()
+    srcs = docs.groupBy("source").agg(F.count("*").alias("n_s"))
+    cnts = docs.groupBy(
+        "source", F.col("n_chars").alias("v")
+    ).agg(F.count("*").alias("c"))
+    grid = (
+        srcs.crossJoin(vals)
+        .join(cnts, ["source", "v"], "left")
+        .select(
+            "source", "n_s", "v", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+        )
+    )
+    cum = grid.withColumn(
+        "cs",
+        F.sum("c").over(Window.partitionBy("source").orderBy("v")),
+    )
+    gc = cum.groupBy("v").agg(F.sum("cs").alias("gcs"))
+    tot = docs.agg(F.count("*").alias("n"))
+    d = (
+        cum.join(gc, "v")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source", "n_s", "n")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("cs").cast("double") / F.col("n_s")
+                    - (F.col("gcs") - F.col("cs")).cast("double")
+                    / (F.col("n") - F.col("n_s"))
+                )
+            ).alias("ks")
+        )
+    )
+    q = d.select(
+        "source",
+        "n_s",
+        round4(F.col("ks")).alias("ks_stat"),
+        round4(
+            F.lit(KS_ALPHA_COEF)
+            * F.sqrt(
+                F.col("n").cast("double")
+                / (F.col("n_s") * (F.col("n") - F.col("n_s")))
+            )
+        ).alias("ks_crit"),
+    )
+    return q.select(
+        "source",
+        F.col("n_s").cast("long").alias("n_src"),
+        "ks_stat",
+        "ks_crit",
+        F.when(F.col("ks_stat") > F.col("ks_crit"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("drift_flag"),
+    ).orderBy("source")

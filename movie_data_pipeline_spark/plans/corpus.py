@@ -1454,3 +1454,132 @@ def q250_chunk_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# q257 — decontamination n-gram-size sensitivity sweep
+# --------------------------------------------------------------------------
+DECONTAM_SWEEP_NS = (2, 3, 5, 8)
+
+
+def _sweep_shingles_sql(n: int, pred: str) -> str:
+    """Distinct word n-gram shingles per doc for the given doc filter."""
+    return f"""(
+      SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id,
+               CASE WHEN len(t) >= {n}
+                 THEN unnest(list_transform(
+                        generate_series(1, len(t) - {n - 1}),
+                        i -> array_to_string(t[i:i + {n - 1}], ' ')))
+                 ELSE array_to_string(t, ' ')
+               END AS sh
+        FROM toks WHERE {pred}))"""
+
+
+def _sweep_block_sql(n: int) -> str:
+    train = _sweep_shingles_sql(n, f"doc_id % {BENCH_MOD} <> 0")
+    bench = _sweep_shingles_sql(n, f"doc_id % {BENCH_MOD} = 0")
+    return f"""
+    SELECT CAST({n} AS BIGINT) AS ngram_n,
+           CAST(tc.n_train AS BIGINT) AS n_train_docs,
+           CAST(COUNT(f.doc_id) AS BIGINT) AS n_flagged,
+           {r4('COUNT(f.doc_id) * 1.0 / tc.n_train')} AS flag_rate,
+           {r4('CASE WHEN COUNT(f.doc_id) = 0 THEN 0.0 '
+               'ELSE SUM(f.n_shared) * 1.0 / COUNT(f.doc_id) END')}
+             AS mean_shared_grams
+    FROM tr_cnt tc LEFT JOIN (
+      SELECT s.doc_id, COUNT(*) AS n_shared
+      FROM {train} s
+      JOIN (SELECT DISTINCT sh FROM {bench} b0) b USING (sh)
+      GROUP BY s.doc_id) f ON TRUE
+    GROUP BY tc.n_train"""
+
+
+@query(
+    "q257_decontam_ngram_sweep",
+    oracle=(
+        f"WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),\n"
+        f"tr_cnt AS (SELECT COUNT(*) AS n_train FROM documents\n"
+        f"           WHERE doc_id % {BENCH_MOD} <> 0)\n"
+        + "\nUNION ALL\n".join(
+            _sweep_block_sql(n) for n in DECONTAM_SWEEP_NS
+        )
+        + "\nORDER BY ngram_n"
+    ),
+    tags=("extension", "corpus", "decontamination", "calibration"),
+)
+def q257_decontam_ngram_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sensitivity of the n-gram decontamination gate (q88) to the
+    n-gram size: for n in {DECONTAM_SWEEP_NS}, how many training
+    documents share at least one word n-gram with the held-out
+    benchmark slice, the flag rate, and the mean shared-gram count
+    among flagged docs. Production gates use 8-13-grams precisely
+    because short grams over-flag (at n=2 nearly every doc shares a
+    bigram with any benchmark — pure false positives) while long grams
+    only catch verbatim leakage; this curve makes that trade-off a
+    measured quantity on THIS corpus rather than folklore — the same
+    calibration discipline q248 applies to LSH bands and q229 to the
+    dedup threshold, completing the knob-sweep family for the
+    decontamination knob.
+
+    Shape/scale: one tokenization pass feeds all four n values (the
+    gram arrays are map-side transforms of the same token array — no
+    re-scan); per n, the benchmark gram set is DISTINCT-collapsed and
+    broadcast (eval suites are dimension-sized), the training corpus
+    streams through the broadcast join, and only matched grams reach
+    the per-doc exchange — q88's plan shape, looped. The four
+    single-row summaries union map-side. At 100 TB, running the sweep
+    on an md5-bucket sample (q39 discipline) prices the gate before
+    the full-corpus pass commits to an n.
+    """
+    from movie_data_pipeline_spark.operators.util import spread
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_bench = F.col("doc_id") % BENCH_MOD == 0
+    toks = spread(docs).select("doc_id", F.col("text"))
+    tr_cnt = docs.filter(~is_bench).agg(
+        F.count("*").alias("n_train")
+    )
+    parts = []
+    for n in DECONTAM_SWEEP_NS:
+        sh = toks.select(
+            "doc_id", word_shingles(F.col("text"), n).alias("grams")
+        )
+        bench = (
+            sh.filter(is_bench)
+            .select(F.explode("grams").alias("sh"))
+            .distinct()
+        )
+        train = sh.filter(~is_bench).select(
+            "doc_id", F.explode("grams").alias("sh")
+        )
+        flagged = (
+            train.join(F.broadcast(bench), "sh")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_shared"))
+        )
+        summary = (
+            flagged.agg(
+                F.count("*").alias("n_flagged"),
+                F.sum("n_shared").alias("sum_shared"),
+            )
+            .crossJoin(F.broadcast(tr_cnt))
+            .select(
+                F.lit(n).cast("long").alias("ngram_n"),
+                F.col("n_train").cast("long").alias("n_train_docs"),
+                F.col("n_flagged").cast("long").alias("n_flagged"),
+                round4(F.col("n_flagged") / F.col("n_train")).alias(
+                    "flag_rate"
+                ),
+                round4(
+                    F.when(F.col("n_flagged") == 0, F.lit(0.0)).otherwise(
+                        F.col("sum_shared") / F.col("n_flagged")
+                    )
+                ).alias("mean_shared_grams"),
+            )
+        )
+        parts.append(summary)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("ngram_n")

@@ -1137,3 +1137,135 @@ def q243_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         round4(F.min("quality")).alias("min_quality_admitted"),
         F.max("doc_id").cast("long").alias("last_doc_id"),
     )
+
+
+# --------------------------------------------------------------------------
+# q259 — weighted sampling without replacement (Efraimidis-Spirakis)
+# --------------------------------------------------------------------------
+AES_N = 100  # sample size
+AES_SALT = "aes:"  # hash salt for the per-row uniform
+# 2**48 as an exact double; the md5-derived 48-bit uniform u=(h+1)/2^48
+# lies in (0, 1] so ln(u) is finite.
+AES_SPACE = 281474976710656
+
+
+def _r8_sql(expr: str) -> str:
+    # ln() can differ by 1 ulp across engines; ranking happens on this
+    # 8-decimal quantization (finer than round4 because A-ES keys
+    # cluster near 0 for heavy docs) with doc_id tiebreak.
+    return f"floor(({expr}) * 100000000 + 0.5) / 100000000"
+
+
+def _r8(col):
+    return F.floor(col * F.lit(100000000.0) + F.lit(0.5)) / F.lit(
+        100000000.0
+    )
+
+
+@query(
+    "q259_weighted_sample_audit",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, source, n_chars,
+             {_r8_sql(
+                 "ln(CAST(CAST(('0x' || substr(md5('" + AES_SALT + "' || "
+                 "CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) + 1 AS DOUBLE)"
+                 f" / CAST({AES_SPACE} AS DOUBLE)) / n_chars"
+             )} AS k
+      FROM documents),
+    sel AS (SELECT doc_id, source, n_chars FROM keyed
+            ORDER BY k DESC, doc_id LIMIT {AES_N}),
+    per AS (
+      SELECT source, COUNT(*) AS n_sel, SUM(n_chars) AS w_sel
+      FROM sel GROUP BY source),
+    tot AS (
+      SELECT (SELECT SUM(n_chars) FROM sel) AS w_sel_tot,
+             (SELECT SUM(n_chars) FROM documents) AS w_tot),
+    base AS (
+      SELECT source, SUM(n_chars) AS w_src FROM documents GROUP BY source)
+    SELECT b.source,
+           CAST(COALESCE(p.n_sel, 0) AS BIGINT) AS n_selected,
+           CAST(COALESCE(p.w_sel, 0) AS BIGINT) AS chars_selected,
+           {r4('CAST(COALESCE(p.w_sel, 0) AS DOUBLE) / t.w_sel_tot')}
+             AS selected_share,
+           {r4('CAST(b.w_src AS DOUBLE) / t.w_tot')} AS expected_share
+    FROM base b LEFT JOIN per p USING (source) CROSS JOIN tot t
+    ORDER BY b.source
+    """,
+    tags=("extension", "curation", "sampling"),
+)
+def q259_weighted_sample_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis-Spirakis A-ES): each document gets key ln(u)/w with a
+    salted md5-derived uniform u and weight w = n_chars; the top-n keys
+    ARE a weight-proportional sample, audited per source against the
+    expected weight share. This is the reproducible form of the
+    length/quality-weighted subsampling a mixing stage applies
+    (q206/q208/q243): hash-derived uniforms make the sample a pure
+    function of the corpus — reshardable, resumable, identical on
+    every engine and cluster size, the same salt discipline as q39's
+    md5-bucket split.
+
+    Shape/scale: one narrow scan computes keys map-side; selection is
+    a global top-n (TakeOrderedAndProject — per-partition heaps, no
+    sort of the corpus); the audit is two tiny aggregates. A-ES keys
+    are rank-equivalent to u^(1/w) (ln is monotone); ranking uses an
+    8-decimal quantization of ln(u)/w so an engine's 1-ulp ln
+    difference cannot reorder the boundary (doc_id breaks exact ties
+    identically on both sides — the q22 contract, one decimal place
+    deeper because keys concentrate near 0).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(AES_SALT), F.col("doc_id").cast("string")
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    ).cast("double") / F.lit(float(AES_SPACE))
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        _r8(F.log(u) / F.col("n_chars")).alias("k"),
+    )
+    sel = keyed.orderBy(F.desc("k"), "doc_id").limit(AES_N)
+    per = sel.groupBy("source").agg(
+        F.count("*").alias("n_sel"), F.sum("n_chars").alias("w_sel")
+    )
+    tot = sel.agg(F.sum("n_chars").alias("w_sel_tot")).crossJoin(
+        docs.agg(F.sum("n_chars").alias("w_tot"))
+    )
+    base = docs.groupBy("source").agg(F.sum("n_chars").alias("w_src"))
+    return (
+        base.join(per, "source", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.coalesce(F.col("n_sel"), F.lit(0))
+            .cast("long")
+            .alias("n_selected"),
+            F.coalesce(F.col("w_sel"), F.lit(0))
+            .cast("long")
+            .alias("chars_selected"),
+            round4(
+                F.coalesce(F.col("w_sel"), F.lit(0)).cast("double")
+                / F.col("w_sel_tot")
+            ).alias("selected_share"),
+            round4(
+                F.col("w_src").cast("double") / F.col("w_tot")
+            ).alias("expected_share"),
+        )
+        .orderBy("source")
+    )

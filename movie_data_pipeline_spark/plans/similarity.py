@@ -1329,3 +1329,157 @@ def q247_embedding_decontamination(
         .select("vec_id", "n_eval_hits", "max_cos", "nearest_eval_id")
         .orderBy("vec_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q256 — margin-based candidate scoring (bitext-mining criterion)
+# --------------------------------------------------------------------------
+_MARGIN_X_PRED = "vec_id % 2 = 0"  # shard X (e.g. source language)
+_MARGIN_Y_PRED = "vec_id % 2 = 1"  # shard Y (e.g. target language)
+MARGIN_K = 4  # neighborhood size for the normalizing means
+MARGIN_TAU = 1.05  # ratio-margin acceptance threshold
+
+
+@query(
+    "q256_margin_candidate_mining",
+    oracle=f"""
+    WITH x AS (SELECT vec_id AS x_id, embedding::DOUBLE[] AS v
+               FROM embeddings WHERE {_MARGIN_X_PRED}),
+    y AS (SELECT vec_id AS y_id, embedding::DOUBLE[] AS v
+          FROM embeddings WHERE {_MARGIN_Y_PRED}),
+    p AS (
+      SELECT x.x_id, y.y_id,
+             {r4('list_cosine_similarity(x.v, y.v)')} AS cs
+      FROM x CROSS JOIN y),
+    nnx AS (
+      SELECT x_id, cs,
+             ROW_NUMBER() OVER (PARTITION BY x_id
+                                ORDER BY cs DESC, y_id) AS rn
+      FROM p),
+    ax AS (
+      SELECT x_id,
+             CAST(SUM(CAST(cs AS DECIMAL(20,4))) AS DOUBLE) / {MARGIN_K}
+               AS a_x
+      FROM nnx WHERE rn <= {MARGIN_K} GROUP BY x_id),
+    nny AS (
+      SELECT y_id, cs,
+             ROW_NUMBER() OVER (PARTITION BY y_id
+                                ORDER BY cs DESC, x_id) AS rn
+      FROM p),
+    ay AS (
+      SELECT y_id,
+             CAST(SUM(CAST(cs AS DECIMAL(20,4))) AS DOUBLE) / {MARGIN_K}
+               AS a_y
+      FROM nny WHERE rn <= {MARGIN_K} GROUP BY y_id),
+    m AS (
+      SELECT p.x_id, p.y_id, p.cs,
+             {r4('p.cs / ((ax.a_x + ay.a_y) / 2)')} AS margin
+      FROM p JOIN ax USING (x_id) JOIN ay USING (y_id))
+    SELECT x_id, y_id, cs AS cos_sim, margin
+    FROM m
+    WHERE margin >= {MARGIN_TAU}
+    ORDER BY x_id, y_id
+    """,
+    tags=("extension", "similarity", "mining"),
+)
+def q256_margin_candidate_mining(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Margin-based candidate mining (the Artetxe-Schwenk ratio-margin
+    criterion used for bitext / parallel-pair mining): a cross-shard
+    pair (x, y) is accepted when cos(x, y) exceeds the mean cosine of
+    each side's k-nearest neighborhood by the ratio threshold —
+    margin = cos(x,y) / ((avgNN_k(x) + avgNN_k(y)) / 2) >= 1.05.
+    Raw-cosine thresholds fail in hubness regions (dense neighborhoods
+    make everything look similar); the margin normalizes by local
+    density, which is why mined-pair pipelines (CCMatrix/LASER-style)
+    use it instead of an absolute τ — here it is the pairing
+    complement of the absolute-τ decontamination gate (q247).
+
+    Shape/scale: per-vector norms are projected BELOW the cross join
+    (the r5 norm-hoisting discipline — one fold per vector, not per
+    pair); the scored-pair frame is consumed three times (both
+    neighborhood means + the final margin join) so it is persisted
+    once. Neighborhood means are windows PARTITIONED by the vector id
+    (audit-clean) over round4-QUANTIZED cosines, summed as
+    DECIMAL(20,4) so the 4-element mean is order-independent and
+    bit-identical across engines; margins threshold on quantized
+    values (the q22/q23 contract). The brute-force cross join is the
+    audit baseline; at mining scale both sides pre-bin through the LSH
+    index (operators.similarity.cosine_topk_lsh) and the margin is
+    computed over bucket candidates only, recall-audited as in q132.
+    """
+    from movie_data_pipeline_spark.operators.similarity import (
+        _to_double,
+        dot,
+        l2_norm,
+    )
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = (
+        emb.filter(F.expr(_MARGIN_X_PRED))
+        .select(F.col("vec_id").alias("x_id"),
+                _to_double(F.col("embedding")).alias("xv"))
+        .select("x_id", "xv", l2_norm(F.col("xv")).alias("xn"))
+    )
+    y = (
+        emb.filter(F.expr(_MARGIN_Y_PRED))
+        .select(F.col("vec_id").alias("y_id"),
+                _to_double(F.col("embedding")).alias("yv"))
+        .select("y_id", "yv", l2_norm(F.col("yv")).alias("yn"))
+    )
+    p = (
+        x.crossJoin(F.broadcast(y))
+        .select(
+            "x_id",
+            "y_id",
+            round4(
+                dot(F.col("xv"), F.col("yv"))
+                / (F.col("xn") * F.col("yn"))
+            ).alias("cs"),
+        )
+        .persist()
+    )
+    dec = F.col("cs").cast("decimal(20,4)")
+    rnx = F.row_number().over(
+        Window.partitionBy("x_id").orderBy(F.desc("cs"), "y_id")
+    )
+    ax = (
+        p.withColumn("rn", rnx)
+        .filter(F.col("rn") <= MARGIN_K)
+        .groupBy("x_id")
+        .agg(
+            (F.sum(dec).cast("double") / F.lit(MARGIN_K)).alias("a_x")
+        )
+    )
+    rny = F.row_number().over(
+        Window.partitionBy("y_id").orderBy(F.desc("cs"), "x_id")
+    )
+    ay = (
+        p.withColumn("rn", rny)
+        .filter(F.col("rn") <= MARGIN_K)
+        .groupBy("y_id")
+        .agg(
+            (F.sum(dec).cast("double") / F.lit(MARGIN_K)).alias("a_y")
+        )
+    )
+    m = (
+        p.join(ax, "x_id")
+        .join(ay, "y_id")
+        .select(
+            "x_id",
+            "y_id",
+            F.col("cs").alias("cos_sim"),
+            round4(
+                F.col("cs") / ((F.col("a_x") + F.col("a_y")) / F.lit(2.0))
+            ).alias("margin"),
+        )
+    )
+    out = (
+        m.filter(F.col("margin") >= F.lit(MARGIN_TAU))
+        .orderBy("x_id", "y_id")
+        .localCheckpoint(eager=True)
+    )
+    p.unpersist()
+    return out

@@ -713,3 +713,173 @@ def q140_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q255 — BM25 ranked retrieval over bigram terms
+# --------------------------------------------------------------------------
+# Okapi BM25 constants; K1P1/OMB pre-folded so both engines evaluate the
+# identical literal (1.2+1 and 1-0.75 are exact dyadic values anyway).
+BM25_K1 = 1.2
+BM25_K1P1 = 2.2
+BM25_B = 0.75
+BM25_OMB = 0.25
+# Query terms are picked *by document-frequency rank* (df desc, term asc)
+# so the query is deterministic yet spans high/mid/low selectivity.
+BM25_RANKS = (5, 15, 25)
+BM25_TOP = 10
+
+
+@query(
+    "q255_bm25_retrieval",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+    bg AS (
+      SELECT doc_id, array_to_string(t[i:i+1], ' ') AS term
+      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+            FROM toks WHERE len(t) >= 2)),
+    dfreq AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df_t FROM bg GROUP BY term),
+    ranked AS (
+      SELECT x.term, x.df_t, 1 + COUNT(y.term) AS rnk
+      FROM dfreq x LEFT JOIN dfreq y
+        ON y.df_t > x.df_t OR (y.df_t = x.df_t AND y.term < x.term)
+      GROUP BY x.term, x.df_t),
+    sel AS (SELECT term, df_t FROM ranked
+            WHERE rnk IN {BM25_RANKS!r}),
+    stats AS (SELECT COUNT(*) AS n_docs,
+                     CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+              FROM dl),
+    tf AS (
+      SELECT b.doc_id, b.term, s.df_t, COUNT(*) AS tf
+      FROM bg b JOIN sel s USING (term) GROUP BY 1, 2, 3),
+    scored AS (
+      SELECT tf.doc_id,
+             COUNT(*) AS n_terms_hit,
+             CAST(SUM(CAST(
+               ln(1 + CAST(st.n_docs - tf.df_t + 0.5 AS DOUBLE)
+                      / (tf.df_t + 0.5))
+               * tf.tf * CAST({BM25_K1P1!r} AS DOUBLE)
+               / (tf.tf + CAST({BM25_K1!r} AS DOUBLE)
+                  * (CAST({BM25_B!r} AS DOUBLE) * d.dl / st.avgdl
+                     + CAST({BM25_OMB!r} AS DOUBLE)))
+             AS DECIMAL(38,18))) AS DOUBLE) AS score_raw
+      FROM tf JOIN dl d USING (doc_id) CROSS JOIN stats st
+      GROUP BY tf.doc_id)
+    SELECT doc_id,
+           CAST(n_terms_hit AS BIGINT) AS n_terms_hit,
+           {r4('score_raw')} AS bm25_score
+    FROM scored
+    ORDER BY bm25_score DESC, doc_id
+    LIMIT {BM25_TOP}
+    """,
+    tags=("extension", "text", "retrieval"),
+)
+def q255_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 retrieval over word-bigram terms, with the
+    3-term query itself selected deterministically by document-frequency
+    rank (ranks 5/15/25 — one common, one mid, one rare term), so the
+    full lexical-retrieval path (df -> idf -> tf/length normalization ->
+    ranked top-k) is exercised with zero free parameters. This is the
+    sparse-retrieval complement of the dense ANN family (q22/q132/q240)
+    and the scoring backbone behind hard-negative mining (q223) and
+    snippet search (q185/q197).
+
+    Shape/scale: df and tf are both narrow groupBys on the term key;
+    the 3-row query-term frame broadcasts into the tf join, so the
+    corpus is scanned once and nothing wider than (doc_id, term)
+    shuffles. The df-rank selection uses a triangular self-join on the
+    term-df frame instead of a global window: the frame is bounded by
+    the bigram vocabulary (|V|^2), and the join is audit-clean where a
+    corpus-wide unpartitioned row_number is not (q191/q192 discipline).
+    Determinism: idf's ln() is quantization-safe (summed as
+    DECIMAL(38,18), q61 discipline), ranking happens on the
+    round4-quantized score with doc_id tiebreak on both engines.
+    """
+    from movie_data_pipeline_spark.operators.util import spread
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    toks = spread(docs).select("doc_id", t.alias("t"))
+    dl = toks.select("doc_id", F.size("t").alias("dl"))
+    z = F.arrays_zip(
+        F.slice(F.col("t"), 1, F.size("t") - 1),
+        F.slice(F.col("t"), 2, F.size("t") - 1),
+    )
+    bg = (
+        toks.filter(F.size("t") >= 2)
+        .select("doc_id", F.explode(z).alias("p"))
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.col("p.0"), F.col("p.1")).alias("term"),
+        )
+    )
+    dfreq = bg.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df_t")
+    )
+    x = dfreq.alias("x")
+    y = dfreq.alias("y")
+    ranked = (
+        x.join(
+            y,
+            (F.col("y.df_t") > F.col("x.df_t"))
+            | (
+                (F.col("y.df_t") == F.col("x.df_t"))
+                & (F.col("y.term") < F.col("x.term"))
+            ),
+            "left",
+        )
+        .groupBy(F.col("x.term").alias("term"), F.col("x.df_t").alias("df_t"))
+        .agg((F.count(F.col("y.term")) + 1).alias("rnk"))
+    )
+    sel = ranked.filter(F.col("rnk").isin(*BM25_RANKS)).select(
+        "term", "df_t"
+    )
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        bg.join(F.broadcast(sel), "term")
+        .groupBy("doc_id", "term", "df_t")
+        .agg(F.count("*").alias("tf"))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df_t") + F.lit(0.5))
+        / (F.col("df_t") + F.lit(0.5))
+    )
+    contrib = (
+        idf
+        * F.col("tf")
+        * F.lit(BM25_K1P1)
+        / (
+            F.col("tf")
+            + F.lit(BM25_K1)
+            * (
+                F.lit(BM25_B) * F.col("dl") / F.col("avgdl")
+                + F.lit(BM25_OMB)
+            )
+        )
+    )
+    scored = (
+        tf.join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_terms_hit"),
+            F.sum(contrib.cast("decimal(38,18)"))
+            .cast("double")
+            .alias("score_raw"),
+        )
+    )
+    return (
+        scored.select(
+            "doc_id",
+            F.col("n_terms_hit").cast("long").alias("n_terms_hit"),
+            round4(F.col("score_raw")).alias("bm25_score"),
+        )
+        .orderBy(F.desc("bm25_score"), "doc_id")
+        .limit(BM25_TOP)
+    )
