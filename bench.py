@@ -97,6 +97,17 @@ HEADLINE = [
     "q248_lsh_scurve_sweep",
     "q249_crawl_novelty_curve",
     "q250_chunk_dedup_rate",
+    # round-5 continuation: sketch family, sparse retrieval, margin
+    # mining, decontam calibration, drift test, weighted sampling
+    "q251_kmv_distinct_audit",
+    "q252_countmin_heavy_hitters",
+    "q253_bloom_fpr_audit",
+    "q254_kmv_overlap_estimates",
+    "q255_bm25_retrieval",
+    "q256_margin_candidate_mining",
+    "q257_decontam_ngram_sweep",
+    "q258_ks_source_drift",
+    "q259_weighted_sample_audit",
 ]
 
 
