@@ -108,6 +108,7 @@ HEADLINE = [
     "q257_decontam_ngram_sweep",
     "q258_ks_source_drift",
     "q259_weighted_sample_audit",
+    "q260_rrf_hybrid_fusion",
 ]
 
 

@@ -730,10 +730,10 @@ BM25_RANKS = (5, 15, 25)
 BM25_TOP = 10
 
 
-@query(
-    "q255_bm25_retrieval",
-    oracle=f"""
-    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+# Shared CTE body producing `scored` (doc_id, n_terms_hit, score_raw):
+# used by q255 (ranked top-k) and q260 (rank fusion).
+_BM25_SCORED_CTES = f"""
+    toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
     dl AS (SELECT doc_id, len(t) AS dl FROM toks),
     bg AS (
       SELECT doc_id, array_to_string(t[i:i+1], ' ') AS term
@@ -766,37 +766,13 @@ BM25_TOP = 10
                      + CAST({BM25_OMB!r} AS DOUBLE)))
              AS DECIMAL(38,18))) AS DOUBLE) AS score_raw
       FROM tf JOIN dl d USING (doc_id) CROSS JOIN stats st
-      GROUP BY tf.doc_id)
-    SELECT doc_id,
-           CAST(n_terms_hit AS BIGINT) AS n_terms_hit,
-           {r4('score_raw')} AS bm25_score
-    FROM scored
-    ORDER BY bm25_score DESC, doc_id
-    LIMIT {BM25_TOP}
-    """,
-    tags=("extension", "text", "retrieval"),
-)
-def q255_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Okapi BM25 top-10 retrieval over word-bigram terms, with the
-    3-term query itself selected deterministically by document-frequency
-    rank (ranks 5/15/25 — one common, one mid, one rare term), so the
-    full lexical-retrieval path (df -> idf -> tf/length normalization ->
-    ranked top-k) is exercised with zero free parameters. This is the
-    sparse-retrieval complement of the dense ANN family (q22/q132/q240)
-    and the scoring backbone behind hard-negative mining (q223) and
-    snippet search (q185/q197).
+      GROUP BY tf.doc_id)"""
 
-    Shape/scale: df and tf are both narrow groupBys on the term key;
-    the 3-row query-term frame broadcasts into the tf join, so the
-    corpus is scanned once and nothing wider than (doc_id, term)
-    shuffles. The df-rank selection uses a triangular self-join on the
-    term-df frame instead of a global window: the frame is bounded by
-    the bigram vocabulary (|V|^2), and the join is audit-clean where a
-    corpus-wide unpartitioned row_number is not (q191/q192 discipline).
-    Determinism: idf's ln() is quantization-safe (summed as
-    DECIMAL(38,18), q61 discipline), ranking happens on the
-    round4-quantized score with doc_id tiebreak on both engines.
-    """
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared BM25 scoring frame (doc_id, n_terms_hit, score_raw) —
+    the Spark mirror of ``_BM25_SCORED_CTES``; consumed by q255
+    (ranked top-k) and q260 (rank fusion)."""
     from movie_data_pipeline_spark.operators.util import spread
 
     docs = load_table(spark, sf_dir, "documents")
@@ -863,7 +839,7 @@ def q255_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    scored = (
+    return (
         tf.join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
@@ -874,6 +850,43 @@ def q255_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("score_raw"),
         )
     )
+
+
+@query(
+    "q255_bm25_retrieval",
+    oracle=f"""
+    WITH {_BM25_SCORED_CTES}
+    SELECT doc_id,
+           CAST(n_terms_hit AS BIGINT) AS n_terms_hit,
+           {r4('score_raw')} AS bm25_score
+    FROM scored
+    ORDER BY bm25_score DESC, doc_id
+    LIMIT {BM25_TOP}
+    """,
+    tags=("extension", "text", "retrieval"),
+)
+def q255_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 retrieval over word-bigram terms, with the
+    3-term query itself selected deterministically by document-frequency
+    rank (ranks 5/15/25 — one common, one mid, one rare term), so the
+    full lexical-retrieval path (df -> idf -> tf/length normalization ->
+    ranked top-k) is exercised with zero free parameters. This is the
+    sparse-retrieval complement of the dense ANN family (q22/q132/q240)
+    and the scoring backbone behind hard-negative mining (q223) and
+    snippet search (q185/q197).
+
+    Shape/scale: df and tf are both narrow groupBys on the term key;
+    the 3-row query-term frame broadcasts into the tf join, so the
+    corpus is scanned once and nothing wider than (doc_id, term)
+    shuffles. The df-rank selection uses a triangular self-join on the
+    term-df frame instead of a global window: the frame is bounded by
+    the bigram vocabulary (|V|^2), and the join is audit-clean where a
+    corpus-wide unpartitioned row_number is not (q191/q192 discipline).
+    Determinism: idf's ln() is quantization-safe (summed as
+    DECIMAL(38,18), q61 discipline), ranking happens on the
+    round4-quantized score with doc_id tiebreak on both engines.
+    """
+    scored = _bm25_scored(spark, sf_dir)
     return (
         scored.select(
             "doc_id",
@@ -883,3 +896,133 @@ def q255_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25_score"), "doc_id")
         .limit(BM25_TOP)
     )
+
+
+# --------------------------------------------------------------------------
+# q260 — reciprocal-rank fusion of two retrievers (hybrid retrieval)
+# --------------------------------------------------------------------------
+RRF_K = 60  # the standard RRF damping constant
+RRF_LIST = 20  # per-retriever candidate list length
+RRF_TOP = 10  # fused results returned
+
+# 8-decimal quantization for the fused score: RRF deltas between
+# adjacent ranks are ~1/(60+r)^2 ~ 2e-4 at the list head but contribs
+# from two lists can land within 1e-4 of each other; ranking uses this
+# finer grid with doc_id tiebreak (same rationale as q259's key).
+_RRF_R8 = "floor(({expr}) * 100000000 + 0.5) / 100000000"
+
+
+@query(
+    "q260_rrf_hybrid_fusion",
+    oracle=f"""
+    WITH {_BM25_SCORED_CTES},
+    topa AS (
+      SELECT doc_id, {r4('score_raw')} AS s FROM scored
+      ORDER BY s DESC, doc_id LIMIT {RRF_LIST}),
+    ranka AS (
+      SELECT x.doc_id, 1 + COUNT(y.doc_id) AS rnk
+      FROM topa x LEFT JOIN topa y
+        ON y.s > x.s OR (y.s = x.s AND y.doc_id < x.doc_id)
+      GROUP BY x.doc_id),
+    topb AS (
+      SELECT doc_id, n_chars FROM documents
+      ORDER BY n_chars DESC, doc_id LIMIT {RRF_LIST}),
+    rankb AS (
+      SELECT x.doc_id, 1 + COUNT(y.doc_id) AS rnk
+      FROM topb x LEFT JOIN topb y
+        ON y.n_chars > x.n_chars
+           OR (y.n_chars = x.n_chars AND y.doc_id < x.doc_id)
+      GROUP BY x.doc_id),
+    fused AS (
+      SELECT doc_id,
+             a.rnk AS rnk_bm25, b.rnk AS rnk_length,
+             {_RRF_R8.format(expr=(
+                 f"COALESCE(CAST(1 AS DOUBLE) / ({RRF_K} + a.rnk), 0) "
+                 f"+ COALESCE(CAST(1 AS DOUBLE) / ({RRF_K} + b.rnk), 0)"
+             ))} AS rrf_score
+      FROM ranka a FULL OUTER JOIN rankb b USING (doc_id))
+    SELECT doc_id,
+           CAST(rnk_bm25 AS BIGINT) AS rnk_bm25,
+           CAST(rnk_length AS BIGINT) AS rnk_length,
+           rrf_score
+    FROM fused
+    ORDER BY rrf_score DESC, doc_id
+    LIMIT {RRF_TOP}
+    """,
+    tags=("extension", "text", "retrieval", "fusion"),
+)
+def q260_rrf_hybrid_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (RRF, Cormack et al.) of two retriever
+    lists: the BM25 relevance ranking (q255's scorer) and a document
+    length prior, fused as sum over lists of 1/(60 + rank). RRF is the
+    standard way hybrid RAG stacks combine lexical and dense (or
+    prior) retrievers WITHOUT calibrating their incomparable score
+    scales — only ranks enter the fusion, so a 0-10 BM25 and a raw
+    byte count fuse cleanly. Docs present in one list only still score
+    (the other contribution is 0), which is RRF's recall-preserving
+    property.
+
+    Shape/scale: each retriever contributes a top-{RRF_LIST} list via
+    ORDER BY + LIMIT (TakeOrderedAndProject — per-partition heaps, no
+    global sort); ranks WITHIN each bounded list come from a
+    triangular self-join on the {RRF_LIST}-row frame (audit-clean, no
+    unpartitioned window — the production form fuses fixed-length
+    lists, so the bound is structural, not data-dependent). The fusion
+    itself is a {RRF_LIST}-row full outer join. Determinism: ranks are
+    integers over quantized scores with doc_id tiebreaks; 1/(60+r) is
+    a correctly-rounded IEEE division and the 2-term sum is fixed
+    order, quantized at 8 decimals before the final ranking.
+    """
+    scored = _bm25_scored(spark, sf_dir)
+    topa = (
+        scored.select("doc_id", round4(F.col("score_raw")).alias("s"))
+        .orderBy(F.desc("s"), "doc_id")
+        .limit(RRF_LIST)
+    )
+    xa = topa.alias("x")
+    ya = topa.alias("y")
+    ranka = (
+        xa.join(
+            ya,
+            (F.col("y.s") > F.col("x.s"))
+            | ((F.col("y.s") == F.col("x.s"))
+               & (F.col("y.doc_id") < F.col("x.doc_id"))),
+            "left",
+        )
+        .groupBy(F.col("x.doc_id").alias("doc_id"))
+        .agg((F.count(F.col("y.doc_id")) + 1).alias("rnk_bm25"))
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    topb = (
+        docs.select("doc_id", "n_chars")
+        .orderBy(F.desc("n_chars"), "doc_id")
+        .limit(RRF_LIST)
+    )
+    xb = topb.alias("x")
+    yb = topb.alias("y")
+    rankb = (
+        xb.join(
+            yb,
+            (F.col("y.n_chars") > F.col("x.n_chars"))
+            | ((F.col("y.n_chars") == F.col("x.n_chars"))
+               & (F.col("y.doc_id") < F.col("x.doc_id"))),
+            "left",
+        )
+        .groupBy(F.col("x.doc_id").alias("doc_id"))
+        .agg((F.count(F.col("y.doc_id")) + 1).alias("rnk_length"))
+    )
+    contrib = F.coalesce(
+        F.lit(1.0) / (F.lit(RRF_K) + F.col("rnk_bm25")), F.lit(0.0)
+    ) + F.coalesce(
+        F.lit(1.0) / (F.lit(RRF_K) + F.col("rnk_length")), F.lit(0.0)
+    )
+    fused = ranka.join(rankb, "doc_id", "full_outer").select(
+        "doc_id",
+        F.col("rnk_bm25").cast("long").alias("rnk_bm25"),
+        F.col("rnk_length").cast("long").alias("rnk_length"),
+        (
+            F.floor(contrib * F.lit(100000000.0) + F.lit(0.5))
+            / F.lit(100000000.0)
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(F.desc("rrf_score"), "doc_id").limit(RRF_TOP)
