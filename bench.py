@@ -109,6 +109,8 @@ HEADLINE = [
     "q258_ks_source_drift",
     "q259_weighted_sample_audit",
     "q260_rrf_hybrid_fusion",
+    "q261_hourly_interpolation",
+    "q262_histogram_quantile_audit",
 ]
 
 

@@ -3220,3 +3220,122 @@ def q258_ks_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("drift_flag"),
     ).orderBy("source")
+
+
+# --------------------------------------------------------------------------
+# q261 — hourly spine + linear interpolation (the other resample mode)
+# --------------------------------------------------------------------------
+@query(
+    "q261_hourly_interpolation",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour,
+             {exact_sum_sql('value')} AS hour_value
+      FROM events GROUP BY 1, 2),
+    spans AS (SELECT user_id, MIN(hour) AS h0, MAX(hour) AS h1
+              FROM hourly GROUP BY user_id),
+    spine AS (SELECT user_id,
+                     unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+              FROM spans),
+    joined AS (SELECT s.user_id, s.hour, h.hour_value
+               FROM spine s LEFT JOIN hourly h USING (user_id, hour)),
+    ctx AS (
+      SELECT user_id, hour, hour_value,
+             last_value(hour_value IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vp,
+             last_value(CASE WHEN hour_value IS NOT NULL THEN hour END
+                        IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hp,
+             first_value(hour_value IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY hour
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS vn,
+             first_value(CASE WHEN hour_value IS NOT NULL THEN hour END
+                         IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY hour
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS hn
+      FROM joined)
+    SELECT user_id, hour,
+           {r4("CASE WHEN hour_value IS NOT NULL THEN hour_value "
+               "ELSE vp + (vn - vp) "
+               "* (CAST(date_diff('hour', hp, hour) AS DOUBLE) "
+               "/ date_diff('hour', hp, hn)) END")} AS value_interp,
+           hour_value IS NOT NULL AS observed
+    FROM ctx
+    ORDER BY user_id, hour
+    """,
+    tags=("extension", "timeseries", "gap-fill", "interpolation"),
+)
+def q261_hourly_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hourly series with gaps LINEARLY interpolated between
+    the surrounding observations — the second of the two standard
+    resample fill modes (q64 is LOCF/previous; this is
+    ``interpolate='linear'``). Gap hours get
+    v_prev + (v_next - v_prev) * dt_frac with dt_frac an exact integer
+    hour ratio; observed hours pass their (exact-decimal) sums through
+    untouched, so the two fill modes agree everywhere both are defined.
+
+    Shape/scale: identical to q64's — one (user_id, hour) aggregate
+    shuffle, then span, spine, join, and all four context windows stay
+    partitioned by user_id (one exchange feeds all four: same
+    partition key and ordering, Spark plans a single Window node
+    stack). The spine is bounded per user by their own observed span.
+    Determinism: window frames are ROWS-bounded with no peers issue
+    (hour is unique per user), prev/next always exist because the
+    spine endpoints are observed; the interpolation arithmetic is
+    mirrored operation-for-operation and quantized (q61 discipline);
+    hour deltas use timestampdiff on NTZ timestamps (the
+    encoding-safe idiom — q220's lesson).
+    """
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(exact_sum(F.col("value")).alias("hour_value"))
+    spine = (
+        hourly.groupBy("user_id")
+        .agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour"),
+        )
+    )
+    past = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fut = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_hour = F.when(F.col("hour_value").isNotNull(), F.col("hour"))
+    ctx = (
+        spine.join(hourly, ["user_id", "hour"], "left")
+        .select(
+            "user_id",
+            "hour",
+            "hour_value",
+            F.last("hour_value", ignorenulls=True).over(past).alias("vp"),
+            F.last(obs_hour, ignorenulls=True).over(past).alias("hp"),
+            F.first("hour_value", ignorenulls=True).over(fut).alias("vn"),
+            F.first(obs_hour, ignorenulls=True).over(fut).alias("hn"),
+        )
+    )
+    interp = F.col("vp") + (F.col("vn") - F.col("vp")) * (
+        F.expr("timestampdiff(HOUR, hp, hour)").cast("double")
+        / F.expr("timestampdiff(HOUR, hp, hn)")
+    )
+    return ctx.select(
+        "user_id",
+        "hour",
+        round4(
+            F.when(
+                F.col("hour_value").isNotNull(), F.col("hour_value")
+            ).otherwise(interp)
+        ).alias("value_interp"),
+        F.col("hour_value").isNotNull().alias("observed"),
+    ).orderBy("user_id", "hour")

@@ -571,3 +571,197 @@ def q254_kmv_overlap_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# --------------------------------------------------------------------------
+# q262 — equi-width histogram quantile sketch vs exact order statistics
+# --------------------------------------------------------------------------
+QSK_BINS = 64
+QSK_QUANTILES = (("p50", 0.5), ("p95", 0.95), ("p99", 0.99))
+_QSK_VALUES = ", ".join(f"('{l}', {q!r})" for l, q in QSK_QUANTILES)
+
+
+@query(
+    "q262_histogram_quantile_audit",
+    oracle=f"""
+    WITH stats AS (
+      SELECT event_type, COUNT(*) AS n,
+             MIN(value) AS mn, MAX(value) AS mx
+      FROM events GROUP BY event_type),
+    binned AS (
+      SELECT e.event_type,
+             CASE WHEN s.mx = s.mn THEN 0
+                  ELSE LEAST({QSK_BINS - 1},
+                       CAST(floor((e.value - s.mn) * CAST({QSK_BINS} AS DOUBLE)
+                                  / (s.mx - s.mn)) AS BIGINT))
+             END AS bin
+      FROM events e JOIN stats s USING (event_type)),
+    hist AS (
+      SELECT event_type, bin, COUNT(*) AS c
+      FROM binned GROUP BY 1, 2),
+    cum AS (
+      SELECT event_type, bin,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY bin) AS cc
+      FROM hist),
+    qs(lbl, q) AS (VALUES {_QSK_VALUES}),
+    ks AS (
+      SELECT s.event_type, q.lbl, s.n, s.mn, s.mx,
+             CAST(ceil(CAST(q.q AS DOUBLE) * s.n) AS BIGINT) AS k
+      FROM stats s CROSS JOIN qs q),
+    selbin AS (
+      SELECT k.event_type, k.lbl, k.n, k.mn, k.mx, k.k,
+             MIN(c.bin) AS bin
+      FROM ks k JOIN cum c
+        ON c.event_type = k.event_type AND c.cc >= k.k
+      GROUP BY 1, 2, 3, 4, 5, 6),
+    ranked AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn
+      FROM events),
+    ex AS (
+      SELECT s.event_type, s.lbl, s.n, s.mn, s.mx, s.bin, r.value AS exact_val
+      FROM selbin s JOIN ranked r
+        ON r.event_type = s.event_type AND r.rn = s.k),
+    est AS (
+      SELECT event_type, lbl, n, exact_val,
+             mn + (bin + CAST(0.5 AS DOUBLE)) * (mx - mn)
+                  / CAST({QSK_BINS} AS DOUBLE) AS est_val,
+             (mx - mn) / CAST({QSK_BINS * 2} AS DOUBLE) AS half_width
+      FROM ex)
+    SELECT event_type, lbl AS quantile,
+           CAST(n AS BIGINT) AS n_rows,
+           {r4('exact_val')} AS exact_val,
+           {r4('est_val')} AS est_val,
+           {r4('abs(est_val - exact_val)')} AS abs_err,
+           {r4('half_width')} AS half_bin_width
+    FROM est
+    ORDER BY event_type, quantile
+    """,
+    tags=("extension", "sketch", "quantile"),
+)
+def q262_histogram_quantile_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Equi-width histogram quantile sketch (64 bins per event_type)
+    graded against exact order statistics: for p50/p95/p99, the bin
+    -midpoint estimate, the exact k-th value, the absolute error, and
+    the half-bin-width error bound the estimate is supposed to honor.
+    Completes the sketch family's fourth axis (q251 cardinality, q252
+    frequency, q253 membership, here quantiles) with the same
+    discipline: the sketch state is tiny and mergeable (64 counters
+    per group — map-side combine collapses every partition), the
+    estimate is graded against the exact answer, and engine-native
+    approximations (percentile_approx / approx_quantile) are avoided
+    in verified outputs because their internals are
+    implementation-defined.
+
+    Shape/scale: the histogram build is two narrow passes (min/max
+    stats, then a 64-way bin count whose exchange carries <= bins *
+    partitions rows); at 100 TB only these run — the exact side (a
+    per-group full sort for ROW_NUMBER) is the audit baseline run
+    once per release on a sample, exactly the q251/q254 pattern. All
+    windows are partitioned by event_type (audit-clean). Determinism:
+    bin indexing and midpoints use mirrored correctly-rounded IEEE
+    ops on identical inputs; k = ceil(q*n) is computed from the same
+    double product on both engines; the exact value ties break on
+    event_id.
+    """
+    events = load_table(spark, sf_dir, "events")
+    stats = events.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+    )
+    binned = events.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(QSK_BINS - 1),
+                F.floor(
+                    (F.col("value") - F.col("mn"))
+                    * F.lit(float(QSK_BINS))
+                    / (F.col("mx") - F.col("mn"))
+                ).cast("long"),
+            )
+        )
+        .alias("bin"),
+    )
+    hist = binned.groupBy("event_type", "bin").agg(
+        F.count("*").alias("c")
+    )
+    cum = hist.withColumn(
+        "cc",
+        F.sum("c").over(
+            Window.partitionBy("event_type").orderBy("bin")
+        ),
+    )
+    qs = None
+    for lbl, q in QSK_QUANTILES:
+        row = stats.select(
+            "event_type",
+            "n",
+            "mn",
+            "mx",
+            F.lit(lbl).alias("lbl"),
+            F.ceil(F.lit(float(q)) * F.col("n")).cast("long").alias("k"),
+        )
+        qs = row if qs is None else qs.unionAll(row)
+    selbin = (
+        qs.join(
+            cum.select("event_type", "bin", "cc"),
+            ["event_type"],
+        )
+        .filter(F.col("cc") >= F.col("k"))
+        .groupBy("event_type", "lbl", "n", "mn", "mx", "k")
+        .agg(F.min("bin").alias("bin"))
+    )
+    ranked = events.select(
+        "event_type",
+        "value",
+        F.row_number()
+        .over(
+            Window.partitionBy("event_type").orderBy("value", "event_id")
+        )
+        .alias("rn"),
+    )
+    ex = selbin.join(
+        ranked,
+        (F.col("rn") == F.col("k"))
+        & (ranked["event_type"] == selbin["event_type"]),
+    ).select(
+        selbin["event_type"],
+        "lbl",
+        "n",
+        "mn",
+        "mx",
+        "bin",
+        F.col("value").alias("exact_val"),
+    )
+    est = ex.select(
+        "event_type",
+        "lbl",
+        "n",
+        "exact_val",
+        (
+            F.col("mn")
+            + (F.col("bin") + F.lit(0.5))
+            * (F.col("mx") - F.col("mn"))
+            / F.lit(float(QSK_BINS))
+        ).alias("est_val"),
+        (
+            (F.col("mx") - F.col("mn")) / F.lit(float(QSK_BINS * 2))
+        ).alias("half_width"),
+    )
+    return est.select(
+        "event_type",
+        F.col("lbl").alias("quantile"),
+        F.col("n").cast("long").alias("n_rows"),
+        round4(F.col("exact_val")).alias("exact_val"),
+        round4(F.col("est_val")).alias("est_val"),
+        round4(F.abs(F.col("est_val") - F.col("exact_val"))).alias(
+            "abs_err"
+        ),
+        round4(F.col("half_width")).alias("half_bin_width"),
+    ).orderBy("event_type", "quantile")
