@@ -111,6 +111,7 @@ HEADLINE = [
     "q260_rrf_hybrid_fusion",
     "q261_hourly_interpolation",
     "q262_histogram_quantile_audit",
+    "q263_interval_overlap_join",
 ]
 
 

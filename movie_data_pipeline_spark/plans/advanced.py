@@ -2383,3 +2383,130 @@ def q141_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
     )
+
+
+# --------------------------------------------------------------------------
+# q263 — interval-overlap join (fulfillment windows x promo windows)
+# --------------------------------------------------------------------------
+# Fulfillment horizon in days by priority class (deterministic dim).
+FULFILL_DAYS = {
+    "1-URGENT": 7,
+    "2-HIGH": 14,
+    "3-MEDIUM": 21,
+    "4-NOT SPECIFIED": 28,
+    "5-LOW": 35,
+}
+# Promotion windows as half-open [p0, p1) date intervals — a
+# dimension-sized literal relation, as campaign calendars are.
+PROMO_WINDOWS = (
+    ("1996-q1", "1996-01-01", "1996-04-01"),
+    ("1997-summer", "1997-06-01", "1997-09-01"),
+    ("1998-holiday", "1998-11-15", "1999-01-01"),
+    ("2000-launch", "2000-03-01", "2000-04-16"),
+)
+_FULFILL_CASE = "CASE " + " ".join(
+    f"WHEN o_orderpriority = '{k}' THEN {v}"
+    for k, v in sorted(FULFILL_DAYS.items())
+) + " END"
+_PROMO_VALUES = ", ".join(
+    f"('{n}', DATE '{a}', DATE '{b}')" for n, a, b in PROMO_WINDOWS
+)
+
+
+@query(
+    "q263_interval_overlap_join",
+    oracle=f"""
+    WITH f AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(o_orderdate AS DATE) AS f0,
+             CAST(o_orderdate AS DATE) + ({_FULFILL_CASE}) AS f1
+      FROM orders),
+    promos(promo, p0, p1) AS (VALUES {_PROMO_VALUES}),
+    hits AS (
+      SELECT p.promo, f.o_orderpriority,
+             date_diff('day',
+                       GREATEST(f.f0, p.p0),
+                       LEAST(f.f1, p.p1)) AS overlap_days
+      FROM f JOIN promos p
+        ON f.f0 < p.p1 AND p.p0 < f.f1)
+    SELECT promo, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(overlap_days) AS BIGINT) AS sum_overlap_days,
+           {r4('SUM(overlap_days) * 1.0 / COUNT(*)')} AS avg_overlap_days
+    FROM hits
+    GROUP BY promo, o_orderpriority
+    ORDER BY promo, o_orderpriority
+    """,
+    tags=("extension", "interval-join", "range-join"),
+)
+def q263_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: each order's fulfillment window
+    [orderdate, orderdate + priority-dependent horizon) joined to the
+    promotion-calendar windows it overlaps, rolled up to overlap-day
+    totals per (promo, priority). This is the third member of the
+    temporal-join family — q35/q117 are as-of/point-in-time (probe
+    instant vs interval history), q51 builds the intervals, and this is
+    interval-vs-INTERVAL with an overlap-length measure, the shape
+    behind campaign attribution, maintenance-window impact, and
+    SLA-overlap reporting.
+
+    Shape/scale: the promo side is a literal dimension (campaign
+    calendars are tens of rows), so the non-equi overlap predicate
+    (f0 < p1 AND p0 < f1) runs as a broadcast nested-loop whose inner
+    side is K rows — a map-side scan of the fact table at any scale,
+    which is THE production answer for small-dim interval joins. For
+    big-x-big interval joins the same predicate rides the time-bucket
+    equi-join decomposition (explode intervals to buckets, equi-join
+    on bucket, dedupe) — q117's docstring records why this engine
+    refuses the naive big-big range join. Overlap lengths are exact
+    integer day differences of half-open intervals (no boundary
+    double-count); the rollup is a 20-group aggregate.
+    """
+    import datetime as _dt
+
+    orders = load_table(spark, sf_dir, "orders")
+    expr = None
+    for k, v in sorted(FULFILL_DAYS.items()):
+        cond = F.col("o_orderpriority") == k
+        expr = F.when(cond, v) if expr is None else expr.when(cond, v)
+    f = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_orderdate").cast("date").alias("f0"),
+        F.date_add(F.col("o_orderdate").cast("date"), expr).alias("f1"),
+    )
+    promos = F.broadcast(
+        spark.createDataFrame(
+            [
+                (
+                    n,
+                    _dt.date.fromisoformat(a),
+                    _dt.date.fromisoformat(b),
+                )
+                for n, a, b in PROMO_WINDOWS
+            ],
+            "promo STRING, p0 DATE, p1 DATE",
+        )
+    )
+    hits = f.join(
+        promos,
+        (F.col("f0") < F.col("p1")) & (F.col("p0") < F.col("f1")),
+    ).select(
+        "promo",
+        "o_orderpriority",
+        F.date_diff(
+            F.least(F.col("f1"), F.col("p1")),
+            F.greatest(F.col("f0"), F.col("p0")),
+        ).alias("overlap_days"),
+    )
+    return (
+        hits.groupBy("promo", "o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("overlap_days").cast("long").alias("sum_overlap_days"),
+            round4(
+                F.sum("overlap_days") / F.count("*")
+            ).alias("avg_overlap_days"),
+        )
+        .orderBy("promo", "o_orderpriority")
+    )
