@@ -262,16 +262,12 @@ def run_movielens_pipeline_jdbc(spark) -> float | None:
                 st.executeUpdate(f"CREATE TABLE {name} ({cols})")
         finally:
             conn.close()
+        # wh0 is lazy — no plan has executed yet, so timing the write of
+        # wh0 still times the full extract+transform+load (ADVICE r5:
+        # the second identical build_warehouse was wasted work).
         t0 = time.perf_counter()
-        wh, _ = build_warehouse(
-            spark,
-            read_movies(spark, REFERENCE_DATA),
-            read_ratings(spark, REFERENCE_DATA),
-            read_links(spark, REFERENCE_DATA),
-            enrichment=None,
-        )
         write_warehouse_jdbc(
-            wh, url, properties={"driver": driver}, num_partitions=4
+            wh0, url, properties={"driver": driver}, num_partitions=4
         )
         return time.perf_counter() - t0
     finally:

@@ -81,7 +81,10 @@ CM_TOP = 20  # audited heavy-hitter candidates
 
 BLOOM_M = 16384  # Bloom bits
 BLOOM_K = 3  # Bloom hash functions
-BLOOM_SRC = "src0"  # insert set: this source's shingles
+# Insert set = the lexicographically-smallest source's shingles, derived
+# from the data (ADVICE r5: a hard-coded name degenerates silently to an
+# all-probe zero-FP report if the generator ever renames its sources).
+BLOOM_SRC_SQL = "(SELECT MIN(source) FROM documents)"
 
 
 def _src_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -287,7 +290,7 @@ def q252_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q253_bloom_fpr_audit",
     oracle=f"""
     WITH {_SRC_SHINGLES_CTE},
-    ins AS (SELECT sh FROM shingles WHERE source = '{BLOOM_SRC}'),
+    ins AS (SELECT sh FROM shingles WHERE source = {BLOOM_SRC_SQL}),
     hrows(i) AS (VALUES (0), (1), (2)),
     bits AS (
       SELECT DISTINCT
@@ -295,7 +298,7 @@ def q252_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ins CROSS JOIN hrows),
     probes AS (
       SELECT s.source, s.sh FROM shingles s
-      WHERE s.source <> '{BLOOM_SRC}'
+      WHERE s.source <> {BLOOM_SRC_SQL}
         AND NOT EXISTS (SELECT 1 FROM ins i WHERE i.sh = s.sh)),
     pb AS (
       SELECT p.source, p.sh, r.i,
@@ -346,7 +349,11 @@ def q253_bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     FPR numerator is pure false positives.
     """
     sh = _src_shingles(spark, sf_dir)
-    ins = sh.filter(F.col("source") == BLOOM_SRC).select("shingle")
+    # one-scalar collect: the smallest source name picks the insert set
+    bloom_src = load_table(spark, sf_dir, "documents").agg(
+        F.min("source")
+    ).first()[0]
+    ins = sh.filter(F.col("source") == bloom_src).select("shingle")
     ks = F.explode(F.sequence(F.lit(0), F.lit(BLOOM_K - 1))).alias("i")
 
     def bit(i_col, sh_col):
@@ -361,7 +368,7 @@ def q253_bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     probes = (
-        sh.filter(F.col("source") != BLOOM_SRC)
+        sh.filter(F.col("source") != bloom_src)
         .join(ins, "shingle", "left_anti")
         .select("source", "shingle")
     )

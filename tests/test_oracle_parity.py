@@ -65,9 +65,19 @@ def test_rotation_window_is_fresh():
     names = list(e.queries())
     assert len(names) == len(set(names)) == len(REGISTRY)
     window = names[:50]
-    # Already-verified names may only re-enter the window via the
-    # explicit _FORCE_REVERIFY list (semantics changed this round).
-    assert set(window) & e._DRIVER_VERIFIED <= set(e._FORCE_REVERIFY)
+    # Ordering invariant (ADVICE r5): once the never-verified backlog +
+    # forced queue shrink below 50, verified names legitimately fill the
+    # window tail — so assert ORDER, not exclusion: no plain-verified
+    # name may appear before any never-verified name, and forced names
+    # come before the plain-verified tail.
+    forced = set(e._FORCE_REVERIFY)
+    tiers = [
+        2 if (n in e._DRIVER_VERIFIED and n not in forced)
+        else 1 if n in forced
+        else 0
+        for n in names
+    ]
+    assert tiers == sorted(tiers), "rotation order must be never-verified, then forced, then verified"
     oracles = e.oracle_sql()
     assert all(n in oracles for n in window)
     # verified names are still served (tail), under canonical names
