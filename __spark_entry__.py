@@ -117,6 +117,11 @@ _REVERIFY_QUEUE: dict[str, int] = {
     "q134_duplicate_clusters_star": 4,
     "q149_containment_pairs": 4,
     "q209_cluster_best_rep": 4,
+    # round 6: q64 rewritten to the segment (lead + gap-explode) LOCF
+    # formulation — outputs hash-identical at sf0.01/sf0.001 (builder
+    # driver_sim green both), but the registered plan changed, so the
+    # green row should postdate the rewrite.
+    "q64_hourly_locf": 6,
 }
 
 

@@ -62,50 +62,66 @@ def q64_hourly_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user hourly series with gaps forward-filled (LOCF).
 
     The resample-and-fill shape every time-series store exposes
-    (``LOCF``/``prev``): aggregate events to observed hours, generate
-    each user's dense hourly spine between their first and last hour
-    (``sequence`` + ``explode`` — q49's spine, per key), left-join
-    observations onto the spine, and carry the last observation forward
-    with ``last(..., ignorenulls=True)`` over a running ROWS frame. The
-    leading row is always observed (the spine starts at each user's
-    first event hour), so no initial-null policy is needed. Hour sums
-    are exact decimals (engine-order-independent), and the fill copies
-    those bit-identical doubles. Scale: one shuffle on (user_id, hour)
-    for the aggregate, then everything — span, spine, join, window —
-    stays partitioned by user_id; spine width is bounded by observed
-    span, not global min/max, so one long-lived user cannot explode
-    every user's series.
+    (``LOCF``/``prev``), SEGMENT formulation (r6): aggregate events to
+    observed hours, pair each observation with its successor via ONE
+    lead() window over the observed rows, then generate the gap hours
+    per segment with ``sequence(1, span-1)`` + ``explode``, each gap
+    carrying the segment's left value — LOCF is constant within a
+    segment, so no fill window over the dense spine is needed at all.
+    The r5 form densified first (per-user hourly spine) and ran
+    last(ignorenulls) over the dense series; window work then grew
+    with the OUTPUT row count instead of the observed point count,
+    and AQE's small-input coalesce serialized the explode-multiplied
+    window onto one task (q261's lesson, 13× at sf0.1). Hour sums are
+    exact decimals (engine-order-independent), and the fill copies
+    those bit-identical values — outputs hash-identical to the spine
+    form at sf0.01 and sf0.001. Scale: one shuffle on (user_id, hour)
+    for the aggregate, one on user_id for the lead(); gap width is
+    bounded by each user's own observed span, so one long-lived user
+    cannot explode every user's series. No trailing sort — the
+    driver's hash compare is order-insensitive (VERDICT r5 #3).
     """
     events = load_table(spark, sf_dir, "events")
     hourly = (
         events.groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("hour"))
         .agg(exact_sum(F.col("value")).alias("hour_value"))
     )
-    spine = (
-        hourly.groupBy("user_id")
-        .agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+    w = Window.partitionBy("user_id").orderBy("hour")
+    seg = hourly.select(
+        "user_id",
+        F.col("hour").alias("hp"),
+        F.col("hour_value").alias("vp"),
+        F.lead("hour").over(w).alias("hn"),
+    )
+    gaps = (
+        seg.filter(F.col("hn").isNotNull())
         .select(
             "user_id",
-            F.explode(
-                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
-            ).alias("hour"),
+            "hp",
+            "vp",
+            F.expr("timestampdiff(HOUR, hp, hn)").alias("span"),
         )
-    )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("hour")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return (
-        spine.join(hourly, ["user_id", "hour"], "left")
+        .filter(F.col("span") > 1)
         .select(
             "user_id",
-            "hour",
-            F.last("hour_value", ignorenulls=True).over(w).alias("value_filled"),
-            F.col("hour_value").isNotNull().alias("observed"),
+            "hp",
+            "vp",
+            F.explode(F.expr("sequence(1, span - 1)")).alias("k"),
         )
-        .orderBy("user_id", "hour")
+        .select(
+            "user_id",
+            (F.col("hp") + F.make_interval(hours=F.col("k"))).alias("hour"),
+            F.col("vp").alias("value_filled"),
+            F.lit(False).alias("observed"),
+        )
     )
+    observed = hourly.select(
+        "user_id",
+        "hour",
+        F.col("hour_value").alias("value_filled"),
+        F.lit(True).alias("observed"),
+    )
+    return observed.unionByName(gaps)
 
 
 # --------------------------------------------------------------------------
@@ -3276,66 +3292,67 @@ def q261_hourly_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
     hour ratio; observed hours pass their (exact-decimal) sums through
     untouched, so the two fill modes agree everywhere both are defined.
 
-    Shape/scale: identical to q64's — one (user_id, hour) aggregate
-    shuffle, then span, spine, join, and all four context windows stay
-    partitioned by user_id (one exchange feeds all four: same
-    partition key and ordering, Spark plans a single Window node
-    stack). The spine is bounded per user by their own observed span.
-    Determinism: window frames are ROWS-bounded with no peers issue
-    (hour is unique per user), prev/next always exist because the
-    spine endpoints are observed; the interpolation arithmetic is
-    mirrored operation-for-operation and quantized (q61 discipline);
-    hour deltas use timestampdiff on NTZ timestamps (the
-    encoding-safe idiom — q220's lesson).
+    Shape/scale (SEGMENT formulation, r6): one (user_id, hour)
+    aggregate shuffle, then ONE lead() window over only the OBSERVED
+    rows pairs each observation with its successor, and the gap hours
+    are generated per segment by an explode over sequence(1, span-1)
+    with the interpolation computed arithmetically from k/span. The
+    r5 spine formulation densified FIRST (explode to every hour) and
+    then ran four unbounded ignorenulls windows over the dense spine
+    — 13× slower at sf0.1 (12.2 s → 0.9 s) and worse at scale, since
+    window work grew with the OUTPUT row count instead of the observed
+    point count. Outputs are hash-identical at sf0.01 and sf0.001
+    (same decimal→double promotion order: vp + (vn-vp)·ratio with a
+    double integer-hour ratio). No trailing sort — the driver's hash
+    compare is order-insensitive (VERDICT r5 #3). Hour deltas use
+    timestampdiff on NTZ timestamps (the encoding-safe idiom —
+    q220's lesson).
     """
     events = load_table(spark, sf_dir, "events")
     hourly = events.groupBy(
         "user_id", F.date_trunc("hour", F.col("ts")).alias("hour")
     ).agg(exact_sum(F.col("value")).alias("hour_value"))
-    spine = (
-        hourly.groupBy("user_id")
-        .agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+    w = Window.partitionBy("user_id").orderBy("hour")
+    seg = hourly.select(
+        "user_id",
+        F.col("hour").alias("hp"),
+        F.col("hour_value").alias("vp"),
+        F.lead("hour").over(w).alias("hn"),
+        F.lead("hour_value").over(w).alias("vn"),
+    )
+    gaps = (
+        seg.filter(F.col("hn").isNotNull())
         .select(
             "user_id",
-            F.explode(
-                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
-            ).alias("hour"),
+            "hp",
+            "vp",
+            "vn",
+            F.expr("timestampdiff(HOUR, hp, hn)").alias("span"),
         )
-    )
-    past = (
-        Window.partitionBy("user_id")
-        .orderBy("hour")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    fut = (
-        Window.partitionBy("user_id")
-        .orderBy("hour")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    )
-    obs_hour = F.when(F.col("hour_value").isNotNull(), F.col("hour"))
-    ctx = (
-        spine.join(hourly, ["user_id", "hour"], "left")
+        .filter(F.col("span") > 1)
         .select(
             "user_id",
-            "hour",
-            "hour_value",
-            F.last("hour_value", ignorenulls=True).over(past).alias("vp"),
-            F.last(obs_hour, ignorenulls=True).over(past).alias("hp"),
-            F.first("hour_value", ignorenulls=True).over(fut).alias("vn"),
-            F.first(obs_hour, ignorenulls=True).over(fut).alias("hn"),
+            "hp",
+            "vp",
+            "vn",
+            "span",
+            F.explode(F.expr("sequence(1, span - 1)")).alias("k"),
+        )
+        .select(
+            "user_id",
+            (F.col("hp") + F.make_interval(hours=F.col("k"))).alias("hour"),
+            round4(
+                F.col("vp")
+                + (F.col("vn") - F.col("vp"))
+                * (F.col("k").cast("double") / F.col("span"))
+            ).alias("value_interp"),
+            F.lit(False).alias("observed"),
         )
     )
-    interp = F.col("vp") + (F.col("vn") - F.col("vp")) * (
-        F.expr("timestampdiff(HOUR, hp, hour)").cast("double")
-        / F.expr("timestampdiff(HOUR, hp, hn)")
-    )
-    return ctx.select(
+    observed = hourly.select(
         "user_id",
         "hour",
-        round4(
-            F.when(
-                F.col("hour_value").isNotNull(), F.col("hour_value")
-            ).otherwise(interp)
-        ).alias("value_interp"),
-        F.col("hour_value").isNotNull().alias("observed"),
-    ).orderBy("user_id", "hour")
+        round4(F.col("hour_value")).alias("value_interp"),
+        F.lit(True).alias("observed"),
+    )
+    return observed.unionByName(gaps)

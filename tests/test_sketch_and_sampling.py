@@ -14,7 +14,6 @@ import pytest
 
 from movie_data_pipeline_spark.plans import REGISTRY
 from movie_data_pipeline_spark.plans.sketches import (
-    BLOOM_SRC,
     KMV_K,
     KMV_NUM,
 )
@@ -103,12 +102,14 @@ def test_bloom_probe_accounting(spark, tmp_path):
     """Probes are exactly the NON-inserted distinct shingles of each
     other source: a clone of the insert source contributes zero probes
     (absent from the report); a disjoint source's probe count is its
-    own distinct-shingle count; FPR stays within [0, 1]."""
+    own distinct-shingle count; FPR stays within [0, 1]. The insert
+    set is the lexicographically-smallest source (ADVICE r5), so
+    '0-insert' sorts first here."""
     base = tmp_path / "bloomdocs"
     base.mkdir()
     other = " ".join(f"v{i:03d}" for i in range(50))
     rows = [
-        (1, BIG_TEXT, "en", BLOOM_SRC, len(BIG_TEXT)),
+        (1, BIG_TEXT, "en", "0-insert", len(BIG_TEXT)),
         (2, BIG_TEXT, "en", "clone", len(BIG_TEXT)),
         (3, other, "en", "fresh", len(other)),
     ]

@@ -77,7 +77,9 @@ def main() -> int:
     # Untimed warmup: pay JVM boot + first-query codegen before any
     # timed run so the first recorded number measures the plan.
     if names:
-        REGISTRY[names[0]].build(spark, args.base).count()
+        REGISTRY[names[0]].build(spark, args.base).write.format(
+            "noop"
+        ).mode("overwrite").save()
         spark.catalog.clearCache()
     ratios: dict[str, float] = {}
     for name in names:
@@ -91,8 +93,15 @@ def main() -> int:
         for sf_dir in (args.scaled, args.base):
             t0 = time.perf_counter()
             df = REGISTRY[name].build(spark, sf_dir)
-            n = df.count()
+            # noop write, same as bench.py:154 — a bare count() lets
+            # Catalyst prune every computed projection, so a
+            # projection-heavy query probes at the cost of its spine
+            # row count, not the query (VERDICT r5 #2: q261 probed
+            # 0.54 s while benching 29.1 s). The noop sink forces full
+            # evaluation of every output column with zero write cost.
+            df.write.format("noop").mode("overwrite").save()
             secs[sf_dir] = round(time.perf_counter() - t0, 2)
+            n = df.count()  # untimed: row count is metadata, not cost
             rec = {
                 "query": name,
                 "sf_dir": sf_dir,
