@@ -112,6 +112,38 @@ HEADLINE = [
     "q261_hourly_interpolation",
     "q262_histogram_quantile_audit",
     "q263_interval_overlap_join",
+    # round-6 addition: the scale-true banded-LSH margin-mining plan
+    # (q256 stays as its exact audit baseline)
+    "q256b_margin_mining_lsh",
+]
+
+# Stable trend tier (VERDICT r5 #6): these 20 have been in the headline
+# since rounds 1-2 and cover the main families (scan-agg, star join,
+# window, dedup, graph, similarity, text, ER). Their subtotal is the
+# round-over-round comparable number; everything else in HEADLINE is
+# the rotating extension tier, which grows with the catalog and is NOT
+# comparable across rounds when queries are added.
+CORE20 = [
+    "q16_pricing_summary",
+    "q15_segment_revenue",
+    "q02_region_revenue",
+    "q04_customer_order_stats",
+    "q09_top_orders_per_customer",
+    "q13_hourly_event_stats",
+    "q17_dedup_exact",
+    "q18_ngram_jaccard_dupes",
+    "q19_minhash_signatures",
+    "q20_minhash_lsh_candidates",
+    "q22_ann_cosine_topk",
+    "q63_duplicate_clusters",
+    "q64_hourly_locf",
+    "q103_pagerank_trade_graph",
+    "q105_doc_cosine_pairs",
+    "q116_copurchase_triangles",
+    "q144_ppjoin_pairs",
+    "q155_kcore_peeling",
+    "q174_semantic_dedup",
+    "q175_entity_resolution",
 ]
 
 
@@ -369,6 +401,15 @@ def main() -> None:
     # too-long line — VERDICT r3 #2).  So: short keys, 3-dp rounding,
     # compact separators, nothing printed after it; full names/spreads
     # go to BENCH_DETAIL.json alongside.
+    core = round(sum(t for n, t in timings.items() if n in CORE20), 3)
+    ext = round(
+        sum(
+            t
+            for n, t in timings.items()
+            if n not in CORE20 and not n.startswith("movielens_etl")
+        ),
+        3,
+    )
     out = {
         "metric": "headline_queries_total_runtime",
         "value": round(sum(timings.values()), 3),
@@ -377,6 +418,10 @@ def main() -> None:
         "sf": sf,
         "repeats": repeats,
         "noise_band_pct": noise_band,
+        # trend tiers (VERDICT r5 #6): core20 is round-comparable; ext
+        # grows with the catalog
+        "core20_sec": core,
+        "ext_sec": ext,
     }
     if extra_passes:
         out["escalated_passes"] = extra_passes
@@ -390,6 +435,9 @@ def main() -> None:
     detail = {
         "queries_full": timings,
         "short_to_full": {_short(n): n for n in timings},
+        "core20": CORE20,
+        "core20_sec": core,
+        "ext_sec": ext,
         "spread_pct": spread_pct,
         "noise_band_pct": noise_band,
         "repeats": repeats,

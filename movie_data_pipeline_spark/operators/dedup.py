@@ -158,9 +158,16 @@ def jaccard_pairs(
     )
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_shingles").alias("size_a"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_shingles").alias("size_b"))
+    # The candidate-pair frame is unbounded in corpus size and must
+    # never be the broadcast build side — the static optimizer's
+    # estimate of the post-explode aggregate is garbage and promoted it
+    # to broadcast at the 10x replica, OOMing the driver (caught by the
+    # r6 noop-write probe). SHUFFLE_HASH on the size dims pins a
+    # shuffled join with the doc-count-sized size frame as the
+    # per-partition hash build (no sort on the pair side).
     return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        common.join(sa.hint("SHUFFLE_HASH"), "doc_a")
+        .join(sb.hint("SHUFFLE_HASH"), "doc_b")
         .withColumn(
             "jaccard",
             F.col("n_common")
@@ -720,7 +727,10 @@ def containment_pairs(
     )
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_shingles").alias("size_a"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_shingles").alias("size_b"))
-    both = common.join(sa, "doc_a").join(sb, "doc_b")
+    # same rule as jaccard_pairs: pair frames never broadcast
+    both = common.join(sa.hint("SHUFFLE_HASH"), "doc_a").join(
+        sb.hint("SHUFFLE_HASH"), "doc_b"
+    )
     fwd = both.select(
         F.col("doc_a").alias("src_doc"),
         F.col("doc_b").alias("dst_doc"),

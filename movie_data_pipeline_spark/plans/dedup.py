@@ -2271,8 +2271,14 @@ def q248_lsh_scurve_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     gt = tj.filter(F.col("jaccard") >= _SWEEP_TAU).agg(
         F.count("*").alias("g")
     )
+    # Both sides are candidate-PAIR frames — unbounded in corpus size —
+    # so neither may ever be broadcast: at the 10x replica the
+    # optimizer's estimate promoted one side to broadcast and OOMed the
+    # 8g driver (caught by the r6 noop-write probe; the r5 count()
+    # probe had silently pruned this entire join away). SHUFFLE_MERGE
+    # pins the scalable strategy.
     agg = (
-        cands.join(tj, ["doc_a", "doc_b"], "left")
+        cands.join(tj.hint("SHUFFLE_MERGE"), ["doc_a", "doc_b"], "left")
         .groupBy("n_bands", "band_rows")
         .agg(
             F.count("*").cast("long").alias("n_candidates"),
