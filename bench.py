@@ -112,9 +112,13 @@ HEADLINE = [
     "q261_hourly_interpolation",
     "q262_histogram_quantile_audit",
     "q263_interval_overlap_join",
-    # round-6 addition: the scale-true banded-LSH margin-mining plan
-    # (q256 stays as its exact audit baseline)
+    # round-6 additions: the scale-true banded-LSH margin-mining plan
+    # (q256 stays as its exact audit baseline), the IVF recall sweep,
+    # the MinHash estimator audit, and temperature mixing
     "q256b_margin_mining_lsh",
+    "q264_ivf_recall_sweep",
+    "q265_minhash_estimate_audit",
+    "q266_temperature_mixing",
 ]
 
 # Stable trend tier (VERDICT r5 #6): these 20 have been in the headline

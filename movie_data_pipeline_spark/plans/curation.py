@@ -1269,3 +1269,104 @@ def q259_weighted_sample_audit(
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# q266 — temperature-scaled source sampling weights (the T-mix scheme)
+# --------------------------------------------------------------------------
+_TEMPERATURES = (1.0, 2.0, 5.0)
+_TEMP_VALUES = ", ".join(f"({t})" for t in _TEMPERATURES)
+
+
+@query(
+    "q266_temperature_mixing",
+    oracle=f"""
+    WITH src AS (
+      SELECT source,
+             CAST(SUM(len(string_split_regex(lower(trim(text)), '\\s+')))
+                  AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM src),
+    temps AS (SELECT CAST(t AS DOUBLE) AS temperature
+              FROM (VALUES {_TEMP_VALUES}) v(t)),
+    raw AS (
+      SELECT t.temperature, s.source, s.n_tokens,
+             {r4('s.n_tokens * 1.0 / tot.total')} AS corpus_share,
+             {r4('pow(s.n_tokens * 1.0 / tot.total, 1.0 / t.temperature)')}
+               AS w_raw
+      FROM src s CROSS JOIN temps t CROSS JOIN tot),
+    norm AS (
+      SELECT temperature,
+             CAST(SUM(CAST(w_raw AS DECIMAL(20,4))) AS DOUBLE) AS z
+      FROM raw GROUP BY temperature)
+    SELECT r.temperature, r.source, r.n_tokens, r.corpus_share,
+           {r4('r.w_raw / n.z')} AS sample_weight,
+           CAST(floor({r4('r.w_raw / n.z')} * tot.total + 0.5) AS BIGINT)
+             AS expected_tokens
+    FROM raw r JOIN norm n USING (temperature) CROSS JOIN tot
+    ORDER BY r.temperature, r.source
+    """,
+    tags=("extension", "curation", "mixture", "temperature"),
+)
+def q266_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled sampling weights per source — the third
+    standard mixture scheme next to q85 (budget rebalance) and q206
+    (alpha-mix): p_i ∝ share_i^(1/T). T=1 reproduces natural
+    proportions, T→∞ approaches uniform; multilingual and multi-source
+    LLM mixes typically train at T in [2, 5] to lift low-resource
+    sources without flattening the head. One row per (temperature,
+    source) with the normalized weight and the expected token draw at
+    the full-corpus budget.
+
+    Determinism discipline: pow differs by ~1 ulp across engines, so
+    each raw weight is round4-QUANTIZED first, the normalizer sums the
+    quantized values as DECIMAL(20,4) (order-free, engine-exact), and
+    the final weight re-quantizes the ratio (the q206 pattern).
+    Expected tokens use the elementary floor(x+0.5) half-up. Scale:
+    one per-source aggregate; everything after is arithmetic on an
+    |sources| x |temperatures| frame — constant-size next to the
+    corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(
+        F.sum(F.size(tokens(F.col("text"))).cast("long")).alias("n_tokens")
+    )
+    total = src.agg(F.sum("n_tokens").cast("long").alias("total"))
+    temps = spark.createDataFrame(
+        [(float(t),) for t in _TEMPERATURES], "temperature DOUBLE"
+    )
+    share = F.col("n_tokens") * F.lit(1.0) / F.col("total")
+    raw = (
+        src.crossJoin(F.broadcast(temps))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "temperature",
+            "source",
+            "n_tokens",
+            "total",
+            round4(share).alias("corpus_share"),
+            round4(
+                F.pow(share, F.lit(1.0) / F.col("temperature"))
+            ).alias("w_raw"),
+        )
+    )
+    norm = raw.groupBy("temperature").agg(
+        F.sum(F.col("w_raw").cast("decimal(20,4)"))
+        .cast("double")
+        .alias("z")
+    )
+    weight = round4(F.col("w_raw") / F.col("z"))
+    return (
+        raw.join(F.broadcast(norm), "temperature")
+        .select(
+            "temperature",
+            "source",
+            "n_tokens",
+            "corpus_share",
+            weight.alias("sample_weight"),
+            F.floor(weight * F.col("total") + F.lit(0.5))
+            .cast("long")
+            .alias("expected_tokens"),
+        )
+        .orderBy("temperature", "source")
+    )

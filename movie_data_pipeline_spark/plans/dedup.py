@@ -18,6 +18,7 @@ from movie_data_pipeline_spark.operators.dedup import (
     JACCARD_MAX_SHINGLE_DF,
     LSH_BAND_ROWS,
     MINHASH_P,
+    NUM_HASHES,
     containment_pairs,
     doc_shingles,
     exact_duplicates,
@@ -2316,3 +2317,124 @@ def q248_lsh_scurve_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_bands"))
     )
     return out
+
+
+# --------------------------------------------------------------------------
+# q265 — MinHash Jaccard-ESTIMATE accuracy audit (per candidate pair)
+# --------------------------------------------------------------------------
+@query(
+    "q265_minhash_estimate_audit",
+    oracle=f"""
+    WITH {_MINHASH_LONG_CTES},
+    bands AS (
+      SELECT doc_id, h_idx // {LSH_BAND_ROWS} AS band,
+             string_agg(CAST(min_hash AS VARCHAR), ',' ORDER BY h_idx) AS band_sig
+      FROM sigs GROUP BY doc_id, band),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bands x JOIN bands y
+        ON x.band = y.band AND x.band_sig = y.band_sig
+           AND x.doc_id < y.doc_id),
+    match AS (
+      SELECT c.doc_a, c.doc_b,
+             SUM(CASE WHEN sa.min_hash = sb.min_hash THEN 1 ELSE 0 END)
+               AS n_match
+      FROM cand c
+      JOIN sigs sa ON sa.doc_id = c.doc_a
+      JOIN sigs sb ON sb.doc_id = c.doc_b AND sb.h_idx = sa.h_idx
+      GROUP BY 1, 2),
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    common AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      FROM cand c
+      JOIN shingles a ON a.doc_id = c.doc_a
+      JOIN shingles b ON b.doc_id = c.doc_b AND b.sh = a.sh
+      GROUP BY 1, 2)
+    SELECT m.doc_a, m.doc_b,
+           {r4(f'm.n_match * 1.0 / {NUM_HASHES}')} AS est_jaccard,
+           {r4('COALESCE(co.n_common, 0) * 1.0 '
+               '/ (ca.n + cb.n - COALESCE(co.n_common, 0))')} AS exact_jaccard,
+           {r4(f'abs(m.n_match * 1.0 / {NUM_HASHES} '
+               '- COALESCE(co.n_common, 0) * 1.0 '
+               '/ (ca.n + cb.n - COALESCE(co.n_common, 0)))')} AS abs_err
+    FROM match m
+    LEFT JOIN common co ON co.doc_a = m.doc_a AND co.doc_b = m.doc_b
+    JOIN counts ca ON ca.doc_id = m.doc_a
+    JOIN counts cb ON cb.doc_id = m.doc_b
+    ORDER BY m.doc_a, m.doc_b
+    """,
+    tags=("extension", "dedup", "minhash", "audit"),
+)
+def q265_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-candidate-pair MinHash ESTIMATOR accuracy: the fraction of
+    the 16 signature rows that agree (the unbiased Jaccard estimator,
+    E[matches/k] = J) next to the exact uncapped shingle Jaccard and
+    their absolute error. q121 audits the LSH *candidate* quality
+    (recall/precision of the banding); this audits the *estimator* the
+    pipeline thresholds on when it skips the exact verification pass —
+    the error column is the empirical spread you must back off the
+    dedup threshold by (sd = sqrt(J(1-J)/16) ≈ 0.12 at J=0.5, and the
+    measured errors sit inside it).
+
+    Shape/scale: candidates come from the banded-LSH path (sub-
+    quadratic); the estimator join is candidates x 16 signature rows;
+    the exact-Jaccard check joins each candidate pair's DISTINCT
+    shingle rows (bounded per doc) — all equi-joins keyed on doc ids
+    or (band, sig), never a cross join. Estimates use the uncapped
+    shingle sets because that is what MinHash sketches approximate
+    (the df-capped family is a different, deliberately-shifted
+    measure — see q245).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    wide = minhash_signatures_wide(docs)
+    cand = lsh_candidate_pairs_wide(wide)
+    wa = wide.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(NUM_HASHES)],
+    )
+    wb = wide.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(NUM_HASHES)],
+    )
+    n_match = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int")
+        for i in range(NUM_HASHES)
+    )
+    est = (
+        cand.join(wa.hint("SHUFFLE_HASH"), "doc_a")
+        .join(wb.hint("SHUFFLE_HASH"), "doc_b")
+        .select("doc_a", "doc_b", n_match.alias("n_match"))
+    )
+    sets = doc_shingles(docs).groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("shingle")).alias("arr"),
+        F.count("*").alias("n"),
+    )
+    sa = sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("arr").alias("arr_a"),
+        F.col("n").alias("na"),
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("arr").alias("arr_b"),
+        F.col("n").alias("nb"),
+    )
+    exact = (
+        est.join(sa.hint("SHUFFLE_HASH"), "doc_a")
+        .join(sb.hint("SHUFFLE_HASH"), "doc_b")
+        .withColumn(
+            "n_common",
+            F.size(F.array_intersect("arr_a", "arr_b")).cast("long"),
+        )
+    )
+    est_j = F.col("n_match") / F.lit(float(NUM_HASHES))
+    exact_j = F.col("n_common") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    return exact.select(
+        "doc_a",
+        "doc_b",
+        round4(est_j).alias("est_jaccard"),
+        round4(exact_j).alias("exact_jaccard"),
+        round4(F.abs(est_j - exact_j)).alias("abs_err"),
+    )

@@ -1729,3 +1729,239 @@ def q256b_margin_mining_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     p.unpersist()
     ranked.unpersist()
     return out
+
+
+# --------------------------------------------------------------------------
+# q264 — IVF recall sweep: recall@10 per nprobe vs exact ground truth
+# --------------------------------------------------------------------------
+_IVF_CELLS = 8
+_IVF_PROBES = (1, 2, 4)
+_IVF_PROBE_VALUES = ", ".join(f"({p})" for p in _IVF_PROBES)
+
+
+@query(
+    "q264_ivf_recall_sweep",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS arr FROM embeddings),
+    q AS (SELECT vec_id, arr FROM v WHERE {_QUERY_PRED}),
+    ex AS (
+      SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(v.arr, q.arr) DESC, v.vec_id)
+               AS rn
+      FROM q CROSS JOIN v WHERE v.vec_id <> q.vec_id),
+    exact AS (SELECT query_id, neighbor_id FROM ex WHERE rn <= 10),
+    seeds AS (
+      SELECT arr AS s_arr,
+             ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                vec_id) - 1 AS s_idx
+      FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT {_IVF_CELLS}),
+    asg AS (
+      SELECT vec_id, arr, s_idx AS cell FROM (
+        SELECT v.vec_id, v.arr, s.s_idx,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                 ORDER BY list_cosine_similarity(v.arr, s.s_arr) DESC,
+                          s.s_idx) AS rn
+        FROM v CROSS JOIN seeds s) t WHERE rn = 1),
+    memb AS (SELECT cell, i - 1 AS dim_idx, arr[i] AS val
+             FROM asg, unnest(generate_series(1, {_ANN_DIM})) t(i)),
+    per_dim AS (
+      SELECT cell, dim_idx,
+             CAST(SUM(CAST(val AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS c
+      FROM memb GROUP BY cell, dim_idx),
+    cents AS (SELECT cell, list(c ORDER BY dim_idx) AS centroid
+              FROM per_dim GROUP BY cell),
+    qc AS (
+      SELECT q.vec_id AS query_id, q.arr, c.cell,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+               ORDER BY {r4('list_cosine_similarity(q.arr, c.centroid)')}
+                          DESC, c.cell) AS cell_rank
+      FROM q CROSS JOIN cents c),
+    probes AS (SELECT CAST(p AS BIGINT) AS nprobe
+               FROM (VALUES {_IVF_PROBE_VALUES}) t(p)),
+    cand AS (
+      SELECT p.nprobe, qc.query_id, a.vec_id AS neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY p.nprobe, qc.query_id
+               ORDER BY list_cosine_similarity(a.arr, qc.arr) DESC,
+                        a.vec_id) AS rn
+      FROM probes p
+      JOIN qc ON qc.cell_rank <= p.nprobe
+      JOIN asg a ON a.cell = qc.cell AND a.vec_id <> qc.query_id),
+    approx AS (SELECT nprobe, query_id, neighbor_id FROM cand
+               WHERE rn <= 10),
+    na AS (SELECT nprobe, COUNT(*) AS c FROM approx GROUP BY nprobe),
+    h AS (
+      SELECT ap.nprobe, COUNT(*) AS c
+      FROM approx ap JOIN exact e
+        ON e.query_id = ap.query_id AND e.neighbor_id = ap.neighbor_id
+      GROUP BY ap.nprobe)
+    SELECT p.nprobe,
+           (SELECT COUNT(*) FROM q) AS n_queries,
+           (SELECT COUNT(*) FROM exact) AS n_exact_pairs,
+           COALESCE(na.c, 0) AS n_approx_pairs,
+           COALESCE(h.c, 0) AS n_hits,
+           {r4('COALESCE(h.c, 0) * 1.0 / (SELECT COUNT(*) FROM exact)')}
+             AS recall
+    FROM probes p
+    LEFT JOIN na USING (nprobe)
+    LEFT JOIN h USING (nprobe)
+    ORDER BY p.nprobe
+    """,
+    tags=("extension", "similarity", "ann", "ivf", "audit"),
+)
+def q264_ivf_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF calibration sweep: recall@10 of the inverted-file index at
+    nprobe = 1, 2, 4 against exact cosine ground truth — the IVF
+    counterpart of q132's single-probe LSH audit and q248's MinHash
+    banding sweep, completing the ANN-calibration triptych. This is
+    the table you read before fixing nprobe for a corpus-scale
+    similarity pass: each extra probe multiplies the scanned inverted
+    lists, and the recall column prices what it buys.
+
+    Determinism: seeds are the {_IVF_CELLS} lowest-md5(vec_id) vectors
+    (ivf_assign's rule, mirrored with the same ROW_NUMBER in SQL);
+    cell assignment argmaxes the raw sequential-fold cosine with ties
+    toward the lowest seed index (q132's proven cross-engine
+    discipline); centroids are exact DECIMAL(30,6) means per dimension
+    (order-free on both engines — a plain double AVG would drift);
+    centroid ranking uses round4-quantized cosines with the cell id as
+    tiebreak. Scale: the codebook is {_IVF_CELLS} x {_ANN_DIM} floats
+    (broadcast), assignment is the map-only argmax, and the candidate
+    join is an equi-join on cell — the exact ground truth
+    (|queries| x corpus with broadcast queries) exists only because
+    this IS the recall audit.
+    """
+    from movie_data_pipeline_spark.operators.similarity import (
+        _to_double,
+        dot,
+        ivf_assign,
+        l2_norm,
+    )
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.expr(_QUERY_PRED))
+    exact = (
+        cosine_topk(emb, queries, k=10)
+        .select("query_id", "neighbor_id")
+        .persist()
+    )
+    assigned = (
+        ivf_assign(emb, n_cells=_IVF_CELLS)
+        .select(
+            "vec_id",
+            "cell",
+            _to_double(F.col("embedding")).alias("cv"),
+        )
+        .select(
+            "vec_id", "cell", "cv", l2_norm(F.col("cv")).alias("cn")
+        )
+        .persist()
+    )
+    per_dim = (
+        assigned.select("cell", F.posexplode("cv").alias("dim_idx", "val"))
+        .groupBy("cell", "dim_idx")
+        .agg(
+            (
+                F.sum(F.col("val").cast("decimal(30,6)")).cast("double")
+                / F.count("*")
+            ).alias("c")
+        )
+    )
+    cents = (
+        per_dim.groupBy("cell")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("dim_idx", "c"))).alias(
+                "ps"
+            )
+        )
+        .select(
+            "cell",
+            F.transform(F.col("ps"), lambda p: p.getField("c")).alias(
+                "centroid"
+            ),
+        )
+    )
+    qd = queries.select(
+        F.col("vec_id").alias("query_id"),
+        _to_double(F.col("embedding")).alias("qv"),
+    ).select("query_id", "qv", l2_norm(F.col("qv")).alias("qn"))
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("cs_c"), F.asc("cell")
+    )
+    qc = (
+        qd.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "qv",
+            "qn",
+            "cell",
+            round4(
+                dot(F.col("qv"), F.col("centroid"))
+                / (F.col("qn") * l2_norm(F.col("centroid")))
+            ).alias("cs_c"),
+        )
+        .withColumn("cell_rank", F.row_number().over(wq))
+        .filter(F.col("cell_rank") <= max(_IVF_PROBES))
+    )
+    probes = spark.createDataFrame(
+        [(int(p),) for p in _IVF_PROBES], "nprobe LONG"
+    )
+    cand = (
+        qc.join(F.broadcast(probes), F.col("cell_rank") <= F.col("nprobe"))
+        .join(assigned, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "nprobe",
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                dot(F.col("qv"), F.col("cv"))
+                / (F.col("qn") * F.col("cn"))
+            ).alias("cs"),
+        )
+    )
+    wr = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.desc("cs"), F.asc("neighbor_id")
+    )
+    approx = (
+        cand.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= 10)
+        .select("nprobe", "query_id", "neighbor_id")
+        .persist()
+    )
+    na = approx.groupBy("nprobe").agg(F.count("*").alias("n_approx_pairs"))
+    h = (
+        approx.join(exact, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("nprobe")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    n_q = queries.agg(F.count("*").alias("n_queries"))
+    n_e = exact.agg(F.count("*").alias("n_exact_pairs"))
+    out = (
+        probes.join(na, "nprobe", "left")
+        .join(h, "nprobe", "left")
+        .crossJoin(F.broadcast(n_q))
+        .crossJoin(F.broadcast(n_e))
+        .select(
+            "nprobe",
+            "n_queries",
+            "n_exact_pairs",
+            F.coalesce("n_approx_pairs", F.lit(0))
+            .cast("long")
+            .alias("n_approx_pairs"),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            round4(
+                F.coalesce("n_hits", F.lit(0))
+                * F.lit(1.0)
+                / F.col("n_exact_pairs")
+            ).alias("recall"),
+        )
+        .orderBy("nprobe")
+        .localCheckpoint(eager=True)
+    )
+    exact.unpersist()
+    assigned.unpersist()
+    approx.unpersist()
+    return out
