@@ -124,14 +124,15 @@ def test_force_reverify_autodeactivates():
 
 
 def test_reverify_queue_live_state():
-    """The 7 cap-reworked names (VERDICT r4 #1) are queued; the ones
-    whose latest green row predates the change (r1-r3) are active
-    (q82 was IN the r4 window, so its r4 row already verifies the
-    capped semantics and it auto-deactivates), and their placement
-    leaves the current window entirely never-verified."""
+    """The 7 cap-reworked names (VERDICT r4 #1) plus q64 (round-6
+    segment rewrite) are queued; the ones whose latest green row
+    predates their change round are active (q82 was IN the r4 window,
+    so its r4 row already verifies the capped semantics and it
+    auto-deactivates), and their placement leaves the current window
+    entirely never-verified."""
     import __spark_entry__ as e
 
-    assert len(e._REVERIFY_QUEUE) == 7
+    assert len(e._REVERIFY_QUEUE) == 8
     for n in e._REVERIFY_QUEUE:
         assert n in REGISTRY
     active = set(e._FORCE_REVERIFY)
