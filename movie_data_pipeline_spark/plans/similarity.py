@@ -1647,13 +1647,19 @@ def q256b_margin_mining_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     planes = [_hyperplane(_ANN_DIM, i) for i in range(_MB_BANDS * r)]
 
     def sign_str(vec):
-        chars = [
-            F.when(
-                dot(vec, F.array(*[F.lit(v) for v in p])) >= 0, F.lit("1")
-            ).otherwise(F.lit("0"))
-            for p in planes
-        ]
-        return F.concat(*chars)
+        # one transform over a 2D plane-array literal instead of
+        # bands*r separate aggregate columns — same fold, same chars,
+        # measured ~2x cheaper to compile+run at sf0.1
+        p2d = F.array(*[F.array(*[F.lit(x) for x in p]) for p in planes])
+        return F.array_join(
+            F.transform(
+                p2d,
+                lambda p: F.when(dot(vec, p) >= 0, F.lit("1")).otherwise(
+                    F.lit("0")
+                ),
+            ),
+            "",
+        )
 
     bands = F.explode(
         F.sequence(F.lit(0), F.lit(_MB_BANDS - 1))
