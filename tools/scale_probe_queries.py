@@ -43,6 +43,10 @@ DEFAULT_QUERIES = [
     "q174_semantic_dedup",
     "q121_lsh_quality_audit",
     "q16_pricing_summary",
+    # round-6 scale-path additions: banded-LSH margin mining (vs q256's
+    # quadratic audit baseline) and the IVF recall sweep
+    "q256b_margin_mining_lsh",
+    "q264_ivf_recall_sweep",
 ]
 
 
