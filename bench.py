@@ -119,6 +119,7 @@ HEADLINE = [
     "q264_ivf_recall_sweep",
     "q265_minhash_estimate_audit",
     "q266_temperature_mixing",
+    "q267_streaming_closed_window_ledger",
 ]
 
 # Stable trend tier (VERDICT r5 #6): these 20 have been in the headline

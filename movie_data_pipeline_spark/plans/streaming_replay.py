@@ -630,3 +630,142 @@ def q244_streaming_multibatch_gate(
         return result.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@query(
+    "q267_streaming_closed_window_ledger",
+    oracle=f"""
+    WITH fwm AS (
+      SELECT (epoch_us(MAX(ts)) // 1000 - 7200000) * 1000 AS wm_us
+      FROM events),
+    closed AS (
+      SELECT e.ts, e.event_type, e.value
+      FROM events e, fwm
+      WHERE epoch_us(date_trunc('hour', e.ts)) + 3600000000 <= fwm.wm_us)
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ts_hour_epoch,
+           event_type,
+           COUNT(*) AS n_events,
+           {r4("CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE)")}
+             AS sum_value
+    FROM closed
+    GROUP BY 1, 2
+    ORDER BY ts_hour_epoch, event_type
+    """,
+    tags=("extension", "streaming", "watermark", "append-mode"),
+)
+def q267_streaming_closed_window_ledger(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """APPEND-mode watermark replay, hash-verified: the emit-on-close
+    ledger. q204 verifies update-mode (every batch re-publishes
+    cumulative rows); this verifies the OTHER production contract —
+    each (hour, event_type) window is published EXACTLY ONCE, when the
+    watermark passes its end, and windows still open at shutdown are
+    withheld (the q221 lesson, here as the verified semantic instead
+    of the avoided one). The events table streams as two
+    deterministic mtime-ordered files (even user_ids then odd,
+    ``maxFilesPerTrigger=1``) so the watermark genuinely advances
+    across batches and the final empty availableNow batch flushes the
+    last closed tranche.
+
+    Empirically pinned semantics (Spark 4.1, measured before writing
+    the oracle): late batch-1 rows belonging to still-unclosed windows
+    MERGE into state before eviction — numRowsDroppedByWatermark stays
+    0 in this layout — so the ledger equals the batch aggregate over
+    every event whose hour-window end <= the FINAL watermark, where
+    the watermark is max event time floored to MILLISECONDS minus the
+    2 h delay (Spark tracks event-time stats in ms), mirrored as exact
+    integer microseconds in the oracle. Guards: >=2 data-carrying
+    batches asserted from query progress, and the withheld-open-tail
+    property asserted (the sink must contain FEWER window rows than
+    the unrestricted aggregate — a run that published open windows is
+    not append semantics and fails loudly).
+
+    Scale: state is bounded by open windows x event types; each sink
+    append commit is one closed tranche — the versioned-table commit
+    ledger (q244's machinery) gives readers snapshot isolation over
+    exactly-once-published windows.
+    """
+    import glob as _glob
+    import os as _os
+
+    from movie_data_pipeline_spark.schemas import TESTDATA_SCHEMAS
+    from movie_data_pipeline_spark.sources.registry import (
+        _events_ts_is_nanos,
+        table_path,
+    )
+    from movie_data_pipeline_spark.sources.versioned import VersionedTable
+    from movie_data_pipeline_spark.streaming.events import (
+        hourly_type_totals_stream,
+    )
+    from movie_data_pipeline_spark.streaming.sinks import (
+        start_versioned_append_stream,
+    )
+
+    src_path = table_path(sf_dir, "events")
+    raw = spark.read.schema(TESTDATA_SCHEMAS["events"]).parquet(src_path)
+    # normalize the physical encoding ONCE at split time (the replay
+    # files then always carry micros longs, whatever the driver shipped)
+    us = "ts div 1000" if _events_ts_is_nanos(src_path) else "ts"
+    raw = raw.withColumn("ts", F.expr(us))
+
+    base = tempfile.mkdtemp(prefix="mdp-q267-")
+    src = f"{base}/src"
+    table, ckpt = f"{base}/table", f"{base}/ckpt"
+    _os.makedirs(src)
+    try:
+        for i, half in enumerate(
+            (
+                raw.filter(F.col("user_id") % 2 == 0),
+                raw.filter(F.col("user_id") % 2 == 1),
+            )
+        ):
+            out = f"{base}/half{i}"
+            half.coalesce(1).write.parquet(out)
+            part = _glob.glob(f"{out}/part-*.parquet")[0]
+            dest = f"{src}/{i}_half.parquet"
+            _os.rename(part, dest)
+            _os.utime(dest, (1_000_000 + i * 100, 1_000_000 + i * 100))
+        stream = (
+            spark.readStream.schema(TESTDATA_SCHEMAS["events"])
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .withColumn("ts", F.timestamp_micros(F.col("ts")))
+        )
+        stats = hourly_type_totals_stream(stream)
+        q = start_versioned_append_stream(stats, table, ckpt)
+        _await(q, "q267")
+        fed = {
+            p["batchId"]
+            for p in q.recentProgress
+            if p.get("numInputRows", 0) > 0
+        }
+        if len(fed) < 2:
+            raise AssertionError(
+                f"q267: expected >=2 data-carrying micro-batches, got "
+                f"batchIds {sorted(fed)}"
+            )
+        sink = VersionedTable(table).read(spark)
+        n_sink = sink.count()
+        n_all = (
+            raw.select(
+                F.expr("ts div 3600000000").alias("h"), "event_type"
+            )
+            .distinct()
+            .count()
+        )
+        if not n_sink < n_all:
+            raise AssertionError(
+                f"q267: sink published {n_sink} windows but the "
+                f"unrestricted aggregate has {n_all} — open windows "
+                "were not withheld; this is not append semantics"
+            )
+        result = sink.select(
+            "ts_hour_epoch",
+            "event_type",
+            "n_events",
+            round4(F.col("sum_value").cast("double")).alias("sum_value"),
+        ).orderBy("ts_hour_epoch", "event_type")
+        return result.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
