@@ -122,6 +122,13 @@ _REVERIFY_QUEUE: dict[str, int] = {
     # driver_sim green both), but the registered plan changed, so the
     # green row should postdate the rewrite.
     "q64_hourly_locf": 6,
+    # round 6 sf0.1 sweep: latent cross-engine divergence fixed with a
+    # SEMANTIC change (computed per-part effects round4-quantized
+    # before the decimal rollup) — the old green row verified the old
+    # semantics. (q238's twin fix needs no queue entry: it has never
+    # had a green driver row, so it is in the window as never-verified
+    # already.)
+    "q196_pvm_bridge": 6,
 }
 
 

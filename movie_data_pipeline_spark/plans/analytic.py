@@ -2725,12 +2725,13 @@ def q195_popularity_rec_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM li GROUP BY 1, 2),
     eff AS (
       SELECT p_brand, r0, r1, q0, q1,
-             CASE WHEN q0 > 0 AND q1 > 0
-                  THEN (r1 / q1 - r0 / q0) * q0 ELSE 0.0 END AS price_eff,
-             CASE WHEN q0 > 0 AND q1 > 0
-                  THEN (q1 - q0) * (r0 / q0) ELSE 0.0 END AS vol_eff,
-             CASE WHEN q0 > 0 AND q1 > 0
-                  THEN (r1 / q1 - r0 / q0) * (q1 - q0) ELSE 0.0 END AS cross_eff,
+             {r4('CASE WHEN q0 > 0 AND q1 > 0 '
+                 'THEN (r1 / q1 - r0 / q0) * q0 ELSE 0.0 END')} AS price_eff,
+             {r4('CASE WHEN q0 > 0 AND q1 > 0 '
+                 'THEN (q1 - q0) * (r0 / q0) ELSE 0.0 END')} AS vol_eff,
+             {r4('CASE WHEN q0 > 0 AND q1 > 0 '
+                 'THEN (r1 / q1 - r0 / q0) * (q1 - q0) ELSE 0.0 END')}
+               AS cross_eff,
              CASE WHEN q0 = 0 THEN r1 ELSE 0.0 END AS new_eff,
              CASE WHEN q1 = 0 THEN -r0 ELSE 0.0 END AS lost_eff
       FROM per_part)
@@ -2753,9 +2754,11 @@ def q196_pvm_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     the new/discontinued-part effects — the finance-close waterfall
     that answers "did revenue move because we charged more, sold
     more, or sold different things". The decomposition is an exact
-    identity: revenue_2000 − revenue_1999 = price + volume + cross +
-    new − |lost| per brand, so the report self-audits (q188's
-    reconciliation discipline applied to a derived bridge).
+    identity in real arithmetic: revenue_2000 − revenue_1999 = price
+    + volume + cross + new − |lost| per brand; reported effects are
+    quantized per part at 4 decimals, so the identity self-audits to
+    within the quantization residue (q188's reconciliation
+    discipline applied to a derived bridge).
 
     Scale: one 3-table star join filtered to the two periods (year
     predicate pushes to the date column), one per-(brand, part)
@@ -2763,6 +2766,13 @@ def q196_pvm_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     brand rollup; both aggregates map-side-combinable, all sums exact
     DECIMAL. Unit prices divide identically on both engines since
     numerator and denominator are exact decimal-summed doubles.
+    Cross-engine note (r6, caught by the sf0.1 sweep): the COMPUTED
+    per-part effect doubles must be round4-QUANTIZED before the
+    decimal rollup — Spark's double→DECIMAL cast rounds the shortest
+    decimal repr (BigDecimal.valueOf) while DuckDB rounds the exact
+    binary value, so a full-mantissa term near a .5e-6 residue can
+    convert differently; a 4-decimal double converts identically on
+    both. Raw-data sums (r0/r1: 2-decimal prices) are unaffected.
     """
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
@@ -2798,13 +2808,19 @@ def q196_pvm_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_brand",
         "r0",
         "r1",
-        F.when(both, dp * F.col("q0")).otherwise(F.lit(0.0)).alias("price_eff"),
-        F.when(both, (F.col("q1") - F.col("q0")) * (F.col("r0") / F.col("q0")))
-        .otherwise(F.lit(0.0))
-        .alias("vol_eff"),
-        F.when(both, dp * (F.col("q1") - F.col("q0")))
-        .otherwise(F.lit(0.0))
-        .alias("cross_eff"),
+        round4(
+            F.when(both, dp * F.col("q0")).otherwise(F.lit(0.0))
+        ).alias("price_eff"),
+        round4(
+            F.when(
+                both, (F.col("q1") - F.col("q0")) * (F.col("r0") / F.col("q0"))
+            ).otherwise(F.lit(0.0))
+        ).alias("vol_eff"),
+        round4(
+            F.when(both, dp * (F.col("q1") - F.col("q0"))).otherwise(
+                F.lit(0.0)
+            )
+        ).alias("cross_eff"),
         F.when(F.col("q0") == 0, F.col("r1")).otherwise(F.lit(0.0)).alias("new_eff"),
         F.when(F.col("q1") == 0, -F.col("r0")).otherwise(F.lit(0.0)).alias("lost_eff"),
     )

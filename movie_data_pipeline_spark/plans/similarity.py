@@ -1041,8 +1041,10 @@ def q223_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH v AS (
       SELECT vec_id, label,
-             sqrt(list_sum(list_transform(embedding::DOUBLE[],
-                                          x -> x * x))) AS nrm
+             floor(sqrt(list_reduce(list_transform(embedding::DOUBLE[],
+                                                   x -> x * x),
+                                    (acc, x) -> acc + x))
+                   * 10000 + 0.5) / 10000 AS nrm
       FROM embeddings),
     stats AS (
       SELECT CAST(SUM(CAST(nrm AS DECIMAL(38,18))) AS DOUBLE)
@@ -1055,10 +1057,10 @@ def q223_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
                          / COUNT(*))) AS sigma
       FROM v)
     SELECT vec_id, label,
-           floor((nrm) * 10000 + 0.5) / 10000 AS norm,
+           nrm AS norm,
            floor(((nrm - mu) / sigma) * 10000 + 0.5) / 10000 AS z
     FROM v CROSS JOIN stats
-    WHERE abs((nrm - mu) / sigma) > 2.5
+    WHERE sigma > 0 AND abs((nrm - mu) / sigma) > 2.5
     ORDER BY vec_id
     """,
     tags=("extension", "similarity", "quality", "outliers"),
@@ -1070,18 +1072,28 @@ def q238_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine ANN (norms cancel in cosine but dominate every dot-product
     and centroid step), and q199's per-DIMENSION health audit cannot
     name the offending rows. The norm is the same sequential-fold dot
-    both engines run over identical element order; mean and variance
-    accumulate per-term DECIMAL casts (q61 discipline) so the z-score
-    threshold cannot drift across partition orders. Map stage + one
-    1-row broadcast of (mu, sigma).
+    both engines run over identical element order, then
+    round4-QUANTIZED before the population stats: this corpus is
+    unit-normalized, so the raw norms differ only at float-noise
+    level and sigma would be pure noise — ~3e-8, and DIFFERENT noise
+    per engine (caught by the r6 sf0.1 sweep: 41 vs 21 "outliers",
+    every one an artifact). On quantized norms a properly-normalized
+    corpus has sigma = 0 and the quarantine list is EMPTY — which is
+    the correct report: this query is the check that normalization
+    held, and it flags rows only when norms genuinely spread (the
+    crafted unit test plants such rows). Mean and variance accumulate
+    per-term DECIMAL casts (q61 discipline); sigma = 0 guarded. Map
+    stage + one 1-row broadcast of (mu, sigma).
     """
     emb = load_table(spark, sf_dir, "embeddings")
     e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    nrm = F.sqrt(
-        F.aggregate(
-            F.transform(e, lambda x: x * x),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+    nrm = round4(
+        F.sqrt(
+            F.aggregate(
+                F.transform(e, lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
         )
     )
     v = emb.select("vec_id", "label", nrm.alias("nrm"))
@@ -1097,11 +1109,11 @@ def q238_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = (F.col("nrm") - F.col("mu")) / F.col("sigma")
     return (
         v.crossJoin(F.broadcast(stats))
-        .filter(F.abs(z) > 2.5)
+        .filter((F.col("sigma") > 0) & (F.abs(z) > 2.5))
         .select(
             "vec_id",
             "label",
-            round4(F.col("nrm")).alias("norm"),
+            F.col("nrm").alias("norm"),
             round4(z).alias("z"),
         )
         .orderBy("vec_id")

@@ -132,7 +132,7 @@ def test_reverify_queue_live_state():
     entirely never-verified."""
     import __spark_entry__ as e
 
-    assert len(e._REVERIFY_QUEUE) == 8
+    assert len(e._REVERIFY_QUEUE) == 9
     for n in e._REVERIFY_QUEUE:
         assert n in REGISTRY
     active = set(e._FORCE_REVERIFY)

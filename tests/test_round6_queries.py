@@ -218,3 +218,51 @@ def test_ivf_recall_monotone_and_bounded(spark, tmp_path):
     assert approx == sorted(approx)
     # planted clusters: by 4 probes the right cell group is covered
     assert recalls[-1] >= 0.8
+
+
+# --------------------------------------------------------------------------
+# q238 — embedding outlier quarantine (r6 quantized-norm semantics)
+# --------------------------------------------------------------------------
+def test_embedding_outliers_unit_corpus_is_empty(spark, tmp_path):
+    """A perfectly unit-normalized corpus has quantized-norm sigma 0 —
+    the quarantine list must be EMPTY (the r6 fix: raw norms differ
+    only at float-noise level and each engine's noise differs, so
+    thresholding unquantized z-scores fabricated outliers)."""
+    base = tmp_path / "unit"
+    base.mkdir()
+    rows = []
+    for i in range(40):
+        v = [0.0] * 64
+        v[i % 64] = 1.0  # exact unit norm
+        rows.append((i, [float(x) for x in v], i % 3))
+    _write(spark, base, emb=rows)
+    out = REGISTRY["q238_embedding_outliers"].build(spark, str(base))
+    assert out.count() == 0
+
+
+def test_embedding_outliers_planted(spark, tmp_path):
+    """Planting a genuinely-exploded norm among a cluster of near-unit
+    rows quarantines exactly that row (a near-zero vector planted
+    alongside is MASKED — the single extreme point inflates sigma past
+    its own |z|, the classic z-score masking effect, so it must NOT
+    appear; robust variants like q147's MAD exist for that)."""
+    base = tmp_path / "planted"
+    base.mkdir()
+    rows = []
+    for i in range(60):
+        v = [0.0] * 64
+        v[i % 64] = 1.0 + (i % 5) * 0.01  # norms 1.00..1.04
+        rows.append((i, [float(x) for x in v], 0))
+    big = [0.0] * 64
+    big[0] = 9.0
+    tiny = [0.001] + [0.0] * 63
+    rows.append((100, [float(x) for x in big], 1))
+    rows.append((101, [float(x) for x in tiny], 1))
+    _write(spark, base, emb=rows)
+    got = {
+        r.vec_id: r
+        for r in REGISTRY["q238_embedding_outliers"].build(spark, str(base)).collect()
+    }
+    assert set(got) == {100}
+    assert got[100].z > 2.5
+    assert got[100].norm == 9.0
