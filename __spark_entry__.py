@@ -129,6 +129,13 @@ _REVERIFY_QUEUE: dict[str, int] = {
     # had a green driver row, so it is in the window as never-verified
     # already.)
     "q196_pvm_bridge": 6,
+    # round 7: both registered plans sample-bounded (VERDICT r6 #1/#3 —
+    # fixed-size md5-bucket sample, modulus max(1, n // target)). At
+    # sf0.01 the modulus is 1 so outputs are bit-identical, but the
+    # registered plan + oracle changed; the green row should postdate
+    # the change.
+    "q256_margin_candidate_mining": 7,
+    "q248_lsh_scurve_sweep": 7,
 }
 
 

@@ -2113,6 +2113,40 @@ def q246_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q248 — LSH banding S-curve sweep (bands x rows calibration)
 # --------------------------------------------------------------------------
 _SWEEP_TAU = 0.2
+# Fixed-SIZE deterministic calibration sample (VERDICT r6 #3): the
+# sweep's exact-Jaccard ground truth is the quadratic cost the banding
+# exists to avoid, so the WHOLE sweep (banding candidates + truth) runs
+# on md5-bucket % max(1, n // TARGET) == 0 — ~TARGET docs at any corpus
+# size, reproducible across engines/runs/layouts (q39/q121 discipline).
+# At sf<=0.01 (500 docs) the modulus is 1: sample == corpus, answers
+# unchanged. The S-curve being calibrated is a property of (bands,
+# rows), not corpus size, so the sampled measurements estimate the
+# full-corpus ones — the contract q121 already states.
+_SWEEP_SAMPLE_TARGET = 512
+_SWEEP_SAMPLE_CTES = f"""dn AS (
+      SELECT GREATEST(1, (SELECT COUNT(*) FROM documents)
+                         // {_SWEEP_SAMPLE_TARGET}) AS m),
+    docs_s AS (
+      SELECT d.* FROM documents d CROSS JOIN dn
+      WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                 AS BIGINT) % m = 0)"""
+
+
+def _sweep_sample(docs):
+    """Spark side of the q248 calibration sample — driver-side count
+    (the codebook-collect pattern), then the q121 md5-bucket filter
+    with the size-scaled modulus."""
+    n = docs.count()
+    m = max(1, n // _SWEEP_SAMPLE_TARGET)
+    if m == 1:
+        return docs
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % m
+    )
+    return docs.filter(bucket == 0)
 # (bands, rows) with bands*rows == NUM_HASHES, plus the analytic
 # candidate probability at jaccard == tau: 1 - (1 - tau^r)^b, rendered
 # as a round4-quantized literal so BOTH engines carry the identical
@@ -2134,7 +2168,8 @@ _SWEEP_AN_VALUES = ", ".join(
 @query(
     "q248_lsh_scurve_sweep",
     oracle=f"""
-    WITH {_MINHASH_LONG_CTES},
+    WITH {_SWEEP_SAMPLE_CTES},
+    {_MINHASH_LONG_CTES.replace("FROM documents", "FROM docs_s")},
     cfg(n_bands, band_rows) AS (VALUES {_SWEEP_CFG_VALUES}),
     an(n_bands, band_rows, p) AS (VALUES {_SWEEP_AN_VALUES}),
     bands AS (
@@ -2206,11 +2241,14 @@ def q248_lsh_scurve_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrow (config, band, sig) rows — never |configs| corpus scans.
     Ground-truth jaccard is the same bucket path q18 runs (threshold 0
     keeps every overlapping pair; at calibration scale the uncapped df
-    distribution is q239-small; on a web corpus, run the sweep on the
-    q39-style deterministic sample exactly as q121 does). The analytic
-    column is a PRE-QUANTIZED literal, identical on both engines.
+    distribution is q239-small). The REGISTERED plan runs the whole
+    sweep on the fixed-size deterministic sample (_SWEEP_SAMPLE_CTES —
+    VERDICT r6 #3: previously the docstring prescribed the sample but
+    the plan was unsampled and the truth leg probed quadratic at 10x).
+    The analytic column is a PRE-QUANTIZED literal, identical on both
+    engines.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _sweep_sample(load_table(spark, sf_dir, "documents"))
     wide = minhash_signatures_wide(docs)
     per_cfg = []
     for b, r in _SWEEP_CONFIGS:

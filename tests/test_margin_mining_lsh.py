@@ -5,6 +5,7 @@ aspirations (VERDICT r5 #1)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from movie_data_pipeline_spark.plans import REGISTRY
@@ -12,9 +13,11 @@ from movie_data_pipeline_spark.plans.similarity import (
     _MB_BANDS,
     _MB_RMAX,
     _MB_TARGET,
+    _margin_exact,
+    _margin_lsh,
     _mb_rows_per_band,
 )
-from tests.conftest import TESTDATA_SF_DIR
+from tests.conftest import ORACLE_SF_DIR, TESTDATA_SF_DIR
 
 
 def test_rows_per_band_ladder():
@@ -34,20 +37,24 @@ def test_rows_per_band_ladder():
             assert 2 ** (r - 1) < m
 
 
-def test_margin_lsh_recall_vs_exact(spark):
-    """Every floor is the r6-measured value minus slack: recall 0.983,
-    precision 0.975 at sf0.001. A drop below 0.9 means the banding or
-    the plane table changed semantics, not noise (the plan is fully
-    deterministic)."""
+@pytest.mark.parametrize(
+    "sf_dir", [TESTDATA_SF_DIR, ORACLE_SF_DIR], ids=["sf0.001", "sf0.01"]
+)
+def test_margin_lsh_recall_vs_exact(spark, sf_dir):
+    """Every floor is the measured value minus slack: recall/precision
+    0.983/0.975 at sf0.001, 0.996/0.987 at sf0.01 (both r=2, where the
+    exact-audit sample is the full shard). A drop below 0.9 means the
+    banding or the plane table changed semantics, not noise (the plan
+    is fully deterministic). The sf0.01 gate is VERDICT r6 #2."""
     exact = (
         REGISTRY["q256_margin_candidate_mining"]
-        .build(spark, TESTDATA_SF_DIR)
+        .build(spark, sf_dir)
         .select("x_id", "y_id")
         .persist()
     )
     approx = (
         REGISTRY["q256b_margin_mining_lsh"]
-        .build(spark, TESTDATA_SF_DIR)
+        .build(spark, sf_dir)
         .persist()
     )
     n_exact = exact.count()
@@ -56,6 +63,48 @@ def test_margin_lsh_recall_vs_exact(spark):
     assert n_exact > 0
     assert hits / n_exact >= 0.9, f"recall {hits}/{n_exact}"
     assert hits / n_approx >= 0.9, f"precision {hits}/{n_approx}"
+    exact.unpersist()
+    approx.unpersist()
+
+
+def test_margin_lsh_recall_steep_region_r4(spark):
+    """VERDICT r6 #2: the 'recall decays on isotropic corpora but holds
+    in the steep S-curve region' claim, DEMONSTRATED at the r=4 ladder
+    rung instead of asserted. A planted corpus of 600 true pairs
+    (cos ~ 0.9) per side drives the ladder to r=4 (m = ceil(600/64) =
+    10 -> r=4, as at sf0.1); banded-LSH margin mining must recover
+    >= 0.9 of the exact answer there, even though the same rung
+    measured ~0.76 on the near-isotropic embeddings table."""
+    import numpy as np
+
+    n, dim = 600, 64
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((n, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    # cos(base, base + s*g) concentrates near 1/sqrt(1+s^2): s = 0.48
+    # -> planted cos ~ 0.90, squarely in the steep region
+    s = 0.48
+    xv = base + s * rng.standard_normal((n, dim)) / dim**0.5
+    yv = base + s * rng.standard_normal((n, dim)) / dim**0.5
+    x = spark.createDataFrame(
+        [(i, [float(v) for v in xv[i]]) for i in range(n)],
+        "x_id LONG, xv ARRAY<DOUBLE>",
+    )
+    y = spark.createDataFrame(
+        [(i + 1_000_000, [float(v) for v in yv[i]]) for i in range(n)],
+        "y_id LONG, yv ARRAY<DOUBLE>",
+    )
+    assert _mb_rows_per_band(n) == 4  # the rung under test
+    exact = _margin_exact(x, y).select("x_id", "y_id").persist()
+    approx = _margin_lsh(x, y).select("x_id", "y_id").persist()
+    n_exact = exact.count()
+    n_approx = approx.count()
+    hits = approx.join(exact, ["x_id", "y_id"], "left_semi").count()
+    # the planted pairs dominate the exact answer; sanity-check that
+    # the corpus really put the accepted pairs in the steep region
+    assert n_exact >= 0.8 * n, f"corpus not steep: {n_exact} accepted"
+    assert hits / n_exact >= 0.9, f"recall {hits}/{n_exact}"
+    assert n_approx > 0
     exact.unpersist()
     approx.unpersist()
 

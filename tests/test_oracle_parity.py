@@ -124,15 +124,16 @@ def test_force_reverify_autodeactivates():
 
 
 def test_reverify_queue_live_state():
-    """The 7 cap-reworked names (VERDICT r4 #1) plus q64 (round-6
-    segment rewrite) are queued; the ones whose latest green row
-    predates their change round are active (q82 was IN the r4 window,
-    so its r4 row already verifies the capped semantics and it
-    auto-deactivates), and their placement leaves the current window
-    entirely never-verified."""
+    """The 7 cap-reworked names (VERDICT r4 #1), q64 (round-6 segment
+    rewrite), q196 (round-6 quantization fix), and the two round-7
+    sample-bounded plans (q256/q248, VERDICT r6 #1/#3) are queued; the
+    ones whose latest green row predates their change round are active
+    (q82 was IN the r4 window, so its r4 row already verifies the
+    capped semantics and it auto-deactivates), and their placement
+    never displaces a never-verified name from the window."""
     import __spark_entry__ as e
 
-    assert len(e._REVERIFY_QUEUE) == 9
+    assert len(e._REVERIFY_QUEUE) == 11
     for n in e._REVERIFY_QUEUE:
         assert n in REGISTRY
     active = set(e._FORCE_REVERIFY)

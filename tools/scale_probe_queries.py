@@ -67,6 +67,9 @@ def plan_stats(df) -> dict[str, int]:
 def main() -> int:
     import argparse
 
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
     from movie_data_pipeline_spark.plans import REGISTRY
     from movie_data_pipeline_spark.session import get_spark
 
@@ -103,9 +106,15 @@ def main() -> int:
             # row count, not the query (VERDICT r5 #2: q261 probed
             # 0.54 s while benching 29.1 s). The noop sink forces full
             # evaluation of every output column with zero write cost.
-            df.write.format("noop").mode("overwrite").save()
+            # The row count piggybacks on the SAME action via observe()
+            # (ADVICE r6: a post-timing count() re-executed the whole
+            # plan, roughly doubling probe wall-clock for lazy plans).
+            obs = Observation()
+            df.observe(obs, F.count(F.lit(1)).alias("rows")).write.format(
+                "noop"
+            ).mode("overwrite").save()
             secs[sf_dir] = round(time.perf_counter() - t0, 2)
-            n = df.count()  # untimed: row count is metadata, not cost
+            n = obs.get["rows"]
             rec = {
                 "query": name,
                 "sf_dir": sf_dir,
