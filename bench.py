@@ -120,6 +120,11 @@ HEADLINE = [
     "q265_minhash_estimate_audit",
     "q266_temperature_mixing",
     "q267_streaming_closed_window_ledger",
+    # round-7 additions: corpus-granularity exact-substring dedup,
+    # quality-ladder calibration, cross-source duplicate-flow matrix
+    "q268_repeated_passages",
+    "q269_quality_rule_calibration",
+    "q270_cross_source_dup_matrix",
 ]
 
 # Stable trend tier (VERDICT r5 #6): these 20 have been in the headline
@@ -349,12 +354,20 @@ def main() -> None:
             runs[name].append(run_query(spark, name, sf_dir))
         done_passes += 1
 
+    def _spread(v: list[float]) -> float:
+        # Min-convergence spread: gap between the two FASTEST runs.
+        # The reported number per query is min-of-n, so its noise is
+        # "how close did two independent runs get to each other", not
+        # the full max-min range — a range statistic can only GROW
+        # with extra repeats and punished exactly the queries the
+        # sub-second extra passes exist to stabilize (VERDICT r6 #4).
+        if len(v) < 2 or min(v) <= 0:
+            return 0.0
+        a, b = sorted(v)[:2]
+        return (b - a) / a * 100
+
     def _noise_band() -> float:
-        spreads = sorted(
-            (max(v) - min(v)) / min(v) * 100
-            for v in runs.values()
-            if v and min(v) > 0
-        )
+        spreads = sorted(_spread(v) for v in runs.values() if v)
         return round(spreads[len(spreads) // 2], 1) if spreads else 0.0
 
     # Drift escalation (VERDICT r4 #2): a one-sided VM slowdown can
@@ -381,6 +394,21 @@ def main() -> None:
         extra_passes += 1
     repeats = done_passes
 
+    # Sub-second entries dominate the noise-band ratio statistics
+    # (VERDICT r6 #3: q04/q09/q208 "regressions" were all sub-second
+    # blips): give every query whose best time is under 1 s extra
+    # repeats — they are cheap by definition, and min-of-7 tightens
+    # their spread far more than another whole pass would.
+    sub_extra = int(os.environ.get("SPARK_GRAFT_SUBSEC_EXTRA", "4"))
+    for name in names:
+        if (
+            runs[name]
+            and min(runs[name]) < 1.0
+            and time.perf_counter() - t_start <= budget_s
+        ):
+            for _ in range(sub_extra):
+                runs[name].append(run_query(spark, name, sf_dir))
+
     # reference-workload replica (BASELINE.md: ~32 s compute-bound).
     # One warmup run first: the CSV-scan/codegen paths are cold (no
     # earlier headline query touches them) and the first run pays ~8 s
@@ -394,10 +422,7 @@ def main() -> None:
         runs["movielens_etl_jdbc"] = [jdbc_secs]
 
     timings = {n: round(min(v), 4) for n, v in runs.items()}
-    spread_pct = {
-        n: round((max(v) - min(v)) / min(v) * 100, 1) if min(v) > 0 else 0.0
-        for n, v in runs.items()
-    }
+    spread_pct = {n: round(_spread(v), 1) for n, v in runs.items()}
     spreads = sorted(spread_pct.values())
     noise_band = spreads[len(spreads) // 2] if spreads else 0.0
 

@@ -1370,3 +1370,168 @@ def q266_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("temperature", "source")
     )
+
+
+# --------------------------------------------------------------------------
+# q269 — quality-rule-ladder calibration vs the labeled sample
+# --------------------------------------------------------------------------
+# Reference label: the generator-written metadata columns (lang,
+# n_chars) the ladder does NOT read directly — it predicts language
+# from raw text and lengths in tokens. keep iff lang='en' AND
+# n_chars >= 120 (~ MIN_TOKENS * avg token width).
+_CALIB_CHAR_FLOOR = 120
+_CALIB_LABEL_SQL = (
+    f"CASE WHEN lang = 'en' AND n_chars >= {_CALIB_CHAR_FLOOR} "
+    "THEN 'keep' ELSE 'drop' END"
+)
+
+
+@query(
+    "q269_quality_rule_calibration",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+      FROM documents),
+    feat AS (
+      SELECT doc_id,
+             CAST(len(t) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(t, w -> w IN {_EN_SET})) AS BIGINT) AS n_stop,
+             list_max(list_transform(list_distinct(t),
+                      w -> len(list_filter(t, x -> x = w)))) AS top_cnt,
+             {LANG_SCORES_SQL}
+      FROM toks),
+    pick AS (SELECT *, {LANG_PICK_SQL} AS predicted_lang FROM feat),
+    dec AS (
+      SELECT doc_id,
+             CASE WHEN n_tokens < {MIN_TOKENS} THEN 'drop'
+                  WHEN predicted_lang <> 'en' THEN 'drop'
+                  WHEN top_cnt * 1.0 / n_tokens > {MAX_TOP_TOKEN_SHARE}
+                    THEN 'drop'
+                  WHEN n_stop * 1.0 / n_tokens < {MIN_STOPWORD_RATIO}
+                    THEN 'drop'
+                  ELSE 'keep' END AS predicted
+      FROM pick),
+    lab AS (
+      SELECT doc_id, {_CALIB_LABEL_SQL} AS labeled FROM documents),
+    pred AS (SELECT labeled, predicted FROM lab JOIN dec USING (doc_id)),
+    classes(c) AS (VALUES ('drop'), ('keep')),
+    sup AS (SELECT labeled AS c, COUNT(*) AS n_sup FROM pred GROUP BY 1),
+    prd AS (SELECT predicted AS c, COUNT(*) AS n_pred FROM pred GROUP BY 1),
+    cor AS (SELECT labeled AS c, COUNT(*) AS n_cor FROM pred
+            WHERE labeled = predicted GROUP BY 1),
+    pr AS (
+      SELECT classes.c AS decision_class,
+             COALESCE(sup.n_sup, 0) AS support,
+             COALESCE(prd.n_pred, 0) AS n_predicted,
+             COALESCE(cor.n_cor, 0) AS n_correct,
+             CASE WHEN COALESCE(prd.n_pred, 0) > 0
+                  THEN {r4('CAST(COALESCE(cor.n_cor, 0) AS DOUBLE) / CAST(prd.n_pred AS DOUBLE)')}
+             END AS precision,
+             CASE WHEN COALESCE(sup.n_sup, 0) > 0
+                  THEN {r4('CAST(COALESCE(cor.n_cor, 0) AS DOUBLE) / CAST(sup.n_sup AS DOUBLE)')}
+             END AS recall
+      FROM classes
+      LEFT JOIN sup ON classes.c = sup.c
+      LEFT JOIN prd ON classes.c = prd.c
+      LEFT JOIN cor ON classes.c = cor.c)
+    SELECT decision_class, support, n_predicted, n_correct,
+           precision, recall,
+           CASE WHEN precision IS NOT NULL AND recall IS NOT NULL
+                     AND precision + recall > 0
+                THEN {r4('2 * precision * recall / (precision + recall)')}
+           END AS f1
+    FROM pr
+    ORDER BY decision_class
+    """,
+    tags=("extension", "curation", "eval", "calibration"),
+)
+def q269_quality_rule_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Calibration of q71's keep/drop rule ladder against the corpus's
+    LABELED columns (VERDICT r6 #7, the q113 confusion-matrix pattern
+    applied to curation): the ladder predicts from raw text only
+    (token counts, stopword votes, repetition), the reference label is
+    the generator-written metadata it never reads (lang = 'en' and a
+    char-length floor). Per class: support, predictions, hits,
+    precision, recall, F1 — the report a pipeline produces on a
+    labeled sample before trusting a cheap rule ladder at corpus
+    scale, and the regression gate for any future threshold change.
+
+    Shape: predictions are q71's one map stage (decision_frame,
+    reused verbatim — same constants, same rule order); labels are a
+    column expression on the same scan; the three count frames are
+    per-class partial-aggregated shuffles of 2 rows each. F1 is
+    composed from the round4-QUANTIZED precision/recall on both
+    engines (IEEE mult/div on identical quantized inputs is
+    deterministic; only ln/exp-family ops are engine-risky).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    labeled = docs.select(
+        "doc_id",
+        F.when(
+            (F.col("lang") == "en")
+            & (F.col("n_chars") >= _CALIB_CHAR_FLOOR),
+            F.lit("keep"),
+        )
+        .otherwise(F.lit("drop"))
+        .alias("labeled"),
+    )
+    pred = labeled.join(
+        decision_frame(docs).select("doc_id", F.col("decision").alias("predicted")),
+        "doc_id",
+    )
+    classes = spark.createDataFrame([("drop",), ("keep",)], "c STRING")
+    sup = pred.groupBy(F.col("labeled").alias("c")).agg(
+        F.count("*").alias("n_sup")
+    )
+    prd = pred.groupBy(F.col("predicted").alias("c")).agg(
+        F.count("*").alias("n_pred")
+    )
+    cor = (
+        pred.filter(F.col("labeled") == F.col("predicted"))
+        .groupBy(F.col("labeled").alias("c"))
+        .agg(F.count("*").alias("n_cor"))
+    )
+    n_sup = F.coalesce(F.col("n_sup"), F.lit(0))
+    n_prd = F.coalesce(F.col("n_pred"), F.lit(0))
+    n_cor = F.coalesce(F.col("n_cor"), F.lit(0))
+    prec = F.when(
+        n_prd > 0, round4(n_cor.cast("double") / F.col("n_pred").cast("double"))
+    )
+    rec = F.when(
+        n_sup > 0, round4(n_cor.cast("double") / F.col("n_sup").cast("double"))
+    )
+    pr = (
+        classes.join(sup.withColumnRenamed("c", "cs"), F.col("c") == F.col("cs"), "left")
+        .join(prd.withColumnRenamed("c", "cp"), F.col("c") == F.col("cp"), "left")
+        .join(cor.withColumnRenamed("c", "cc"), F.col("c") == F.col("cc"), "left")
+        .select(
+            F.col("c").alias("decision_class"),
+            n_sup.alias("support"),
+            n_prd.alias("n_predicted"),
+            n_cor.alias("n_correct"),
+            prec.alias("precision"),
+            rec.alias("recall"),
+        )
+    )
+    f1 = F.when(
+        F.col("precision").isNotNull()
+        & F.col("recall").isNotNull()
+        & (F.col("precision") + F.col("recall") > 0),
+        round4(
+            F.lit(2)
+            * F.col("precision")
+            * F.col("recall")
+            / (F.col("precision") + F.col("recall"))
+        ),
+    )
+    return pr.select(
+        "decision_class",
+        "support",
+        "n_predicted",
+        "n_correct",
+        "precision",
+        "recall",
+        f1.alias("f1"),
+    ).orderBy("decision_class")

@@ -2476,3 +2476,241 @@ def q265_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         round4(exact_j).alias("exact_jaccard"),
         round4(F.abs(est_j - exact_j)).alias("abs_err"),
     )
+
+
+# --------------------------------------------------------------------------
+# q268 — corpus-granularity exact-substring dedup (repeated passages)
+# --------------------------------------------------------------------------
+_PASS_W = 40  # window width: any exact repeat >= 40 chars is detected
+
+
+@query(
+    "q268_repeated_passages",
+    oracle=f"""
+    WITH pos AS (
+      SELECT doc_id, text,
+             unnest(generate_series(1, len(text) - {_PASS_W - 1})) AS p
+      FROM documents WHERE len(text) >= {_PASS_W}),
+    wins AS (
+      SELECT doc_id, p, substr(text, p, {_PASS_W}) AS win FROM pos),
+    shared AS (
+      SELECT win FROM wins GROUP BY win
+      HAVING MIN(doc_id) <> MAX(doc_id)),
+    hits AS (
+      SELECT w.doc_id, w.p FROM wins w JOIN shared s USING (win)),
+    brks AS (
+      SELECT doc_id, p,
+             CASE WHEN p - LAG(p) OVER (PARTITION BY doc_id ORDER BY p)
+                       > {_PASS_W} THEN 1 ELSE 0 END AS brk
+      FROM hits),
+    grps AS (
+      SELECT doc_id, p,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY p) AS g
+      FROM brks),
+    spans AS (
+      SELECT doc_id, g, MIN(p) AS s, MAX(p) + {_PASS_W - 1} AS e,
+             COUNT(*) AS nw
+      FROM grps GROUP BY doc_id, g)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(nw) AS BIGINT) AS n_dup_windows,
+           CAST(SUM(e - s + 1) AS BIGINT) AS covered_chars,
+           CAST(MAX(e - s + 1) AS BIGINT) AS max_span_len
+    FROM spans GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("extension", "dedup", "substring", "corpus"),
+)
+def q268_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-granularity EXACT-substring dedup (VERDICT r6 #7): for
+    every document, the maximal spans of text that also appear
+    verbatim somewhere else in the corpus — the Spark-shaped
+    equivalent of the suffix-array ExactSubstr pass training-data
+    pipelines run to scrub repeated passages (boilerplate, licence
+    blocks, syndicated copy), complementing q246's per-PAIR positional
+    runs with a corpus-wide single answer per document.
+
+    Semantics: every width-40 character window (stride 1) whose exact
+    text occurs in >= 2 DISTINCT documents is a duplicated-window
+    start; per document, starts merge into maximal spans while the gap
+    to the previous start is <= 40 (beyond that the covered char
+    ranges are provably disjoint, so covered_chars is an exact
+    duplicated-region size, never double-counted). Any repeat of
+    length >= 40 is detected regardless of alignment — the stride-1
+    grid is what a suffix automaton buys, paid linearly instead.
+
+    Scale shape: windows are ~n_chars rows per document (linear in
+    corpus BYTES, the honest ExactSubstr cost — not quadratic in
+    docs); the shared-window test is ONE groupBy(win) with map-side
+    partial aggregation (MIN/MAX doc_id — repeated windows collapse
+    early), then a semi join back. The island merge is a lag/sum
+    window PARTITIONED by doc_id (audit-clean). At 100 TB the
+    groupBy(win) shuffle moves ~window-width x corpus bytes; raise the
+    width or pre-hash the window to a 16-byte digest to cut it — both
+    engines here carry the raw 40-char key so the compared answer is
+    hash-collision-free by construction.
+    """
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.length("text") >= _PASS_W)
+    )
+    wins = docs.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(F.lit(1), F.length("text") - (_PASS_W - 1))
+        ).alias("p"),
+    ).select("doc_id", "p", F.expr(f"substring(text, p, {_PASS_W})").alias("win"))
+    shared = (
+        wins.groupBy("win")
+        .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+        .filter(F.col("mn") != F.col("mx"))
+        .select("win")
+    )
+    # window frames are corpus-sized on both sides — never broadcast
+    # (the q248/q256b discipline for unbounded build sides)
+    hits = wins.join(shared.hint("SHUFFLE_MERGE"), "win", "left_semi").select(
+        "doc_id", "p"
+    )
+    wlag = Window.partitionBy("doc_id").orderBy("p")
+    brk = F.when(
+        F.col("p") - F.lag("p").over(wlag) > _PASS_W, F.lit(1)
+    ).otherwise(F.lit(0))
+    spans = (
+        hits.withColumn("brk", brk)
+        .withColumn("g", F.sum("brk").over(wlag))
+        .groupBy("doc_id", "g")
+        .agg(
+            F.min("p").alias("s"),
+            (F.max("p") + F.lit(_PASS_W - 1)).alias("e"),
+            F.count("*").alias("nw"),
+        )
+    )
+    span_len = F.col("e") - F.col("s") + 1
+    return (
+        spans.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_spans"),
+            F.sum("nw").cast("long").alias("n_dup_windows"),
+            F.sum(span_len).cast("long").alias("covered_chars"),
+            F.max(span_len).cast("long").alias("max_span_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q270 — cross-source duplicate-flow matrix (provenance of near-dups)
+# --------------------------------------------------------------------------
+_XSRC_TAU = "0.5"  # confirmed-duplicate threshold (q121's truth bar)
+
+
+@query(
+    "q270_cross_source_dup_matrix",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    {_CAPPED_CTES},
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM shingles_c GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM shingles_c a JOIN shingles_c b
+        ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    dup AS (
+      SELECT doc_a, doc_b FROM common
+      JOIN counts ca ON ca.doc_id = doc_a
+      JOIN counts cb ON cb.doc_id = doc_b
+      WHERE n_common * 1.0 / (ca.n + cb.n - n_common) >= {_XSRC_TAU}),
+    src AS (SELECT doc_id, source FROM documents),
+    edges AS (
+      SELECT LEAST(sa.source, sb.source) AS source_lo,
+             GREATEST(sa.source, sb.source) AS source_hi,
+             d.doc_a, d.doc_b
+      FROM dup d
+      JOIN src sa ON sa.doc_id = d.doc_a
+      JOIN src sb ON sb.doc_id = d.doc_b),
+    pairs AS (
+      SELECT source_lo, source_hi, CAST(COUNT(*) AS BIGINT) AS n_dup_pairs
+      FROM edges GROUP BY source_lo, source_hi),
+    members AS (
+      SELECT source_lo, source_hi,
+             CAST(COUNT(DISTINCT d) AS BIGINT) AS n_docs_involved
+      FROM (SELECT source_lo, source_hi, doc_a AS d FROM edges
+            UNION ALL
+            SELECT source_lo, source_hi, doc_b AS d FROM edges)
+      GROUP BY source_lo, source_hi)
+    SELECT source_lo, source_hi, n_dup_pairs, n_docs_involved
+    FROM pairs JOIN members USING (source_lo, source_hi)
+    ORDER BY source_lo, source_hi
+    """,
+    tags=("extension", "dedup", "provenance", "matrix"),
+)
+def q270_cross_source_dup_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Duplicate-flow provenance matrix: confirmed near-duplicate
+    pairs (word-3-gram Jaccard >= 0.5, the df-capped q18 machinery)
+    rolled up by unordered SOURCE pair — which sources copy from
+    which. The diagonal (source_lo = source_hi) is within-source
+    duplication (crawler revisits, templated pages); off-diagonal
+    cells are syndication/mirror flow between feeds. This is the
+    report that decides WHERE dedup effort goes at 100 TB — a source
+    pair with heavy flow gets joint-deduped; an isolated source can
+    be deduped shard-locally — and it complements q250 (per-source
+    chunk-digest rates, no pairing), q178 (distributional transfer,
+    no dedup), and q202 (per-pair evidence, no rollup).
+
+    n_docs_involved is the DISTINCT document count touching the cell
+    (both pair sides unpivoted before the distinct, so a doc recurring
+    as doc_a in one pair and doc_b in another counts once).
+
+    Scale shape: pair generation is exactly q18's shingle-bucket join
+    (df-capped, never all-pairs); sources attach via two hash joins on
+    doc_id BELOW the rollup, so only (source_lo, source_hi, ids) rows
+    shuffle into a |sources|^2-bounded aggregate. The pair frame is
+    never a broadcast build side (q248 discipline) — the source dim
+    joins build on the small documents projection.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    dup = jaccard_pairs(
+        docs,
+        max_shingle_df=JACCARD_MAX_SHINGLE_DF,
+        threshold=float(_XSRC_TAU),
+    ).select("doc_a", "doc_b")
+    src = docs.select("doc_id", "source")
+    sa = src.select(
+        F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a")
+    )
+    sb = src.select(
+        F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b")
+    )
+    edges = (
+        dup.join(sa.hint("SHUFFLE_HASH"), "doc_a")
+        .join(sb.hint("SHUFFLE_HASH"), "doc_b")
+        .select(
+            F.least("src_a", "src_b").alias("source_lo"),
+            F.greatest("src_a", "src_b").alias("source_hi"),
+            "doc_a",
+            "doc_b",
+        )
+    )
+    edges = edges.persist()
+    pairs = edges.groupBy("source_lo", "source_hi").agg(
+        F.count("*").cast("long").alias("n_dup_pairs")
+    )
+    members = (
+        edges.select(
+            "source_lo",
+            "source_hi",
+            F.explode(F.array("doc_a", "doc_b")).alias("d"),
+        )
+        .groupBy("source_lo", "source_hi")
+        .agg(F.count_distinct("d").cast("long").alias("n_docs_involved"))
+    )
+    out = (
+        pairs.join(members, ["source_lo", "source_hi"])
+        .orderBy("source_lo", "source_hi")
+        .localCheckpoint(eager=True)
+    )
+    edges.unpersist()
+    return out
