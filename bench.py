@@ -125,6 +125,8 @@ HEADLINE = [
     "q268_repeated_passages",
     "q269_quality_rule_calibration",
     "q270_cross_source_dup_matrix",
+    "q271_cdc_chunking_audit",
+    "q272_pq_codebook_audit",
 ]
 
 # Stable trend tier (VERDICT r5 #6): these 20 have been in the headline

