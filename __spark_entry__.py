@@ -136,6 +136,11 @@ _REVERIFY_QUEUE: dict[str, int] = {
     # the change.
     "q256_margin_candidate_mining": 7,
     "q248_lsh_scurve_sweep": 7,
+    # round 7: rows-per-band ladder cap raised 8 -> 12 after the 100x
+    # probe (r=8 saturated the sig space above ~8k vectors/side).
+    # Outputs at every driver SF are unchanged (the new rungs engage
+    # only at probe scale), but plan + oracle text changed.
+    "q256b_margin_mining_lsh": 7,
 }
 
 

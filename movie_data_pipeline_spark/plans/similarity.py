@@ -1555,7 +1555,7 @@ def q256_margin_candidate_mining(
 # q256b — margin mining over BANDED-LSH candidates (the scale path)
 # --------------------------------------------------------------------------
 _MB_BANDS = 8          # OR-construction width (hash tables)
-_MB_RMAX = 8           # rows-per-band cap -> at most 64 hyperplanes
+_MB_RMAX = 12          # rows-per-band cap -> at most 96 hyperplanes
 _MB_TARGET = 64        # target bucket occupancy the band rows aim for
 
 
@@ -1563,25 +1563,23 @@ def _mb_rows_per_band(n_avg: int) -> int:
     """Rows per band from the average shard size: the smallest r with
     2**r >= ceil(n_avg / target), clamped to [2, _MB_RMAX]. Pure
     integer ladder — bit-identical in Python and in the rendered SQL
-    (no cross-engine log/ceil float risk)."""
+    (no cross-engine log/ceil float risk). The cap was raised 8 -> 12
+    after the round-7 100x probe: at 100k vectors/side the old r=8
+    rung saturated the 2^8 sig space (~390 per bucket vs the 64
+    target) and candidate volume turned quadratic-in-occupancy (probe
+    ratio 120 at 100x data); r then being free to grow to 11 restores
+    ~target-sized buckets. Driver-SF answers are unchanged — the new
+    rungs engage only above ~8k vectors per shard."""
     m = (n_avg + _MB_TARGET - 1) // _MB_TARGET
-    if m <= 4:
-        return 2
-    if m <= 8:
-        return 3
-    if m <= 16:
-        return 4
-    if m <= 32:
-        return 5
-    if m <= 64:
-        return 6
-    if m <= 128:
-        return 7
-    return _MB_RMAX
+    r = 2
+    while 2**r < m and r < _MB_RMAX:
+        r += 1
+    return r
 
 
 def _mb_sign_sql(arr: str) -> str:
-    """64-char '0'/'1' hyperplane-sign string, same md5 plane table and
+    """bands*rmax-char (96) '0'/'1' hyperplane-sign string, same md5
+    plane table and
     sequential-fold dot as the Spark side (q132's determinism rules)."""
     chars = []
     for i in range(_MB_BANDS * _MB_RMAX):
@@ -1606,6 +1604,8 @@ def _mb_sign_sql(arr: str) -> str:
       SELECT CASE WHEN m <= 4 THEN 2 WHEN m <= 8 THEN 3
                   WHEN m <= 16 THEN 4 WHEN m <= 32 THEN 5
                   WHEN m <= 64 THEN 6 WHEN m <= 128 THEN 7
+                  WHEN m <= 256 THEN 8 WHEN m <= 512 THEN 9
+                  WHEN m <= 1024 THEN 10 WHEN m <= 2048 THEN 11
                   ELSE {_MB_RMAX} END AS r
       FROM (SELECT (((SELECT COUNT(*) FROM x) + (SELECT COUNT(*) FROM y)) // 2
                     + {_MB_TARGET - 1}) // {_MB_TARGET} AS m)),
@@ -1679,8 +1679,8 @@ def q256b_margin_mining_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     >= 0.99 — calibrate with q248 before committing parameters,
     exactly like q132 gates the ANN index.
 
-    Scale shape: sign strings are bands*r = 16-64 sequential-fold
-    dots per vector (the oracle renders all 64 chars and substr-slices
+    Scale shape: sign strings are bands*r = 16-96 sequential-fold
+    dots per vector (the oracle renders all 96 chars and substr-slices
     them the same way; map-only); the band join is a string-sig
     equi-join; DISTINCT
     dedups multi-band collisions; vectors are re-fetched by id for
@@ -1719,9 +1719,9 @@ def _margin_lsh(x: DataFrame, y: DataFrame) -> DataFrame:
     r = _mb_rows_per_band(n_avg)
 
     # only the first bands*r planes are ever read (the oracle renders
-    # all 64 sign chars but slices them with substr the same way), so
-    # skip the unused sign computations — plan-compile time for the 64
-    # fold expressions dominated the whole query at small SFs
+    # all 96 sign chars but slices them with substr the same way), so
+    # skip the unused sign computations — plan-compile time for the
+    # full fold-expression set dominated the whole query at small SFs
     planes = [_hyperplane(_ANN_DIM, i) for i in range(_MB_BANDS * r)]
 
     def sign_str(vec):
