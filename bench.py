@@ -127,6 +127,7 @@ HEADLINE = [
     "q270_cross_source_dup_matrix",
     "q271_cdc_chunking_audit",
     "q272_pq_codebook_audit",
+    "q273_idf_weighted_jaccard",
 ]
 
 # Stable trend tier (VERDICT r5 #6): these 20 have been in the headline

@@ -2714,3 +2714,143 @@ def q270_cross_source_dup_matrix(
     )
     edges.unpersist()
     return out
+
+
+# --------------------------------------------------------------------------
+# q273 — IDF-weighted Jaccard near-dup scoring (weighting vs capping)
+# --------------------------------------------------------------------------
+_WJ_TAU = 0.3  # weighted-similarity acceptance threshold
+
+
+@query(
+    "q273_idf_weighted_jaccard",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    {_CAPPED_CTES},
+    nn AS (SELECT COUNT(*) AS n FROM documents),
+    dfs AS (SELECT sh, COUNT(*) AS df_s FROM shingles GROUP BY sh),
+    shw AS (
+      SELECT s.doc_id, s.sh,
+             {r4('ln((nn.n + 1.0) / (dfs.df_s + 1.0))')} AS idf
+      FROM shingles s JOIN dfs USING (sh) CROSS JOIN nn),
+    wdoc AS (
+      SELECT doc_id, SUM(CAST(idf AS DECIMAL(20,4))) AS w
+      FROM shw GROUP BY doc_id),
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM shingles_c GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM shingles_c a JOIN shingles_c b
+        ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    wab AS (
+      SELECT c.doc_a, c.doc_b,
+             SUM(CAST(sa.idf AS DECIMAL(20,4))) AS w_ab
+      FROM common c
+      JOIN shw sa ON sa.doc_id = c.doc_a
+      JOIN shw sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT c.doc_a, c.doc_b,
+             {r4('c.n_common * 1.0 / (ca.n + cb.n - c.n_common)')}
+               AS jaccard_capped,
+             {r4('CAST(w.w_ab AS DOUBLE) / CAST(wa.w + wb.w - w.w_ab AS DOUBLE)')}
+               AS w_jaccard
+      FROM common c
+      JOIN counts ca ON ca.doc_id = c.doc_a
+      JOIN counts cb ON cb.doc_id = c.doc_b
+      JOIN wab w ON w.doc_a = c.doc_a AND w.doc_b = c.doc_b
+      JOIN wdoc wa ON wa.doc_id = c.doc_a
+      JOIN wdoc wb ON wb.doc_id = c.doc_b)
+    SELECT doc_a, doc_b, jaccard_capped, w_jaccard
+    FROM scored WHERE w_jaccard >= {_WJ_TAU}
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("extension", "dedup", "similarity-join", "weighted"),
+)
+def q273_idf_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDF-WEIGHTED Jaccard near-dup pairs — the weighting alternative
+    to df-capping for boilerplate: every shingle carries
+    idf = ln((N+1)/(df+1)), a pair's similarity is
+    sum(idf over shared) / sum(idf over union), and two documents that
+    agree only on ubiquitous boilerplate score near 0 WITHOUT any
+    shingle being discarded (the cap family's failure mode when the
+    cap is tuned wrong — q245 prices that sensitivity; this removes
+    it from scoring entirely). Candidate GENERATION still uses the
+    capped buckets (a pair must share >= 1 sub-cap shingle — the
+    load-bearing quadratic mitigation), but the SCORE integrates the
+    full uncapped shingle sets: cap for candidates, weights for
+    truth. Reported next to the capped unweighted jaccard so the two
+    metrics' disagreement is visible per pair.
+
+    Determinism: idf is round4-quantized at birth (ln differs by ~1
+    ulp across engines; quantize-then-sum is the q178 discipline),
+    per-doc and per-pair weights are exact DECIMAL(20,4) sums
+    (order-free), the ratio divides identical doubles on both
+    engines, and the threshold compares the quantized ratio.
+
+    Scale shape: one shingle groupBy for df + idf (reused by both
+    weight sums), pair generation is q18's bucket machinery, and the
+    shared-weight sum joins the (doc, shingle, idf) frame through the
+    bounded candidate-pair set — rows = pairs x shingles-per-doc,
+    never the raw shingle self-join.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cand = jaccard_pairs(
+        docs, threshold=0.0, max_shingle_df=JACCARD_MAX_SHINGLE_DF
+    ).select("doc_a", "doc_b", round4(F.col("jaccard")).alias("jaccard_capped"))
+    sh = doc_shingles(docs)
+    nn = docs.agg(F.count("*").alias("n"))
+    dfs = sh.groupBy("shingle").agg(F.count("*").alias("df_s"))
+    shw = (
+        sh.join(dfs.hint("SHUFFLE_MERGE"), "shingle")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "doc_id",
+            "shingle",
+            round4(
+                F.log((F.col("n") + F.lit(1.0)) / (F.col("df_s") + F.lit(1.0)))
+            ).alias("idf"),
+        )
+        .persist()
+    )
+    dec = F.col("idf").cast("decimal(20,4)")
+    wdoc = shw.groupBy("doc_id").agg(F.sum(dec).alias("w"))
+    pa = cand.select("doc_a", "doc_b").join(
+        shw.select(
+            F.col("doc_id").alias("doc_a"), "shingle", "idf"
+        ).hint("SHUFFLE_MERGE"),
+        "doc_a",
+    )
+    wab = (
+        pa.join(
+            shw.select(
+                F.col("doc_id").alias("doc_b2"),
+                F.col("shingle").alias("shingle_b"),
+            ).hint("SHUFFLE_MERGE"),
+            (F.col("shingle_b") == F.col("shingle"))
+            & (F.col("doc_b") == F.col("doc_b2")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(dec).alias("w_ab"))
+    )
+    wa = wdoc.select(F.col("doc_id").alias("doc_a"), F.col("w").alias("w_a"))
+    wb = wdoc.select(F.col("doc_id").alias("doc_b"), F.col("w").alias("w_b"))
+    out = (
+        cand.join(wab, ["doc_a", "doc_b"])
+        .join(wa, "doc_a")
+        .join(wb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard_capped",
+            round4(
+                F.col("w_ab").cast("double")
+                / (F.col("w_a") + F.col("w_b") - F.col("w_ab")).cast("double")
+            ).alias("w_jaccard"),
+        )
+        .filter(F.col("w_jaccard") >= _WJ_TAU)
+        .orderBy("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    shw.unpersist()
+    return out
