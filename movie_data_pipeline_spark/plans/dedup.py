@@ -2720,6 +2720,13 @@ def q270_cross_source_dup_matrix(
 # q273 — IDF-weighted Jaccard near-dup scoring (weighting vs capping)
 # --------------------------------------------------------------------------
 _WJ_TAU = 0.3  # weighted-similarity acceptance threshold
+# Candidate floor on the capped UNWEIGHTED jaccard (exact integer
+# ratio, portable): pair generation at threshold 0 kept every
+# co-bucketed pair, and the per-pair shingle joins below turned that
+# into pairs x shingles row volume — the 10x replica's copy explosion
+# OOMed the probe. 0.05 is far below any accept threshold and cheap
+# (the ratio is already computed by the bucket machinery).
+_WJ_CAND_FLOOR = 0.05
 
 
 @query(
@@ -2742,22 +2749,27 @@ _WJ_TAU = 0.3  # weighted-similarity acceptance threshold
       FROM shingles_c a JOIN shingles_c b
         ON a.sh = b.sh AND a.doc_id < b.doc_id
       GROUP BY 1, 2),
+    cand AS (
+      SELECT c.doc_a, c.doc_b, c.n_common, ca.n AS na, cb.n AS nb
+      FROM common c
+      JOIN counts ca ON ca.doc_id = c.doc_a
+      JOIN counts cb ON cb.doc_id = c.doc_b
+      WHERE c.n_common * 1.0 / (ca.n + cb.n - c.n_common)
+            >= {_WJ_CAND_FLOOR}),
     wab AS (
       SELECT c.doc_a, c.doc_b,
              SUM(CAST(sa.idf AS DECIMAL(20,4))) AS w_ab
-      FROM common c
+      FROM cand c
       JOIN shw sa ON sa.doc_id = c.doc_a
       JOIN shw sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
       GROUP BY 1, 2),
     scored AS (
       SELECT c.doc_a, c.doc_b,
-             {r4('c.n_common * 1.0 / (ca.n + cb.n - c.n_common)')}
+             {r4('c.n_common * 1.0 / (c.na + c.nb - c.n_common)')}
                AS jaccard_capped,
              {r4('CAST(w.w_ab AS DOUBLE) / CAST(wa.w + wb.w - w.w_ab AS DOUBLE)')}
                AS w_jaccard
-      FROM common c
-      JOIN counts ca ON ca.doc_id = c.doc_a
-      JOIN counts cb ON cb.doc_id = c.doc_b
+      FROM cand c
       JOIN wab w ON w.doc_a = c.doc_a AND w.doc_b = c.doc_b
       JOIN wdoc wa ON wa.doc_id = c.doc_a
       JOIN wdoc wb ON wb.doc_id = c.doc_b)
@@ -2776,8 +2788,9 @@ def q273_idf_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle being discarded (the cap family's failure mode when the
     cap is tuned wrong — q245 prices that sensitivity; this removes
     it from scoring entirely). Candidate GENERATION still uses the
-    capped buckets (a pair must share >= 1 sub-cap shingle — the
-    load-bearing quadratic mitigation), but the SCORE integrates the
+    capped buckets plus a 0.05 unweighted floor (a pair must share
+    >= 1 sub-cap shingle and a twentieth of its capped union — the
+    load-bearing quadratic mitigations), but the SCORE integrates the
     full uncapped shingle sets: cap for candidates, weights for
     truth. Reported next to the capped unweighted jaccard so the two
     metrics' disagreement is visible per pair.
@@ -2796,7 +2809,9 @@ def q273_idf_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     cand = jaccard_pairs(
-        docs, threshold=0.0, max_shingle_df=JACCARD_MAX_SHINGLE_DF
+        docs,
+        threshold=_WJ_CAND_FLOOR,
+        max_shingle_df=JACCARD_MAX_SHINGLE_DF,
     ).select("doc_a", "doc_b", round4(F.col("jaccard")).alias("jaccard_capped"))
     sh = doc_shingles(docs)
     nn = docs.agg(F.count("*").alias("n"))
@@ -2835,10 +2850,16 @@ def q273_idf_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wa = wdoc.select(F.col("doc_id").alias("doc_a"), F.col("w").alias("w_a"))
     wb = wdoc.select(F.col("doc_id").alias("doc_b"), F.col("w").alias("w_b"))
+    # cand and wab are both candidate-PAIR frames — unbounded in corpus
+    # size, so neither may ever become a broadcast build side (the
+    # q248/q256b discipline; unpinned, the optimizer broadcast one at
+    # the 10x replica and the build-side collect blew the driver's
+    # 1 GiB maxResultSize). The doc-keyed weight dims get SHUFFLE_HASH
+    # for the same reason q256b's vector dims do.
     out = (
-        cand.join(wab, ["doc_a", "doc_b"])
-        .join(wa, "doc_a")
-        .join(wb, "doc_b")
+        cand.join(wab.hint("SHUFFLE_MERGE"), ["doc_a", "doc_b"])
+        .join(wa.hint("SHUFFLE_HASH"), "doc_a")
+        .join(wb.hint("SHUFFLE_HASH"), "doc_b")
         .select(
             "doc_a",
             "doc_b",
@@ -2850,7 +2871,10 @@ def q273_idf_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("w_jaccard") >= _WJ_TAU)
         .orderBy("doc_a", "doc_b")
-        .localCheckpoint(eager=True)
     )
-    shw.unpersist()
+    # shw stays persisted (three consumers; jaccard_pairs leaves its
+    # bucket frame persisted the same way) — no localCheckpoint here:
+    # the accepted-pair output is corpus-sized, and checkpointing it
+    # eagerly ships every partition through the driver (hit the
+    # 1 GiB maxResultSize at the 10x replica's copy-pair explosion).
     return out
