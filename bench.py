@@ -128,6 +128,8 @@ HEADLINE = [
     "q271_cdc_chunking_audit",
     "q272_pq_codebook_audit",
     "q273_idf_weighted_jaccard",
+    "q274_simhash_quality_audit",
+    "q275_dp_count_release",
 ]
 
 # Stable trend tier (VERDICT r5 #6): these 20 have been in the headline

@@ -3372,3 +3372,109 @@ def q261_hourly_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(True).alias("observed"),
     )
     return observed.unionByName(gaps)
+
+
+# --------------------------------------------------------------------------
+# q275 — differentially-private count release (Laplace mechanism audit)
+# --------------------------------------------------------------------------
+# Epsilon sweep, keyed by an INTEGER index so the md5 seed string never
+# round-trips a float format (the cross-engine float-to-string trap).
+_DP_EPS = ((0, 0.5), (1, 1.0), (2, 2.0))
+_DP_EPS_VALUES = ", ".join(f"({i}, {e})" for i, e in _DP_EPS)
+_DP_U = (
+    "(CAST(('0x' || substr(md5(source || '|' || CAST(eps_idx AS VARCHAR)), "
+    "1, 8)) AS BIGINT) % 1000000 + 0.5) / 1000000.0"
+)
+
+
+@query(
+    "q275_dp_count_release",
+    oracle=f"""
+    WITH per AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY source),
+    eps(eps_idx, eps) AS (VALUES {_DP_EPS_VALUES}),
+    drawn AS (
+      SELECT source, n, eps_idx, CAST(eps AS DOUBLE) AS eps,
+             {_DP_U} AS u
+      FROM per CROSS JOIN eps),
+    noised AS (
+      SELECT source, n, eps,
+             {r4('-(1.0 / eps) * (CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END) * ln(1.0 - 2.0 * abs(u - 0.5))')}
+               AS noise
+      FROM drawn)
+    SELECT source, eps, n AS true_count,
+           CAST(FLOOR(n + noise + 0.5) AS BIGINT) AS released_count,
+           noise,
+           CAST(ABS(CAST(FLOOR(n + noise + 0.5) AS BIGINT) - n) AS BIGINT)
+             AS abs_err
+    FROM noised
+    ORDER BY source, eps
+    """,
+    tags=("extension", "privacy", "dp", "audit"),
+)
+def q275_dp_count_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-mechanism count release audit — the differential-privacy
+    member of the privacy family (k-anonymity q186, l-diversity q234,
+    erasure blast radius q190): per-source document counts released
+    with Laplace(1/eps) noise at eps = 0.5 / 1 / 2, next to the true
+    count and the realized absolute error. This is the calibration a
+    data-release pipeline runs before publishing corpus statistics:
+    the eps sweep shows the privacy/utility trade concretely on the
+    real counts (sensitivity of a count query is 1, so scale b =
+    1/eps exactly).
+
+    Determinism note (the audit's point is REPRODUCIBLE noise): the
+    uniform draw is an md5 bucket of (source, eps_idx) — integer
+    index, never a formatted float — mapped to (0,1) at 1e-6
+    resolution, pushed through the exact inverse CDF
+    -b*sign(u-.5)*ln(1-2|u-.5|). In production release, swap the md5
+    draw for a secure RNG; every other line is unchanged. ln goes
+    through round4 before the integer rounding (the idf/q178
+    discipline); FLOOR(x+0.5) on identical doubles is exact on both
+    engines. Map-only over a |sources| x |eps| frame — trivially
+    scale-free since it aggregates first.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(F.count("*").cast("long").alias("n"))
+    eps = spark.createDataFrame(
+        [(i, float(e)) for i, e in _DP_EPS], "eps_idx INT, eps DOUBLE"
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.col("source"), F.col("eps_idx").cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000000
+        + F.lit(0.5)
+    ) / F.lit(1000000.0)
+    drawn = per.crossJoin(F.broadcast(eps)).select(
+        "source", "n", "eps", u.alias("u")
+    )
+    noise = round4(
+        -(F.lit(1.0) / F.col("eps"))
+        * F.when(F.col("u") >= 0.5, F.lit(1.0)).otherwise(F.lit(-1.0))
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(F.col("u") - F.lit(0.5)))
+    )
+    released = F.floor(F.col("n") + F.col("noise") + F.lit(0.5)).cast("long")
+    return (
+        drawn.select("source", "eps", F.col("n").alias("true_count"), noise.alias("noise"), "n")
+        .select(
+            "source",
+            "eps",
+            F.col("true_count"),
+            released.alias("released_count"),
+            "noise",
+            F.abs(released - F.col("n")).cast("long").alias("abs_err"),
+        )
+        .orderBy("source", "eps")
+    )

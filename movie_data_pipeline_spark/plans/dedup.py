@@ -2878,3 +2878,109 @@ def q273_idf_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # eagerly ships every partition through the driver (hit the
     # 1 GiB maxResultSize at the 10x replica's copy-pair explosion).
     return out
+
+
+# --------------------------------------------------------------------------
+# q274 — SimHash candidate quality audit (precision/recall vs exact truth)
+# --------------------------------------------------------------------------
+@query(
+    "q274_simhash_quality_audit",
+    oracle=f"""
+    WITH {_SIMHASH_CTES},
+    bands AS (
+      SELECT doc_id, simhash, b AS band_idx,
+             (simhash // CAST(2 ** (8 * b) AS BIGINT)) % 256 AS band_val
+      FROM fingerprints CROSS JOIN generate_series(0, 3) t(b)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 8),
+    sh0 AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    shingles2 AS (
+      SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id,
+               CASE WHEN len(t) >= 3
+                 THEN unnest(list_transform(generate_series(1, len(t) - 2),
+                                            i -> array_to_string(t[i:i+2], ' ')))
+                 ELSE array_to_string(t, ' ')
+               END AS sh
+        FROM sh0)),
+    sk AS (SELECT sh FROM shingles2 GROUP BY sh
+           HAVING COUNT(*) <= {JACCARD_MAX_SHINGLE_DF}),
+    shc AS (SELECT s.doc_id, s.sh FROM shingles2 s JOIN sk USING (sh)),
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    truth AS (
+      SELECT doc_a, doc_b FROM common
+      JOIN counts ca ON ca.doc_id = doc_a
+      JOIN counts cb ON cb.doc_id = doc_b
+      WHERE n_common * 1.0 / (ca.n + cb.n - n_common) >= {_AUDIT_J}),
+    hits AS (SELECT * FROM cand INTERSECT SELECT * FROM truth)
+    SELECT (SELECT COUNT(*) FROM cand) AS n_candidates,
+           (SELECT COUNT(*) FROM truth) AS n_true_pairs,
+           (SELECT COUNT(*) FROM hits) AS n_hits,
+           CASE WHEN (SELECT COUNT(*) FROM cand) > 0
+                THEN {r4('CAST((SELECT COUNT(*) FROM hits) AS DOUBLE) / CAST((SELECT COUNT(*) FROM cand) AS DOUBLE)')}
+           END AS precision,
+           CASE WHEN (SELECT COUNT(*) FROM truth) > 0
+                THEN {r4('CAST((SELECT COUNT(*) FROM hits) AS DOUBLE) / CAST((SELECT COUNT(*) FROM truth) AS DOUBLE)')}
+           END AS recall
+    """,
+    tags=("extension", "dedup", "simhash", "audit"),
+)
+def q274_simhash_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash candidate quality vs exact ground truth — q121's
+    precision/recall audit applied to the OTHER fingerprint family:
+    q79's byte-banded, Hamming<=8 SimHash pairs scored against exact
+    df-capped word-3-gram Jaccard >= {_AUDIT_J}. With this row every
+    approximate-similarity path in the engine carries a measured
+    audit (MinHash banding q121/q248/q265, hyperplane LSH q132,
+    banded margin q256b's gate, IVF q264, PQ q272 — and now SimHash),
+    so choosing between fingerprint families at 100 TB is a
+    table-lookup, not folklore: SimHash is 1 BIGINT per doc vs 16 for
+    the MinHash signature, and this report prices what that 16x
+    memory cut costs in recall on the actual corpus.
+
+    Shape: candidates are q79's machinery verbatim (banded equi-join
+    + XOR popcount); truth is q18's bucket path at the audit
+    threshold (df-capped, never all-pairs); the report is three
+    counts and two quantized ratios on one row.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cand = simhash_hamming_pairs(simhash(docs)).select("doc_a", "doc_b")
+    truth = jaccard_pairs(
+        docs,
+        max_shingle_df=JACCARD_MAX_SHINGLE_DF,
+        threshold=float(_AUDIT_J),
+    ).select("doc_a", "doc_b")
+    hits = cand.join(truth, ["doc_a", "doc_b"], "left_semi")
+    n_c = cand.agg(F.count("*").alias("n_candidates"))
+    n_t = truth.agg(F.count("*").alias("n_true_pairs"))
+    n_h = hits.agg(F.count("*").alias("n_hits"))
+    out = n_c.crossJoin(F.broadcast(n_t)).crossJoin(F.broadcast(n_h))
+    prec = F.when(
+        F.col("n_candidates") > 0,
+        round4(
+            F.col("n_hits").cast("double")
+            / F.col("n_candidates").cast("double")
+        ),
+    )
+    rec = F.when(
+        F.col("n_true_pairs") > 0,
+        round4(
+            F.col("n_hits").cast("double")
+            / F.col("n_true_pairs").cast("double")
+        ),
+    )
+    return out.select(
+        "n_candidates",
+        "n_true_pairs",
+        "n_hits",
+        prec.alias("precision"),
+        rec.alias("recall"),
+    )
