@@ -2950,6 +2950,16 @@ def q274_simhash_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     + XOR popcount); truth is q18's bucket path at the audit
     threshold (df-capped, never all-pairs); the report is three
     counts and two quantized ratios on one row.
+
+    Scale finding (r7 10x probe, ratio 34.5): the 4 x 8-bit band
+    space is FIXED at 256 values per band, so band buckets saturate
+    as the corpus grows — the same structural limit q256b's
+    rows-per-band ladder fixes for hyperplane LSH by growing r with
+    n. That saturation is precisely what this audit exposes: a
+    corpus-scale SimHash index needs a 64-bit fingerprint with
+    6 x ~11-bit bands (same pigeonhole guarantee at Hamming <= 5),
+    which changes q21/q79's published fingerprints and so belongs to
+    a deliberate re-verified migration, not a silent swap.
     """
     docs = load_table(spark, sf_dir, "documents")
     cand = simhash_hamming_pairs(simhash(docs)).select("doc_a", "doc_b")
