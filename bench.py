@@ -130,6 +130,7 @@ HEADLINE = [
     "q273_idf_weighted_jaccard",
     "q274_simhash_quality_audit",
     "q275_dp_count_release",
+    "q276_weighted_dedup_agreement",
 ]
 
 # Stable trend tier (VERDICT r5 #6): these 20 have been in the headline

@@ -2728,11 +2728,10 @@ _WJ_TAU = 0.3  # weighted-similarity acceptance threshold
 # (the ratio is already computed by the bucket machinery).
 _WJ_CAND_FLOOR = 0.05
 
-
-@query(
-    "q273_idf_weighted_jaccard",
-    oracle=f"""
-    WITH {_SHINGLES_CTE},
+# The scored candidate-pair frame (doc_a, doc_b, jaccard_capped,
+# w_jaccard), shared by q273 (threshold + emit) and q276 (tau sweep) —
+# the _BM25_SCORED_CTES sharing pattern.
+_WJ_SCORED_CTES = f"""{_SHINGLES_CTE},
     {_CAPPED_CTES},
     nn AS (SELECT COUNT(*) AS n FROM documents),
     dfs AS (SELECT sh, COUNT(*) AS df_s FROM shingles GROUP BY sh),
@@ -2772,7 +2771,13 @@ _WJ_CAND_FLOOR = 0.05
       FROM cand c
       JOIN wab w ON w.doc_a = c.doc_a AND w.doc_b = c.doc_b
       JOIN wdoc wa ON wa.doc_id = c.doc_a
-      JOIN wdoc wb ON wb.doc_id = c.doc_b)
+      JOIN wdoc wb ON wb.doc_id = c.doc_b)"""
+
+
+@query(
+    "q273_idf_weighted_jaccard",
+    oracle=f"""
+    WITH {_WJ_SCORED_CTES}
     SELECT doc_a, doc_b, jaccard_capped, w_jaccard
     FROM scored WHERE w_jaccard >= {_WJ_TAU}
     ORDER BY doc_a, doc_b
@@ -2807,6 +2812,17 @@ def q273_idf_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded candidate-pair set — rows = pairs x shingles-per-doc,
     never the raw shingle self-join.
     """
+    return (
+        _wj_scored(spark, sf_dir)
+        .filter(F.col("w_jaccard") >= _WJ_TAU)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _wj_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q273's scored candidate-pair frame (doc_a, doc_b,
+    jaccard_capped, w_jaccard), UNthresholded — shared with q276's tau
+    sweep. Mirrors _WJ_SCORED_CTES."""
     docs = load_table(spark, sf_dir, "documents")
     cand = jaccard_pairs(
         docs,
@@ -2856,7 +2872,12 @@ def q273_idf_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the 10x replica and the build-side collect blew the driver's
     # 1 GiB maxResultSize). The doc-keyed weight dims get SHUFFLE_HASH
     # for the same reason q256b's vector dims do.
-    out = (
+    # shw stays persisted (three consumers; jaccard_pairs leaves its
+    # bucket frame persisted the same way) — and no localCheckpoint:
+    # the scored-pair output is corpus-sized, and checkpointing it
+    # eagerly ships every partition through the driver (hit the
+    # 1 GiB maxResultSize at the 10x replica's copy-pair explosion).
+    return (
         cand.join(wab.hint("SHUFFLE_MERGE"), ["doc_a", "doc_b"])
         .join(wa.hint("SHUFFLE_HASH"), "doc_a")
         .join(wb.hint("SHUFFLE_HASH"), "doc_b")
@@ -2869,15 +2890,7 @@ def q273_idf_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("w_a") + F.col("w_b") - F.col("w_ab")).cast("double")
             ).alias("w_jaccard"),
         )
-        .filter(F.col("w_jaccard") >= _WJ_TAU)
-        .orderBy("doc_a", "doc_b")
     )
-    # shw stays persisted (three consumers; jaccard_pairs leaves its
-    # bucket frame persisted the same way) — no localCheckpoint here:
-    # the accepted-pair output is corpus-sized, and checkpointing it
-    # eagerly ships every partition through the driver (hit the
-    # 1 GiB maxResultSize at the 10x replica's copy-pair explosion).
-    return out
 
 
 # --------------------------------------------------------------------------
@@ -2994,3 +3007,99 @@ def q274_simhash_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         prec.alias("precision"),
         rec.alias("recall"),
     )
+
+
+# --------------------------------------------------------------------------
+# q276 — weighted-vs-capped dedup decision agreement sweep
+# --------------------------------------------------------------------------
+_WJ_SWEEP_TAUS = (0.2, 0.3, 0.4, 0.5)
+_WJ_SWEEP_VALUES = ", ".join(f"({t})" for t in _WJ_SWEEP_TAUS)
+_WJ_UNW_TAU = 0.5  # the capped-unweighted decision bar (q121's truth)
+
+
+@query(
+    "q276_weighted_dedup_agreement",
+    oracle=f"""
+    WITH {_WJ_SCORED_CTES},
+    taus(tau_w) AS (VALUES {_WJ_SWEEP_VALUES}),
+    agg AS (
+      SELECT t.tau_w,
+             SUM(CASE WHEN s.w_jaccard >= t.tau_w THEN 1 ELSE 0 END)
+               AS n_weighted,
+             SUM(CASE WHEN s.jaccard_capped >= {_WJ_UNW_TAU}
+                      THEN 1 ELSE 0 END) AS n_unweighted,
+             SUM(CASE WHEN s.w_jaccard >= t.tau_w
+                       AND s.jaccard_capped >= {_WJ_UNW_TAU}
+                      THEN 1 ELSE 0 END) AS n_both
+      FROM scored s CROSS JOIN taus t
+      GROUP BY t.tau_w)
+    SELECT CAST(tau_w AS DOUBLE) AS tau_w,
+           CAST(n_weighted AS BIGINT) AS n_weighted,
+           CAST(n_unweighted AS BIGINT) AS n_unweighted,
+           CAST(n_both AS BIGINT) AS n_both,
+           CAST(n_weighted - n_both AS BIGINT) AS n_only_weighted,
+           CAST(n_unweighted - n_both AS BIGINT) AS n_only_unweighted,
+           CASE WHEN n_weighted + n_unweighted - n_both > 0
+                THEN {r4('n_both * 1.0 / (n_weighted + n_unweighted - n_both)')}
+           END AS decision_jaccard
+    FROM agg
+    ORDER BY tau_w
+    """,
+    tags=("extension", "dedup", "weighted", "calibration"),
+)
+def q276_weighted_dedup_agreement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Decision-agreement sweep between the two near-dup metrics the
+    engine ships: q273's IDF-WEIGHTED jaccard at tau_w in
+    {0.2, 0.3, 0.4, 0.5} versus the capped UNWEIGHTED jaccard at the
+    audit bar 0.5, over the same scored candidate set. Per tau_w:
+    accept counts per metric, the overlap, the pairs each metric
+    uniquely flags, and the Jaccard of the two DECISION sets — the
+    calibration that picks tau_w before swapping the weighted metric
+    into a production dedup gate (q248's role for banding configs,
+    applied to scoring semantics). n_only_weighted are pairs the cap
+    family misses (agreement on rare content diluted by boilerplate);
+    n_only_unweighted are pairs held up by high-df shingles the
+    weighting discounts.
+
+    Shape: one pass over _wj_scored (q273's frame, shared CTEs/code —
+    both metrics already round4-quantized there), a broadcast tau dim,
+    one tiny grouped aggregate. Adds nothing to q273's scale cost.
+    """
+    scored = _wj_scored(spark, sf_dir)
+    taus = spark.createDataFrame(
+        [(float(t),) for t in _WJ_SWEEP_TAUS], "tau_w DOUBLE"
+    )
+    agg = (
+        scored.crossJoin(F.broadcast(taus))
+        .groupBy("tau_w")
+        .agg(
+            F.sum(
+                (F.col("w_jaccard") >= F.col("tau_w")).cast("long")
+            ).alias("n_weighted"),
+            F.sum(
+                (F.col("jaccard_capped") >= F.lit(_WJ_UNW_TAU)).cast("long")
+            ).alias("n_unweighted"),
+            F.sum(
+                (
+                    (F.col("w_jaccard") >= F.col("tau_w"))
+                    & (F.col("jaccard_capped") >= F.lit(_WJ_UNW_TAU))
+                ).cast("long")
+            ).alias("n_both"),
+        )
+    )
+    union = F.col("n_weighted") + F.col("n_unweighted") - F.col("n_both")
+    return agg.select(
+        "tau_w",
+        "n_weighted",
+        "n_unweighted",
+        "n_both",
+        (F.col("n_weighted") - F.col("n_both")).alias("n_only_weighted"),
+        (F.col("n_unweighted") - F.col("n_both")).alias(
+            "n_only_unweighted"
+        ),
+        F.when(
+            union > 0, round4(F.col("n_both") * F.lit(1.0) / union)
+        ).alias("decision_jaccard"),
+    ).orderBy("tau_w")
