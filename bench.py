@@ -131,6 +131,7 @@ HEADLINE = [
     "q274_simhash_quality_audit",
     "q275_dp_count_release",
     "q276_weighted_dedup_agreement",
+    "q277_passage_scrub_savings",
 ]
 
 # Stable trend tier (VERDICT r5 #6): these 20 have been in the headline

@@ -2483,11 +2483,9 @@ def q265_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 _PASS_W = 40  # window width: any exact repeat >= 40 chars is detected
 
-
-@query(
-    "q268_repeated_passages",
-    oracle=f"""
-    WITH pos AS (
+# Shared by q268 (per-doc span report) and q277 (per-source scrub
+# savings): duplicated-window detection + maximal-span merge.
+_PASS_SPAN_CTES = f"""pos AS (
       SELECT doc_id, text,
              unnest(generate_series(1, len(text) - {_PASS_W - 1})) AS p
       FROM documents WHERE len(text) >= {_PASS_W}),
@@ -2510,7 +2508,13 @@ _PASS_W = 40  # window width: any exact repeat >= 40 chars is detected
     spans AS (
       SELECT doc_id, g, MIN(p) AS s, MAX(p) + {_PASS_W - 1} AS e,
              COUNT(*) AS nw
-      FROM grps GROUP BY doc_id, g)
+      FROM grps GROUP BY doc_id, g)"""
+
+
+@query(
+    "q268_repeated_passages",
+    oracle=f"""
+    WITH {_PASS_SPAN_CTES}
     SELECT doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_spans,
            CAST(SUM(nw) AS BIGINT) AS n_dup_windows,
@@ -2549,10 +2553,25 @@ def q268_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines here carry the raw 40-char key so the compared answer is
     hash-collision-free by construction.
     """
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .filter(F.length("text") >= _PASS_W)
+    spans = _dup_spans(load_table(spark, sf_dir, "documents"))
+    span_len = F.col("e") - F.col("s") + 1
+    return (
+        spans.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_spans"),
+            F.sum("nw").cast("long").alias("n_dup_windows"),
+            F.sum(span_len).cast("long").alias("covered_chars"),
+            F.max(span_len).cast("long").alias("max_span_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _dup_spans(docs: DataFrame) -> DataFrame:
+    """q268's duplicated-span frame (doc_id, g, s, e, nw) — shared with
+    q277's per-source savings rollup. Mirrors _PASS_SPAN_CTES."""
+    docs = docs.select("doc_id", "text").filter(
+        F.length("text") >= _PASS_W
     )
     wins = docs.select(
         "doc_id",
@@ -2576,7 +2595,7 @@ def q268_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     brk = F.when(
         F.col("p") - F.lag("p").over(wlag) > _PASS_W, F.lit(1)
     ).otherwise(F.lit(0))
-    spans = (
+    return (
         hits.withColumn("brk", brk)
         .withColumn("g", F.sum("brk").over(wlag))
         .groupBy("doc_id", "g")
@@ -2585,17 +2604,6 @@ def q268_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("p") + F.lit(_PASS_W - 1)).alias("e"),
             F.count("*").alias("nw"),
         )
-    )
-    span_len = F.col("e") - F.col("s") + 1
-    return (
-        spans.groupBy("doc_id")
-        .agg(
-            F.count("*").cast("long").alias("n_spans"),
-            F.sum("nw").cast("long").alias("n_dup_windows"),
-            F.sum(span_len).cast("long").alias("covered_chars"),
-            F.max(span_len).cast("long").alias("max_span_len"),
-        )
-        .orderBy("doc_id")
     )
 
 
@@ -3103,3 +3111,92 @@ def q276_weighted_dedup_agreement(
             union > 0, round4(F.col("n_both") * F.lit(1.0) / union)
         ).alias("decision_jaccard"),
     ).orderBy("tau_w")
+
+
+# --------------------------------------------------------------------------
+# q277 — repeated-passage scrub savings per source
+# --------------------------------------------------------------------------
+@query(
+    "q277_passage_scrub_savings",
+    oracle=f"""
+    WITH {_PASS_SPAN_CTES},
+    perdoc AS (
+      SELECT doc_id, SUM(e - s + 1) AS dup_chars FROM spans
+      GROUP BY doc_id),
+    tot AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(text)) AS BIGINT) AS total_chars
+      FROM documents GROUP BY source),
+    dup AS (
+      SELECT d.source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs_with_dup,
+             CAST(SUM(p.dup_chars) AS BIGINT) AS dup_chars
+      FROM perdoc p JOIN documents d USING (doc_id)
+      GROUP BY d.source)
+    SELECT t.source, t.n_docs, t.total_chars,
+           CAST(COALESCE(dup.n_docs_with_dup, 0) AS BIGINT)
+             AS n_docs_with_dup,
+           CAST(COALESCE(dup.dup_chars, 0) AS BIGINT) AS dup_chars,
+           {r4('COALESCE(dup.dup_chars, 0) * 1.0 / t.total_chars')}
+             AS dup_char_frac
+    FROM tot t LEFT JOIN dup USING (source)
+    ORDER BY t.source
+    """,
+    tags=("extension", "dedup", "substring", "curation"),
+)
+def q277_passage_scrub_savings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The budget answer on top of q268: per SOURCE, how many
+    characters live inside corpus-duplicated passages — i.e. what an
+    ExactSubstr scrub pass (q146's SCRUB applied to q268's spans)
+    would remove, and from how many documents. dup_char_frac is the
+    headline number a curation review reads before scheduling the
+    scrub: a source at 30% duplicated bytes is syndication/boilerplate
+    heavy and pays for passage-level dedup; one at 2% only needs
+    doc-level dedup. Exact by construction: q268's spans have disjoint
+    char coverage (gap > w breaks), so the SUM never double-counts.
+
+    Shape: q268's span machinery verbatim (shared CTEs/helper — one
+    linear window scan, one groupBy(win), one partitioned lag window),
+    then two narrow aggregates joined on source. Adds nothing to
+    q268's scale cost.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    perdoc = (
+        _dup_spans(docs)
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("e") - F.col("s") + 1).alias("dup_chars"))
+    )
+    tot = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+    )
+    dup = (
+        perdoc.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs_with_dup"),
+            F.sum("dup_chars").cast("long").alias("dup_chars"),
+        )
+    )
+    return (
+        tot.join(dup, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "total_chars",
+            F.coalesce("n_docs_with_dup", F.lit(0))
+            .cast("long")
+            .alias("n_docs_with_dup"),
+            F.coalesce("dup_chars", F.lit(0))
+            .cast("long")
+            .alias("dup_chars"),
+            round4(
+                F.coalesce("dup_chars", F.lit(0))
+                * F.lit(1.0)
+                / F.col("total_chars")
+            ).alias("dup_char_frac"),
+        )
+        .orderBy("source")
+    )
