@@ -129,18 +129,36 @@ _REVERIFY_QUEUE: dict[str, int] = {
     # had a green driver row, so it is in the window as never-verified
     # already.)
     "q196_pvm_bridge": 6,
-    # round 7: both registered plans sample-bounded (VERDICT r6 #1/#3 —
-    # fixed-size md5-bucket sample, modulus max(1, n // target)). At
-    # sf0.01 the modulus is 1 so outputs are bit-identical, but the
-    # registered plan + oracle changed; the green row should postdate
-    # the change.
-    "q256_margin_candidate_mining": 7,
-    "q248_lsh_scurve_sweep": 7,
+    # round 7: both registered plans sample-bounded (VERDICT r6 #1/#3);
+    # round 8: rewired onto the shared fixed_sample/fixed_sample_ctes
+    # helper (VERDICT r7 #6 — outputs hash-identical, builder-verified
+    # at all 3 SFs, but the registered plan + oracle text changed).
+    "q256_margin_candidate_mining": 8,
+    "q248_lsh_scurve_sweep": 8,
     # round 7: rows-per-band ladder cap raised 8 -> 12 after the 100x
     # probe (r=8 saturated the sig space above ~8k vectors/side).
     # Outputs at every driver SF are unchanged (the new rungs engage
     # only at probe scale), but plan + oracle text changed.
     "q256b_margin_mining_lsh": 7,
+    # round 8: q264/q272's exact ground-truth legs sample-bounded with
+    # the shared fixed_sample helper (VERDICT r7 #1 — the query set is
+    # now a fixed-size md5-bucket sample; modulus 1 at every test SF so
+    # outputs are unchanged there, but the registered plans + oracles
+    # changed).
+    "q264_ivf_recall_sweep": 8,
+    "q272_pq_codebook_audit": 8,
+    # round 8: SimHash family migrated to the 60-bit fingerprint with
+    # 4 x 15-bit bands + Hamming<=5 verification (VERDICT r7 #2 — the
+    # 4 x 8-bit band space saturated at 10x; published fingerprints and
+    # pair sets CHANGE at every SF, a deliberate re-verified migration).
+    "q21_simhash": 8,
+    "q79_simhash_hamming_pairs": 8,
+    "q274_simhash_quality_audit": 8,
+    # round 8: q268/q277's groupBy key digested to a fixed-width md5
+    # prefix on both engines (VERDICT r7 #3 — ~5x less shuffle bytes;
+    # spans identical, plan + oracle text changed).
+    "q268_repeated_passages": 8,
+    "q277_passage_scrub_savings": 8,
 }
 
 
@@ -154,6 +172,28 @@ def _active_reverify(
 
 _FORCE_REVERIFY: tuple[str, ...] = _active_reverify(
     _REVERIFY_QUEUE, _GREEN_ROUND
+)
+
+# Freshness rotation of the VERIFIED tail (VERDICT r7 #4): the
+# q126–q137 block's green rows date to round 2 under the retired
+# ``a_`` alias names — five rounds of shared-helper churn ago. These
+# names lead the verified tail this round so the driver re-greens
+# them under canonical names; once fresher rows exist the list can be
+# rotated to whatever block is oldest. Ordering tiers are unchanged
+# (these are plain-verified names, merely reordered within their tier).
+_TAIL_ROTATION: tuple[str, ...] = (
+    "q126_incremental_dedup",
+    "q127_training_shard_manifest",
+    "q128_shipping_priority",
+    "q129_forecast_revenue_delta",
+    "q130_returned_item_customers",
+    "q131_promo_revenue_share",
+    "q132_ann_recall_audit",
+    "q133_image_metadata",
+    "q134_duplicate_clusters_star",
+    "q135_readability",
+    "q136_snapshot_diff",
+    "q137_event_weekday_pmi",
 )
 
 
@@ -185,11 +225,15 @@ def _rotation_order() -> list[str]:
         n for n in _FORCE_REVERIFY
         if n in REGISTRY and n in _DRIVER_VERIFIED
     ]
+    rotation = [
+        n for n in _TAIL_ROTATION
+        if n in REGISTRY and n in _DRIVER_VERIFIED and n not in forced
+    ]
     verified = sorted(
         n for n in REGISTRY
-        if n in _DRIVER_VERIFIED and n not in forced
+        if n in _DRIVER_VERIFIED and n not in forced and n not in rotation
     )
-    return priority + rest_unverified + forced + verified
+    return priority + rest_unverified + forced + rotation + verified
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -13,9 +13,12 @@ drift made round-over-round deltas unattributable): the headline runs
 $SPARK_GRAFT_REPEATS (default 3) INTERLEAVED passes — the whole list,
 then again — and reports the per-query MINIMUM, the standard way to
 strip one-sided noise from a best-case plan-cost measurement.
-Per-query spread (max-min)/min and the median spread ("noise_band_pct")
-are included in the JSON so regressions can be judged against the
-measured band rather than asserted drift.
+Per-query spread and its median are included in the JSON so
+regressions can be judged against the measured band rather than
+asserted drift. Since round 7 the spread statistic is MIN-CONVERGENCE
+(gap between the two fastest runs, not max-min range); the JSON keys
+carry the "minconv" suffix so round-over-round tooling can never
+compare incompatible statistics (ADVICE r7).
 """
 
 from __future__ import annotations
@@ -454,7 +457,7 @@ def main() -> None:
         "queries": {_short(n): round(t, 3) for n, t in timings.items()},
         "sf": sf,
         "repeats": repeats,
-        "noise_band_pct": noise_band,
+        "noise_band_minconv_pct": noise_band,
         # trend tiers (VERDICT r5 #6): core20 is round-comparable; ext
         # grows with the catalog
         "core20_sec": core,
@@ -464,7 +467,7 @@ def main() -> None:
         out["escalated_passes"] = extra_passes
     line = json.dumps(out, separators=(",", ":"))
     if len(line) > 1900:  # belt-and-braces: never outgrow the capture
-        out.pop("noise_band_pct", None)
+        out.pop("noise_band_minconv_pct", None)
         out.pop("repeats", None)
         out.pop("escalated_passes", None)
         line = json.dumps(out, separators=(",", ":"))
@@ -475,8 +478,8 @@ def main() -> None:
         "core20": CORE20,
         "core20_sec": core,
         "ext_sec": ext,
-        "spread_pct": spread_pct,
-        "noise_band_pct": noise_band,
+        "spread_minconv_pct": spread_pct,
+        "noise_band_minconv_pct": noise_band,
         "repeats": repeats,
         "escalated_passes": extra_passes,
         "noise_threshold_pct": noise_threshold,

@@ -40,6 +40,15 @@ def base_hash32(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
+def base_hash60(col: Column) -> Column:
+    """Deterministic 60-bit hash as BIGINT, identical across engines
+    (15 hex chars of the md5 — stays below 2^63, so the conv result is
+    always a positive BIGINT on both engines). Feeds the 60-bit SimHash
+    fingerprint: every bit of the fingerprint needs an independent
+    hash bit, so the token hash must be as wide as the fingerprint."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 # PII redaction patterns — ASCII-anchored so the Java (Spark) and RE2
 # (DuckDB oracle) regex engines agree exactly. Order matters: emails
 # first (their local part can contain digits/dots a later pass would

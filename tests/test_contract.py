@@ -57,3 +57,23 @@ def test_missing_column_and_nonstrict_extras(spark):
     assert any("missing column 'id'" in x for x in v)
     assert any("missing column 'name'" in x for x in v)
     assert not any("unexpected" in x for x in v)  # non-strict ignores extras
+
+
+def test_readme_query_count_matches_registry():
+    """ADVICE r7: the README's 'N named queries' line drifted from the
+    registry twice; derive the check so it can't."""
+    import os
+    import re
+
+    from movie_data_pipeline_spark.plans import REGISTRY
+
+    readme = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", "README.md"
+    )
+    text = open(readme).read()
+    m = re.search(r"(\d+) named queries", text)
+    assert m, "README must state the catalog size as 'N named queries'"
+    assert int(m.group(1)) == len(REGISTRY), (
+        f"README says {m.group(1)} named queries; registry has "
+        f"{len(REGISTRY)} — update README.md"
+    )
