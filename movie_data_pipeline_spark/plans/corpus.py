@@ -1760,3 +1760,217 @@ def q271_cdc_chunking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dig.unpersist()
     return out
+
+
+# --------------------------------------------------------------------------
+# q279 — URL canonicalization + host-level dedup rollup
+# --------------------------------------------------------------------------
+# The documents table carries no URL column, so the query DERIVES a
+# deterministic pseudo-URL per document from md5(doc_id) bits + the
+# source column — built to exercise every canonicalization rule
+# (scheme variants, www. prefix, host case, default ports, trailing
+# slash, tracking params, param order). The canonicalization chain and
+# the host rollup below are the reusable operator; on a corpus with a
+# real url column, point them at it unchanged.
+
+
+def _urlbit_spark(i: int) -> str:
+    return (
+        f"(conv(substring(md5(cast(doc_id as string)), {i}, 1), 16, 10)"
+        " % 2 = 1)"
+    )
+
+
+def _urlbit_sql(i: int) -> str:
+    return (
+        f"(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), {i}, 1))"
+        " AS BIGINT) % 2 = 1)"
+    )
+
+
+_URL_TRACKING_RE = "^(utm_[a-z]+|ref|fbclid)="
+_URL_PATH_DIV = 240  # path key granularity: ids 60 apart share a host
+
+_URL_SPARK = f"""concat(
+  CASE WHEN {_urlbit_spark(1)} THEN 'https://' ELSE 'http://' END,
+  CASE WHEN {_urlbit_spark(2)} THEN 'www.' ELSE '' END,
+  CASE WHEN {_urlbit_spark(3)}
+       THEN upper(concat(source, '-s', cast(doc_id % 3 as string),
+                         '.example.com'))
+       ELSE concat(source, '-s', cast(doc_id % 3 as string),
+                   '.example.com') END,
+  CASE WHEN {_urlbit_spark(4)}
+       THEN (CASE WHEN {_urlbit_spark(1)} THEN ':443' ELSE ':80' END)
+       ELSE '' END,
+  '/docs/', cast(doc_id div {_URL_PATH_DIV} as string),
+  CASE WHEN {_urlbit_spark(5)} THEN '/' ELSE '' END,
+  CASE WHEN {_urlbit_spark(6)}
+       THEN concat('?utm_source=feed&id=', cast(doc_id % 5 as string))
+       WHEN {_urlbit_spark(7)}
+       THEN concat('?id=', cast(doc_id % 5 as string), '&ref=rss')
+       WHEN {_urlbit_spark(8)}
+       THEN concat('?id=', cast(doc_id % 5 as string))
+       ELSE '' END)"""
+
+_URL_SQL = f"""(CASE WHEN {_urlbit_sql(1)} THEN 'https://' ELSE 'http://' END) ||
+  (CASE WHEN {_urlbit_sql(2)} THEN 'www.' ELSE '' END) ||
+  (CASE WHEN {_urlbit_sql(3)}
+        THEN upper(source || '-s' || CAST(doc_id % 3 AS VARCHAR)
+                   || '.example.com')
+        ELSE source || '-s' || CAST(doc_id % 3 AS VARCHAR)
+             || '.example.com' END) ||
+  (CASE WHEN {_urlbit_sql(4)}
+        THEN (CASE WHEN {_urlbit_sql(1)} THEN ':443' ELSE ':80' END)
+        ELSE '' END) ||
+  '/docs/' || CAST(doc_id // {_URL_PATH_DIV} AS VARCHAR) ||
+  (CASE WHEN {_urlbit_sql(5)} THEN '/' ELSE '' END) ||
+  (CASE WHEN {_urlbit_sql(6)}
+        THEN '?utm_source=feed&id=' || CAST(doc_id % 5 AS VARCHAR)
+        WHEN {_urlbit_sql(7)}
+        THEN '?id=' || CAST(doc_id % 5 AS VARCHAR) || '&ref=rss'
+        WHEN {_urlbit_sql(8)}
+        THEN '?id=' || CAST(doc_id % 5 AS VARCHAR)
+        ELSE '' END)"""
+
+
+@query(
+    "q279_url_host_dedup_rollup",
+    oracle=f"""
+    WITH raw AS (SELECT doc_id, {_URL_SQL} AS url FROM documents),
+    u AS (SELECT doc_id, url,
+                 regexp_replace(url, '^https?://', '') AS u1 FROM raw),
+    hr AS (SELECT doc_id, url,
+      regexp_replace(regexp_replace(lower(
+        CASE WHEN instr(u1, '/') > 0
+             THEN substring(u1, 1, instr(u1, '/') - 1) ELSE u1 END),
+        '^www\\.', ''), ':(443|80)$', '') AS host,
+      CASE WHEN instr(u1, '/') > 0
+           THEN substring(u1, instr(u1, '/')) ELSE '' END AS rest
+      FROM u),
+    pq AS (SELECT doc_id, url, host,
+      CASE WHEN instr(rest, '?') > 0
+           THEN substring(rest, 1, instr(rest, '?') - 1)
+           ELSE rest END AS path0,
+      CASE WHEN instr(rest, '?') > 0
+           THEN substring(rest, instr(rest, '?') + 1)
+           ELSE '' END AS qs
+      FROM hr),
+    k AS (SELECT doc_id, url, host,
+      regexp_replace(path0, '/$', '') AS path,
+      array_to_string(list_sort(list_filter(string_split(qs, '&'),
+        x -> x <> '' AND NOT regexp_matches(x, '{_URL_TRACKING_RE}'))),
+        '&') AS kept
+      FROM pq),
+    canon AS (SELECT doc_id, url, host,
+      host || path
+           || (CASE WHEN kept <> '' THEN '?' || kept ELSE '' END)
+        AS canon_url
+      FROM k),
+    g AS (SELECT host, canon_url, COUNT(*) AS c,
+                 COUNT(DISTINCT url) AS r
+          FROM canon GROUP BY 1, 2)
+    SELECT host,
+           CAST(SUM(c) AS BIGINT) AS n_docs,
+           CAST(SUM(r) AS BIGINT) AS n_raw_urls,
+           CAST(COUNT(*) AS BIGINT) AS n_canon_urls,
+           CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+             AS n_dup_docs,
+           {r4('SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) * 1.0 / SUM(c)')}
+             AS dup_rate
+    FROM g GROUP BY host ORDER BY host
+    """,
+    tags=("extension", "corpus", "url", "dedup"),
+)
+def q279_url_host_dedup_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """URL canonicalization + host-level dedup rollup (VERDICT r7 #5b):
+    normalize every document URL to its canonical form — strip scheme,
+    lowercase the host, drop a leading ``www.``, drop default ports
+    (:80/:443), drop the trailing slash, remove tracking params
+    (utm_*, ref, fbclid) and sort the survivors — then roll duplicate
+    canonical URLs up to the HOST level: docs, distinct raw URLs,
+    distinct canonical URLs, docs sharing a canonical URL with another
+    doc, and the dup rate. This is the crawl-side complement of the
+    content-dedup family (q17/q18/q268): at 100 TB the cheapest
+    duplicate is the one you drop BEFORE fetching or shingling, and
+    the host rollup is the table a crawl scheduler reads to decide
+    which mirrors to stop crawling (it also feeds q270-style
+    provenance analysis at host rather than source granularity).
+
+    The documents table has no URL column, so a pseudo-URL is DERIVED
+    per document from md5(doc_id) bits (scheme/www/case/port/slash/
+    param variants) + the source column — deterministic on both
+    engines, built to exercise every rule above; the canonicalization
+    chain is the reusable operator and applies unchanged to a real
+    url column.
+
+    Scale: one projection per rule (no UDFs — regexp/string builtins
+    inside codegen), ONE groupBy (host, canon_url) with map-side
+    combine, then a host-level reaggregation; canonical-URL dedup of a
+    100 TB crawl is exactly this shuffle, and host skew (one giant
+    mirror) is AQE's skew-join/agg case. COUNT(DISTINCT url) runs
+    inside the (host, canon_url) group where raw variants are
+    provably co-located.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    canon = (
+        docs.selectExpr("doc_id", "source")
+        .selectExpr("doc_id", _URL_SPARK + " AS url")
+        .selectExpr(
+            "doc_id", "url",
+            "regexp_replace(url, '^https?://', '') AS u1",
+        )
+        .selectExpr(
+            "doc_id", "url",
+            """regexp_replace(regexp_replace(lower(
+                 CASE WHEN instr(u1, '/') > 0
+                      THEN substring(u1, 1, instr(u1, '/') - 1)
+                      ELSE u1 END),
+                 '^www\\.', ''), ':(443|80)$', '') AS host""",
+            """CASE WHEN instr(u1, '/') > 0
+                    THEN substring(u1, instr(u1, '/'))
+                    ELSE '' END AS rest""",
+        )
+        .selectExpr(
+            "doc_id", "url", "host",
+            """CASE WHEN instr(rest, '?') > 0
+                    THEN substring(rest, 1, instr(rest, '?') - 1)
+                    ELSE rest END AS path0""",
+            """CASE WHEN instr(rest, '?') > 0
+                    THEN substring(rest, instr(rest, '?') + 1)
+                    ELSE '' END AS qs""",
+        )
+        .selectExpr(
+            "doc_id", "url", "host",
+            "regexp_replace(path0, '/$', '') AS path",
+            f"""array_join(array_sort(filter(split(qs, '&'),
+                x -> x != '' AND NOT x RLIKE '{_URL_TRACKING_RE}')),
+                '&') AS kept""",
+        )
+        .selectExpr(
+            "doc_id", "url", "host",
+            """concat(host, path,
+               CASE WHEN kept != '' THEN concat('?', kept)
+                    ELSE '' END) AS canon_url""",
+        )
+    )
+    g = canon.groupBy("host", "canon_url").agg(
+        F.count("*").alias("c"), F.countDistinct("url").alias("r")
+    )
+    return (
+        g.groupBy("host")
+        .agg(
+            F.sum("c").cast("long").alias("n_docs"),
+            F.sum("r").cast("long").alias("n_raw_urls"),
+            F.count("*").cast("long").alias("n_canon_urls"),
+            F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_dup_docs"),
+        )
+        .withColumn(
+            "dup_rate",
+            round4(F.col("n_dup_docs") * F.lit(1.0) / F.col("n_docs")),
+        )
+        .orderBy("host")
+    )

@@ -3258,3 +3258,300 @@ def q277_passage_scrub_savings(
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# q280 — SimHash Hamming-distance histogram (band/threshold calibration)
+# --------------------------------------------------------------------------
+_HH_TARGET = 64  # fixed anchor-sample size (fixed_sample discipline)
+
+
+@query(
+    "q280_simhash_hamming_histogram",
+    oracle=f"""
+    WITH {_SIMHASH_CTES},
+    {fixed_sample_ctes("fingerprints", "doc_id", _HH_TARGET, "anch")},
+    hist AS (
+      SELECT bit_count(xor(a.simhash, f.simhash)) AS hamming,
+             COUNT(*) AS n_pairs
+      FROM anch a JOIN fingerprints f ON f.doc_id <> a.doc_id
+      GROUP BY 1),
+    tot AS (SELECT SUM(n_pairs) AS t FROM hist),
+    cum AS (
+      SELECT h1.hamming, SUM(h2.n_pairs) AS c
+      FROM hist h1 JOIN hist h2 ON h2.hamming <= h1.hamming
+      GROUP BY 1)
+    SELECT CAST(h.hamming AS BIGINT) AS hamming,
+           CAST(h.n_pairs AS BIGINT) AS n_pairs,
+           {r4('h.n_pairs * 1.0 / tot.t')} AS share,
+           {r4('c.c * 1.0 / tot.t')} AS cum_share
+    FROM hist h JOIN cum c USING (hamming) CROSS JOIN tot
+    ORDER BY hamming
+    """,
+    tags=("extension", "dedup", "simhash", "calibration"),
+)
+def q280_simhash_hamming_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hamming-distance histogram of the 60-bit SimHash fingerprint
+    space — the calibration table you read BEFORE picking q79's verify
+    threshold (VERDICT r7 #5c): each anchor's distance to every other
+    document, bucketed by exact Hamming distance, with per-bucket
+    share and cumulative share. On a corpus where near-dups sit at
+    Hamming <= 5 and the random-pair bulk at ~25-35 (the measured
+    shape here), the histogram's left tail IS the near-dup mass and
+    the elbow prices any candidate threshold: cum_share at h is
+    exactly the fraction of comparisons a Hamming<=h index would
+    accept. Re-run after any fingerprint change (this round's 32->60
+    bit migration was chosen from this table's sf0.1 shape).
+
+    Scale: anchors are a fixed_sample of the fingerprint frame
+    (~64 rows at ANY corpus size, modulus 1 at sf<=0.1 so
+    small-SF answers cover all pairs), so the scan is O(target x n) —
+    the anchor side is provably bounded and broadcast; the histogram
+    is <= 61 rows, and the cumulative column is a triangular
+    self-join on that bounded frame (never a global window — the
+    q191/q192 audit discipline).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fp = simhash(docs).persist()
+    anchors = fixed_sample(fp, "doc_id", _HH_TARGET).select(
+        F.col("doc_id").alias("a_id"), F.col("simhash").alias("sh_a")
+    )
+    pairs = fp.crossJoin(F.broadcast(anchors)).filter(
+        F.col("doc_id") != F.col("a_id")
+    )
+    hist = (
+        pairs.select(
+            F.expr("CAST(bit_count(simhash ^ sh_a) AS BIGINT)").alias(
+                "hamming"
+            )
+        )
+        .groupBy("hamming")
+        .agg(F.count("*").alias("n_pairs"))
+        .localCheckpoint(eager=True)  # <=61 rows, consumed 3x
+    )
+    fp.unpersist()
+    tot = hist.agg(F.sum("n_pairs").alias("t"))
+    h2 = hist.select(
+        F.col("hamming").alias("h2"), F.col("n_pairs").alias("np2")
+    )
+    cum = (
+        hist.join(F.broadcast(h2), F.col("h2") <= F.col("hamming"))
+        .groupBy("hamming")
+        .agg(F.sum("np2").alias("c"))
+    )
+    return (
+        hist.join(cum, "hamming")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "hamming",
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            round4(F.col("n_pairs") * F.lit(1.0) / F.col("t")).alias(
+                "share"
+            ),
+            round4(F.col("c") * F.lit(1.0) / F.col("t")).alias(
+                "cum_share"
+            ),
+        )
+        .orderBy("hamming")
+    )
+
+
+# --------------------------------------------------------------------------
+# q278 — cross-family dedup agreement: SemDeDup (embedding) vs Jaccard (text)
+# --------------------------------------------------------------------------
+from movie_data_pipeline_spark.plans.similarity import (  # noqa: E402
+    _ANN_DIM,
+    _SEM_PLANES,
+    _SEM_TAU,
+    _cell_sql,
+)
+
+assert _SHINGLES_CTE.count("FROM documents") == 1, (
+    "_SHINGLES_CTE must reference documents exactly once; "
+    "q278 retargets it via .replace('FROM documents', 'FROM docs_i')"
+)
+
+
+@query(
+    "q278_dedup_family_agreement",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS arr FROM embeddings
+      WHERE vec_id IN (SELECT doc_id FROM documents)),
+    b AS (SELECT vec_id, arr,
+                 {_cell_sql('arr', _SEM_PLANES)} AS cell FROM v),
+    sem AS (
+      SELECT DISTINCT x.vec_id AS doc_a, y.vec_id AS doc_b
+      FROM b x JOIN b y ON x.cell = y.cell AND x.vec_id < y.vec_id
+      WHERE {r4('list_cosine_similarity(x.arr, y.arr)')} >= {_SEM_TAU}),
+    docs_i AS (
+      SELECT * FROM documents
+      WHERE doc_id IN (SELECT vec_id FROM embeddings)),
+    {_SHINGLES_CTE.replace("FROM documents", "FROM docs_i")},
+    {_CAPPED_CTES},
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM shingles_c
+               GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM shingles_c a JOIN shingles_c b
+        ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    txt AS (
+      SELECT doc_a, doc_b FROM common
+      JOIN counts ca ON ca.doc_id = doc_a
+      JOIN counts cb ON cb.doc_id = doc_b
+      WHERE {r4('n_common * 1.0 / (ca.n + cb.n - n_common)')}
+              >= {_AUDIT_J}),
+    pb AS (SELECT * FROM txt INTERSECT SELECT * FROM sem),
+    td AS (SELECT DISTINCT doc_b FROM txt),
+    sd AS (SELECT DISTINCT doc_b FROM sem),
+    dd AS (SELECT * FROM td INTERSECT SELECT * FROM sd),
+    c AS (SELECT
+      (SELECT COUNT(*) FROM txt) AS nt,
+      (SELECT COUNT(*) FROM sem) AS ns,
+      (SELECT COUNT(*) FROM pb) AS nb,
+      (SELECT COUNT(*) FROM td) AS ntd,
+      (SELECT COUNT(*) FROM sd) AS nsd,
+      (SELECT COUNT(*) FROM dd) AS nbd)
+    SELECT CAST(nt AS BIGINT) AS n_text_pairs,
+           CAST(ns AS BIGINT) AS n_sem_pairs,
+           CAST(nb AS BIGINT) AS n_pair_both,
+           CASE WHEN nt + ns - nb > 0
+                THEN {r4('nb * 1.0 / (nt + ns - nb)')} END
+             AS pair_jaccard,
+           CAST(ntd AS BIGINT) AS n_text_drops,
+           CAST(nsd AS BIGINT) AS n_sem_drops,
+           CAST(nbd AS BIGINT) AS n_drop_both,
+           CASE WHEN ntd + nsd - nbd > 0
+                THEN {r4('nbd * 1.0 / (ntd + nsd - nbd)')} END
+             AS drop_jaccard
+    FROM c
+    """,
+    tags=("extension", "dedup", "semdedup", "audit", "agreement"),
+)
+def q278_dedup_family_agreement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-FAMILY dedup agreement (VERDICT r7 #5a): q174's SemDeDup
+    decisions (embedding space: same hyperplane cell + round4 cosine
+    >= 0.3) against q18's shingle decisions (df-capped word-3-gram
+    Jaccard >= 0.5) over the SAME corpus slice — the q276 pattern
+    applied ACROSS modalities instead of across scoring variants. Both
+    sides are restricted to the documents<->embeddings id intersection
+    (doc_id = vec_id is the corpus link), decisions are compared at
+    two granularities — flagged PAIRS and dropped DOCS (both families
+    keep the earliest member, so a doc is dropped iff it appears as
+    the larger id of any flagged pair) — and each granularity reports
+    both counts and the decision-set Jaccard. What embedding dedup
+    catches that shingles miss (paraphrase, translation) and vice
+    versa (verbatim-but-short overlap below cosine tau) is exactly
+    this table; on this synthetic corpus the embeddings are
+    near-isotropic and UNCORRELATED with the planted text dups, so the
+    honest expectation is agreement ~0 — the audit prices the modality
+    gap rather than assuming it.
+
+    Scale: both candidate generators are the bounded ones audited
+    elsewhere (16 hyperplane cells; shingle df-cap 1000) — never
+    all-pairs; the intersection is two semi joins; the report is
+    set-intersection counts folded to one row via broadcast scalars.
+    """
+    from movie_data_pipeline_spark.operators.similarity import (
+        _to_double,
+        dot,
+        l2_norm,
+        lsh_bucket,
+    )
+    from movie_data_pipeline_spark.plans.similarity import _hyperplane
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    v = emb.join(
+        docs.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+    )
+    docs_i = docs.join(
+        emb.select(F.col("vec_id").alias("doc_id")), "doc_id", "left_semi"
+    )
+    planes = [_hyperplane(_ANN_DIM, i) for i in range(_SEM_PLANES)]
+    cells = v.select(
+        "vec_id",
+        lsh_bucket(F.col("embedding"), planes).alias("cell"),
+        _to_double(F.col("embedding")).alias("e"),
+    ).select("vec_id", "cell", "e", l2_norm(F.col("e")).alias("nn"))
+    a = cells.select(
+        F.col("cell"),
+        F.col("vec_id").alias("doc_a"),
+        F.col("e").alias("ea"),
+        F.col("nn").alias("na"),
+    )
+    bb = cells.select(
+        F.col("cell"),
+        F.col("vec_id").alias("doc_b"),
+        F.col("e").alias("eb"),
+        F.col("nn").alias("nb"),
+    )
+    sem = (
+        a.join(bb, "cell")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            round4(
+                dot(F.col("ea"), F.col("eb"))
+                / (F.col("na") * F.col("nb"))
+            )
+            >= F.lit(_SEM_TAU)
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+        .persist()
+    )
+    txt = (
+        jaccard_pairs(
+            docs_i,
+            max_shingle_df=JACCARD_MAX_SHINGLE_DF,
+            threshold=float(_AUDIT_J),
+        )
+        .select("doc_a", "doc_b")
+        .persist()
+    )
+    pb = txt.join(sem, ["doc_a", "doc_b"], "left_semi")
+    td = txt.select("doc_b").distinct()
+    sd = sem.select("doc_b").distinct()
+    dd = td.join(sd, "doc_b", "left_semi")
+    one = (
+        txt.agg(F.count("*").alias("nt"))
+        .crossJoin(F.broadcast(sem.agg(F.count("*").alias("ns"))))
+        .crossJoin(F.broadcast(pb.agg(F.count("*").alias("nb"))))
+        .crossJoin(F.broadcast(td.agg(F.count("*").alias("ntd"))))
+        .crossJoin(F.broadcast(sd.agg(F.count("*").alias("nsd"))))
+        .crossJoin(F.broadcast(dd.agg(F.count("*").alias("nbd"))))
+    )
+    pj = F.when(
+        F.col("nt") + F.col("ns") - F.col("nb") > 0,
+        round4(
+            F.col("nb")
+            * F.lit(1.0)
+            / (F.col("nt") + F.col("ns") - F.col("nb"))
+        ),
+    )
+    dj = F.when(
+        F.col("ntd") + F.col("nsd") - F.col("nbd") > 0,
+        round4(
+            F.col("nbd")
+            * F.lit(1.0)
+            / (F.col("ntd") + F.col("nsd") - F.col("nbd"))
+        ),
+    )
+    out = one.select(
+        F.col("nt").cast("long").alias("n_text_pairs"),
+        F.col("ns").cast("long").alias("n_sem_pairs"),
+        F.col("nb").cast("long").alias("n_pair_both"),
+        pj.alias("pair_jaccard"),
+        F.col("ntd").cast("long").alias("n_text_drops"),
+        F.col("nsd").cast("long").alias("n_sem_drops"),
+        F.col("nbd").cast("long").alias("n_drop_both"),
+        dj.alias("drop_jaccard"),
+    ).localCheckpoint(eager=True)
+    sem.unpersist()
+    txt.unpersist()
+    return out
