@@ -1974,3 +1974,278 @@ def q279_url_host_dedup_rollup(
         )
         .orderBy("host")
     )
+
+
+# --------------------------------------------------------------------------
+# q282 — corpus yield waterfall: raw -> exact dedup -> near-dup -> quality
+# --------------------------------------------------------------------------
+from movie_data_pipeline_spark.operators.dedup import (  # noqa: E402
+    JACCARD_MAX_SHINGLE_DF as _WF_DF_CAP,
+)
+
+_WF_TAU = "0.5"        # near-dup drop bar (q121's truth threshold)
+_WF_MIN_CHARS = 120    # quality gate (q269's labeled rule)
+
+
+@query(
+    "q282_corpus_yield_waterfall",
+    oracle=f"""
+    WITH d0 AS (
+      SELECT doc_id, source, lang, n_chars, text,
+             len(string_split_regex(lower(trim(text)), '\\s+')) AS ntok
+      FROM documents),
+    ex AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                  ORDER BY doc_id) AS rn
+        FROM documents) t
+      WHERE rn = 1),
+    s1 AS (SELECT d0.* FROM d0 JOIN ex USING (doc_id)),
+    tokw AS (SELECT doc_id,
+                    string_split_regex(lower(trim(text)), '\\s+') AS t
+             FROM s1),
+    shw AS (
+      SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id,
+               CASE WHEN len(t) >= 3
+                 THEN unnest(list_transform(generate_series(1, len(t) - 2),
+                                            i -> array_to_string(t[i:i+2],
+                                                                 ' ')))
+                 ELSE array_to_string(t, ' ')
+               END AS sh
+        FROM tokw)),
+    skw AS (SELECT sh FROM shw GROUP BY sh
+            HAVING COUNT(*) <= {_WF_DF_CAP}),
+    shcw AS (SELECT s.doc_id, s.sh FROM shw s JOIN skw USING (sh)),
+    cntw AS (SELECT doc_id, COUNT(*) AS n FROM shcw GROUP BY doc_id),
+    comw AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM shcw a JOIN shcw b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    jpw AS (
+      SELECT doc_a, doc_b FROM comw
+      JOIN cntw ca ON ca.doc_id = doc_a
+      JOIN cntw cb ON cb.doc_id = doc_b
+      WHERE {r4('n_common * 1.0 / (ca.n + cb.n - n_common)')}
+              >= {_WF_TAU}),
+    nd AS (SELECT DISTINCT doc_b AS doc_id FROM jpw),
+    s2 AS (SELECT s1.* FROM s1 LEFT JOIN nd USING (doc_id)
+           WHERE nd.doc_id IS NULL),
+    s3 AS (SELECT * FROM s2
+           WHERE lang = 'en' AND n_chars >= {_WF_MIN_CHARS}),
+    m AS (
+      SELECT d0.source, d0.ntok,
+             CASE WHEN s1.doc_id IS NOT NULL THEN 1 ELSE 0 END AS m1,
+             CASE WHEN s2.doc_id IS NOT NULL THEN 1 ELSE 0 END AS m2,
+             CASE WHEN s3.doc_id IS NOT NULL THEN 1 ELSE 0 END AS m3
+      FROM d0
+      LEFT JOIN s1 ON s1.doc_id = d0.doc_id
+      LEFT JOIN s2 ON s2.doc_id = d0.doc_id
+      LEFT JOIN s3 ON s3.doc_id = d0.doc_id)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_raw,
+           CAST(SUM(ntok) AS BIGINT) AS tok_raw,
+           CAST(SUM(m1) AS BIGINT) AS n_docs_exact,
+           CAST(SUM(ntok * m1) AS BIGINT) AS tok_exact,
+           CAST(SUM(m2) AS BIGINT) AS n_docs_neardup,
+           CAST(SUM(ntok * m2) AS BIGINT) AS tok_neardup,
+           CAST(SUM(m3) AS BIGINT) AS n_docs_quality,
+           CAST(SUM(ntok * m3) AS BIGINT) AS tok_quality,
+           {r4('SUM(ntok * m3) * 1.0 / SUM(ntok)')} AS yield_rate
+    FROM m GROUP BY source ORDER BY source
+    """,
+    tags=("extension", "corpus", "dedup", "curation", "yield"),
+)
+def q282_corpus_yield_waterfall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source token-yield WATERFALL through the standard
+    training-data pipeline order: raw -> exact dedup (one survivor per
+    md5(text) digest group, keep lowest doc_id) -> near-dup dedup
+    (drop every survivor that is the LARGER id of a df-capped
+    word-3-gram Jaccard >= 0.5 pair among survivors — keep-earliest,
+    q174's transitive-free policy) -> quality gate (lang = 'en' AND
+    n_chars >= 120, the labeled rule q269 calibrates against). For
+    each source: docs and whitespace tokens surviving each stage plus
+    the end-to-end token yield_rate — the one table that prices a
+    source BEFORE a 100 TB ingest: a source with high raw mass but
+    low yield is mostly duplicates or filtered noise, and each
+    stage's drop shows which.
+
+    Stage composition matters and is deliberate: near-dup pairs are
+    computed AMONG exact-dedup survivors (the real pipeline never
+    shingles exact copies it already dropped), so this is not
+    derivable from q17/q18/q71 run independently.
+
+    Scale: exact dedup is one digest groupBy; near-dup is q18's
+    df-capped bucket machinery (never all-pairs); the waterfall
+    itself is membership flags folded in ONE pass over the corpus
+    (three LEFT joins on doc_id, one groupBy(source)).
+    """
+    from movie_data_pipeline_spark.operators.dedup import jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    d0 = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars",
+        "text",
+        F.size(tokens(F.col("text"))).cast("long").alias("ntok"),
+    )
+    keep1 = (
+        docs.groupBy(F.md5("text").alias("dg"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    s1 = d0.join(keep1, "doc_id", "left_semi").persist()
+    nd = (
+        jaccard_pairs(
+            s1.select("doc_id", "text"),
+            max_shingle_df=_WF_DF_CAP,
+            threshold=float(_WF_TAU),
+        )
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    s2 = s1.join(nd, "doc_id", "left_anti")
+    s3 = s2.filter(
+        (F.col("lang") == "en") & (F.col("n_chars") >= _WF_MIN_CHARS)
+    )
+    m = (
+        d0.join(
+            s1.select("doc_id").withColumn("m1", F.lit(1)),
+            "doc_id",
+            "left",
+        )
+        .join(
+            s2.select("doc_id").withColumn("m2", F.lit(1)),
+            "doc_id",
+            "left",
+        )
+        .join(
+            s3.select("doc_id").withColumn("m3", F.lit(1)),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "source",
+            "ntok",
+            F.coalesce("m1", F.lit(0)).alias("m1"),
+            F.coalesce("m2", F.lit(0)).alias("m2"),
+            F.coalesce("m3", F.lit(0)).alias("m3"),
+        )
+    )
+    out = (
+        m.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs_raw"),
+            F.sum("ntok").cast("long").alias("tok_raw"),
+            F.sum("m1").cast("long").alias("n_docs_exact"),
+            F.sum(F.col("ntok") * F.col("m1"))
+            .cast("long")
+            .alias("tok_exact"),
+            F.sum("m2").cast("long").alias("n_docs_neardup"),
+            F.sum(F.col("ntok") * F.col("m2"))
+            .cast("long")
+            .alias("tok_neardup"),
+            F.sum("m3").cast("long").alias("n_docs_quality"),
+            F.sum(F.col("ntok") * F.col("m3"))
+            .cast("long")
+            .alias("tok_quality"),
+        )
+        .withColumn(
+            "yield_rate",
+            round4(
+                F.col("tok_quality") * F.lit(1.0) / F.col("tok_raw")
+            ),
+        )
+        .orderBy("source")
+        .localCheckpoint(eager=True)
+    )
+    s1.unpersist()
+    return out
+
+
+# --------------------------------------------------------------------------
+# q283 — corpus composition audit: lang x source chi-square residuals
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q283_lang_source_composition",
+    oracle=f"""
+    WITH obs AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+      FROM documents GROUP BY lang, source),
+    rt AS (SELECT lang, SUM(o) AS r FROM obs GROUP BY lang),
+    ct AS (SELECT source, SUM(o) AS c FROM obs GROUP BY source),
+    n AS (SELECT SUM(o) AS n FROM obs),
+    e AS (
+      SELECT obs.lang, obs.source, obs.o,
+             CAST(rt.r AS DOUBLE) * CAST(ct.c AS DOUBLE)
+               / CAST(n.n AS DOUBLE) AS ex
+      FROM obs JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN n)
+    SELECT lang, source, o AS n_obs,
+           {r4('ex')} AS n_expected,
+           {r4('(o - ex) * (o - ex) / ex')} AS chisq_contrib,
+           {r4('(o - ex) / sqrt(ex)')} AS std_resid
+    FROM e ORDER BY lang, source
+    """,
+    tags=("extension", "corpus", "composition", "audit"),
+)
+def q283_lang_source_composition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Corpus composition audit: the lang x source contingency table
+    with chi-square machinery — observed count, independence-expected
+    count (row_total x col_total / N), per-cell chi-square
+    contribution, and the standardized residual (O-E)/sqrt(E), the
+    number a corpus curator actually reads: |std_resid| >~ 2 flags a
+    (lang, source) cell materially over- or under-represented vs the
+    corpus-wide language mix. Run per ingest snapshot, the residuals
+    catch a source silently changing language composition (a crawler
+    following a redirect farm, a feed switching locale) long before
+    downstream lang-ID yield moves — the categorical complement of
+    q258's numeric KS drift and q178's transfer matrix.
+
+    Cells are the OBSERVED (lang, source) pairs (a never-seen combo
+    contributes no row — the monitor tracks composition of what
+    arrived, identically on both engines). Determinism: expected
+    counts and residuals are IEEE-double expressions of exact integer
+    counts (correctly-rounded ops agree bit-for-bit across engines),
+    round4-quantized in the published columns.
+
+    Scale: one groupBy(lang, source) with map-side combine, two tiny
+    rollups re-joined (both broadcast-sized: |langs| and |sources|
+    rows), one broadcast scalar N — no corpus-sized shuffle beyond
+    the first aggregate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    obs = docs.groupBy("lang", "source").agg(
+        F.count("*").cast("long").alias("o")
+    )
+    rt = obs.groupBy("lang").agg(F.sum("o").alias("r"))
+    ct = obs.groupBy("source").agg(F.sum("o").alias("c"))
+    n = obs.agg(F.sum("o").alias("n"))
+    e = (
+        obs.join(F.broadcast(rt), "lang")
+        .join(F.broadcast(ct), "source")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "ex",
+            F.col("r").cast("double")
+            * F.col("c").cast("double")
+            / F.col("n").cast("double"),
+        )
+    )
+    diff = F.col("o") - F.col("ex")
+    return e.select(
+        "lang",
+        "source",
+        F.col("o").alias("n_obs"),
+        round4(F.col("ex")).alias("n_expected"),
+        round4(diff * diff / F.col("ex")).alias("chisq_contrib"),
+        round4(diff / F.sqrt(F.col("ex"))).alias("std_resid"),
+    ).orderBy("lang", "source")

@@ -3555,3 +3555,143 @@ def q278_dedup_family_agreement(
     sem.unpersist()
     txt.unpersist()
     return out
+
+
+# --------------------------------------------------------------------------
+# q281 — dedup granularity agreement: passage coverage vs doc-level pairs
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q281_granularity_agreement",
+    oracle=f"""
+    WITH {_PASS_SPAN_CTES},
+    cov AS (SELECT doc_id, SUM(e - s + 1) AS covered
+            FROM spans GROUP BY doc_id),
+    pflag AS (
+      SELECT d.doc_id FROM documents d JOIN cov c USING (doc_id)
+      WHERE c.covered * 2 >= len(d.text)),
+    {_SHINGLES_CTE},
+    {_CAPPED_CTES},
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM shingles_c
+               GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM shingles_c a JOIN shingles_c b
+        ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    jp AS (
+      SELECT doc_a, doc_b FROM common
+      JOIN counts ca ON ca.doc_id = doc_a
+      JOIN counts cb ON cb.doc_id = doc_b
+      WHERE {r4('n_common * 1.0 / (ca.n + cb.n - n_common)')}
+              >= {_AUDIT_J}),
+    jflag AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_a AS doc_id FROM jp
+        UNION ALL SELECT doc_b AS doc_id FROM jp)),
+    per AS (
+      SELECT d.source,
+             COUNT(*) AS n_docs,
+             SUM(CASE WHEN p.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS np,
+             SUM(CASE WHEN j.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS nj,
+             SUM(CASE WHEN p.doc_id IS NOT NULL
+                       AND j.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS nb
+      FROM documents d
+      LEFT JOIN pflag p ON p.doc_id = d.doc_id
+      LEFT JOIN jflag j ON j.doc_id = d.doc_id
+      GROUP BY d.source)
+    SELECT source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(np AS BIGINT) AS n_passage_flagged,
+           CAST(nj AS BIGINT) AS n_jaccard_flagged,
+           CAST(nb AS BIGINT) AS n_both,
+           CASE WHEN np + nj - nb > 0
+                THEN {r4('nb * 1.0 / (np + nj - nb)')} END
+             AS flag_jaccard
+    FROM per ORDER BY source
+    """,
+    tags=("extension", "dedup", "substring", "audit", "agreement"),
+)
+def q281_granularity_agreement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dedup GRANULARITY agreement: which documents the passage-level
+    scrubber would rewrite vs which the doc-level near-dup pass would
+    drop — per source. A doc is passage-flagged when q268's maximal
+    duplicated spans cover >= half its text (integer keep rule
+    covered*2 >= len, no division — the q208 discipline); it is
+    doc-flagged when it belongs to ANY df-capped word-3-gram Jaccard
+    >= 0.5 pair (q18's machinery at q121's truth bar). The per-source
+    overlap and decision-set Jaccard answer the planning question the
+    two families always raise at 100 TB: does doc-level dedup already
+    remove the passage-duplicated mass (flag_jaccard -> 1, run the
+    cheap pass only), or is boilerplate spread across otherwise-unique
+    docs (n_passage_only high -> the scrub pass has work doc-level
+    dedup cannot do)? Completes the agreement suite: q276 compares
+    SCORING variants, q278 compares MODALITIES, this compares
+    GRANULARITIES.
+
+    Scale: reuses q268's linear span frame (digested groupBy) and
+    q18's df-capped buckets — no new quadratic surface; the rollup is
+    two LEFT semi-style joins on doc_id and one groupBy(source).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    spans = _dup_spans(docs)
+    cov = spans.groupBy("doc_id").agg(
+        F.sum(F.col("e") - F.col("s") + 1).alias("covered")
+    )
+    pflag = (
+        docs.join(cov, "doc_id")
+        .filter(F.col("covered") * 2 >= F.length("text"))
+        .select("doc_id")
+    )
+    jp = jaccard_pairs(
+        docs,
+        max_shingle_df=JACCARD_MAX_SHINGLE_DF,
+        threshold=float(_AUDIT_J),
+    ).select("doc_a", "doc_b")
+    jflag = (
+        jp.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(jp.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    base = docs.select("doc_id", "source")
+    per = (
+        base.join(pflag.withColumn("pf", F.lit(1)), "doc_id", "left")
+        .join(jflag.withColumn("jf", F.lit(1)), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.coalesce("pf", F.lit(0)))
+            .cast("long")
+            .alias("n_passage_flagged"),
+            F.sum(F.coalesce("jf", F.lit(0)))
+            .cast("long")
+            .alias("n_jaccard_flagged"),
+            F.sum(
+                F.when(
+                    F.col("pf").isNotNull() & F.col("jf").isNotNull(),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n_both"),
+        )
+    )
+    union_sz = (
+        F.col("n_passage_flagged")
+        + F.col("n_jaccard_flagged")
+        - F.col("n_both")
+    )
+    return per.select(
+        "source",
+        "n_docs",
+        "n_passage_flagged",
+        "n_jaccard_flagged",
+        "n_both",
+        F.when(
+            union_sz > 0,
+            round4(F.col("n_both") * F.lit(1.0) / union_sz),
+        ).alias("flag_jaccard"),
+    ).orderBy("source")
