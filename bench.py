@@ -135,6 +135,12 @@ HEADLINE = [
     "q275_dp_count_release",
     "q276_weighted_dedup_agreement",
     "q277_passage_scrub_savings",
+    "q278_dedup_family_agreement",
+    "q279_url_host_dedup_rollup",
+    "q280_simhash_hamming_histogram",
+    "q281_granularity_agreement",
+    "q282_corpus_yield_waterfall",
+    "q283_lang_source_composition",
 ]
 
 # Stable trend tier (VERDICT r5 #6): these 20 have been in the headline
