@@ -141,6 +141,8 @@ HEADLINE = [
     "q281_granularity_agreement",
     "q282_corpus_yield_waterfall",
     "q283_lang_source_composition",
+    "q284_ivfpq_topk",
+    "q285_stratified_sample_manifest",
 ]
 
 # Stable trend tier (VERDICT r5 #6): these 20 have been in the headline

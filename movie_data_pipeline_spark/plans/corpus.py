@@ -2249,3 +2249,88 @@ def q283_lang_source_composition(
         round4(diff * diff / F.col("ex")).alias("chisq_contrib"),
         round4(diff / F.sqrt(F.col("ex"))).alias("std_resid"),
     ).orderBy("lang", "source")
+
+
+# --------------------------------------------------------------------------
+# q285 — stratified deterministic sample manifest (per-source fixed size)
+# --------------------------------------------------------------------------
+_STRAT_TARGET = 16  # sampled docs per source stratum
+
+
+@query(
+    "q285_stratified_sample_manifest",
+    oracle=f"""
+    WITH cnt AS (SELECT source, COUNT(*) AS n FROM documents
+                 GROUP BY source),
+    base AS (
+      SELECT d.doc_id, d.source, c.n,
+             GREATEST(1, c.n // {_STRAT_TARGET}) AS m,
+             CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS bkt
+      FROM documents d JOIN cnt c USING (source)),
+    f AS (SELECT doc_id, source, n, m,
+                 CASE WHEN bkt % m = 0 THEN 1 ELSE 0 END AS s
+          FROM base)
+    SELECT source,
+           CAST(MAX(n) AS BIGINT) AS n_docs,
+           CAST(MAX(m) AS BIGINT) AS modulus,
+           CAST(SUM(s) AS BIGINT) AS n_sampled,
+           {r4('SUM(s) * 1.0 / MAX(n)')} AS sample_rate,
+           MIN(CASE WHEN s = 1 THEN doc_id END) AS min_sampled_id,
+           MAX(CASE WHEN s = 1 THEN doc_id END) AS max_sampled_id
+    FROM f GROUP BY source ORDER BY source
+    """,
+    tags=("extension", "corpus", "sampling", "manifest"),
+)
+def q285_stratified_sample_manifest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STRATIFIED deterministic sample manifest: a fixed-size (~16-doc)
+    md5-bucket sample per SOURCE stratum, with the per-stratum modulus
+    published so any consumer can re-derive exact membership
+    (bucket(doc_id) % modulus == 0) without the manifest — the
+    eval-set / human-review sample a curation pipeline draws per
+    ingest. This is fixed_sample's rule made fully DISTRIBUTED: the
+    per-stratum count is a groupBy rejoined in-plan (no driver-side
+    count, no per-stratum job), so one pass samples a million strata
+    as cheaply as twenty — the shape that matters when "per source"
+    becomes "per host x language" at 100 TB. Membership depends only
+    on (doc_id, stratum count), so reruns, repartitions, and parquet
+    layouts reproduce the identical sample; min/max sampled ids are
+    published as spot-check anchors.
+
+    Scale: one groupBy(source) count, one broadcastable dimension
+    rejoin, one aggregation — no corpus-sized shuffle beyond the
+    counts; the sample never leaves the executors (the manifest is
+    per-stratum aggregates, not rows).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = docs.groupBy("source").agg(F.count("*").alias("n"))
+    m = F.greatest(F.lit(1), (F.col("n") / _STRAT_TARGET).cast("long"))
+    bkt = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    f = (
+        docs.select("doc_id", "source")
+        .join(F.broadcast(cnt), "source")
+        .withColumn("m", m)
+        .withColumn("s", F.when(bkt % F.col("m") == 0, 1).otherwise(0))
+    )
+    return (
+        f.groupBy("source")
+        .agg(
+            F.max("n").cast("long").alias("n_docs"),
+            F.max("m").cast("long").alias("modulus"),
+            F.sum("s").cast("long").alias("n_sampled"),
+            round4(
+                F.sum("s") * F.lit(1.0) / F.max("n")
+            ).alias("sample_rate"),
+            F.min(F.when(F.col("s") == 1, F.col("doc_id"))).alias(
+                "min_sampled_id"
+            ),
+            F.max(F.when(F.col("s") == 1, F.col("doc_id"))).alias(
+                "max_sampled_id"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -2386,3 +2386,331 @@ def q272_pq_codebook_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sc.unpersist()
     ex.unpersist()
     return out
+
+
+# --------------------------------------------------------------------------
+# q284 — IVF-PQ top-k: probe IVF cells, rank by PQ asymmetric distance
+# --------------------------------------------------------------------------
+_IVFPQ_NPROBE = 2
+_IVFPQ_K = 10
+
+
+@query(
+    "q284_ivfpq_topk",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS arr FROM embeddings),
+    seeds AS (
+      SELECT arr AS s_arr,
+             ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                vec_id) - 1 AS s_idx
+      FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT {_IVF_CELLS}),
+    asg AS (
+      SELECT vec_id, arr, s_idx AS cell FROM (
+        SELECT v.vec_id, v.arr, s.s_idx,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                 ORDER BY list_cosine_similarity(v.arr, s.s_arr) DESC,
+                          s.s_idx) AS rn
+        FROM v CROSS JOIN seeds s) t WHERE rn = 1),
+    memb AS (SELECT cell, i - 1 AS dim_idx, arr[i] AS val
+             FROM asg, unnest(generate_series(1, {_ANN_DIM})) t(i)),
+    per_dim AS (
+      SELECT cell, dim_idx,
+             CAST(SUM(CAST(val AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS c
+      FROM memb GROUP BY cell, dim_idx),
+    icents AS (SELECT cell, list(c ORDER BY dim_idx) AS centroid
+               FROM per_dim GROUP BY cell),
+    ms(m) AS (VALUES {", ".join(f"({m})" for m in range(_PQ_M))}),
+    subs AS (
+      SELECT vec_id, m,
+             arr[m * {_PQ_SUBD} + 1 : m * {_PQ_SUBD} + {_PQ_SUBD}] AS sub
+      FROM v CROSS JOIN ms),
+    sseed AS (
+      SELECT s_idx, m,
+             s_arr[m * {_PQ_SUBD} + 1 : m * {_PQ_SUBD} + {_PQ_SUBD}] AS ssub
+      FROM seeds CROSS JOIN ms),
+    codes AS (
+      SELECT vec_id, m, s_idx AS code FROM (
+        SELECT su.vec_id, su.m, ss.s_idx,
+               ROW_NUMBER() OVER (PARTITION BY su.vec_id, su.m
+                 ORDER BY {_pq_d2_sql('su.sub', 'ss.ssub', _PQ_SUBD)} ASC,
+                          ss.s_idx) AS rn
+        FROM subs su JOIN sseed ss ON ss.m = su.m) t
+      WHERE rn = 1),
+    pmemb AS (
+      SELECT c.m, c.code, i - 1 AS dim_idx, su.sub[i] AS val
+      FROM codes c
+      JOIN subs su ON su.vec_id = c.vec_id AND su.m = c.m,
+      unnest(generate_series(1, {_PQ_SUBD})) t(i)),
+    ppd AS (
+      SELECT m, code, dim_idx,
+             CAST(SUM(CAST(val AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*)
+               AS cd
+      FROM pmemb GROUP BY m, code, dim_idx),
+    pcents AS (SELECT m, code, list(cd ORDER BY dim_idx) AS cent
+               FROM ppd GROUP BY m, code),
+    q0 AS (SELECT vec_id, arr FROM v WHERE {_QUERY_PRED}),
+    {fixed_sample_ctes("q0", "vec_id", _ANN_AUDIT_QTARGET, "q")},
+    probe AS (
+      SELECT query_id, cell FROM (
+        SELECT q.vec_id AS query_id, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY {r4('list_cosine_similarity(q.arr, c.centroid)')}
+                            DESC, c.cell) AS cr
+        FROM q CROSS JOIN icents c) t WHERE cr <= {_IVFPQ_NPROBE}),
+    qsubs AS (
+      SELECT vec_id AS query_id, m,
+             arr[m * {_PQ_SUBD} + 1 : m * {_PQ_SUBD} + {_PQ_SUBD}] AS qsub
+      FROM q CROSS JOIN ms),
+    lut AS (
+      SELECT qs.query_id, ct.m, ct.code,
+             {r4(_pq_d2_sql('qs.qsub', 'ct.cent', _PQ_SUBD))} AS d2q
+      FROM qsubs qs JOIN pcents ct ON ct.m = qs.m),
+    cand AS (
+      SELECT p.query_id, c.vec_id, c.m, c.code
+      FROM probe p
+      JOIN asg a ON a.cell = p.cell AND a.vec_id <> p.query_id
+      JOIN codes c ON c.vec_id = a.vec_id),
+    adist AS (
+      SELECT cand.query_id, cand.vec_id,
+             CAST(SUM(CAST(lut.d2q AS DECIMAL(20,4))) AS DOUBLE) AS ad
+      FROM cand JOIN lut ON lut.query_id = cand.query_id
+                        AND lut.m = cand.m AND lut.code = cand.code
+      GROUP BY 1, 2)
+    SELECT query_id, vec_id AS neighbor_id,
+           CAST(rnk AS BIGINT) AS rank, ad AS adc_d2
+    FROM (SELECT query_id, vec_id, ad,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY ad ASC, vec_id) AS rnk
+          FROM adist) t
+    WHERE rnk <= {_IVFPQ_K}
+    ORDER BY query_id, rank
+    """,
+    tags=("extension", "similarity", "ann", "ivf", "pq"),
+)
+def q284_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ retrieval — the production ANN scale path that q264 and
+    q272 calibrate separately, composed: queries probe the top-2 IVF
+    cells by centroid cosine, and candidates inside the probed cells
+    are ranked by PQ asymmetric distance (ADC: per-query lookup table
+    of round4-quantized subspace distances, summed in DECIMAL(20,4)).
+    This is the FAISS IVFADC layout re-expressed as joins: at corpus
+    scale the index stores 1 cell id + 8 codes per vector (vs 64
+    floats), the scan touches nprobe/n_cells of the corpus, and every
+    distance is 8 lookup-table adds — the shape that serves
+    billion-vector retrieval from RAM.
+
+    Determinism (all disciplines inherited from q264/q272): IVF seeds
+    and PQ codebook seeds are the 8 lowest-md5(vec_id) vectors; cell
+    assignment argmaxes raw sequential-fold cosine (ties to lowest
+    seed); PQ assignment argmins raw squared-L2 (ties to lowest
+    code); centroids/codebook entries are exact DECIMAL(30,6) means;
+    probe ranking uses round4 cosines (ties to lowest cell); ADC
+    distances are DECIMAL sums of round4 terms, ranked with vec_id
+    tiebreak.
+
+    Scale: cell+code assignment is MAP-ONLY (literal argmax/argmin
+    compiled from driver-collected constant-size codebooks); the
+    query set is a fixed_sample (~64 at any corpus size — modulus 1
+    at every test SF); the probe and LUT frames are bounded
+    (queries x nprobe, queries x 64) and broadcast; the candidate
+    scan is O(|q| x n x nprobe / n_cells x M) narrow rows — the real
+    ADC cost, linear in the corpus.
+    """
+    from pyspark.sql.window import Window
+
+    from movie_data_pipeline_spark.operators.similarity import (
+        _to_double,
+        dot,
+        ivf_assign,
+        l2_norm,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", _to_double(F.col("embedding")).alias("arr"))
+
+    def d2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    assigned = (
+        ivf_assign(emb, n_cells=_IVF_CELLS)
+        .select(
+            "vec_id",
+            F.col("cell").cast("long").alias("cell"),
+            _to_double(F.col("embedding")).alias("arr"),
+        )
+        .persist()
+    )
+    per_dim = (
+        assigned.select("cell", F.posexplode("arr").alias("dim_idx", "val"))
+        .groupBy("cell", "dim_idx")
+        .agg(
+            (
+                F.sum(F.col("val").cast("decimal(30,6)")).cast("double")
+                / F.count("*")
+            ).alias("c")
+        )
+    )
+    icents = (
+        per_dim.groupBy("cell")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("dim_idx", "c"))).alias(
+                "ps"
+            )
+        )
+        .select(
+            "cell",
+            F.transform(F.col("ps"), lambda p: p.getField("c")).alias(
+                "centroid"
+            ),
+        )
+    )
+    # PQ codebook seeds: the same 8 lowest-md5 vectors (q272's rule),
+    # collected driver-side and compiled into literal argmin exprs
+    seed_rows = (
+        v.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(_PQ_K)
+        .select("arr")
+        .collect()
+    )
+    sub_slices = [
+        F.slice(F.col("arr"), m * _PQ_SUBD + 1, _PQ_SUBD)
+        for m in range(_PQ_M)
+    ]
+    code_cols = []
+    for m in range(_PQ_M):
+        cands = []
+        for k, row in enumerate(seed_rows):
+            ssub = F.array(
+                *[
+                    F.lit(float(x))
+                    for x in row.arr[m * _PQ_SUBD : (m + 1) * _PQ_SUBD]
+                ]
+            )
+            cands.append(
+                F.struct(
+                    d2(sub_slices[m], ssub).alias("d"),
+                    F.lit(k).alias("k"),
+                )
+            )
+        code_cols.append(
+            F.array_min(F.array(*cands)).getField("k").cast("long")
+        )
+    sc = assigned.select(
+        "vec_id",
+        "cell",
+        F.posexplode(
+            F.array(
+                *[
+                    F.struct(
+                        sub_slices[m].alias("sub"),
+                        code_cols[m].alias("code"),
+                    )
+                    for m in range(_PQ_M)
+                ]
+            )
+        ).alias("m", "s"),
+    ).select(
+        "vec_id",
+        "cell",
+        F.col("m").cast("long").alias("m"),
+        F.col("s.sub").alias("sub"),
+        F.col("s.code").alias("code"),
+    ).persist()
+    ppd = (
+        sc.select("m", "code", F.posexplode("sub").alias("dim_idx", "val"))
+        .groupBy("m", "code", "dim_idx")
+        .agg(
+            (
+                F.sum(F.col("val").cast("decimal(30,6)")).cast("double")
+                / F.count("*")
+            ).alias("cd")
+        )
+    )
+    pcents = (
+        ppd.groupBy("m", "code")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("dim_idx", "cd"))).alias(
+                "ps"
+            )
+        )
+        .select(
+            "m",
+            "code",
+            F.transform(F.col("ps"), lambda p: p.getField("cd")).alias(
+                "cent"
+            ),
+        )
+    )
+    qs = fixed_sample(
+        v.filter(F.expr(_QUERY_PRED)), "vec_id", _ANN_AUDIT_QTARGET
+    ).select(F.col("vec_id").alias("query_id"), F.col("arr").alias("qarr"))
+    qd = qs.select(
+        "query_id", "qarr", l2_norm(F.col("qarr")).alias("qn")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("cell"))
+    probe = (
+        qd.crossJoin(F.broadcast(icents))
+        .select(
+            "query_id",
+            "cell",
+            round4(
+                dot(F.col("qarr"), F.col("centroid"))
+                / (F.col("qn") * l2_norm(F.col("centroid")))
+            ).alias("cs"),
+        )
+        .withColumn("cr", F.row_number().over(wq))
+        .filter(F.col("cr") <= _IVFPQ_NPROBE)
+        .select("query_id", "cell")
+    )
+    qsubs = qs.select(
+        "query_id",
+        F.posexplode(
+            F.array(*[
+                F.slice(F.col("qarr"), m * _PQ_SUBD + 1, _PQ_SUBD)
+                for m in range(_PQ_M)
+            ])
+        ).alias("m", "qsub"),
+    ).select("query_id", F.col("m").cast("long").alias("m"), "qsub")
+    lut = qsubs.join(F.broadcast(pcents), "m").select(
+        "query_id",
+        "m",
+        "code",
+        round4(d2(F.col("qsub"), F.col("cent"))).alias("d2q"),
+    )
+    cand = (
+        sc.select("vec_id", "cell", "m", "code")
+        .join(F.broadcast(probe), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    adist = (
+        cand.join(F.broadcast(lut), ["query_id", "m", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.sum(F.col("d2q").cast("decimal(20,4)"))
+            .cast("double")
+            .alias("ad")
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.asc("ad"), F.asc("vec_id")
+    )
+    out = (
+        adist.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= _IVFPQ_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("rnk").cast("long").alias("rank"),
+            F.col("ad").alias("adc_d2"),
+        )
+        .orderBy("query_id", "rank")
+        .localCheckpoint(eager=True)
+    )
+    assigned.unpersist()
+    sc.unpersist()
+    return out

@@ -280,3 +280,60 @@ def test_simhash60_pair_semantics(spark):
         for r in simhash_hamming_pairs(fp).collect()
     }
     assert pairs.get((0, 1)) == 0  # identical docs: guaranteed pair
+
+
+# ---------------------------------------------------------------------------
+# q284 — IVF-PQ retrieval sanity on the real corpus
+# ---------------------------------------------------------------------------
+def test_ivfpq_topk_shape_and_determinism(spark):
+    sf = "/root/testdata/sf0.001"
+    out = REGISTRY["q284_ivfpq_topk"].build(spark, sf).collect()
+    by_q: dict[int, list] = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rows in by_q.items():
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) <= 10
+        # ADC distances non-decreasing with rank, self excluded
+        ads = [r.adc_d2 for r in rows]
+        assert ads == sorted(ads)
+        assert all(r.neighbor_id != qid for r in rows)
+    # deterministic across runs
+    again = REGISTRY["q284_ivfpq_topk"].build(spark, sf).collect()
+    assert out == again
+
+
+# ---------------------------------------------------------------------------
+# q285 — stratified sample manifest: published rule re-derives membership
+# ---------------------------------------------------------------------------
+def test_stratified_manifest_membership_rederivable(spark):
+    import duckdb
+
+    sf = "/root/testdata/sf0.01"
+    got = {
+        r.source: r
+        for r in REGISTRY["q285_stratified_sample_manifest"]
+        .build(spark, sf)
+        .collect()
+    }
+    docs = duckdb.sql(
+        f"SELECT doc_id, source FROM '{sf}/documents.parquet'"
+    ).fetchall()
+    per: dict[str, list[int]] = {}
+    for doc_id, source in docs:
+        per.setdefault(source, []).append(doc_id)
+    for source, ids in per.items():
+        r = got[source]
+        assert r.n_docs == len(ids)
+        m = max(1, len(ids) // 16)
+        assert r.modulus == m
+        sampled = [
+            i
+            for i in ids
+            if int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % m
+            == 0
+        ]
+        assert r.n_sampled == len(sampled)
+        assert r.min_sampled_id == min(sampled)
+        assert r.max_sampled_id == max(sampled)
+        assert r.sample_rate == _r4(len(sampled) / len(ids))
