@@ -2643,8 +2643,8 @@ _REC_K = 10
     tags=("extension", "recsys", "holdout-eval", "baseline"),
 )
 def q195_popularity_rec_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hit-rate@{_REC_K} of the popularity baseline under a temporal
-    holdout: the {_REC_K} most-ordered parts are learned from orders
+    """Hit-rate@10 of the popularity baseline under a temporal
+    holdout: the 10 most-ordered parts are learned from orders
     strictly BEFORE the cutoff, and a test customer scores a hit if
     their FIRST order on/after the cutoff contains any recommended
     part. The floor every personalized recommender (q176's item-item
@@ -2884,7 +2884,7 @@ _RULE_MIN_CO = 5
 def q200_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Association rules over order baskets (Agrawal & Srikant 1994):
     directional A→B rules with support, confidence co/c(A), and lift
-    conf·N/c(B), top-20 by lift at min co-support {_RULE_MIN_CO} —
+    conf·N/c(B), top-20 by lift at min co-support 5 —
     the interpretable cousin of q176's item-item cosine (same counts,
     but DIRECTIONAL: bread→butter can be strong while butter→bread is
     weak, which a symmetric similarity cannot express) and the

@@ -1409,7 +1409,7 @@ _KM_CENSOR_DAYS = 2
 def q191_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan-Meier estimate of user lifetime: each user's observed
     span runs from first to last active day; users still active within
-    {_KM_CENSOR_DAYS} days of the corpus end are right-CENSORED (we
+    2 days of the corpus end are right-CENSORED (we
     didn't see them churn — discarding them is the classic
     survivorship bias this estimator exists to avoid), everyone else
     churned at their span length. At each churn time t:
@@ -1619,7 +1619,7 @@ _CV_FOLD_SQL = (
     tags=("extension", "behavior", "cross-validation", "markov"),
 )
 def q201_markov_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """{_CV_K}-fold cross-validated accuracy of the order-1 Markov
+    """5-fold cross-validated accuracy of the order-1 Markov
     next-event model, folded by USER (grouped CV — a user's bigrams
     never straddle train and test, the sequence analogue of q173's
     cluster-aware split; q183 is the temporal variant, this is the
@@ -1628,7 +1628,7 @@ def q201_markov_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     data, bigram counts aggregate ONCE per (fold, cur, nxt) and each
     fold's training counts derive as total − own-fold — the same
     subtract-the-holdout identity that powers q's incremental
-    aggregate maintenance, making {_CV_K}-fold CV cost one pass plus
+    aggregate maintenance, making 5-fold CV cost one pass plus
     a {_CV_K}×|type²| grid of arithmetic. Per fold: test support and
     top-1 accuracy (ties toward the alphabetically first type).
 

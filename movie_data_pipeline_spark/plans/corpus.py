@@ -1012,7 +1012,7 @@ _SNIP_CTX = 20
 )
 def q197_search_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Search-result snippets for q185's query: each matching doc's
-    FIRST occurrence position plus a ±{_SNIP_CTX}-character context
+    FIRST occurrence position plus a ±20-character context
     window around the match — the display layer a search stack puts
     on top of the trigram index (find via the index, snippet via one
     bounded substring on the already-retrieved hits). Position
@@ -1189,7 +1189,7 @@ _VOCAB_K = 1000  # fixed-size vocabulary under audit
       SELECT source, unnest({_TOKS_SQL}) AS tok FROM documents),
     cnt AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
     vocab AS (
-      SELECT tok FROM cnt ORDER BY c DESC, tok LIMIT {_VOCAB_K}),
+      SELECT tok FROM cnt ORDER BY c DESC, tok LIMIT 1000),
     marked AS (
       SELECT t.source,
              CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
@@ -1205,7 +1205,7 @@ _VOCAB_K = 1000  # fixed-size vocabulary under audit
     tags=("extension", "corpus", "tokenizer", "coverage"),
 )
 def q230_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vocabulary coverage audit: fix a top-{_VOCAB_K}-by-frequency
+    """Vocabulary coverage audit: fix a top-1000-by-frequency
     vocabulary (ties broken by token text — deterministic across
     engines) and report each source's out-of-vocabulary token rate —
     the tokenizer-selection metric that says which sources a fixed

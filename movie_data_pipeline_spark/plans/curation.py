@@ -1099,7 +1099,7 @@ _FILL_BUDGET = 100_000  # token budget the selection must fit
     tags=("extension", "curation", "budget", "selection"),
 )
 def q243_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Budgeted corpus selection: fill a {_FILL_BUDGET}-token budget
+    """Budgeted corpus selection: fill a 100k-token budget
     greedily from the highest-quality documents down (stopword-ratio
     quality, doc_id tiebreak) — take every document while the running
     token total stays within budget. This is the knapsack-greedy that
