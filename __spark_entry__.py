@@ -159,6 +159,18 @@ _REVERIFY_QUEUE: dict[str, int] = {
     # spans identical, plan + oracle text changed).
     "q268_repeated_passages": 8,
     "q277_passage_scrub_savings": 8,
+    # round 9: SimHash banding migrated to the size-adaptive block-
+    # combination ladder (VERDICT r8 #1 — rung from the in-plan
+    # fingerprint count; published pair sets CHANGE at every SF: rung 1
+    # is exact for Hamming<=5, so q79/q274 gained the pairs the fixed
+    # 4x15 layout missed). q21's fingerprints are untouched.
+    "q79_simhash_hamming_pairs": 9,
+    "q274_simhash_quality_audit": 9,
+    # round 9: q279's Spark-side host regex '^www\.' re-escaped for
+    # Spark's SQL literal parser (ADVICE r8 — the shipped pattern
+    # reached the regex engine as '^www.'; inert on this corpus, so
+    # outputs are unchanged, but the registered plan text changed).
+    "q279_url_host_dedup_rollup": 9,
 }
 
 
@@ -174,27 +186,15 @@ _FORCE_REVERIFY: tuple[str, ...] = _active_reverify(
     _REVERIFY_QUEUE, _GREEN_ROUND
 )
 
-# Freshness rotation of the VERIFIED tail (VERDICT r7 #4): the
-# q126–q137 block's green rows date to round 2 under the retired
-# ``a_`` alias names — five rounds of shared-helper churn ago. These
-# names lead the verified tail this round so the driver re-greens
-# them under canonical names; once fresher rows exist the list can be
-# rotated to whatever block is oldest. Ordering tiers are unchanged
-# (these are plain-verified names, merely reordered within their tier).
-_TAIL_ROTATION: tuple[str, ...] = (
-    "q126_incremental_dedup",
-    "q127_training_shard_manifest",
-    "q128_shipping_priority",
-    "q129_forecast_revenue_delta",
-    "q130_returned_item_customers",
-    "q131_promo_revenue_share",
-    "q132_ann_recall_audit",
-    "q133_image_metadata",
-    "q134_duplicate_clusters_star",
-    "q135_readability",
-    "q136_snapshot_diff",
-    "q137_event_weekday_pmi",
-)
+# Freshness rotation of the VERIFIED tail (VERDICT r7 #4, made
+# automatic in round 9 per VERDICT r8 #2): the verified tier is
+# ordered STALEST GREEN ROW FIRST (latest green round ascending, then
+# query number), so whatever block is oldest in the ledger leads the
+# tail each round with nothing to hand-edit — re-greened names sink to
+# the back automatically as the driver writes fresher rows. Round 9
+# this puts the r1-era q12–q24 block first, then the 47-name r3
+# cohort, exactly the VERDICT's rotation plan — and every later round
+# inherits the policy.
 
 
 def _qnum(name: str) -> tuple[int, str]:
@@ -225,15 +225,12 @@ def _rotation_order() -> list[str]:
         n for n in _FORCE_REVERIFY
         if n in REGISTRY and n in _DRIVER_VERIFIED
     ]
-    rotation = [
-        n for n in _TAIL_ROTATION
-        if n in REGISTRY and n in _DRIVER_VERIFIED and n not in forced
-    ]
     verified = sorted(
-        n for n in REGISTRY
-        if n in _DRIVER_VERIFIED and n not in forced and n not in rotation
+        (n for n in REGISTRY
+         if n in _DRIVER_VERIFIED and n not in forced),
+        key=lambda n: (_GREEN_ROUND.get(n, 0), _qnum(n)),
     )
-    return priority + rest_unverified + forced + rotation + verified
+    return priority + rest_unverified + forced + verified
 
 
 def entry(spark: SparkSession) -> DataFrame:

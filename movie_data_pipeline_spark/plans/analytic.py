@@ -2405,14 +2405,14 @@ def q192_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     Poisson(1) replicate weight, here derived from a salted md5 so
     the "randomness" is reshard-stable and both engines draw
     bit-identical replicates (a fixed CDF ladder on the hash
-    fraction). {_BOOT_B} replicate means, nearest-rank 2.5%/97.5%
+    fraction). 50 replicate means, nearest-rank 2.5%/97.5%
     bounds, and the bootstrap SE next to the point estimate — error
     bars for ANY of this catalog's aggregates by swapping the metric
     expression.
 
-    Scale: the replicate explode is map-side ({_BOOT_B}× rows but no
+    Scale: the replicate explode is map-side (50× rows but no
     extra shuffle — partial aggregation collapses to B rows per
-    partition before exchange); everything after runs on a {_BOOT_B}-
+    partition before exchange); everything after runs on a 50-
     row frame where ranking is a deliberate triangular join, not a
     global window. Weighted sums are exact DECIMAL; variance uses
     exact moment sums so the cancellation is deterministic.
@@ -2653,7 +2653,7 @@ def q195_popularity_rec_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     evaluated on, because popularity leaks future fashion backwards.
 
     Scale: train popularity is one semi-joined aggregate + TakeOrdered
-    {_REC_K}; the recommended set is {_REC_K} rows broadcast into a
+    10; the recommended set is 10 rows broadcast into a
     semi-join that marks qualifying orders; test-first-order selection
     is a per-customer window (bounded frames). No per-customer
     recommendation materialization — the baseline recommends the same

@@ -304,7 +304,7 @@ def q86_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     the derived mean/variance/z are bit-identical across engines (the
     q61/q68 discipline applied to a moving frame). One shuffle on
     event_type for both the hourly aggregate and the window; warm-up
-    rows (< {_Z_MIN_HOURS} trailing hours) and zero-variance frames
+    rows (< 12 trailing hours) and zero-variance frames
     yield NULL scores rather than infinities.
     """
     events = load_table(spark, sf_dir, "events")
@@ -1286,7 +1286,7 @@ def q189_retention_decay_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     spelled-out form — the Spark build aggregates cohort sizes per
     day first, then takes a running-style sum over the tiny
     (day-count × horizon) grid. The fit is a 4-moment aggregate over
-    ≤{_RET_MAX_T} rows joined back broadcast.
+    ≤20 rows joined back broadcast.
     """
     events = load_table(spark, sf_dir, "events")
     act = events.select(
@@ -1624,16 +1624,16 @@ def q201_markov_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     never straddle train and test, the sequence analogue of q173's
     cluster-aware split; q183 is the temporal variant, this is the
     IID-across-users one). The scale trick is ALGEBRAIC leave-fold-out:
-    instead of training {_CV_K} models over {_CV_K} copies of the
+    instead of training 5 models over 5 copies of the
     data, bigram counts aggregate ONCE per (fold, cur, nxt) and each
     fold's training counts derive as total − own-fold — the same
     subtract-the-holdout identity that powers q's incremental
     aggregate maintenance, making 5-fold CV cost one pass plus
-    a {_CV_K}×|type²| grid of arithmetic. Per fold: test support and
+    a 5×|type²| grid of arithmetic. Per fold: test support and
     top-1 accuracy (ties toward the alphabetically first type).
 
     Scale: sequencing windows partition on user_id; everything after
-    the (fold, cur, nxt) aggregate lives on a ≤{_CV_K}·|types|² frame
+    the (fold, cur, nxt) aggregate lives on a ≤5·|types|² frame
     — broadcast territory regardless of corpus size.
     """
     events = load_table(spark, sf_dir, "events")

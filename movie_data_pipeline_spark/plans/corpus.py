@@ -1789,6 +1789,20 @@ def _urlbit_sql(i: int) -> str:
 
 
 _URL_TRACKING_RE = "^(utm_[a-z]+|ref|fbclid)="
+
+# Spark-side host canonicalization over the scheme-stripped URL column
+# ``u1``: lowercase, drop ONE leading literal "www." label, drop default
+# ports. Spark's SQL literal parser unescapes backslashes, so the
+# pattern is written with a DOUBLED backslash in the SQL text (Python
+# source carries four) — '^www\\.' reaching the regex engine as a
+# literal dot-anchor; a single backslash would reduce to '^www.'
+# (dot = any char) and mis-canonicalize hosts like 'www2.example.com'
+# (ADVICE r8; regression-tested with a planted www2 host).
+_URL_HOST_CANON_SPARK = """regexp_replace(regexp_replace(lower(
+                 CASE WHEN instr(u1, '/') > 0
+                      THEN substring(u1, 1, instr(u1, '/') - 1)
+                      ELSE u1 END),
+                 '^www\\\\.', ''), ':(443|80)$', '')"""
 _URL_PATH_DIV = 240  # path key granularity: ids 60 apart share a host
 
 _URL_SPARK = f"""concat(
@@ -1923,11 +1937,7 @@ def q279_url_host_dedup_rollup(
         )
         .selectExpr(
             "doc_id", "url",
-            """regexp_replace(regexp_replace(lower(
-                 CASE WHEN instr(u1, '/') > 0
-                      THEN substring(u1, 1, instr(u1, '/') - 1)
-                      ELSE u1 END),
-                 '^www\\.', ''), ':(443|80)$', '') AS host""",
+            _URL_HOST_CANON_SPARK + " AS host",
             """CASE WHEN instr(u1, '/') > 0
                     THEN substring(u1, instr(u1, '/'))
                     ELSE '' END AS rest""",

@@ -201,9 +201,51 @@ def q20_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of the md5 per token — one independent hash bit per fingerprint bit,
 # positive BIGINT on both engines.
 _BH60_SQL = "CAST(('0x' || substr(md5({col}), 1, 15)) AS BIGINT)"
-_SIMHASH_BANDS = 4
-_SIMHASH_BAND_BITS = 15
 _SIMHASH_MAX_HAMMING = 5
+
+
+def _render_simhash_band_ctes() -> str:
+    """DuckDB twin of ``operators/dedup.simhash_hamming_pairs``'s band
+    ladder (round 9, VERDICT r8 #1): rung from the IN-QUERY fingerprint
+    count, the C(6, m) block-combination table rendered from the SAME
+    Python helper the Spark plan compiles its structs from, band values
+    by identical integer shift-free arithmetic. Expects a
+    ``fingerprints(doc_id, simhash)`` CTE in scope; emits ``bands``."""
+    from movie_data_pipeline_spark.operators.dedup import (
+        _SIMHASH_BLOCK_BITS,
+        _SIMHASH_BLOCKS,
+        simhash_band_combos,
+        simhash_rung_thresholds,
+    )
+
+    t1, t2 = simhash_rung_thresholds()
+    vals = ",\n      ".join(
+        f"({m}, {i}, {c[0]}, "
+        f"{c[1] if len(c) > 1 else -1}, {c[2] if len(c) > 2 else -1})"
+        for (m, i, c) in simhash_band_combos()
+    )
+    bb = _SIMHASH_BLOCK_BITS
+    blk = ", ".join(
+        f"(simhash // {1 << (bb * j)}) % {1 << bb}"
+        for j in range(_SIMHASH_BLOCKS)
+    )
+    return f"""nfp AS (SELECT COUNT(*) AS n FROM fingerprints),
+    rung AS (SELECT CASE WHEN n <= {t1} THEN 1
+                         WHEN n <= {t2} THEN 2 ELSE 3 END AS m FROM nfp),
+    combos(m, band_idx, j1, j2, j3) AS (VALUES
+      {vals}),
+    blks AS (SELECT doc_id, simhash, [{blk}] AS blk FROM fingerprints),
+    bands AS (
+      SELECT doc_id, simhash, band_idx,
+             blk[j1 + 1]
+             + CASE WHEN j2 >= 0 THEN blk[j2 + 1] * {1 << bb}
+                    ELSE 0 END
+             + CASE WHEN j3 >= 0 THEN blk[j3 + 1] * {1 << (2 * bb)}
+                    ELSE 0 END AS band_val
+      FROM blks, combos, rung WHERE combos.m = rung.m)"""
+
+
+_SIMHASH_BAND_CTES = _render_simhash_band_ctes()
 _SIMHASH_CTES = f"""
   toks AS (
     SELECT doc_id, unnest({_TOKS_SQL}) AS token FROM documents
@@ -405,12 +447,7 @@ def q63_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q79_simhash_hamming_pairs",
     oracle=f"""
     WITH {_SIMHASH_CTES},
-    bands AS (
-      SELECT doc_id, simhash, b AS band_idx,
-             (simhash // CAST(2 ** ({_SIMHASH_BAND_BITS} * b) AS BIGINT))
-               % {1 << _SIMHASH_BAND_BITS} AS band_val
-      FROM fingerprints
-      CROSS JOIN generate_series(0, {_SIMHASH_BANDS - 1}) t(b)),
+    {_SIMHASH_BAND_CTES},
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
              a.simhash AS sh_a, b.simhash AS sh_b
@@ -425,23 +462,29 @@ def q63_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("extension", "dedup", "simhash", "lsh"),
 )
 def q79_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-duplicate PAIRS: banded candidates verified by
-    exact Hamming distance (<= 5 of 60 bits).
+    """SimHash near-duplicate PAIRS: size-adaptive banded candidates
+    verified by exact Hamming distance (<= 5 of 60 bits).
 
     Completes the SimHash story: q21 computes fingerprints, this query
     turns them into a bounded candidate join the way an index would —
-    agree on >= 1 of 4 fifteen-bit bands — then verifies with
-    XOR+popcount in codegen. Any pair within Hamming distance 3 is
-    caught by pigeonhole; the <= 5 keep-filter is applied identically
-    in both engines.
+    agree on >= 1 band of the block-combination ladder — then verifies
+    with XOR+popcount in codegen.
 
-    Round-8 migration (VERDICT r7 #2): the retired 32-bit scheme's
-    4 x 8-bit bands had 256 values per band, so buckets saturated and
-    the verify bar (<= 8 of 32) passed 14% of ALL pairs at sf0.1
-    (1.77M rows). The 4 x 15-bit / Hamming<=5 layout over the 60-bit
-    fingerprint emits 3.9k pairs at sf0.1 with recall 0.86 against
-    df-capped Jaccard>=0.5 truth — q274 is the standing audit of
-    exactly this trade.
+    Round-9 migration (VERDICT r8 #1): the fixed 4 x 15-bit band
+    layout's 2^15-value space made random band collisions grow
+    ~n^2/2^15 (the r8 100x probe measured ~15M floor candidates at
+    500k docs). The ladder (operators/dedup.py module comment) splits
+    the fingerprint into 6 ten-bit blocks and bands on all C(6, m)
+    m-block combinations, with rung m picked from the IN-PLAN
+    fingerprint count: m=1 (6x10-bit bands) to 8k docs, m=2 (15x20-bit)
+    to 8.4M, m=3 (20x30-bit, Manku WWW'07's layout) beyond — expected
+    collisions stay ~8 per doc per band at every rung. Pigeonhole gives
+    rung 1 EVERY Hamming<=5 pair (this query's published output at all
+    driver SFs is now the exact <=5 pair set), rung 2 every <=4, rung 3
+    every <=3 — never weaker than the retired layout, with a 32768x
+    larger band space at scale. Both engines evaluate the identical
+    ladder (shared combo table + thresholds), so the rung switch is
+    hash-verified, not folklore.
     """
     docs = load_table(spark, sf_dir, "documents")
     return simhash_hamming_pairs(simhash(docs)).orderBy("doc_a", "doc_b")
@@ -2047,10 +2090,10 @@ def q246_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     argument: templated boilerplate and quote-chains duplicate long
     contiguous spans while the documents' shingle SETS stay dissimilar,
     so Jaccard never fires). A pair's evidence here is "these two
-    documents share a {_RUN_MIN_WORDS}+-word contiguous passage", with
+    documents share a 7+-word contiguous passage", with
     the run length, run count, and total aligned positions.
 
-    Plan: positional {_RUN_N}-gram shingles (posexplode keeps the
+    Plan: positional 5-gram shingles (posexplode keeps the
     offset the set-based q18 path deliberately drops) group into
     per-shingle (doc,pos) buckets; pairs generate MAP-SIDE from each
     sorted bucket array (the jaccard_pairs shape — one shuffle, no
@@ -2059,7 +2102,7 @@ def q246_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     consecutive pos_a share the diff, which is gaps-and-islands:
     ``pos_a - row_number()`` per (pair, diff) window — PARTITIONED by
     the pair+alignment key, so the window state is one run's worth per
-    task, never a global sort. The {_RUN_CAP}-entry bucket cap is the
+    task, never a global sort. The 64-entry bucket cap is the
     same stop-shingle quadratic bound the capped Jaccard family uses
     (calibrated by q239, priced by q245); integer-only outputs make the
     oracle hash exact.
@@ -2963,12 +3006,7 @@ def _wj_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q274_simhash_quality_audit",
     oracle=f"""
     WITH {_SIMHASH_CTES},
-    bands AS (
-      SELECT doc_id, simhash, b AS band_idx,
-             (simhash // CAST(2 ** ({_SIMHASH_BAND_BITS} * b) AS BIGINT))
-               % {1 << _SIMHASH_BAND_BITS} AS band_val
-      FROM fingerprints
-      CROSS JOIN generate_series(0, {_SIMHASH_BANDS - 1}) t(b)),
+    {_SIMHASH_BAND_CTES},
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
@@ -3030,15 +3068,17 @@ def q274_simhash_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold (df-capped, never all-pairs); the report is three
     counts and two quantized ratios on one row.
 
-    Round-8 migration (VERDICT r7 #2 — this audit's own r7 finding):
-    the retired 32-bit scheme's 4 x 8-bit band space was FIXED at 256
-    values per band, so band buckets saturated as the corpus grew
-    (measured 10x candidate ratio 34.5). The audited scheme is now
-    the 60-bit fingerprint with 4 x 15-bit bands and Hamming <= 5
-    verification — 32768 values per band, same pigeonhole guarantee
-    (any pair within Hamming 3 is always caught). Measured here at
-    sf0.1: candidates 1.77M -> 3.9k, precision ~1e-4 -> 0.057,
-    recall 0.86 vs the 0.5-Jaccard truth.
+    Round-9 migration (VERDICT r8 #1): the audited candidate generator
+    is now the size-adaptive block-combination band ladder (q79's
+    docstring; operators/dedup.py module comment) instead of the fixed
+    4 x 15-bit layout whose 2^15-value space grew a ~n^2/2^15 random-
+    collision floor (~15M candidates at 500k docs in the r8 100x
+    probe). At every driver SF the active rung (m=1) catches EVERY
+    Hamming<=5 pair by pigeonhole, so this audit now prices the
+    fingerprint family itself — what 60-bit SimHash at the exact <=5
+    bar costs in recall vs df-capped Jaccard>=0.5 truth — rather than
+    banding loss on top of it; at rung 2/3 scale the banding loss is
+    bounded by the <=4 / <=3 guarantees.
     """
     docs = load_table(spark, sf_dir, "documents")
     cand = simhash_hamming_pairs(simhash(docs)).select("doc_a", "doc_b")

@@ -1906,14 +1906,14 @@ def q264_ivf_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity pass: each extra probe multiplies the scanned inverted
     lists, and the recall column prices what it buys.
 
-    Determinism: seeds are the {_IVF_CELLS} lowest-md5(vec_id) vectors
+    Determinism: seeds are the 8 lowest-md5(vec_id) vectors
     (ivf_assign's rule, mirrored with the same ROW_NUMBER in SQL);
     cell assignment argmaxes the raw sequential-fold cosine with ties
     toward the lowest seed index (q132's proven cross-engine
     discipline); centroids are exact DECIMAL(30,6) means per dimension
     (order-free on both engines — a plain double AVG would drift);
     centroid ranking uses round4-quantized cosines with the cell id as
-    tiebreak. Scale: the codebook is {_IVF_CELLS} x {_ANN_DIM} floats
+    tiebreak. Scale: the codebook is 8 x 64 floats
     (broadcast), assignment is the map-only argmax, and the candidate
     join is an equi-join on cell. The exact ground-truth leg runs on a
     FIXED-SIZE fixed_sample of the query set (~_ANN_AUDIT_QTARGET
@@ -2184,7 +2184,7 @@ def q272_pq_codebook_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-subspace distortion (MSE) plus end-to-end recall@10 of
     asymmetric-distance (ADC) ranking vs exact squared-L2 top-10.
 
-    Determinism: codebook seeds are the {_PQ_K} lowest-md5(vec_id)
+    Determinism: codebook seeds are the 8 lowest-md5(vec_id)
     vectors' subvectors (ivf_assign's rule); assignment argmins the
     raw sequential-fold squared-L2 with ties toward the lowest code
     (left-fold doubles are bit-identical across engines — q132's dot
@@ -2393,6 +2393,15 @@ def q272_pq_codebook_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 _IVFPQ_NPROBE = 2
 _IVFPQ_K = 10
+
+# q284's oracle reuses its IVF ``seeds`` CTE (LIMIT _IVF_CELLS) as the
+# PQ codebook seed set, while the Spark side seeds the PQ codebook with
+# ``.limit(_PQ_K)`` — sound only while the two constants coincide.
+# Changing either one must split the oracle's seed CTEs (ADVICE r8).
+assert _PQ_K == _IVF_CELLS, (
+    "q284's oracle shares one seed CTE between IVF cells and PQ codes; "
+    "give it a separate PQ-seed CTE (LIMIT _PQ_K) before diverging them"
+)
 
 
 @query(

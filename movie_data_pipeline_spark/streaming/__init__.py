@@ -13,8 +13,10 @@ from movie_data_pipeline_spark.streaming.events import (  # noqa: F401
 from movie_data_pipeline_spark.streaming.sinks import (  # noqa: F401
     dedup_gate_batch_writer,
     mix_drift_batch_writer,
+    simhash_gate_batch_writer,
     start_dedup_gate_stream,
     start_mix_drift_stream,
+    start_simhash_gate_stream,
     start_upsert_stream,
     start_versioned_append_stream,
     upsert_batch_writer,

@@ -337,3 +337,34 @@ def test_stratified_manifest_membership_rederivable(spark):
         assert r.min_sampled_id == min(sampled)
         assert r.max_sampled_id == max(sampled)
         assert r.sample_rate == _r4(len(sampled) / len(ids))
+
+
+def test_host_canonicalization_keeps_www2_prefix(spark):
+    """Regression (ADVICE r8): Spark's SQL literal parser reduces a
+    single-backslash '^www\\.' to '^www.' (dot = any char), which would
+    strip 'www2' from 'www2.example.com'. The production expression must
+    drop exactly one literal 'www.' label and nothing else."""
+    from movie_data_pipeline_spark.plans.corpus import _URL_HOST_CANON_SPARK
+
+    rows = [
+        ("www2.example.com",),
+        ("www.example.com",),
+        ("wwwx.org:80",),
+        ("WWW.Mixed.ORG:443",),
+        ("www.www.double.net",),
+        ("plain.net/path",),
+    ]
+    got = [
+        r.host
+        for r in spark.createDataFrame(rows, ["u1"]).selectExpr(
+            _URL_HOST_CANON_SPARK + " AS host"
+        ).collect()
+    ]
+    assert got == [
+        "www2.example.com",
+        "example.com",
+        "wwwx.org",
+        "mixed.org",
+        "www.double.net",
+        "plain.net",
+    ]
