@@ -143,6 +143,14 @@ HEADLINE = [
     "q283_lang_source_composition",
     "q284_ivfpq_topk",
     "q285_stratified_sample_manifest",
+    # round-9 additions: training-order manifest, SimHash ingest gate
+    # (the migrated band ladder on its production path), cluster churn
+    "q286_training_order_manifest",
+    "q287_simhash_index_gate",
+    "q288_cluster_churn_audit",
+    # q79 joins the headline so the band-ladder migration's pair join
+    # is priced directly round-over-round, not only via q274
+    "q79_simhash_hamming_pairs",
 ]
 
 # Stable trend tier (VERDICT r5 #6): these 20 have been in the headline

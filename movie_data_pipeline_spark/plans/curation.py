@@ -1535,3 +1535,103 @@ def q269_quality_rule_calibration(
         "recall",
         f1.alias("f1"),
     ).orderBy("decision_class")
+
+
+# --------------------------------------------------------------------------
+# q286 — deterministic training ORDER + fixed-size shard manifest
+# --------------------------------------------------------------------------
+_ORDER_SHARDS = 16
+_ORDER_SEED = ":order:epoch0"
+
+
+@query(
+    "q286_training_order_manifest",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id,
+             md5(CAST(doc_id AS VARCHAR) || '{_ORDER_SEED}') AS hk
+      FROM documents),
+    r AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY hk, doc_id) AS rnk,
+             COUNT(*) OVER () AS n
+      FROM h),
+    s AS (
+      SELECT doc_id, rnk,
+             (rnk - 1) // ((n + {_ORDER_SHARDS - 1}) // {_ORDER_SHARDS})
+               AS shard
+      FROM r)
+    SELECT shard,
+           COUNT(*) AS n_docs,
+           MIN(rnk) AS min_rank,
+           MAX(rnk) AS max_rank,
+           CAST(SUM(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                     || CAST(rnk AS VARCHAR)), 1, 8)) AS BIGINT)) AS BIGINT)
+             AS content_digest
+    FROM s GROUP BY shard ORDER BY shard
+    """,
+    tags=("extension", "training", "shuffle", "manifest"),
+)
+def q286_training_order_manifest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Deterministic GLOBAL training order + FIXED-SIZE shard manifest
+    (round 9, VERDICT r8 #3) — the last step between curation and a
+    training run: a seeded md5-rank permutation assigns every document
+    a global position, shards are exact rank intervals of
+    ceil(n / 16) documents (vs q127's hash-mod shards, which balance
+    only in expectation), and the published manifest — count, min/max
+    rank, membership digest per shard — lets any consumer re-derive
+    placement from (doc_id, seed, n) alone and VERIFY a materialized
+    shard against its digest before training starts. A different seed
+    string re-permutes everything next epoch.
+
+    Scale shape: the permutation rank is
+    ``operators/prefix.attach_global_row_number`` — range-partition on
+    the md5 key (the parallel sort a global orderBy would do anyway),
+    per-partition local row_number, broadcast per-partition offsets;
+    no single-partition window anywhere. The corpus count feeds the
+    shard width IN-PLAN (1-row aggregate cross-joined broadcast, the
+    q285 no-driver-count discipline), so the same plan shards any
+    corpus in one pass; the manifest aggregate is one groupBy(shard)
+    with map-side combine. The digest is a SUM of per-(doc_id, rank)
+    32-bit hashes — order-independent, overflow-safe to ~10^9 docs,
+    and exact-integer on both engines.
+    """
+    from movie_data_pipeline_spark.functions.text import base_hash32
+    from movie_data_pipeline_spark.operators.prefix import (
+        attach_global_row_number,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id",
+        F.md5(
+            F.concat(F.col("doc_id").cast("string"), F.lit(_ORDER_SEED))
+        ).alias("hk"),
+    )
+    ranked, _n = attach_global_row_number(h, ["hk", "doc_id"], out="rnk")
+    n1 = ranked.agg(F.count("*").alias("n"))
+    s = ranked.crossJoin(F.broadcast(n1)).withColumn(
+        "shard",
+        F.expr(
+            f"(rnk - 1) div ((n + {_ORDER_SHARDS - 1}) div {_ORDER_SHARDS})"
+        ),
+    )
+    digest = base_hash32(
+        F.concat(
+            F.col("doc_id").cast("string"),
+            F.lit(":"),
+            F.col("rnk").cast("string"),
+        )
+    )
+    return (
+        s.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("rnk").alias("min_rank"),
+            F.max("rnk").alias("max_rank"),
+            F.sum(digest).alias("content_digest"),
+        )
+        .orderBy("shard")
+    )

@@ -204,13 +204,17 @@ _BH60_SQL = "CAST(('0x' || substr(md5({col}), 1, 15)) AS BIGINT)"
 _SIMHASH_MAX_HAMMING = 5
 
 
-def _render_simhash_band_ctes() -> str:
+def _render_simhash_band_ctes(forced_rung: int | None = None) -> str:
     """DuckDB twin of ``operators/dedup.simhash_hamming_pairs``'s band
     ladder (round 9, VERDICT r8 #1): rung from the IN-QUERY fingerprint
     count, the C(6, m) block-combination table rendered from the SAME
     Python helper the Spark plan compiles its structs from, band values
     by identical integer shift-free arithmetic. Expects a
-    ``fingerprints(doc_id, simhash)`` CTE in scope; emits ``bands``."""
+    ``fingerprints(doc_id, simhash)`` CTE in scope; emits ``bands``.
+
+    ``forced_rung`` mirrors the operator's ``rung`` override: an INDEX
+    pins its rung at build time (q287's gate), so its oracle must band
+    at that pinned rung rather than the corpus-size rung."""
     from movie_data_pipeline_spark.operators.dedup import (
         _SIMHASH_BLOCK_BITS,
         _SIMHASH_BLOCKS,
@@ -229,9 +233,14 @@ def _render_simhash_band_ctes() -> str:
         f"(simhash // {1 << (bb * j)}) % {1 << bb}"
         for j in range(_SIMHASH_BLOCKS)
     )
-    return f"""nfp AS (SELECT COUNT(*) AS n FROM fingerprints),
-    rung AS (SELECT CASE WHEN n <= {t1} THEN 1
-                         WHEN n <= {t2} THEN 2 ELSE 3 END AS m FROM nfp),
+    rung_sql = (
+        f"SELECT {int(forced_rung)} AS m"
+        if forced_rung is not None
+        else f"""SELECT CASE WHEN n <= {t1} THEN 1
+                         WHEN n <= {t2} THEN 2 ELSE 3 END AS m
+             FROM (SELECT COUNT(*) AS n FROM fingerprints)"""
+    )
+    return f"""rung AS ({rung_sql}),
     combos(m, band_idx, j1, j2, j3) AS (VALUES
       {vals}),
     blks AS (SELECT doc_id, simhash, [{blk}] AS blk FROM fingerprints),
@@ -3735,3 +3744,178 @@ def q281_granularity_agreement(
             round4(F.col("n_both") * F.lit(1.0) / union_sz),
         ).alias("flag_jaccard"),
     ).orderBy("source")
+
+
+# --------------------------------------------------------------------------
+# q288 — dedup-cluster stable-ID churn across snapshots (round 9, #5)
+# --------------------------------------------------------------------------
+def _render_cluster_comp_ctes(prefix: str, pred: str) -> str:
+    """The q63 cluster chain (shingles -> df-cap -> Jaccard>=0.2 pairs
+    -> recursive closure -> min-doc_id components) rendered over a
+    FILTERED document snapshot, all CTE names prefixed so two snapshots
+    coexist in one WITH RECURSIVE. The df-cap is computed WITHIN the
+    snapshot — exactly what ``jaccard_pairs`` does on the filtered
+    frame. Emits ``{prefix}comp(doc_id, cluster_id)`` with singletons
+    included (every snapshot doc gets a component)."""
+    p = prefix
+    return f"""{p}docs AS (SELECT doc_id, text FROM documents WHERE {pred}),
+    {p}toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM {p}docs),
+    {p}shingles AS (
+      SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id,
+               CASE WHEN len(t) >= 3
+                 THEN unnest(list_transform(generate_series(1, len(t) - 2),
+                                            i -> array_to_string(t[i:i+2], ' ')))
+                 ELSE array_to_string(t, ' ')
+               END AS sh
+        FROM {p}toks)),
+    {p}sh_keep AS (
+      SELECT sh FROM {p}shingles GROUP BY sh
+      HAVING COUNT(*) <= {JACCARD_MAX_SHINGLE_DF}),
+    {p}shingles_c AS (
+      SELECT s.doc_id, s.sh FROM {p}shingles s JOIN {p}sh_keep USING (sh)),
+    {p}counts AS (
+      SELECT doc_id, COUNT(*) AS n FROM {p}shingles_c GROUP BY doc_id),
+    {p}common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM {p}shingles_c a JOIN {p}shingles_c b
+        ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    {p}pairs AS (
+      SELECT doc_a, doc_b FROM {p}common
+      JOIN {p}counts ca ON ca.doc_id = doc_a
+      JOIN {p}counts cb ON cb.doc_id = doc_b
+      WHERE n_common * 1.0 / (ca.n + cb.n - n_common) >= 0.2),
+    {p}e AS (SELECT doc_a AS src, doc_b AS dst FROM {p}pairs
+             UNION ALL SELECT doc_b, doc_a FROM {p}pairs),
+    {p}reach(id, node) AS (
+      SELECT doc_id, doc_id FROM {p}docs
+      UNION
+      SELECT r.id, e.dst FROM {p}reach r JOIN {p}e e ON e.src = r.node),
+    {p}comp AS (
+      SELECT id AS doc_id, MIN(node) AS cluster_id
+      FROM {p}reach GROUP BY id)"""
+
+
+_CHURN_PRED_A = "doc_id % 11 <> 0"
+_CHURN_PRED_B = "doc_id % 13 <> 0"
+
+
+@query(
+    "q288_cluster_churn_audit",
+    oracle=f"""
+    WITH RECURSIVE
+    {_render_cluster_comp_ctes('sa_', _CHURN_PRED_A)},
+    {_render_cluster_comp_ctes('sb_', _CHURN_PRED_B)},
+    shared AS (
+      SELECT a.doc_id, a.cluster_id AS ca, b.cluster_id AS cb
+      FROM sa_comp a JOIN sb_comp b USING (doc_id)),
+    per_a AS (
+      SELECT ca, COUNT(*) AS n_shared,
+             COUNT(DISTINCT cb) AS n_b_clusters,
+             MIN(cb) AS main_b
+      FROM shared GROUP BY ca),
+    contrib AS (
+      SELECT cb, COUNT(DISTINCT ca) AS n_a_contributors
+      FROM shared GROUP BY cb),
+    moved AS (
+      SELECT s.ca,
+             SUM(CASE WHEN s.cb <> p.main_b THEN 1 ELSE 0 END) AS n_moved
+      FROM shared s JOIN per_a p USING (ca) GROUP BY s.ca)
+    SELECT p.ca AS cluster_a,
+           CAST(p.n_shared AS BIGINT) AS n_shared,
+           CAST(p.n_b_clusters AS BIGINT) AS n_b_clusters,
+           p.main_b AS main_b_cluster,
+           CAST(m.n_moved AS BIGINT) AS n_moved,
+           CASE WHEN p.n_b_clusters > 1 THEN 'split'
+                WHEN c.n_a_contributors > 1 THEN 'merged'
+                ELSE 'stable' END AS status
+    FROM per_a p
+    JOIN contrib c ON c.cb = p.main_b
+    JOIN moved m ON m.ca = p.ca
+    ORDER BY cluster_a
+    """,
+    tags=("extension", "dedup", "graph", "churn", "snapshot"),
+)
+def q288_cluster_churn_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-cluster STABLE-ID churn between two corpus snapshots
+    (round 9, VERDICT r8 #5): connected components assign cluster ids
+    per run, but what an incremental 100 TB pipeline must know is how
+    those ids MOVE when the corpus changes — which clusters split,
+    which merged, how many member docs changed assignment — because
+    every downstream artifact (kept-corpus choice, dedup provenance,
+    training-mix shares) is keyed by the cluster anchor. Snapshot A
+    drops every 11th doc, snapshot B every 13th (q136's deterministic
+    snapshot derivation), so removals can SPLIT chains bridged by a
+    dropped doc and additions can MERGE clusters through a returning
+    bridge doc — both directions exercised from one corpus.
+
+    Per A-cluster over the SHARED doc set (min-doc_id anchoring on
+    both sides): shared member count, how many B-clusters the members
+    landed in, the anchor B-cluster (min id), members that moved off
+    the anchor, and the classification — ``split`` if members scatter
+    over >1 B-cluster, else ``merged`` if the target B-cluster absorbs
+    >1 A-cluster, else ``stable`` (split takes precedence when both
+    hold; identical CASE order in both engines).
+
+    Scale: two q63 component runs (each: df-capped shingle pairs +
+    min-label propagation — all audited shapes), then three
+    cluster-keyed aggregates on the shared frame, each a fraction of
+    corpus size. Nothing here is pairwise beyond the capped pair
+    generation the dedup family already pays.
+    """
+    from movie_data_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def comp(pred: str, out: str) -> DataFrame:
+        snap = docs.filter(F.expr(pred))
+        prs = jaccard_pairs(
+            snap, max_shingle_df=JACCARD_MAX_SHINGLE_DF, threshold=0.2
+        ).select("doc_a", "doc_b")
+        return connected_components(
+            prs, nodes=snap.select("doc_id"), src="doc_a", dst="doc_b"
+        ).select(
+            F.col("node").alias("doc_id"), F.col("component").alias(out)
+        )
+
+    shared = comp(_CHURN_PRED_A, "ca").join(
+        comp(_CHURN_PRED_B, "cb"), "doc_id"
+    )
+    per_a = shared.groupBy("ca").agg(
+        F.count("*").alias("n_shared"),
+        F.countDistinct("cb").alias("n_b_clusters"),
+        F.min("cb").alias("main_b"),
+    )
+    contrib = shared.groupBy("cb").agg(
+        F.countDistinct("ca").alias("n_a_contributors")
+    )
+    moved = (
+        shared.join(per_a.select("ca", "main_b"), "ca")
+        .groupBy("ca")
+        .agg(
+            F.sum(
+                F.when(F.col("cb") != F.col("main_b"), 1).otherwise(0)
+            ).alias("n_moved")
+        )
+    )
+    status = (
+        F.when(F.col("n_b_clusters") > 1, F.lit("split"))
+        .when(F.col("n_a_contributors") > 1, F.lit("merged"))
+        .otherwise(F.lit("stable"))
+    )
+    return (
+        per_a.join(contrib, per_a.main_b == contrib.cb)
+        .join(moved, "ca")
+        .select(
+            F.col("ca").alias("cluster_a"),
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.col("n_b_clusters").cast("long").alias("n_b_clusters"),
+            F.col("main_b").alias("main_b_cluster"),
+            F.col("n_moved").cast("long").alias("n_moved"),
+            status.alias("status"),
+        )
+        .orderBy("cluster_a")
+    )
