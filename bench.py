@@ -148,6 +148,9 @@ HEADLINE = [
     "q286_training_order_manifest",
     "q287_simhash_index_gate",
     "q288_cluster_churn_audit",
+    "q289_epoch_order_decorrelation",
+    "q290_simhash_rung_planner",
+    "q291_order_locality_audit",
     # q79 joins the headline so the band-ladder migration's pair join
     # is priced directly round-over-round, not only via q274
     "q79_simhash_hamming_pairs",

@@ -554,6 +554,60 @@ def simhash_band_rows(
     )
 
 
+def simhash_band_rows_all_rungs(
+    sh: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "simhash",
+) -> DataFrame:
+    """Band rows for EVERY ladder rung at once — (id, fingerprint,
+    rung m, band_idx, band_val), 41 rows per document — so a rung
+    planner (q290) can price all three candidate-generation layouts
+    over the real corpus in ONE pass instead of three. Same combo
+    table and band-value arithmetic as :func:`simhash_band_rows`."""
+    bb, nb = _SIMHASH_BLOCK_BITS, _SIMHASH_BLOCKS
+    blks = F.array(
+        *[
+            F.expr(f"({hash_col} div {1 << (bb * j)}) % {1 << bb}")
+            for j in range(nb)
+        ]
+    )
+    combos = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("m"),
+                F.lit(i).alias("band_idx"),
+                F.lit(c[0]).alias("j1"),
+                F.lit(c[1] if len(c) > 1 else -1).alias("j2"),
+                F.lit(c[2] if len(c) > 2 else -1).alias("j3"),
+            )
+            for (m, i, c) in simhash_band_combos()
+        ]
+    )
+    return sh.select(
+        F.col(id_col),
+        F.col(hash_col),
+        blks.alias("__blks"),
+        F.explode(combos).alias("cb"),
+    ).select(
+        id_col,
+        hash_col,
+        F.col("cb.m").alias("rung"),
+        F.col("cb.band_idx").alias("band_idx"),
+        (
+            F.expr("element_at(__blks, cb.j1 + 1)")
+            + F.when(
+                F.col("cb.j2") >= 0,
+                F.expr("element_at(__blks, cb.j2 + 1)") * F.lit(1 << bb),
+            ).otherwise(F.lit(0))
+            + F.when(
+                F.col("cb.j3") >= 0,
+                F.expr("element_at(__blks, cb.j3 + 1)")
+                * F.lit(1 << (2 * bb)),
+            ).otherwise(F.lit(0))
+        ).alias("band_val"),
+    )
+
+
 def simhash_hamming_pairs(
     sh: DataFrame,
     id_col: str = "doc_id",

@@ -1635,3 +1635,213 @@ def q286_training_order_manifest(
         )
         .orderBy("shard")
     )
+
+
+# --------------------------------------------------------------------------
+# q289 — epoch-order decorrelation audit (does the seed re-permute?)
+# --------------------------------------------------------------------------
+_ORDER_SEED_B = ":order:epoch1"
+
+
+@query(
+    "q289_epoch_order_decorrelation",
+    oracle=f"""
+    WITH r0 AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || '{_ORDER_SEED}'),
+                        doc_id) AS rnk,
+             COUNT(*) OVER () AS n
+      FROM documents),
+    r1 AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || '{_ORDER_SEED_B}'),
+                        doc_id) AS rnk
+      FROM documents),
+    j AS (
+      SELECT r0.doc_id, r0.n, r0.rnk AS a, r1.rnk AS b,
+             (r0.rnk - 1) // ((r0.n + {_ORDER_SHARDS - 1})
+                              // {_ORDER_SHARDS}) AS sh_a,
+             (r1.rnk - 1) // ((r0.n + {_ORDER_SHARDS - 1})
+                              // {_ORDER_SHARDS}) AS sh_b
+      FROM r0 JOIN r1 USING (doc_id))
+    SELECT CAST(MAX(n) AS BIGINT) AS n_docs,
+           {r4('''1.0 - 6.0 * SUM(CAST((a - b) * (a - b) AS DOUBLE))
+                  / (MAX(n) * (CAST(MAX(n) AS DOUBLE)
+                               * CAST(MAX(n) AS DOUBLE) - 1.0))''')}
+             AS spearman_rho,
+           CAST(SUM(CASE WHEN sh_a = sh_b THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_same_shard,
+           {r4('''SUM(CASE WHEN sh_a = sh_b THEN 1 ELSE 0 END) * 1.0
+                  / MAX(n)''')} AS same_shard_rate
+    FROM j
+    """,
+    tags=("extension", "training", "shuffle", "audit"),
+)
+def q289_epoch_order_decorrelation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Epoch-order DECORRELATION audit (round 9): the q286 permutation
+    claims a different seed re-shuffles the corpus — this measures it.
+    Spearman rank correlation between the epoch0 and epoch1 global
+    orders (exact integer d^2 sum; independent uniform orders give
+    rho ~ 0 with sd ~ 1/sqrt(n-1)) plus how many docs land in the SAME
+    fixed-size shard twice (independence predicts ~n/16). A training
+    run reads this one row before trusting "epochs are independently
+    shuffled" — catching both a broken seed plumb (rho = 1, every doc
+    same shard) and a degenerate hash.
+
+    Scale: two distributed rank passes (operators/prefix, no global
+    window), one doc_id equi-join, one single-row aggregate. The rho
+    denominator is computed in doubles (n^3 overflows BIGINT at
+    ~2^21 docs); d^2 sums exactly as integers and converts once.
+    """
+    from movie_data_pipeline_spark.operators.prefix import (
+        attach_global_row_number,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def ranked(seed: str, out: str) -> DataFrame:
+        h = docs.select(
+            "doc_id",
+            F.md5(
+                F.concat(F.col("doc_id").cast("string"), F.lit(seed))
+            ).alias("hk"),
+        )
+        r, _ = attach_global_row_number(h, ["hk", "doc_id"], out=out)
+        return r.select("doc_id", out)
+
+    j = (
+        ranked(_ORDER_SEED, "a")
+        .join(ranked(_ORDER_SEED_B, "b"), "doc_id")
+        .crossJoin(
+            F.broadcast(docs.agg(F.count("*").alias("n")))
+        )
+        .withColumn(
+            "w", F.expr(f"(n + {_ORDER_SHARDS - 1}) div {_ORDER_SHARDS}")
+        )
+    )
+    d2 = ((F.col("a") - F.col("b")) * (F.col("a") - F.col("b"))).cast(
+        "double"
+    )
+    same = F.when(
+        F.expr("(a - 1) div w") == F.expr("(b - 1) div w"), 1
+    ).otherwise(0)
+    return j.agg(
+        F.max("n").cast("long").alias("n_docs"),
+        round4(
+            F.lit(1.0)
+            - F.lit(6.0)
+            * F.sum(d2)
+            / (
+                F.max("n")
+                * (
+                    F.max("n").cast("double") * F.max("n").cast("double")
+                    - F.lit(1.0)
+                )
+            )
+        ).alias("spearman_rho"),
+        F.sum(same).cast("long").alias("n_same_shard"),
+        round4(
+            F.sum(same) * F.lit(1.0) / F.max("n")
+        ).alias("same_shard_rate"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q291 — training-order locality audit (same-source runs per shard)
+# --------------------------------------------------------------------------
+@query(
+    "q291_order_locality_audit",
+    oracle=f"""
+    WITH r AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || '{_ORDER_SEED}'),
+                        doc_id) AS rnk,
+             COUNT(*) OVER () AS n
+      FROM documents),
+    s AS (
+      SELECT doc_id, source, rnk,
+             (rnk - 1) // ((n + {_ORDER_SHARDS - 1}) // {_ORDER_SHARDS})
+               AS shard
+      FROM r),
+    b AS (
+      SELECT shard, source, rnk,
+             CASE WHEN LAG(source) OVER (
+                    PARTITION BY shard ORDER BY rnk) IS DISTINCT FROM source
+                  THEN 1 ELSE 0 END AS brk
+      FROM s),
+    g AS (
+      SELECT shard, source, rnk,
+             SUM(brk) OVER (PARTITION BY shard ORDER BY rnk) AS grp
+      FROM b),
+    runs AS (
+      SELECT shard, grp, COUNT(*) AS run_len
+      FROM g GROUP BY shard, grp)
+    SELECT shard,
+           CAST(SUM(run_len) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_runs,
+           CAST(MAX(run_len) AS BIGINT) AS max_same_source_run
+    FROM runs GROUP BY shard ORDER BY shard
+    """,
+    tags=("extension", "training", "shuffle", "audit"),
+)
+def q291_order_locality_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Training-order LOCALITY audit (round 9): per q286 shard, the
+    gaps-and-islands run-length profile of the ``source`` column along
+    the seeded read order — run count and the longest same-source run.
+    Long runs mean consecutive training batches drawn from one source
+    (the gradient-correlation pathology a global shuffle exists to
+    prevent); a healthy permutation keeps max runs near the geometric
+    bound ~log(shard)/log(1/p_src). Read next to q289: that row says
+    epochs differ, this one says each epoch is WELL-MIXED internally.
+
+    Scale: one distributed rank pass, then every window partitions BY
+    SHARD (frames of n/16, fully parallel); runs collapse in a
+    (shard, grp) aggregate with map-side combine. Integer-only output.
+    """
+    from movie_data_pipeline_spark.operators.prefix import (
+        attach_global_row_number,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.concat(F.col("doc_id").cast("string"), F.lit(_ORDER_SEED))
+        ).alias("hk"),
+    )
+    ranked, _ = attach_global_row_number(h, ["hk", "doc_id"], out="rnk")
+    s = ranked.crossJoin(
+        F.broadcast(docs.agg(F.count("*").alias("n")))
+    ).withColumn(
+        "shard",
+        F.expr(
+            f"(rnk - 1) div ((n + {_ORDER_SHARDS - 1}) div {_ORDER_SHARDS})"
+        ),
+    )
+    w = Window.partitionBy("shard").orderBy("rnk")
+    brk = F.when(
+        ~F.lag("source").over(w).eqNullSafe(F.col("source")), 1
+    ).otherwise(0)
+    runs = (
+        s.withColumn("brk", brk)
+        .withColumn("grp", F.sum("brk").over(w))
+        .groupBy("shard", "grp")
+        .agg(F.count("*").alias("run_len"))
+    )
+    return (
+        runs.groupBy("shard")
+        .agg(
+            F.sum("run_len").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_runs"),
+            F.max("run_len").cast("long").alias("max_same_source_run"),
+        )
+        .orderBy("shard")
+    )

@@ -3919,3 +3919,104 @@ def q288_cluster_churn_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_a")
     )
+
+
+# --------------------------------------------------------------------------
+# q290 — SimHash rung planner (price every ladder layout on the corpus)
+# --------------------------------------------------------------------------
+def _render_simhash_allrung_ctes() -> str:
+    """Band rows for EVERY rung (no rung filter) — the oracle twin of
+    ``operators/dedup.simhash_band_rows_all_rungs``. Expects
+    ``fingerprints``; emits ``allbands(doc_id, rung, band_idx,
+    band_val)``."""
+    from movie_data_pipeline_spark.operators.dedup import (
+        _SIMHASH_BLOCK_BITS,
+        _SIMHASH_BLOCKS,
+        simhash_band_combos,
+    )
+
+    vals = ",\n      ".join(
+        f"({m}, {i}, {c[0]}, "
+        f"{c[1] if len(c) > 1 else -1}, {c[2] if len(c) > 2 else -1})"
+        for (m, i, c) in simhash_band_combos()
+    )
+    bb = _SIMHASH_BLOCK_BITS
+    blk = ", ".join(
+        f"(simhash // {1 << (bb * j)}) % {1 << bb}"
+        for j in range(_SIMHASH_BLOCKS)
+    )
+    return f"""combos(m, band_idx, j1, j2, j3) AS (VALUES
+      {vals}),
+    blks AS (SELECT doc_id, simhash, [{blk}] AS blk FROM fingerprints),
+    allbands AS (
+      SELECT doc_id, combos.m AS rung, band_idx,
+             blk[j1 + 1]
+             + CASE WHEN j2 >= 0 THEN blk[j2 + 1] * {1 << bb}
+                    ELSE 0 END
+             + CASE WHEN j3 >= 0 THEN blk[j3 + 1] * {1 << (2 * bb)}
+                    ELSE 0 END AS band_val
+      FROM blks, combos)"""
+
+
+@query(
+    "q290_simhash_rung_planner",
+    oracle=f"""
+    WITH {_SIMHASH_CTES},
+    {_render_simhash_allrung_ctes()},
+    bkt AS (
+      SELECT rung, band_idx, band_val, COUNT(*) AS sz
+      FROM allbands GROUP BY 1, 2, 3)
+    SELECT rung,
+           CAST(COUNT(DISTINCT band_idx) AS BIGINT) AS n_bands,
+           CAST(SUM(sz) AS BIGINT) AS n_band_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(MAX(sz) AS BIGINT) AS max_bucket,
+           CAST(SUM(sz * (sz - 1) // 2) AS BIGINT) AS candidate_pairs
+    FROM bkt GROUP BY rung ORDER BY rung
+    """,
+    tags=("extension", "dedup", "simhash", "calibration", "planner"),
+)
+def q290_simhash_rung_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash RUNG PLANNER (round 9): price every band-ladder layout
+    over the REAL corpus in one pass — per rung m: band count, band
+    rows the index would hold, occupied buckets, the largest bucket
+    (the skew an AQE skew-join would split), and the exact banded
+    candidate-pair count sum C(bucket, 2). This is the table an
+    operator reads before pinning a gate/index rung (q287's build
+    parameter) or migrating an existing index — the measured version
+    of the ladder's occupancy model, the same measure-don't-guess
+    discipline as q280 (the Hamming histogram the Hamming bar was read
+    from) and q274 (the recall price). The in-plan rung choice of
+    q79's self-join optimizes the one-shot case; an INDEX outlives the
+    corpus size it was built at, so its rung deserves a priced
+    decision.
+
+    Shape: fingerprints once, then ONE explode over the full 41-combo
+    table (6+15+20 band rows per doc, tagged by rung) and one
+    (rung, band_idx, band_val) groupBy with map-side combine; the
+    report is a 3-row rollup. Exactly linear in corpus size — the
+    planner costs about two q79 candidate generations, and never
+    generates a pair.
+    """
+    from movie_data_pipeline_spark.operators.dedup import (
+        simhash_band_rows_all_rungs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bands = simhash_band_rows_all_rungs(simhash(docs))
+    bkt = bands.groupBy("rung", "band_idx", "band_val").agg(
+        F.count("*").alias("sz")
+    )
+    return (
+        bkt.groupBy("rung")
+        .agg(
+            F.countDistinct("band_idx").cast("long").alias("n_bands"),
+            F.sum("sz").cast("long").alias("n_band_rows"),
+            F.count("*").cast("long").alias("n_buckets"),
+            F.max("sz").cast("long").alias("max_bucket"),
+            F.sum(F.expr("(sz * (sz - 1)) div 2"))
+            .cast("long")
+            .alias("candidate_pairs"),
+        )
+        .orderBy("rung")
+    )

@@ -127,3 +127,58 @@ def test_cluster_churn_classifies_planted_split_and_merge(spark):
         assert (r5.n_shared, r5.n_b_clusters, r5.n_moved) == (2, 1, 0)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# q289 / q290 / q291 — invariants on the real corpus
+# ---------------------------------------------------------------------------
+def test_epoch_decorrelation_invariants(spark):
+    sf = "/root/testdata/sf0.001"
+    r = (
+        REGISTRY["q289_epoch_order_decorrelation"]
+        .build(spark, sf)
+        .collect()[0]
+    )
+    assert r.n_docs == 500
+    # independent seeded orders: |rho| far from 1 (sd ~ 1/sqrt(n-1))
+    assert -0.5 < r.spearman_rho < 0.5
+    assert 0 <= r.n_same_shard <= r.n_docs
+    # independence predicts ~n/16 same-shard docs; allow a wide band
+    assert r.n_same_shard < r.n_docs / 4
+    assert abs(r.same_shard_rate - r.n_same_shard / r.n_docs) < 1e-4
+
+
+def test_rung_planner_invariants(spark):
+    sf = "/root/testdata/sf0.001"
+    rows = {
+        r.rung: r
+        for r in REGISTRY["q290_simhash_rung_planner"]
+        .build(spark, sf)
+        .collect()
+    }
+    assert set(rows) == {1, 2, 3}
+    assert [rows[m].n_bands for m in (1, 2, 3)] == [6, 15, 20]
+    n = rows[1].n_band_rows // 6
+    assert rows[2].n_band_rows == 15 * n
+    assert rows[3].n_band_rows == 20 * n
+    # wider bands can only shrink buckets: candidate pairs per band
+    # (normalized by band count) must be non-increasing with rung
+    per_band = [rows[m].candidate_pairs / rows[m].n_bands for m in (1, 2, 3)]
+    assert per_band[0] >= per_band[1] >= per_band[2]
+    for m in (1, 2, 3):
+        assert rows[m].max_bucket >= 1
+        assert rows[m].n_buckets <= rows[m].n_band_rows
+
+
+def test_order_locality_audit_invariants(spark):
+    sf = "/root/testdata/sf0.001"
+    rows = (
+        REGISTRY["q291_order_locality_audit"].build(spark, sf).collect()
+    )
+    assert len(rows) == 16
+    assert sum(r.n_docs for r in rows) == 500
+    for r in rows:
+        assert 1 <= r.max_same_source_run <= r.n_docs
+        assert r.n_runs <= r.n_docs
+        # 20 sources at sf0.001: a healthy shuffle keeps runs short
+        assert r.max_same_source_run <= 8
