@@ -147,13 +147,10 @@ _REVERIFY_QUEUE: dict[str, int] = {
     # changed).
     "q264_ivf_recall_sweep": 8,
     "q272_pq_codebook_audit": 8,
-    # round 8: SimHash family migrated to the 60-bit fingerprint with
-    # 4 x 15-bit bands + Hamming<=5 verification (VERDICT r7 #2 — the
-    # 4 x 8-bit band space saturated at 10x; published fingerprints and
-    # pair sets CHANGE at every SF, a deliberate re-verified migration).
+    # round 8: SimHash family migrated to the 60-bit fingerprint
+    # (VERDICT r7 #2; q21's r8+ green row still covers it — the
+    # fingerprint is untouched since).
     "q21_simhash": 8,
-    "q79_simhash_hamming_pairs": 8,
-    "q274_simhash_quality_audit": 8,
     # round 8: q268/q277's groupBy key digested to a fixed-width md5
     # prefix on both engines (VERDICT r7 #3 — ~5x less shuffle bytes;
     # spans identical, plan + oracle text changed).
@@ -163,7 +160,8 @@ _REVERIFY_QUEUE: dict[str, int] = {
     # combination ladder (VERDICT r8 #1 — rung from the in-plan
     # fingerprint count; published pair sets CHANGE at every SF: rung 1
     # is exact for Hamming<=5, so q79/q274 gained the pairs the fixed
-    # 4x15 layout missed). q21's fingerprints are untouched.
+    # 4x15 layout missed — these entries supersede their round-8 ones).
+    # q21's fingerprints are untouched by the ladder.
     "q79_simhash_hamming_pairs": 9,
     "q274_simhash_quality_audit": 9,
     # round 9: q279's Spark-side host regex '^www\.' re-escaped for
