@@ -864,3 +864,132 @@ def q287_simhash_index_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         return result.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# q292 — MULTI-batch SimHash gate replay (round 9; q244's twin)
+# --------------------------------------------------------------------------
+def _q292_oracle() -> str:
+    from movie_data_pipeline_spark.plans.dedup import (
+        _SIMHASH_CTES,
+        _render_simhash_band_ctes,
+    )
+
+    return f"""
+    WITH {_SIMHASH_CTES},
+    {_render_simhash_band_ctes(forced_rung=1)},
+    b0 AS (SELECT * FROM bands WHERE doc_id % 2 = 0),
+    b1 AS (SELECT * FROM bands WHERE doc_id % 2 = 1),
+    d0 AS (
+      SELECT DISTINCT y.doc_id
+      FROM b0 x JOIN b0 y
+        ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+       AND x.doc_id < y.doc_id
+      WHERE bit_count(xor(x.simhash, y.simhash)) <= 5),
+    acc0 AS (
+      SELECT doc_id FROM documents
+      WHERE doc_id % 2 = 0
+        AND doc_id NOT IN (SELECT doc_id FROM d0)),
+    idx0 AS (
+      SELECT band_idx, band_val, simhash
+      FROM b0 JOIN acc0 USING (doc_id)),
+    d1 AS (
+      SELECT DISTINCT y.doc_id
+      FROM b1 x JOIN b1 y
+        ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+       AND x.doc_id < y.doc_id
+      WHERE bit_count(xor(x.simhash, y.simhash)) <= 5),
+    hit1 AS (
+      SELECT DISTINCT b1.doc_id
+      FROM b1 JOIN idx0 USING (band_idx, band_val)
+      WHERE bit_count(xor(b1.simhash, idx0.simhash)) <= 5),
+    acc1 AS (
+      SELECT doc_id FROM documents
+      WHERE doc_id % 2 = 1
+        AND doc_id NOT IN (SELECT doc_id FROM d1)
+        AND doc_id NOT IN (SELECT doc_id FROM hit1))
+    SELECT d.doc_id, d.source
+    FROM documents d
+    JOIN (SELECT doc_id FROM acc0 UNION ALL SELECT doc_id FROM acc1) a
+      USING (doc_id)
+    ORDER BY d.doc_id
+    """
+
+
+@query(
+    "q292_simhash_multibatch_gate",
+    oracle=_q292_oracle(),
+    tags=("extension", "streaming", "dedup", "simhash", "ingest-gate",
+          "multi-batch"),
+)
+def q292_simhash_multibatch_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MULTI-batch SimHash gate replay, hash-verified (round 9): q287
+    pins the single-batch case; here the documents table splits into
+    two deterministic source files (even then odd doc_ids, strictly
+    increasing mtimes) streamed with ``maxFilesPerTrigger=1`` — two
+    micro-batches asserted from the query's own progress — so the
+    CROSS-BATCH path is what the driver verifies: batch-1 docs joined
+    against the (band_idx, band_val, simhash) index that batch 0
+    committed, with exact Hamming<=5 verification at the join. The
+    oracle spells both steps in SQL at the gate's pinned rung. q244 is
+    the same contract on the MinHash index; equality here proves the
+    stored SimHash band index — the O(batch) incremental path of the
+    round-9 ladder — computes exactly the greedy first-seen-wins
+    corpus the batch SQL defines.
+    """
+    import glob as _glob
+    import os as _os
+
+    from movie_data_pipeline_spark.sources.registry import load_table
+    from movie_data_pipeline_spark.sources.versioned import VersionedTable
+    from movie_data_pipeline_spark.streaming.sinks import (
+        start_simhash_gate_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="mdp-q292-")
+    src = f"{base}/src"
+    acc, idx, ckpt = f"{base}/acc", f"{base}/idx", f"{base}/ckpt"
+    _os.makedirs(src)
+    try:
+        for i, half in enumerate(
+            (
+                docs.filter(F.col("doc_id") % 2 == 0),
+                docs.filter(F.col("doc_id") % 2 == 1),
+            )
+        ):
+            out = f"{base}/half{i}"
+            half.coalesce(1).write.parquet(out)
+            part = _glob.glob(f"{out}/part-*.parquet")[0]
+            dest = f"{src}/{i}_half.parquet"
+            _os.rename(part, dest)
+            _os.utime(dest, (1_000_000 + i * 100, 1_000_000 + i * 100))
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = start_simhash_gate_stream(stream, acc, idx, ckpt, rung=1)
+        _await(q, "q292")
+        fed = {
+            p["batchId"]
+            for p in q.recentProgress
+            if p.get("numInputRows", 0) > 0
+        }
+        if len(fed) < 2:
+            raise AssertionError(
+                f"q292: expected >=2 data-carrying micro-batches, got "
+                f"batchIds {sorted(fed)} — the stream did not run "
+                f"multi-batch"
+            )
+        result = (
+            VersionedTable(acc)
+            .read(spark)
+            .select("doc_id", "source")
+            .orderBy("doc_id")
+        )
+        return result.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
