@@ -151,6 +151,7 @@ HEADLINE = [
     "q289_epoch_order_decorrelation",
     "q290_simhash_rung_planner",
     "q291_order_locality_audit",
+    "q292_simhash_multibatch_gate",
     # q79 joins the headline so the band-ladder migration's pair join
     # is priced directly round-over-round, not only via q274
     "q79_simhash_hamming_pairs",
