@@ -152,6 +152,7 @@ HEADLINE = [
     "q290_simhash_rung_planner",
     "q291_order_locality_audit",
     "q292_simhash_multibatch_gate",
+    "q293_shard_token_budget_audit",
     # q79 joins the headline so the band-ladder migration's pair join
     # is priced directly round-over-round, not only via q274
     "q79_simhash_hamming_pairs",

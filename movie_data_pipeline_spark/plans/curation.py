@@ -1845,3 +1845,106 @@ def q291_order_locality_audit(
         )
         .orderBy("shard")
     )
+
+
+# --------------------------------------------------------------------------
+# q293 — shard token-budget audit (doc-balanced != token-balanced)
+# --------------------------------------------------------------------------
+@query(
+    "q293_shard_token_budget_audit",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id,
+             len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR) || '{_ORDER_SEED}') AS hk
+      FROM documents),
+    r AS (
+      SELECT doc_id, n_tokens,
+             ROW_NUMBER() OVER (ORDER BY hk, doc_id) AS rnk,
+             COUNT(*) OVER () AS n
+      FROM h),
+    s AS (
+      SELECT doc_id, n_tokens,
+             (rnk - 1) // ((n + {_ORDER_SHARDS - 1}) // {_ORDER_SHARDS})
+               AS shard
+      FROM r),
+    per AS (
+      SELECT shard,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+             CAST(MAX(n_tokens) AS BIGINT) AS max_doc_tokens
+      FROM s GROUP BY shard),
+    tot AS (SELECT SUM(n_tokens) AS t, COUNT(*) AS k FROM per)
+    SELECT shard, n_docs, n_tokens, max_doc_tokens,
+           {r4('n_tokens * 1.0 / t')} AS token_share,
+           {r4('n_tokens * 1.0 / (t * 1.0 / k)')} AS balance_ratio
+    FROM per, tot ORDER BY shard
+    """,
+    tags=("extension", "training", "shuffle", "audit", "budget"),
+)
+def q293_shard_token_budget_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Shard TOKEN-budget audit (round 9): q286's shards hold equal
+    DOCUMENT counts, but training steps consume TOKENS — a shard that
+    drew long documents runs more steps than its peers and skews
+    data-parallel epoch boundaries. Per shard: docs, token total, the
+    largest single document, token share, and the balance ratio
+    (tokens / mean-tokens-per-shard; 1.0 = perfectly balanced, the
+    number a capacity planner thresholds before deciding to re-pack by
+    token budget with q72/q243 instead of by count). The md5-rank
+    permutation makes shard token totals concentrate tightly around
+    the mean (sum of ~n/16 iid draws), so a ratio far from 1.0 is a
+    red flag on the hash, not bad luck.
+
+    Scale: one rank pass (distributed prefix), one groupBy(shard) with
+    map-side combine, one 16-row broadcast total — the audit costs a
+    token count over the corpus.
+    """
+    from movie_data_pipeline_spark.operators.prefix import (
+        attach_global_row_number,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        F.md5(
+            F.concat(F.col("doc_id").cast("string"), F.lit(_ORDER_SEED))
+        ).alias("hk"),
+    )
+    ranked, _ = attach_global_row_number(h, ["hk", "doc_id"], out="rnk")
+    s = ranked.crossJoin(
+        F.broadcast(docs.agg(F.count("*").alias("n")))
+    ).withColumn(
+        "shard",
+        F.expr(
+            f"(rnk - 1) div ((n + {_ORDER_SHARDS - 1}) div {_ORDER_SHARDS})"
+        ),
+    )
+    per = s.groupBy("shard").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.max("n_tokens").cast("long").alias("max_doc_tokens"),
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("t"), F.count("*").alias("k")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "shard",
+            "n_docs",
+            "n_tokens",
+            "max_doc_tokens",
+            round4(F.col("n_tokens") * F.lit(1.0) / F.col("t")).alias(
+                "token_share"
+            ),
+            round4(
+                F.col("n_tokens")
+                * F.lit(1.0)
+                / (F.col("t") * F.lit(1.0) / F.col("k"))
+            ).alias("balance_ratio"),
+        )
+        .orderBy("shard")
+    )

@@ -182,3 +182,21 @@ def test_order_locality_audit_invariants(spark):
         assert r.n_runs <= r.n_docs
         # 20 sources at sf0.001: a healthy shuffle keeps runs short
         assert r.max_same_source_run <= 8
+
+
+def test_shard_token_budget_invariants(spark):
+    sf = "/root/testdata/sf0.001"
+    rows = (
+        REGISTRY["q293_shard_token_budget_audit"]
+        .build(spark, sf)
+        .collect()
+    )
+    assert len(rows) == 16
+    assert sum(r.n_docs for r in rows) == 500
+    total = sum(r.n_tokens for r in rows)
+    assert abs(sum(r.token_share for r in rows) - 1.0) < 0.01
+    for r in rows:
+        assert r.max_doc_tokens <= r.n_tokens
+        # md5-rank sharding: token totals concentrate around the mean
+        assert 0.5 < r.balance_ratio < 1.5
+        assert abs(r.token_share - r.n_tokens / total) < 1e-4
