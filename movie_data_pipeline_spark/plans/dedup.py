@@ -4020,3 +4020,72 @@ def q290_simhash_rung_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rung")
     )
+
+
+# --------------------------------------------------------------------------
+# q294 — SimHash bit-balance audit (fingerprint health monitor)
+# --------------------------------------------------------------------------
+@query(
+    "q294_simhash_bit_balance",
+    oracle=f"""
+    WITH {_SIMHASH_CTES},
+    bitgrid AS (SELECT j AS bit_idx FROM generate_series(0, 59) t(j)),
+    per_bit AS (
+      SELECT bit_idx,
+             SUM((simhash // CAST(2 ** bit_idx AS BIGINT)) % 2) AS n_set,
+             COUNT(*) AS n
+      FROM fingerprints CROSS JOIN bitgrid
+      GROUP BY bit_idx)
+    SELECT CAST(bit_idx AS BIGINT) AS bit_idx,
+           CAST(n_set AS BIGINT) AS n_set,
+           {r4('n_set * 1.0 / n')} AS set_share,
+           {r4('ABS(n_set * 1.0 / n - 0.5)')} AS abs_dev
+    FROM per_bit ORDER BY bit_idx
+    """,
+    tags=("extension", "dedup", "simhash", "audit", "monitor"),
+)
+def q294_simhash_bit_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash BIT-BALANCE audit (round 9): per fingerprint bit, how
+    many documents set it and the deviation from the 50% a healthy
+    occurrence-weighted SimHash produces over a diverse corpus. Every
+    downstream guarantee — the Hamming metric meaning anything, band
+    buckets filling uniformly (q290's occupancy model), the ladder's
+    collision floor — silently assumes unbiased bits; a skewed bit
+    (token-hash bug, vote-threshold off-by-one, a corpus collapsed to
+    one template) shows here FIRST, before it degrades recall in q274
+    or saturates a q287 index bucket. The fleet-health monitor an
+    ingest pipeline schedules next to the fingerprint job. (On THIS
+    synthetic corpus the monitor fires for real: docs share frequent
+    template tokens, so majority votes align and set shares span
+    ~0.01-0.99 — the template-collapse signature; a distinct-token
+    corpus measures ~0.5 per bit, asserted in
+    tests/test_round9_queries.py.)
+
+    Shape: one explode of a 60-element bit grid per fingerprint
+    (n x 60 narrow rows), one groupBy(bit_idx) with map-side combine —
+    linear, and 60-row output regardless of corpus size. Bit
+    extraction is the same integer (fp div 2^j) % 2 both engines
+    evaluate identically.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fp = simhash(docs)
+    per_bit = (
+        fp.select(
+            "simhash",
+            F.explode(F.sequence(F.lit(0), F.lit(59))).alias("bit_idx"),
+        )
+        .groupBy("bit_idx")
+        .agg(
+            F.sum(
+                F.expr("(simhash div CAST(pow(2, bit_idx) AS BIGINT)) % 2")
+            ).alias("n_set"),
+            F.count("*").alias("n"),
+        )
+    )
+    share = F.col("n_set") * F.lit(1.0) / F.col("n")
+    return per_bit.select(
+        F.col("bit_idx").cast("long").alias("bit_idx"),
+        F.col("n_set").cast("long").alias("n_set"),
+        round4(share).alias("set_share"),
+        round4(F.abs(share - F.lit(0.5))).alias("abs_dev"),
+    ).orderBy("bit_idx")

@@ -200,3 +200,51 @@ def test_shard_token_budget_invariants(spark):
         # md5-rank sharding: token totals concentrate around the mean
         assert 0.5 < r.balance_ratio < 1.5
         assert abs(r.token_share - r.n_tokens / total) < 1e-4
+
+
+def test_simhash_bit_balance_structure_on_real_corpus(spark):
+    """The synthetic corpus is heavily templated (docs share frequent
+    tokens), so its bits are GENUINELY skewed — set shares span
+    ~0.01-0.99 — which is exactly the template-collapse signature the
+    monitor exists to flag. Assert structure here; the ~50% healthy
+    property is asserted on a planted distinct-token corpus below."""
+    sf = "/root/testdata/sf0.001"
+    rows = (
+        REGISTRY["q294_simhash_bit_balance"].build(spark, sf).collect()
+    )
+    assert [r.bit_idx for r in rows] == list(range(60))
+    for r in rows:
+        assert 0 <= r.n_set <= 500
+        assert abs(r.abs_dev - abs(r.set_share - 0.5)) < 2e-4
+    # the skew is real on this corpus: at least some bits far off 0.5
+    assert max(r.abs_dev for r in rows) > 0.3
+
+
+def test_simhash_bit_balance_near_half_on_distinct_tokens(spark):
+    """One unique token per document -> each fingerprint IS that
+    token's 60-bit hash -> every bit is iid Bernoulli(0.5) across
+    docs; with n=400, 6 sigma is +-0.15."""
+    import tempfile
+
+    rows = [
+        (i, f"tok{i:04d}unique", "en", f"s{i % 4}")
+        for i in range(400)
+    ]
+    base = tempfile.mkdtemp(prefix="mdp-r9-bits-")
+    try:
+        spark.createDataFrame(
+            [(i, t, la, s, len(t)) for (i, t, la, s) in rows],
+            TESTDATA_SCHEMAS["documents"],
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{base}/documents.parquet"
+        )
+        out = (
+            REGISTRY["q294_simhash_bit_balance"]
+            .build(spark, base)
+            .collect()
+        )
+        assert len(out) == 60
+        for r in out:
+            assert 0.35 <= r.set_share <= 0.65
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
