@@ -451,19 +451,27 @@ _SIMHASH_RUNG_TARGET = 8  # band-bucket occupancy target between rungs
 
 
 def simhash_band_combos() -> list[tuple[int, int, tuple[int, ...]]]:
-    """(rung m, band_idx within rung, block indices) for every
-    combination the ladder can use — m in {1, 2, 3}, combinations in
-    lexicographic order. ONE deterministic table shared verbatim by the
-    Spark plan and the rendered oracle SQL (plans/dedup.py), so the two
-    engines can never disagree on band layout."""
+    """(rung m, GLOBAL band_idx, block indices) for every combination
+    the ladder can use — m in {1, 2, 3}, combinations in lexicographic
+    order. ONE deterministic table shared verbatim by the Spark plan
+    and the rendered oracle SQL (plans/dedup.py), so the two engines
+    can never disagree on band layout.
+
+    band_idx is GLOBAL across rungs (rung 1 -> 0-5, rung 2 -> 6-20,
+    rung 3 -> 21-40), which makes "band rows from different rungs never
+    join" literally true by key inequality — with per-rung indices, a
+    rung-2 band whose high block is 0 would produce a band_val < 2^10
+    on a shared band_idx and rarely equi-join rung-1 rows. Within one
+    rung the global index is a bijection of the per-rung one, so every
+    published pair set / bucket statistic is unchanged."""
     import itertools
 
     out: list[tuple[int, int, tuple[int, ...]]] = []
+    idx = 0
     for m in (1, 2, 3):
-        for idx, combo in enumerate(
-            itertools.combinations(range(_SIMHASH_BLOCKS), m)
-        ):
+        for combo in itertools.combinations(range(_SIMHASH_BLOCKS), m):
             out.append((m, idx, combo))
+            idx += 1
     return out
 
 
@@ -489,10 +497,12 @@ def simhash_band_rows(
 
     ``rung=None`` picks the rung from the in-plan fingerprint count
     (self-join use). An INDEX must pin an explicit rung at build time —
-    band rows created under different rungs never join, so a gate that
-    bands each arriving batch by the batch's own size would silently
-    stop matching its stored index (see streaming/sinks.py's SimHash
-    gate, which pins the rung as an index-build parameter).
+    band rows created under different rungs never join (band_idx is
+    globally unique per rung, see :func:`simhash_band_combos`), so a
+    gate that bands each arriving batch by the batch's own size would
+    silently stop matching its stored index; streaming/sinks.py's
+    SimHash gate pins the rung as an index-build parameter AND
+    validates it against the stored index's rung column on every batch.
     """
     t1, t2 = simhash_rung_thresholds()
     if rung is None:
@@ -505,65 +515,21 @@ def simhash_band_rows(
         base = sh.crossJoin(F.broadcast(n1)).withColumn("__rung", rung_col)
     else:
         base = sh.withColumn("__rung", F.lit(int(rung)))
-    bb, nb = _SIMHASH_BLOCK_BITS, _SIMHASH_BLOCKS
-    blks = F.array(
-        *[
-            F.expr(f"({hash_col} div {1 << (bb * j)}) % {1 << bb}")
-            for j in range(nb)
-        ]
-    )
-    combos = F.array(
-        *[
-            F.struct(
-                F.lit(m).alias("m"),
-                F.lit(i).alias("band_idx"),
-                F.lit(c[0]).alias("j1"),
-                F.lit(c[1] if len(c) > 1 else -1).alias("j2"),
-                F.lit(c[2] if len(c) > 2 else -1).alias("j3"),
-            )
-            for (m, i, c) in simhash_band_combos()
-        ]
-    )
     return (
-        base.select(
-            F.col(id_col),
-            F.col(hash_col),
-            F.col("__rung"),
-            blks.alias("__blks"),
-            F.explode(combos).alias("cb"),
-        )
-        .filter(F.col("cb.m") == F.col("__rung"))
-        .select(
-            id_col,
-            hash_col,
-            F.col("cb.band_idx").alias("band_idx"),
-            (
-                F.expr("element_at(__blks, cb.j1 + 1)")
-                + F.when(
-                    F.col("cb.j2") >= 0,
-                    F.expr("element_at(__blks, cb.j2 + 1)")
-                    * F.lit(1 << bb),
-                ).otherwise(F.lit(0))
-                + F.when(
-                    F.col("cb.j3") >= 0,
-                    F.expr("element_at(__blks, cb.j3 + 1)")
-                    * F.lit(1 << (2 * bb)),
-                ).otherwise(F.lit(0))
-            ).alias("band_val"),
-        )
+        _band_explode(base, id_col, hash_col)
+        .filter(F.col("rung") == F.col("__rung"))
+        .select(id_col, hash_col, "band_idx", "band_val")
     )
 
 
-def simhash_band_rows_all_rungs(
-    sh: DataFrame,
-    id_col: str = "doc_id",
-    hash_col: str = "simhash",
+def _band_explode(
+    frame: DataFrame, id_col: str, hash_col: str
 ) -> DataFrame:
-    """Band rows for EVERY ladder rung at once — (id, fingerprint,
-    rung m, band_idx, band_val), 41 rows per document — so a rung
-    planner (q290) can price all three candidate-generation layouts
-    over the real corpus in ONE pass instead of three. Same combo
-    table and band-value arithmetic as :func:`simhash_band_rows`."""
+    """THE one compiled form of the combo table: explode every ladder
+    band over ``frame`` -> (.., rung, band_idx, band_val). Both public
+    band-row builders compose this, so the layout q290 prices is BY
+    CONSTRUCTION the layout simhash_hamming_pairs joins on (the oracle
+    twin is factored the same way in plans/dedup.py)."""
     bb, nb = _SIMHASH_BLOCK_BITS, _SIMHASH_BLOCKS
     blks = F.array(
         *[
@@ -583,14 +549,13 @@ def simhash_band_rows_all_rungs(
             for (m, i, c) in simhash_band_combos()
         ]
     )
-    return sh.select(
-        F.col(id_col),
-        F.col(hash_col),
+    keep = [c for c in frame.columns if c != "__blks"]
+    return frame.select(
+        *keep,
         blks.alias("__blks"),
         F.explode(combos).alias("cb"),
     ).select(
-        id_col,
-        hash_col,
+        *keep,
         F.col("cb.m").alias("rung"),
         F.col("cb.band_idx").alias("band_idx"),
         (
@@ -606,6 +571,22 @@ def simhash_band_rows_all_rungs(
             ).otherwise(F.lit(0))
         ).alias("band_val"),
     )
+
+
+def simhash_band_rows_all_rungs(
+    sh: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "simhash",
+) -> DataFrame:
+    """Band rows for EVERY ladder rung at once — (id, fingerprint,
+    rung m, band_idx, band_val), 41 rows per document — so a rung
+    planner (q290) can price all three candidate-generation layouts
+    over the real corpus in ONE pass instead of three. Shares
+    :func:`_band_explode` with :func:`simhash_band_rows`, so the two
+    can never diverge."""
+    return _band_explode(
+        sh.select(id_col, hash_col), id_col, hash_col
+    ).select(id_col, hash_col, "rung", "band_idx", "band_val")
 
 
 def simhash_hamming_pairs(

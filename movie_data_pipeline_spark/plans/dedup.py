@@ -204,6 +204,37 @@ _BH60_SQL = "CAST(('0x' || substr(md5({col}), 1, 15)) AS BIGINT)"
 _SIMHASH_MAX_HAMMING = 5
 
 
+def _simhash_combo_sql() -> tuple[str, str, str]:
+    """THE one rendered form of the ladder's combo table — the SQL twin
+    of ``operators/dedup._band_explode``, shared by every SimHash
+    oracle renderer below: (VALUES rows, blk-list expr, band_val expr
+    over a ``combos``-joined ``blk`` list). One source means the layout
+    the q290 planner's oracle prices can never diverge from the layout
+    q79/q287/q292's oracles join on."""
+    from movie_data_pipeline_spark.operators.dedup import (
+        _SIMHASH_BLOCK_BITS,
+        _SIMHASH_BLOCKS,
+        simhash_band_combos,
+    )
+
+    vals = ",\n      ".join(
+        f"({m}, {i}, {c[0]}, "
+        f"{c[1] if len(c) > 1 else -1}, {c[2] if len(c) > 2 else -1})"
+        for (m, i, c) in simhash_band_combos()
+    )
+    bb = _SIMHASH_BLOCK_BITS
+    blk = ", ".join(
+        f"(simhash // {1 << (bb * j)}) % {1 << bb}"
+        for j in range(_SIMHASH_BLOCKS)
+    )
+    band_val = f"""blk[j1 + 1]
+             + CASE WHEN j2 >= 0 THEN blk[j2 + 1] * {1 << bb}
+                    ELSE 0 END
+             + CASE WHEN j3 >= 0 THEN blk[j3 + 1] * {1 << (2 * bb)}
+                    ELSE 0 END"""
+    return vals, blk, band_val
+
+
 def _render_simhash_band_ctes(forced_rung: int | None = None) -> str:
     """DuckDB twin of ``operators/dedup.simhash_hamming_pairs``'s band
     ladder (round 9, VERDICT r8 #1): rung from the IN-QUERY fingerprint
@@ -216,23 +247,11 @@ def _render_simhash_band_ctes(forced_rung: int | None = None) -> str:
     pins its rung at build time (q287's gate), so its oracle must band
     at that pinned rung rather than the corpus-size rung."""
     from movie_data_pipeline_spark.operators.dedup import (
-        _SIMHASH_BLOCK_BITS,
-        _SIMHASH_BLOCKS,
-        simhash_band_combos,
         simhash_rung_thresholds,
     )
 
     t1, t2 = simhash_rung_thresholds()
-    vals = ",\n      ".join(
-        f"({m}, {i}, {c[0]}, "
-        f"{c[1] if len(c) > 1 else -1}, {c[2] if len(c) > 2 else -1})"
-        for (m, i, c) in simhash_band_combos()
-    )
-    bb = _SIMHASH_BLOCK_BITS
-    blk = ", ".join(
-        f"(simhash // {1 << (bb * j)}) % {1 << bb}"
-        for j in range(_SIMHASH_BLOCKS)
-    )
+    vals, blk, band_val = _simhash_combo_sql()
     rung_sql = (
         f"SELECT {int(forced_rung)} AS m"
         if forced_rung is not None
@@ -246,11 +265,7 @@ def _render_simhash_band_ctes(forced_rung: int | None = None) -> str:
     blks AS (SELECT doc_id, simhash, [{blk}] AS blk FROM fingerprints),
     bands AS (
       SELECT doc_id, simhash, band_idx,
-             blk[j1 + 1]
-             + CASE WHEN j2 >= 0 THEN blk[j2 + 1] * {1 << bb}
-                    ELSE 0 END
-             + CASE WHEN j3 >= 0 THEN blk[j3 + 1] * {1 << (2 * bb)}
-                    ELSE 0 END AS band_val
+             {band_val} AS band_val
       FROM blks, combos, rung WHERE combos.m = rung.m)"""
 
 
@@ -3926,35 +3941,17 @@ def q288_cluster_churn_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 def _render_simhash_allrung_ctes() -> str:
     """Band rows for EVERY rung (no rung filter) — the oracle twin of
-    ``operators/dedup.simhash_band_rows_all_rungs``. Expects
-    ``fingerprints``; emits ``allbands(doc_id, rung, band_idx,
+    ``operators/dedup.simhash_band_rows_all_rungs``, composed from the
+    SAME ``_simhash_combo_sql`` fragment as the rung-filtered renderer.
+    Expects ``fingerprints``; emits ``allbands(doc_id, rung, band_idx,
     band_val)``."""
-    from movie_data_pipeline_spark.operators.dedup import (
-        _SIMHASH_BLOCK_BITS,
-        _SIMHASH_BLOCKS,
-        simhash_band_combos,
-    )
-
-    vals = ",\n      ".join(
-        f"({m}, {i}, {c[0]}, "
-        f"{c[1] if len(c) > 1 else -1}, {c[2] if len(c) > 2 else -1})"
-        for (m, i, c) in simhash_band_combos()
-    )
-    bb = _SIMHASH_BLOCK_BITS
-    blk = ", ".join(
-        f"(simhash // {1 << (bb * j)}) % {1 << bb}"
-        for j in range(_SIMHASH_BLOCKS)
-    )
+    vals, blk, band_val = _simhash_combo_sql()
     return f"""combos(m, band_idx, j1, j2, j3) AS (VALUES
       {vals}),
     blks AS (SELECT doc_id, simhash, [{blk}] AS blk FROM fingerprints),
     allbands AS (
       SELECT doc_id, combos.m AS rung, band_idx,
-             blk[j1 + 1]
-             + CASE WHEN j2 >= 0 THEN blk[j2 + 1] * {1 << bb}
-                    ELSE 0 END
-             + CASE WHEN j3 >= 0 THEN blk[j3 + 1] * {1 << (2 * bb)}
-                    ELSE 0 END AS band_val
+             {band_val} AS band_val
       FROM blks, combos)"""
 
 

@@ -345,14 +345,17 @@ def simhash_gate_batch_writer(
        against the indexed fingerprint — banding only generates
        candidates, the verify bar is exact;
     4. survivors commit docs-first, then their (doc_id, simhash,
-       band_idx, band_val) rows into the index.
+       band_idx, band_val, rung) rows into the index.
 
     ``rung`` is an INDEX-BUILD parameter, pinned for the life of the
-    index: band rows created under different rungs never join
-    (operators/dedup.simhash_band_rows), so re-banding each batch by
-    its own size would silently stop matching the stored index. Size
-    the rung for the TARGET corpus (rung 3 carries ~10^9 docs at ~8
-    collisions/band), and migrate an index by re-banding its stored
+    index: band rows created under different rungs never join (band_idx
+    is globally unique per rung — operators/dedup.simhash_band_combos),
+    so re-banding each batch by its own size would silently stop
+    matching the stored index. The rung is therefore PERSISTED in the
+    index rows and validated on every batch — a writer restarted with
+    the wrong rung raises instead of silently accepting duplicates.
+    Size the rung for the TARGET corpus (rung 3 carries ~10^9 docs at
+    ~8 collisions/band), and migrate an index by re-banding its stored
     fingerprints — a map-only rewrite, no text re-hash.
 
     Crash/replay discipline is the MinHash gate's verbatim: commits
@@ -375,7 +378,9 @@ def simhash_gate_batch_writer(
         spark = batch_df.sparkSession
         fp = simhash(batch_df).persist()
         try:
-            bands = simhash_band_rows(fp, rung=rung)
+            bands = simhash_band_rows(fp, rung=rung).withColumn(
+                "rung", F.lit(int(rung))
+            )
             batch_dupes = (
                 simhash_hamming_pairs(
                     fp, max_hamming=max_hamming, rung=rung
@@ -387,6 +392,25 @@ def simhash_gate_batch_writer(
 
             index = VersionedTable(index_path)
             if index.current_version() is not None:
+                # Rung is persisted IN the index and validated on every
+                # batch: band rows written under a different rung would
+                # silently never join (global band_idx disambiguates
+                # rungs), letting duplicates of indexed docs through —
+                # a misconfigured writer must fail loudly instead.
+                lo, hi = (
+                    index.read(spark)
+                    .agg(F.min("rung"), F.max("rung"))
+                    .collect()[0]
+                )
+                if lo != rung or hi != rung:
+                    raise ValueError(
+                        f"simhash gate: index at {index_path} was built "
+                        f"at rung {lo}"
+                        + (f"-{hi}" if hi != lo else "")
+                        + f" but this writer is pinned to rung {rung}; "
+                        "migrate the index (re-band its stored "
+                        "fingerprints) or pin the matching rung"
+                    )
                 corpus_bands = index.read(spark).select(
                     "band_idx",
                     "band_val",

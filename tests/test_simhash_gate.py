@@ -101,12 +101,30 @@ def test_gate_rung_is_pinned_not_batch_sized(spark, tmp_path):
     writer(_docs(spark, [(0, BASE), (1, OTHER)]), 0)
     idx_rows = VersionedTable(idx).read(spark).collect()
     assert len(idx_rows) == 40  # 2 docs x C(6,3) bands
-    assert {r.band_idx for r in idx_rows} == set(range(20))
+    # global band_idx: rung 3 occupies 21-40
+    assert {r.band_idx for r in idx_rows} == set(range(21, 41))
+    assert {r.rung for r in idx_rows} == {3}
     # and the rung-3 gate still rejects a cross-batch near-dup
     # (Hamming<=3 guaranteed; this pair is typically <=5 with errors
     # clustered, caught via the exact verify on banded candidates)
     writer(_docs(spark, [(10, BASE)]), 1)  # exact dup -> always caught
     assert _accepted_ids(spark, acc) == {0, 1}
+
+
+def test_gate_rejects_rung_mismatch_against_stored_index(spark, tmp_path):
+    """A writer restarted with a different rung must FAIL LOUDLY: its
+    band rows would never join the stored index (global band_idx), so
+    silent acceptance would let exact duplicates through."""
+    import pytest
+
+    acc, idx = str(tmp_path / "acc"), str(tmp_path / "idx")
+    simhash_gate_batch_writer(acc, idx, rung=1)(
+        _docs(spark, [(0, BASE)]), 0
+    )
+    with pytest.raises(ValueError, match="rung"):
+        simhash_gate_batch_writer(acc, idx, rung=3)(
+            _docs(spark, [(1, OTHER)]), 1
+        )
 
 
 def test_gate_stream_end_to_end(spark, tmp_path):

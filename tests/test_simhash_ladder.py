@@ -25,14 +25,43 @@ def test_rung_thresholds_are_occupancy_times_band_space():
 def test_combo_table_shape_and_order():
     combos = simhash_band_combos()
     assert len(combos) == 6 + 15 + 20
+    # band_idx is GLOBAL across rungs: rung boundaries at 6 and 21, so
+    # rows from different rungs can never share a join key
+    assert [c[1] for c in combos] == list(range(41))
+    starts = {1: 0, 2: 6, 3: 21}
     for m in (1, 2, 3):
         rows = [c for c in combos if c[0] == m]
-        assert [r[1] for r in rows] == list(range(len(rows)))
+        assert rows[0][1] == starts[m]
         assert [r[2] for r in rows] == sorted(
             itertools.combinations(range(_SIMHASH_BLOCKS), m)
         )
         assert all(len(r[2]) == m for r in rows)
     assert _SIMHASH_BLOCKS * _SIMHASH_BLOCK_BITS == 60
+
+
+def test_band_rows_never_join_across_rungs(spark):
+    """The review-found edge: with per-rung indices, a rung-2 band
+    whose HIGH block is 0 yields band_val < 2^10 and could equi-join a
+    rung-1 row. Global band_idx makes cross-rung joins impossible by
+    key inequality — assert no (band_idx, band_val) key is shared."""
+    from movie_data_pipeline_spark.operators.dedup import (
+        simhash_band_rows,
+    )
+
+    # fingerprints crafted so rung-2 bands over blocks (0, j) collapse
+    # to blk0 (all other blocks zero): the adversarial case
+    fp = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], ["doc_id", "simhash"]
+    )
+    r1 = {
+        (r.band_idx, r.band_val)
+        for r in simhash_band_rows(fp, rung=1).collect()
+    }
+    r2 = {
+        (r.band_idx, r.band_val)
+        for r in simhash_band_rows(fp, rung=2).collect()
+    }
+    assert not (r1 & r2)
 
 
 def _planted_fp(spark):
