@@ -169,6 +169,15 @@ _REVERIFY_QUEUE: dict[str, int] = {
     # reached the regex engine as '^www.'; inert on this corpus, so
     # outputs are unchanged, but the registered plan text changed).
     "q279_url_host_dedup_rollup": 9,
+    # round 10 (ADVICE r9): the rung=None ladder path lazily local-
+    # checkpoints the fingerprint frame so the in-plan count no longer
+    # re-evaluates the aggregation subtree — outputs unchanged, but
+    # the registered q79/q274 plans changed shape; q286's shard-width
+    # count now aggregates the pre-rank frame instead of replaying the
+    # range-partition sort (values identical).
+    "q79_simhash_hamming_pairs": 10,
+    "q274_simhash_quality_audit": 10,
+    "q286_training_order_manifest": 10,
 }
 
 

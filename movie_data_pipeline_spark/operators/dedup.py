@@ -506,6 +506,16 @@ def simhash_band_rows(
     """
     t1, t2 = simhash_rung_thresholds()
     if rung is None:
+        # The in-plan count and the band explode both consume ``sh``;
+        # Spark does not share the subtree across the crossJoin (the
+        # count side is column-pruned, so the two exchanges differ and
+        # ReuseExchange never fires — ADVICE r9), which evaluated the
+        # fingerprint aggregation twice. A lazy local checkpoint
+        # materializes it ONCE on first use and both branches (and the
+        # downstream pair self-join) read the cached partitions;
+        # storage is executor-local MEMORY_AND_DISK, freed when the
+        # plan is garbage-collected.
+        sh = sh.localCheckpoint(eager=False)
         n1 = sh.agg(F.count("*").alias("__n_fp"))
         rung_col = (
             F.when(F.col("__n_fp") <= t1, 1)

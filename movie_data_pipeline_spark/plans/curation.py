@@ -1611,7 +1611,11 @@ def q286_training_order_manifest(
         ).alias("hk"),
     )
     ranked, _n = attach_global_row_number(h, ["hk", "doc_id"], out="rnk")
-    n1 = ranked.agg(F.count("*").alias("n"))
+    # In-plan corpus count for the shard width — aggregated from the
+    # PRE-rank frame: counting ``ranked`` would replay the whole
+    # range-partition sort a second time just to produce one number
+    # (ADVICE r9); ``h`` is the same row set one cheap scan earlier.
+    n1 = h.agg(F.count("*").alias("n"))
     s = ranked.crossJoin(F.broadcast(n1)).withColumn(
         "shard",
         F.expr(

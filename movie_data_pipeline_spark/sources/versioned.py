@@ -80,11 +80,28 @@ class VersionedTable:
             return json.load(fh)
 
     # ---- write path --------------------------------------------------
-    def commit(self, df: DataFrame, mode: str = "overwrite") -> int:
+    def commit(
+        self,
+        df: DataFrame,
+        mode: str = "overwrite",
+        meta: dict | None = None,
+    ) -> int:
         """Write ``df`` as the next version. ``mode='append'`` keeps the
         parent's data dirs visible; ``'overwrite'`` replaces them.
         Returns the committed version; raises CommitConflict if another
-        writer won the race for this version number."""
+        writer won the race for this version number.
+
+        ``meta`` is an optional JSON-serializable dict of table-level
+        properties recorded in the manifest (Delta's table properties /
+        Iceberg's snapshot summary) — e.g. the SimHash gate pins its
+        index ``simhash_rung`` here so a restarted writer validates its
+        configuration against ONE manifest read instead of scanning the
+        index rows. Properties are TABLE-level, not snapshot-level:
+        when ``meta`` is None every commit (append AND overwrite)
+        inherits the parent's properties unchanged — a delete_where /
+        compact / scrub rewrite must not silently drop the pinned rung.
+        Pass an explicit dict (``{}`` to clear) to replace them.
+        """
         if mode not in ("overwrite", "append"):
             raise ValueError(f"mode must be overwrite|append, got {mode!r}")
         head = self.current_version()
@@ -94,13 +111,18 @@ class VersionedTable:
         df.write.mode("errorifexists").parquet(new_dir)
 
         dirs = [os.path.basename(new_dir)]
-        if mode == "append" and head is not None:
-            dirs = self.manifest(head)["data_dirs"] + dirs
+        parent_meta: dict = {}
+        if head is not None:
+            parent = self.manifest(head)
+            parent_meta = parent.get("meta", {})
+            if mode == "append":
+                dirs = parent["data_dirs"] + dirs
         manifest = {
             "version": next_v,
             "parent": head,
             "mode": mode,
             "data_dirs": dirs,
+            "meta": parent_meta if meta is None else meta,
             "committed_at": time.time(),
         }
         tmp = os.path.join(self._manifest_dir, f".tmp-{token}.json")

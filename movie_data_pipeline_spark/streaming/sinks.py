@@ -351,12 +351,15 @@ def simhash_gate_batch_writer(
     index: band rows created under different rungs never join (band_idx
     is globally unique per rung — operators/dedup.simhash_band_combos),
     so re-banding each batch by its own size would silently stop
-    matching the stored index. The rung is therefore PERSISTED in the
-    index rows and validated on every batch — a writer restarted with
-    the wrong rung raises instead of silently accepting duplicates.
-    Size the rung for the TARGET corpus (rung 3 carries ~10^9 docs at
-    ~8 collisions/band), and migrate an index by re-banding its stored
-    fingerprints — a map-only rewrite, no text re-hash.
+    matching the stored index. The rung is therefore PERSISTED — in the
+    manifest's table properties (``meta.simhash_rung``) and in every
+    index row — and validated on every batch from the manifest (one
+    JSON read, no index scan): a writer restarted with the wrong rung
+    raises instead of silently accepting duplicates. Size the rung for
+    the TARGET corpus (rung 3 carries ~10^9 docs at ~8
+    collisions/band), and migrate an index by re-banding its stored
+    fingerprints (:func:`operators.index_lifecycle.
+    migrate_simhash_index`) — a map-only rewrite, no text re-hash.
 
     Crash/replay discipline is the MinHash gate's verbatim: commits
     are docs-first (a crash between commits may let a later duplicate
@@ -392,26 +395,37 @@ def simhash_gate_batch_writer(
 
             index = VersionedTable(index_path)
             if index.current_version() is not None:
-                # Rung is persisted IN the index and validated on every
+                idx_df = index.read(spark)
+                # Rung is pinned per-index and validated on every
                 # batch: band rows written under a different rung would
                 # silently never join (global band_idx disambiguates
                 # rungs), letting duplicates of indexed docs through —
-                # a misconfigured writer must fail loudly instead.
-                lo, hi = (
-                    index.read(spark)
-                    .agg(F.min("rung"), F.max("rung"))
-                    .collect()[0]
+                # a misconfigured writer must fail loudly instead. The
+                # stored rung comes from the manifest's table
+                # properties (one JSON read — ADVICE r9: the old
+                # min/max agg scanned the whole index per batch), with
+                # a single-row fallback for indexes committed before
+                # manifests carried ``meta``; every commit path writes
+                # a constant rung column, and migration rewrites all
+                # rows in one snapshot, so one row is authoritative. An
+                # EMPTY committed index has no rung to validate — it is
+                # treated as unvalidated, same as no version at all.
+                stored = index.manifest().get("meta", {}).get(
+                    "simhash_rung"
                 )
-                if lo != rung or hi != rung:
+                if stored is None:
+                    row = idx_df.select("rung").first()
+                    stored = None if row is None else row["rung"]
+                if stored is not None and stored != rung:
                     raise ValueError(
                         f"simhash gate: index at {index_path} was built "
-                        f"at rung {lo}"
-                        + (f"-{hi}" if hi != lo else "")
-                        + f" but this writer is pinned to rung {rung}; "
-                        "migrate the index (re-band its stored "
-                        "fingerprints) or pin the matching rung"
+                        f"at rung {stored} but this writer is pinned to "
+                        f"rung {rung}; migrate the index (re-band its "
+                        "stored fingerprints — operators/"
+                        "index_lifecycle.migrate_simhash_index) or pin "
+                        "the matching rung"
                     )
-                corpus_bands = index.read(spark).select(
+                corpus_bands = idx_df.select(
                     "band_idx",
                     "band_val",
                     F.col("simhash").alias("idx_simhash"),
@@ -449,6 +463,7 @@ def simhash_gate_batch_writer(
                         survivors.select("doc_id"), "doc_id", "left_semi"
                     ),
                     mode="append",
+                    meta={"simhash_rung": int(rung)},
                 )
             finally:
                 survivors.unpersist()
