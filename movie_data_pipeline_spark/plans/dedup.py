@@ -4086,3 +4086,201 @@ def q294_simhash_bit_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         round4(share).alias("set_share"),
         round4(F.abs(share - F.lit(0.5))).alias("abs_dev"),
     ).orderBy("bit_idx")
+
+
+# --------------------------------------------------------------------------
+# q297 — skew-corrected rung pricing (round 10, VERDICT r9 #3)
+# --------------------------------------------------------------------------
+def _q297_oracle() -> str:
+    vals, _blk, _bv = _simhash_combo_sql()
+    return f"""
+    WITH {_SIMHASH_CTES},
+    {_render_simhash_allrung_ctes()},
+    bitgrid AS (SELECT j AS bit_idx FROM generate_series(0, 59) t(j)),
+    per_bit AS (
+      SELECT bit_idx,
+             SUM((simhash // CAST(2 ** bit_idx AS BIGINT)) % 2) AS n_set,
+             COUNT(*) AS n
+      FROM fingerprints CROSS JOIN bitgrid
+      GROUP BY bit_idx),
+    cb AS (
+      SELECT bit_idx, bit_idx // 10 AS block_idx,
+             (n_set * 1.0 / n) * (n_set * 1.0 / n)
+             + (1 - n_set * 1.0 / n) * (1 - n_set * 1.0 / n) AS c
+      FROM per_bit),
+    bp AS (
+      SELECT block_idx, PRODUCT(c ORDER BY bit_idx) AS bp
+      FROM cb GROUP BY block_idx),
+    pcombos(m, band_idx, j1, j2, j3) AS (VALUES
+      {vals}),
+    bandp AS (
+      SELECT pcombos.m AS rung, band_idx,
+             (b1.bp * COALESCE(b2.bp, 1.0)) * COALESCE(b3.bp, 1.0) AS p
+      FROM pcombos
+      JOIN bp b1 ON b1.block_idx = pcombos.j1
+      LEFT JOIN bp b2 ON b2.block_idx = pcombos.j2
+      LEFT JOIN bp b3 ON b3.block_idx = pcombos.j3),
+    nn AS (SELECT MAX(n) AS n FROM per_bit),
+    expd AS (
+      SELECT rung,
+             CAST(COUNT(*) AS BIGINT) AS n_bands,
+             SUM(p ORDER BY band_idx) AS s
+      FROM bandp GROUP BY rung),
+    bkt AS (
+      SELECT rung, band_idx, band_val, COUNT(*) AS sz
+      FROM allbands GROUP BY 1, 2, 3),
+    actual AS (
+      SELECT rung,
+             CAST(SUM(sz * (sz - 1) // 2) AS BIGINT) AS actual_pairs
+      FROM bkt GROUP BY rung)
+    SELECT CAST(expd.rung AS BIGINT) AS rung,
+           n_bands,
+           actual_pairs,
+           {r4('(CAST(n AS DOUBLE) * (n - 1) / 2)'
+               ' * CAST(n_bands AS DOUBLE)'
+               ' * POW(2.0, -10 * expd.rung)')} AS exp_pairs_uniform,
+           {r4('(CAST(n AS DOUBLE) * (n - 1) / 2) * s')}
+             AS exp_pairs_skewed,
+           {r4('s / (CAST(n_bands AS DOUBLE) * POW(2.0, -10 * expd.rung))')}
+             AS skew_inflation
+    FROM expd JOIN actual ON expd.rung = actual.rung
+    CROSS JOIN nn
+    ORDER BY rung
+    """
+
+
+@query(
+    "q297_simhash_skew_pricing",
+    oracle=_q297_oracle(),
+    tags=("extension", "dedup", "simhash", "calibration", "planner",
+          "skew"),
+)
+def q297_simhash_skew_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-corrected SimHash rung pricing (round 10, VERDICT r9 #3):
+    the ladder's collision-floor guarantees (SCALING.md; measured in
+    SCALE_PROBE_r9.md) assume UNIFORM fingerprint bits, and q294
+    measures per-bit set shares of 0.01-0.99 on this templated corpus
+    — so this query folds the bit-entropy correction into the rung
+    pricing itself. Per rung m it reports, over the real corpus:
+
+    - ``actual_pairs`` — the exact banded candidate count (q290's
+      measure: sum C(bucket, 2) over the rung's buckets);
+    - ``exp_pairs_uniform`` — C(n,2) * n_bands / 2^(10m), the uniform
+      floor every SCALING.md threshold was derived from;
+    - ``exp_pairs_skewed`` — C(n,2) * sum over bands of
+      prod_{bits in band} (p_j^2 + (1-p_j)^2) with p_j the MEASURED
+      per-bit set share (independent-bits model — the standard LSH
+      collision calculation with the uniformity assumption removed);
+    - ``skew_inflation`` — skewed/uniform expectation ratio: how many
+      times hotter the band space runs than the floor model claims.
+      A rung planner multiplies the SCALING.md thresholds down by
+      this factor before pinning an index rung.
+
+    Cross-engine float discipline: every product/sum over band
+    probabilities is an ORDERED fold (array_sort + aggregate on the
+    Spark side, PRODUCT/SUM(... ORDER BY) on DuckDB) — sequential IEEE
+    double ops in the same order are bit-identical, so the round4
+    outputs can never straddle a quantization boundary. The per-bit
+    shares, block products, and combo table all derive from the same
+    helpers as q290/q294 (operators/dedup.simhash_band_combos), so the
+    priced layout is BY CONSTRUCTION the layout the gates join on.
+
+    Shape: one fingerprint pass shared (lazy local checkpoint) by the
+    60-bit explode (n x 60 narrow rows) and the 41-combo band explode
+    (q290's audited plan); everything downstream of the two groupBys
+    is constant-size (60 bits, 6 blocks, 41 bands, 3 rungs). Linear in
+    corpus size, never generates a pair.
+    """
+    from movie_data_pipeline_spark.operators.dedup import (
+        simhash_band_combos,
+        simhash_band_rows_all_rungs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = simhash(docs).localCheckpoint(eager=False)
+
+    per_bit = (
+        fp.select(
+            "simhash",
+            F.explode(F.sequence(F.lit(0), F.lit(59))).alias("bit_idx"),
+        )
+        .groupBy("bit_idx")
+        .agg(
+            F.sum(
+                F.expr("(simhash div CAST(pow(2, bit_idx) AS BIGINT)) % 2")
+            ).alias("n_set"),
+            F.count("*").alias("n"),
+        )
+    )
+    p = F.col("n_set") * F.lit(1.0) / F.col("n")
+    cb = per_bit.select(
+        "bit_idx",
+        (F.col("bit_idx") / 10).cast("int").alias("block_idx"),
+        (p * p + (F.lit(1) - p) * (F.lit(1) - p)).alias("c"),
+        "n",
+    )
+    bp = cb.groupBy("block_idx").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("bit_idx", "c"))),
+            F.lit(1.0),
+            lambda acc, x: acc * x["c"],
+        ).alias("bp")
+    )
+    combos = spark.createDataFrame(
+        [(m, i, c[0], c[1] if len(c) > 1 else -1, c[2] if len(c) > 2 else -1)
+         for (m, i, c) in simhash_band_combos()],
+        "m INT, band_idx INT, j1 INT, j2 INT, j3 INT",
+    )
+    b1, b2, b3 = bp.alias("b1"), bp.alias("b2"), bp.alias("b3")
+    bandp = (
+        combos.join(b1, F.col("b1.block_idx") == F.col("j1"))
+        .join(b2, F.col("b2.block_idx") == F.col("j2"), "left")
+        .join(b3, F.col("b3.block_idx") == F.col("j3"), "left")
+        .select(
+            F.col("m").alias("rung"),
+            "band_idx",
+            (
+                (F.col("b1.bp") * F.coalesce(F.col("b2.bp"), F.lit(1.0)))
+                * F.coalesce(F.col("b3.bp"), F.lit(1.0))
+            ).alias("p"),
+        )
+    )
+    expd = bandp.groupBy("rung").agg(
+        F.count("*").cast("long").alias("n_bands"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("band_idx", "p"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["p"],
+        ).alias("s"),
+    )
+    nn = per_bit.agg(F.max("n").alias("n"))
+
+    bkt = (
+        simhash_band_rows_all_rungs(fp)
+        .groupBy("rung", "band_idx", "band_val")
+        .agg(F.count("*").alias("sz"))
+    )
+    actual = bkt.groupBy("rung").agg(
+        F.sum(F.expr("(sz * (sz - 1)) div 2"))
+        .cast("long")
+        .alias("actual_pairs")
+    )
+
+    n_d = F.col("n").cast("double")
+    pairs = n_d * (F.col("n") - 1) / 2
+    unif_per_band = F.col("n_bands").cast("double") * F.pow(
+        F.lit(2.0), F.lit(-10) * F.col("rung")
+    )
+    return (
+        expd.join(actual, "rung")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            F.col("rung").cast("long").alias("rung"),
+            "n_bands",
+            "actual_pairs",
+            round4(pairs * unif_per_band).alias("exp_pairs_uniform"),
+            round4(pairs * F.col("s")).alias("exp_pairs_skewed"),
+            round4(F.col("s") / unif_per_band).alias("skew_inflation"),
+        )
+        .orderBy("rung")
+    )
