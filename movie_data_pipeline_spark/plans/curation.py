@@ -1952,3 +1952,139 @@ def q293_shard_token_budget_audit(
         )
         .orderBy("shard")
     )
+
+
+# --------------------------------------------------------------------------
+# q298 — curriculum-ordered shard manifest (round 10, VERDICT r9 #4)
+# --------------------------------------------------------------------------
+_CURRICULUM_SEED = ":curriculum:epoch0"
+
+
+@query(
+    "q298_curriculum_shard_manifest",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             n_chars * 1.0
+               / len(string_split_regex(lower(trim(text)), '\\s+'))
+               AS difficulty
+      FROM documents),
+    tiled AS (
+      SELECT doc_id,
+             NTILE(4) OVER (ORDER BY difficulty, doc_id) AS stage
+      FROM scored),
+    h AS (
+      SELECT doc_id, stage,
+             md5(CAST(doc_id AS VARCHAR) || '{_CURRICULUM_SEED}') AS hk
+      FROM tiled),
+    r AS (
+      SELECT doc_id, stage,
+             ROW_NUMBER() OVER (ORDER BY stage, hk, doc_id) AS rnk,
+             COUNT(*) OVER () AS n
+      FROM h),
+    s AS (
+      SELECT doc_id, stage, rnk,
+             (rnk - 1) // ((n + {_ORDER_SHARDS - 1}) // {_ORDER_SHARDS})
+               AS shard
+      FROM r)
+    SELECT shard,
+           COUNT(*) AS n_docs,
+           MIN(rnk) AS min_rank,
+           MAX(rnk) AS max_rank,
+           CAST(MIN(stage) AS BIGINT) AS min_stage,
+           CAST(MAX(stage) AS BIGINT) AS max_stage,
+           CAST(SUM(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                     || CAST(rnk AS VARCHAR)), 1, 8)) AS BIGINT)) AS BIGINT)
+             AS content_digest
+    FROM s GROUP BY shard ORDER BY shard
+    """,
+    tags=("extension", "training", "curriculum", "shuffle", "manifest"),
+)
+def q298_curriculum_shard_manifest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CURRICULUM-ordered training shard manifest (round 10, VERDICT
+    r9 #4) — the composition the training layer was missing: q215
+    assigns difficulty stages and q286 builds a seeded global order,
+    but a staged training run consumes ONE order — curriculum stage
+    first, seeded permutation WITHIN each stage — cut into fixed-size
+    shards that a loader can fetch and verify. This query publishes
+    that manifest: per shard its document count, global-rank interval,
+    the curriculum stage span it covers (the boundary shards are the
+    only ones spanning two stages — a loader can schedule stage
+    transitions mid-shard or snap to shard boundaries), and the
+    order-independent membership digest of q286 (sum of per-
+    (doc_id, rank) 32-bit hashes) to verify a materialized shard
+    before training starts. A new epoch seed re-permutes WITHIN each
+    stage while the stage progression stays fixed — exactly
+    curriculum-learning semantics.
+
+    Plan shape: TWO distributed rank passes, no global window
+    anywhere — stage comes from q215's machinery (range partition on
+    (difficulty, doc_id), local row_number, broadcast offsets, exact
+    NTILE arithmetic), then the training order ranks
+    (stage, md5(doc_id||seed), doc_id) with the same
+    ``attach_global_row_number``; the shard width is ceil(n/16) with
+    n aggregated in-plan from the pre-rank frame (q286's discipline,
+    incl. the ADVICE r9 fix), and the manifest is one groupBy(shard)
+    with map-side combine. Linear in corpus size; both rank passes
+    are the parallel range-partition sort a global orderBy would cost
+    anyway.
+    """
+    from movie_data_pipeline_spark.functions.text import base_hash32
+    from movie_data_pipeline_spark.operators.prefix import (
+        attach_global_row_number,
+        ntile_from_row_number,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    scored = docs.select(
+        "doc_id", (F.col("n_chars") / F.size(t)).alias("difficulty")
+    )
+    ranked0, n_docs = attach_global_row_number(
+        scored, ["difficulty", "doc_id"], "rn"
+    )
+    tiled = ranked0.select(
+        "doc_id",
+        ntile_from_row_number(F.col("rn"), n_docs, 4)
+        .cast("int")
+        .alias("stage"),
+    )
+    h = tiled.withColumn(
+        "hk",
+        F.md5(
+            F.concat(
+                F.col("doc_id").cast("string"), F.lit(_CURRICULUM_SEED)
+            )
+        ),
+    )
+    ranked, _n = attach_global_row_number(
+        h, ["stage", "hk", "doc_id"], out="rnk"
+    )
+    n1 = h.agg(F.count("*").alias("n"))
+    s = ranked.crossJoin(F.broadcast(n1)).withColumn(
+        "shard",
+        F.expr(
+            f"(rnk - 1) div ((n + {_ORDER_SHARDS - 1}) div {_ORDER_SHARDS})"
+        ),
+    )
+    digest = base_hash32(
+        F.concat(
+            F.col("doc_id").cast("string"),
+            F.lit(":"),
+            F.col("rnk").cast("string"),
+        )
+    )
+    return (
+        s.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("rnk").alias("min_rank"),
+            F.max("rnk").alias("max_rank"),
+            F.min("stage").cast("long").alias("min_stage"),
+            F.max("stage").cast("long").alias("max_stage"),
+            F.sum(digest).alias("content_digest"),
+        )
+        .orderBy("shard")
+    )
