@@ -2088,3 +2088,138 @@ def q298_curriculum_shard_manifest(
         )
         .orderBy("shard")
     )
+
+
+# --------------------------------------------------------------------------
+# q300 — curriculum token pacing table (round 10; q298's budget twin)
+# --------------------------------------------------------------------------
+@query(
+    "q300_curriculum_token_pacing",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(lower(trim(text)), '\\s+'))
+                  AS BIGINT) AS n_tokens,
+             n_chars * 1.0
+               / len(string_split_regex(lower(trim(text)), '\\s+'))
+               AS difficulty
+      FROM documents),
+    tiled AS (
+      SELECT doc_id, n_tokens,
+             NTILE(4) OVER (ORDER BY difficulty, doc_id) AS stage
+      FROM scored),
+    h AS (
+      SELECT doc_id, stage, n_tokens,
+             md5(CAST(doc_id AS VARCHAR) || '{_CURRICULUM_SEED}') AS hk
+      FROM tiled),
+    r AS (
+      SELECT doc_id, stage, n_tokens,
+             ROW_NUMBER() OVER (ORDER BY stage, hk, doc_id) AS rnk,
+             COUNT(*) OVER () AS n
+      FROM h),
+    s AS (
+      SELECT stage, n_tokens,
+             (rnk - 1) // ((n + {_ORDER_SHARDS - 1}) // {_ORDER_SHARDS})
+               AS shard
+      FROM r),
+    per_stage AS (
+      SELECT stage,
+             COUNT(*) AS n_docs,
+             COUNT(DISTINCT shard) AS n_shards,
+             SUM(n_tokens) AS stage_tokens
+      FROM s GROUP BY stage)
+    SELECT CAST(a.stage AS BIGINT) AS stage,
+           a.n_docs AS n_docs,
+           a.n_shards AS n_shards,
+           CAST(a.stage_tokens AS BIGINT) AS stage_tokens,
+           CAST(SUM(b.stage_tokens) AS BIGINT) AS cum_tokens
+    FROM per_stage a JOIN per_stage b ON b.stage <= a.stage
+    GROUP BY a.stage, a.n_docs, a.n_shards, a.stage_tokens
+    ORDER BY stage
+    """,
+    tags=("extension", "training", "curriculum", "budget"),
+)
+def q300_curriculum_token_pacing(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Curriculum TOKEN PACING table (round 10; q298's budget
+    complement): per difficulty stage, the document count, how many of
+    q298's fixed-size shards the stage's documents occupy, the stage's
+    token total, and the CUMULATIVE token budget through that stage —
+    the four-row table a staged training schedule reads to answer
+    "after how many consumed tokens does stage s unlock" (the q293
+    token-budget discipline applied to the curriculum axis: q298's
+    shards are doc-balanced by construction, and this is the table
+    that says what that means in tokens).
+
+    Shape: q298's exact pipeline (two distributed rank passes, shard
+    width in-plan) carrying ``n_tokens`` through, one groupBy(stage)
+    with map-side combine, then the 4-row cumulative via a bounded
+    triangular self-join (4 x 4 rows) instead of an unpartitioned
+    running window — constant-size, audit-clean. Linear in corpus
+    size.
+    """
+    from movie_data_pipeline_spark.operators.prefix import (
+        attach_global_row_number,
+        ntile_from_row_number,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        F.size(t).cast("long").alias("n_tokens"),
+        (F.col("n_chars") / F.size(t)).alias("difficulty"),
+    )
+    ranked0, n_docs = attach_global_row_number(
+        scored, ["difficulty", "doc_id"], "rn"
+    )
+    tiled = ranked0.select(
+        "doc_id",
+        "n_tokens",
+        ntile_from_row_number(F.col("rn"), n_docs, 4)
+        .cast("int")
+        .alias("stage"),
+    )
+    h = tiled.withColumn(
+        "hk",
+        F.md5(
+            F.concat(
+                F.col("doc_id").cast("string"), F.lit(_CURRICULUM_SEED)
+            )
+        ),
+    )
+    ranked, _n = attach_global_row_number(
+        h, ["stage", "hk", "doc_id"], out="rnk"
+    )
+    n1 = h.agg(F.count("*").alias("n"))
+    s = ranked.crossJoin(F.broadcast(n1)).withColumn(
+        "shard",
+        F.expr(
+            f"(rnk - 1) div ((n + {_ORDER_SHARDS - 1}) div {_ORDER_SHARDS})"
+        ),
+    )
+    per_stage = s.groupBy("stage").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("shard").alias("n_shards"),
+        F.sum("n_tokens").alias("stage_tokens"),
+    )
+    a, b = per_stage.alias("a"), per_stage.alias("b")
+    return (
+        a.join(b, F.col("b.stage") <= F.col("a.stage"))
+        .groupBy(
+            F.col("a.stage").alias("stage"),
+            F.col("a.n_docs").alias("n_docs"),
+            F.col("a.n_shards").alias("n_shards"),
+            F.col("a.stage_tokens").alias("stage_tokens"),
+        )
+        .agg(F.sum(F.col("b.stage_tokens")).cast("long").alias("cum_tokens"))
+        .select(
+            F.col("stage").cast("long").alias("stage"),
+            "n_docs",
+            "n_shards",
+            F.col("stage_tokens").cast("long").alias("stage_tokens"),
+            "cum_tokens",
+        )
+        .orderBy("stage")
+    )

@@ -1302,3 +1302,163 @@ def q296_simhash_rung_migration(
         return result.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# q299 — erasure + VACUUM retention compliance audit (round 10)
+# --------------------------------------------------------------------------
+def _q299_oracle() -> str:
+    from movie_data_pipeline_spark.plans.dedup import (
+        _SIMHASH_CTES,
+        _render_simhash_band_ctes,
+    )
+
+    return f"""
+    WITH {_SIMHASH_CTES},
+    {_render_simhash_band_ctes(forced_rung=1)},
+    cand AS (
+      SELECT DISTINCT b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 5),
+    acc0 AS (
+      SELECT doc_id FROM documents
+      WHERE doc_id NOT IN (SELECT doc_b FROM cand)),
+    erased AS (SELECT doc_id FROM acc0 WHERE doc_id % 5 = 1),
+    m(metric, value) AS (
+      SELECT 'n_accepted_final',
+             (SELECT COUNT(*) FROM acc0) - (SELECT COUNT(*) FROM erased)
+      UNION ALL SELECT 'n_accepted_initial',
+             (SELECT COUNT(*) FROM acc0)
+      UNION ALL SELECT 'n_data_dirs_corpus', 1
+      UNION ALL SELECT 'n_data_dirs_index', 1
+      UNION ALL SELECT 'n_erased',
+             (SELECT COUNT(*) FROM erased)
+      UNION ALL SELECT 'n_erased_leaks_corpus', 0
+      UNION ALL SELECT 'n_erased_leaks_index', 0
+      UNION ALL SELECT 'n_versions_retained_corpus', 1
+      UNION ALL SELECT 'n_versions_retained_index', 1)
+    SELECT metric, CAST(value AS BIGINT) AS value
+    FROM m ORDER BY metric
+    """
+
+
+@query(
+    "q299_erasure_vacuum_compliance",
+    oracle=_q299_oracle(),
+    tags=("extension", "streaming", "dedup", "simhash", "lifecycle",
+          "erasure", "vacuum"),
+)
+def q299_erasure_vacuum_compliance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Erasure + VACUUM retention COMPLIANCE audit (round 10): q295
+    proves the scrub removes phantom index rows from the CURRENT
+    snapshot while deliberately retaining history; strict
+    right-to-erasure additionally requires that NO RETAINED snapshot —
+    corpus or index — still references the erased documents, which is
+    the ``erase_documents(..., vacuum_keep_last=1)`` cadence. The
+    replay: rung-1 SimHash gate over the documents stream, then one
+    compliance-mode erasure of every accepted doc with
+    ``doc_id % 5 = 1`` (corpus delete_where + index scrub + vacuum of
+    BOTH tables down to the single post-erasure version).
+
+    The audit proves physical retirement, not just logical deletion:
+    exactly one manifest version and one data directory remain per
+    table (delete_where and the scrub each rewrite into one fresh dir;
+    vacuum unlinked every pre-erasure manifest AND deleted the data
+    dirs they referenced — counted from the filesystem), and scanning
+    every retained version of both tables for the erased doc_ids finds
+    zero rows. The oracle derives the expected corpus from the gate's
+    greedy min-representative semantics (rung 1 exact at Hamming<=5)
+    and pins the leak counts at identically zero and the retention
+    counts at identically one.
+    """
+    import os as _os
+
+    from movie_data_pipeline_spark.operators.index_lifecycle import (
+        erase_documents,
+    )
+    from movie_data_pipeline_spark.sources.registry import table_path
+    from movie_data_pipeline_spark.sources.versioned import VersionedTable
+    from movie_data_pipeline_spark.streaming.events import stream_table
+    from movie_data_pipeline_spark.streaming.sinks import (
+        start_simhash_gate_stream,
+    )
+
+    _assert_single_file(table_path(sf_dir, "documents"), "q299")
+    base = tempfile.mkdtemp(prefix="mdp-q299-")
+    acc, idx, ckpt = f"{base}/acc", f"{base}/idx", f"{base}/ckpt"
+    try:
+        docs = stream_table(spark, sf_dir, "documents")
+        q = start_simhash_gate_stream(docs, acc, idx, ckpt, rung=1)
+        _await(q, "q299")
+
+        acc_t, idx_t = VersionedTable(acc), VersionedTable(idx)
+        # Pre-erasure observation, materialized: vacuum will retire
+        # the snapshot these rows come from.
+        initial_ids = (
+            acc_t.read(spark).select("doc_id").localCheckpoint(eager=True)
+        )
+        erased_ids = initial_ids.filter(
+            F.expr("doc_id % 5 = 1")
+        ).localCheckpoint(eager=True)
+        if erased_ids.isEmpty():
+            raise AssertionError(
+                "q299: erase condition matched no accepted documents"
+            )
+        erase_documents(
+            spark, acc, [idx], "doc_id % 5 = 1", vacuum_keep_last=1
+        )
+
+        def count_metric(name: str, frame: DataFrame) -> DataFrame:
+            return frame.agg(
+                F.count("*").cast("long").alias("value")
+            ).select(F.lit(name).alias("metric"), "value")
+
+        def lit_metric(name: str, value: int) -> DataFrame:
+            return spark.range(1).select(
+                F.lit(name).alias("metric"),
+                F.lit(int(value)).cast("long").alias("value"),
+            )
+
+        def data_dirs(t: VersionedTable) -> int:
+            return len(_os.listdir(_os.path.join(t.path, "data")))
+
+        # leak scan: every RETAINED version of both tables
+        leaks_corpus = [
+            acc_t.read(spark, version=v).select("doc_id")
+            .join(erased_ids, "doc_id", "left_semi")
+            for v in acc_t.versions()
+        ]
+        leaks_index = [
+            idx_t.read(spark, version=v).select("doc_id")
+            .join(erased_ids, "doc_id", "left_semi")
+            for v in idx_t.versions()
+        ]
+        from functools import reduce
+
+        rows = [
+            count_metric("n_accepted_final", acc_t.read(spark)),
+            count_metric("n_accepted_initial", initial_ids),
+            lit_metric("n_data_dirs_corpus", data_dirs(acc_t)),
+            lit_metric("n_data_dirs_index", data_dirs(idx_t)),
+            count_metric("n_erased", erased_ids),
+            count_metric(
+                "n_erased_leaks_corpus",
+                reduce(DataFrame.unionByName, leaks_corpus),
+            ),
+            count_metric(
+                "n_erased_leaks_index",
+                reduce(DataFrame.unionByName, leaks_index),
+            ),
+            lit_metric(
+                "n_versions_retained_corpus", len(acc_t.versions())
+            ),
+            lit_metric("n_versions_retained_index", len(idx_t.versions())),
+        ]
+        result = reduce(DataFrame.unionByName, rows).orderBy("metric")
+        return result.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
