@@ -156,6 +156,17 @@ HEADLINE = [
     # q79 joins the headline so the band-ladder migration's pair join
     # is priced directly round-over-round, not only via q274
     "q79_simhash_hamming_pairs",
+    # round-9 late addition (joined post-bench, headlined since r10)
+    "q294_simhash_bit_balance",
+    # round-10 additions: index lifecycle (erasure scrub, rung
+    # migration, vacuum compliance), skew-corrected rung pricing, and
+    # the curriculum-ordered training layer
+    "q295_index_erasure_audit",
+    "q296_simhash_rung_migration",
+    "q297_simhash_skew_pricing",
+    "q298_curriculum_shard_manifest",
+    "q299_erasure_vacuum_compliance",
+    "q300_curriculum_token_pacing",
 ]
 
 # Stable trend tier (VERDICT r5 #6): these 20 have been in the headline
@@ -427,18 +438,27 @@ def main() -> None:
 
     # Sub-second entries dominate the noise-band ratio statistics
     # (VERDICT r6 #3: q04/q09/q208 "regressions" were all sub-second
-    # blips): give every query whose best time is under 1 s extra
-    # repeats — they are cheap by definition, and min-of-7 tightens
-    # their spread far more than another whole pass would.
-    sub_extra = int(os.environ.get("SPARK_GRAFT_SUBSEC_EXTRA", "4"))
+    # blips). Since round 10 the extra repeats are ADAPTIVE (VERDICT
+    # r9 #5: fixed min-of-7 still left q245 at 80% / q284 at 33%
+    # min-convergence spread): every query whose best time is under
+    # 1 s keeps getting repeats until its two fastest runs agree
+    # within SPARK_GRAFT_SUBSEC_TARGET_PCT (default 10%), bounded by
+    # SPARK_GRAFT_SUBSEC_MAX_EXTRA repeats and the wall-clock budget.
+    # Sub-second queries are cheap by definition, so convergence is
+    # bought where it is cheapest and needed most.
+    sub_target = float(os.environ.get("SPARK_GRAFT_SUBSEC_TARGET_PCT", "10"))
+    sub_max = int(os.environ.get("SPARK_GRAFT_SUBSEC_MAX_EXTRA", "12"))
     for name in names:
-        if (
+        added = 0
+        while (
             runs[name]
             and min(runs[name]) < 1.0
+            and (len(runs[name]) < 2 or _spread(runs[name]) > sub_target)
+            and added < sub_max
             and time.perf_counter() - t_start <= budget_s
         ):
-            for _ in range(sub_extra):
-                runs[name].append(run_query(spark, name, sf_dir))
+            runs[name].append(run_query(spark, name, sf_dir))
+            added += 1
 
     # reference-workload replica (BASELINE.md: ~32 s compute-bound).
     # One warmup run first: the CSV-scan/codegen paths are cold (no
