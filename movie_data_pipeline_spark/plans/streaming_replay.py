@@ -1462,3 +1462,271 @@ def q299_erasure_vacuum_compliance(
         return result.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# q301 — MinHash index erasure audit (round 10; q295's twin on the
+# OTHER stored index)
+# --------------------------------------------------------------------------
+@query(
+    "q301_minhash_index_erasure",
+    oracle=f"""
+    WITH {_MINHASH_LONG_CTES},
+    bands AS (
+      SELECT doc_id, h_idx // {LSH_BAND_ROWS} AS band,
+             string_agg(CAST(min_hash AS VARCHAR), ',' ORDER BY h_idx)
+               AS band_sig
+      FROM sigs GROUP BY doc_id, band),
+    dupes AS (
+      SELECT DISTINCT y.doc_id AS doc_b
+      FROM bands x JOIN bands y
+        ON x.band = y.band AND x.band_sig = y.band_sig
+       AND x.doc_id < y.doc_id),
+    acc0 AS (
+      SELECT doc_id FROM documents
+      WHERE doc_id NOT IN (SELECT doc_b FROM dupes)),
+    erased AS (SELECT doc_id FROM acc0 WHERE doc_id % 6 = 2),
+    m(metric, value) AS (
+      SELECT 'n_accepted_final',
+             (SELECT COUNT(*) FROM acc0)
+      UNION ALL SELECT 'n_accepted_initial',
+             (SELECT COUNT(*) FROM acc0)
+      UNION ALL SELECT 'n_erased',
+             (SELECT COUNT(*) FROM erased)
+      UNION ALL SELECT 'n_index_rows_after_scrub',
+             4 * ((SELECT COUNT(*) FROM acc0)
+                  - (SELECT COUNT(*) FROM erased))
+      UNION ALL SELECT 'n_index_rows_before_scrub',
+             4 * (SELECT COUNT(*) FROM acc0)
+      UNION ALL SELECT 'n_index_rows_final',
+             4 * (SELECT COUNT(*) FROM acc0)
+      UNION ALL SELECT 'n_phantom_rows_after_scrub', 0
+      UNION ALL SELECT 'n_phantom_rows_before_scrub',
+             4 * (SELECT COUNT(*) FROM erased)
+      UNION ALL SELECT 'n_reaccepted',
+             (SELECT COUNT(*) FROM erased))
+    SELECT metric, CAST(value AS BIGINT) AS value
+    FROM m ORDER BY metric
+    """,
+    tags=("extension", "streaming", "dedup", "minhash", "lifecycle",
+          "erasure"),
+)
+def q301_minhash_index_erasure(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MinHash-index erasure lifecycle audit (round 10) — q295's exact
+    cadence driven through the OTHER stored band index (the q205/q126
+    MinHash LSH gate), so BOTH index layouts VERDICT r9 #1 names carry
+    a driver-green erasure proof: gate the documents stream (16-hash
+    MinHash signatures, 4 bands of 4 rows), erase every accepted doc
+    with ``doc_id % 6 = 2`` via ``erase_documents`` (corpus
+    delete_where + same-cadence index scrub — the scrub operator is
+    layout-agnostic because both indexes key rows by doc_id), then
+    re-submit the erased rows and prove they are ACCEPTED again. Nine
+    time-travel metrics over the committed snapshots, each derived in
+    the oracle from the gate's greedy min-representative semantics:
+    any two accepted docs share NO band signature (a shared band would
+    have dropped the higher id), so the scrubbed index cannot hit a
+    re-submitted erased doc and each accepted doc contributes exactly
+    4 band rows.
+    """
+    from functools import reduce
+
+    from movie_data_pipeline_spark.operators.index_lifecycle import (
+        erase_documents,
+    )
+    from movie_data_pipeline_spark.sources.registry import table_path
+    from movie_data_pipeline_spark.sources.versioned import VersionedTable
+    from movie_data_pipeline_spark.streaming.events import stream_table
+    from movie_data_pipeline_spark.streaming.sinks import (
+        dedup_gate_batch_writer,
+        start_dedup_gate_stream,
+    )
+
+    _assert_single_file(table_path(sf_dir, "documents"), "q301")
+    base = tempfile.mkdtemp(prefix="mdp-q301-")
+    acc, idx, ckpt = f"{base}/acc", f"{base}/idx", f"{base}/ckpt"
+    try:
+        docs = stream_table(spark, sf_dir, "documents")
+        q = start_dedup_gate_stream(docs, acc, idx, ckpt)
+        _await(q, "q301")
+
+        acc_t, idx_t = VersionedTable(acc), VersionedTable(idx)
+        resub = (
+            acc_t.read(spark)
+            .filter(F.expr("doc_id % 6 = 2"))
+            .localCheckpoint(eager=True)
+        )
+        if resub.isEmpty():
+            raise AssertionError(
+                "q301: erase condition matched no accepted documents"
+            )
+        erase_documents(spark, acc, [idx], "doc_id % 6 = 2")
+        dedup_gate_batch_writer(acc, idx)(resub, 99)
+
+        acc0 = acc_t.read(spark, version=0).select("doc_id")
+        acc1 = acc_t.read(spark, version=1).select("doc_id")
+        acc2 = acc_t.read(spark, version=2).select("doc_id")
+        idx0 = idx_t.read(spark, version=0)
+        idx1 = idx_t.read(spark, version=1)
+        idx2 = idx_t.read(spark, version=2)
+
+        def metric(name: str, frame: DataFrame) -> DataFrame:
+            return frame.agg(
+                F.count("*").cast("long").alias("value")
+            ).select(F.lit(name).alias("metric"), "value")
+
+        rows = [
+            metric("n_accepted_final", acc2),
+            metric("n_accepted_initial", acc0),
+            metric("n_erased", acc0.join(acc1, "doc_id", "left_anti")),
+            metric("n_index_rows_after_scrub", idx1),
+            metric("n_index_rows_before_scrub", idx0),
+            metric("n_index_rows_final", idx2),
+            metric(
+                "n_phantom_rows_after_scrub",
+                idx1.join(acc1, "doc_id", "left_anti"),
+            ),
+            metric(
+                "n_phantom_rows_before_scrub",
+                idx0.join(acc1, "doc_id", "left_anti"),
+            ),
+            metric("n_reaccepted", acc2.join(acc1, "doc_id", "left_anti")),
+        ]
+        result = reduce(DataFrame.unionByName, rows).orderBy("metric")
+        return result.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# q302 — MID-STREAM erasure between micro-batches (round 10)
+# --------------------------------------------------------------------------
+def _q302_oracle() -> str:
+    from movie_data_pipeline_spark.plans.dedup import (
+        _SIMHASH_CTES,
+        _render_simhash_band_ctes,
+    )
+
+    return f"""
+    WITH {_SIMHASH_CTES},
+    {_render_simhash_band_ctes(forced_rung=1)},
+    b0 AS (SELECT * FROM bands WHERE doc_id % 2 = 0),
+    b1 AS (SELECT * FROM bands WHERE doc_id % 2 = 1),
+    d0 AS (
+      SELECT DISTINCT y.doc_id
+      FROM b0 x JOIN b0 y
+        ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+       AND x.doc_id < y.doc_id
+      WHERE bit_count(xor(x.simhash, y.simhash)) <= 5),
+    acc0 AS (
+      SELECT doc_id FROM documents
+      WHERE doc_id % 2 = 0
+        AND doc_id NOT IN (SELECT doc_id FROM d0)),
+    kept AS (SELECT doc_id FROM acc0 WHERE doc_id % 10 <> 0),
+    idx1 AS (
+      SELECT band_idx, band_val, simhash
+      FROM b0 JOIN kept USING (doc_id)),
+    d1 AS (
+      SELECT DISTINCT y.doc_id
+      FROM b1 x JOIN b1 y
+        ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+       AND x.doc_id < y.doc_id
+      WHERE bit_count(xor(x.simhash, y.simhash)) <= 5),
+    hit1 AS (
+      SELECT DISTINCT b1.doc_id
+      FROM b1 JOIN idx1 USING (band_idx, band_val)
+      WHERE bit_count(xor(b1.simhash, idx1.simhash)) <= 5),
+    acc1 AS (
+      SELECT doc_id FROM documents
+      WHERE doc_id % 2 = 1
+        AND doc_id NOT IN (SELECT doc_id FROM d1)
+        AND doc_id NOT IN (SELECT doc_id FROM hit1))
+    SELECT d.doc_id, d.source
+    FROM documents d
+    JOIN (SELECT doc_id FROM kept UNION ALL SELECT doc_id FROM acc1) a
+      USING (doc_id)
+    ORDER BY d.doc_id
+    """
+
+
+@query(
+    "q302_midstream_erasure_gate",
+    oracle=_q302_oracle(),
+    tags=("extension", "streaming", "dedup", "simhash", "lifecycle",
+          "erasure", "multi-batch"),
+)
+def q302_midstream_erasure_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MID-STREAM erasure replay (round 10): the erasure lifecycle run
+    where production runs it — BETWEEN micro-batches of a live ingest
+    gate, not on a quiesced table. Batch 0 (even doc_ids) flows
+    through the rung-1 SimHash gate; every accepted doc with
+    ``doc_id % 10 = 0`` is then erased (corpus delete_where + index
+    scrub in one ``erase_documents`` cadence); batch 1 (odd doc_ids)
+    flows through the SAME gate against the scrubbed index.
+
+    What the hash-compare proves: (a) the gate keeps operating
+    correctly across an erasure — batch 1 is still deduped against
+    every REMAINING indexed doc with exact Hamming<=5 verification;
+    (b) the erasure's operational consequence is visible end to end —
+    an odd near-duplicate of an ERASED even doc is now ACCEPTED
+    (before the scrub its phantom band rows would have rejected it),
+    and erased docs stay OUT of the final corpus unless re-submitted.
+    The oracle spells all four steps in SQL at the pinned rung: the
+    batch-0 greedy corpus, the erased subset, batch-1 novelty decided
+    against the KEPT docs' bands only, and the final union.
+    """
+    import glob as _glob
+    import os as _os
+
+    from movie_data_pipeline_spark.operators.index_lifecycle import (
+        erase_documents,
+    )
+    from movie_data_pipeline_spark.sources.registry import load_table
+    from movie_data_pipeline_spark.sources.versioned import VersionedTable
+    from movie_data_pipeline_spark.streaming.sinks import (
+        start_simhash_gate_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="mdp-q302-")
+    acc, idx = f"{base}/acc", f"{base}/idx"
+    try:
+        streams = []
+        for i, half in enumerate(
+            (
+                docs.filter(F.col("doc_id") % 2 == 0),
+                docs.filter(F.col("doc_id") % 2 == 1),
+            )
+        ):
+            src = f"{base}/src{i}"
+            _os.makedirs(src)
+            out = f"{base}/half{i}"
+            half.coalesce(1).write.parquet(out)
+            part = _glob.glob(f"{out}/part-*.parquet")[0]
+            _os.rename(part, f"{src}/{i}_half.parquet")
+            streams.append(
+                spark.readStream.schema(docs.schema).parquet(src)
+            )
+
+        q0 = start_simhash_gate_stream(
+            streams[0], acc, idx, f"{base}/ckpt0", rung=1
+        )
+        _await(q0, "q302 batch 0")
+        erase_documents(spark, acc, [idx], "doc_id % 10 = 0")
+        q1 = start_simhash_gate_stream(
+            streams[1], acc, idx, f"{base}/ckpt1", rung=1
+        )
+        _await(q1, "q302 batch 1")
+
+        result = (
+            VersionedTable(acc)
+            .read(spark)
+            .select("doc_id", "source")
+            .orderBy("doc_id")
+        )
+        return result.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
