@@ -167,6 +167,8 @@ HEADLINE = [
     "q298_curriculum_shard_manifest",
     "q299_erasure_vacuum_compliance",
     "q300_curriculum_token_pacing",
+    "q301_minhash_index_erasure",
+    "q302_midstream_erasure_gate",
 ]
 
 # Stable trend tier (VERDICT r5 #6): these 20 have been in the headline
