@@ -2204,16 +2204,20 @@ def q300_curriculum_token_pacing(
         F.countDistinct("shard").alias("n_shards"),
         F.sum("n_tokens").alias("stage_tokens"),
     )
-    a, b = per_stage.alias("a"), per_stage.alias("b")
+    # 4-row cumulative WITHOUT an inequality self-join (which compiles
+    # to a CartesianProduct and trips the CI plan audit) and without a
+    # running window: stage s contributes its token total to every
+    # stage >= s via a bounded sequence explode, then one equi-join
+    # back — broadcast-hash all the way.
+    contrib = per_stage.select(
+        F.explode(F.sequence(F.col("stage"), F.lit(4))).alias("cstage"),
+        F.col("stage_tokens").alias("ctokens"),
+    )
+    cum = contrib.groupBy("cstage").agg(
+        F.sum("ctokens").cast("long").alias("cum_tokens")
+    )
     return (
-        a.join(b, F.col("b.stage") <= F.col("a.stage"))
-        .groupBy(
-            F.col("a.stage").alias("stage"),
-            F.col("a.n_docs").alias("n_docs"),
-            F.col("a.n_shards").alias("n_shards"),
-            F.col("a.stage_tokens").alias("stage_tokens"),
-        )
-        .agg(F.sum(F.col("b.stage_tokens")).cast("long").alias("cum_tokens"))
+        per_stage.join(cum, per_stage["stage"] == cum["cstage"])
         .select(
             F.col("stage").cast("long").alias("stage"),
             "n_docs",

@@ -127,16 +127,19 @@ def test_reverify_queue_live_state():
     """The 7 cap-reworked names (VERDICT r4 #1), q64 (round-6 segment
     rewrite), q196 (round-6 quantization fix), the sample-bounded
     plans (q256/q248 round 7, re-queued round 8 for the fixed_sample
-    rewiring; q264/q272 round 8, VERDICT r7 #1), and the round-8
+    rewiring; q264/q272 round 8, VERDICT r7 #1), the round-8
     60-bit SimHash migration (q21/q79/q274, VERDICT r7 #2) plus the
-    q268/q277 window-key digest (VERDICT r7 #3) are queued; the ones
-    whose latest green row predates their change round are active
-    (q82 was IN the r4 window, so its r4 row already verifies the
-    capped semantics and it auto-deactivates), and their placement
-    never displaces a never-verified name from the window."""
+    q268/q277 window-key digest (VERDICT r7 #3), and the round-10
+    ADVICE fixes (q79/q274 lazy-checkpointed fingerprints — their
+    round-9 ladder entries superseded by dict-key overwrite — and
+    q286's pre-rank count) are queued; the ones whose latest green
+    row predates their change round are active (q82 was IN the r4
+    window, so its r4 row already verifies the capped semantics and
+    it auto-deactivates), and their placement never displaces a
+    never-verified name from the window."""
     import __spark_entry__ as e
 
-    assert len(e._REVERIFY_QUEUE) == 20
+    assert len(e._REVERIFY_QUEUE) == 21
     for n in e._REVERIFY_QUEUE:
         assert n in REGISTRY
     active = set(e._FORCE_REVERIFY)
