@@ -2155,8 +2155,9 @@ def q300_curriculum_token_pacing(
     Shape: q298's exact pipeline (two distributed rank passes, shard
     width in-plan) carrying ``n_tokens`` through, one groupBy(stage)
     with map-side combine, then the 4-row cumulative via a bounded
-    triangular self-join (4 x 4 rows) instead of an unpartitioned
-    running window — constant-size, audit-clean. Linear in corpus
+    sequence-explode + equi-join (stage s contributes to every stage
+    >= s) instead of an unpartitioned running window or an
+    inequality self-join — constant-size, broadcast-hash, audit-clean. Linear in corpus
     size.
     """
     from movie_data_pipeline_spark.operators.prefix import (
