@@ -231,3 +231,35 @@ def test_compact_rewrites_small_files(spark, tmp_path):
     )
     assert len(files) == 1
     assert {tuple(r) for r in t.read(spark).collect()} == rows_before
+
+
+def test_manifest_meta_table_properties(spark, tmp_path):
+    """Round 10: table-level properties in the manifest — set on
+    commit, inherited by append AND overwrite when meta is None
+    (a delete_where/compact/scrub must never drop the pinned rung),
+    replaced only by an explicit dict, cleared by an explicit {}."""
+    from movie_data_pipeline_spark.sources.versioned import VersionedTable
+
+    t = VersionedTable(str(tmp_path / "t"))
+    df = spark.createDataFrame([(1, "a")], ["k", "v"])
+    t.commit(df, meta={"simhash_rung": 2, "owner": "gate"})
+    assert t.manifest()["meta"] == {"simhash_rung": 2, "owner": "gate"}
+
+    t.commit(df, mode="append")  # meta=None → inherit
+    assert t.manifest()["meta"] == {"simhash_rung": 2, "owner": "gate"}
+
+    t.commit(df, mode="overwrite")  # still inherit on overwrite
+    assert t.manifest()["meta"] == {"simhash_rung": 2, "owner": "gate"}
+
+    t.delete_where(spark, "k = 999")  # rewrite path inherits too
+    assert t.manifest()["meta"] == {"simhash_rung": 2, "owner": "gate"}
+
+    t.commit(df, meta={"simhash_rung": 3})  # explicit replace
+    assert t.manifest()["meta"] == {"simhash_rung": 3}
+
+    t.commit(df, meta={})  # explicit clear
+    assert t.manifest()["meta"] == {}
+    # pre-meta manifests: absent key reads as {} via .get default
+    assert t.manifest(0).get("meta", {}) == {
+        "simhash_rung": 2, "owner": "gate"
+    }
