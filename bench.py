@@ -201,6 +201,33 @@ CORE20 = [
 ]
 
 
+# Replay tier (round 10): streaming / lifecycle REPLAY entries run
+# end-to-end micro-batch orchestration + VersionedTable commits —
+# their wall time is dominated by fixed orchestration latency, not
+# plan cost, so min-of-n repeats bought almost nothing (q292: 29%
+# min-convergence spread at min-of-3 in BENCH_r09) while costing
+# ~140 s per extra pass at catalog 288, which starved the adaptive
+# sub-second tier out of the 900 s budget. These entries are measured
+# ONCE per bench (pass 1 only) and recorded as a single run; all
+# plan-cost entries keep the full interleaved min-of-n discipline.
+REPLAY_TIER = {
+    "q204_streaming_hourly_upsert",
+    "q205_streaming_dedup_gate",
+    "q210_streaming_drift_replay",
+    "q220_streaming_join_replay",
+    "q221_streaming_session_replay",
+    "q244_streaming_multibatch_gate",
+    "q267_streaming_closed_window_ledger",
+    "q287_simhash_index_gate",
+    "q292_simhash_multibatch_gate",
+    "q295_index_erasure_audit",
+    "q296_simhash_rung_migration",
+    "q299_erasure_vacuum_compliance",
+    "q301_minhash_index_erasure",
+    "q302_midstream_erasure_gate",
+}
+
+
 def _short(name: str) -> str:
     """Compact per-query key for the stdout JSON line: the driver's tail
     capture is 2000 chars (BENCH_r03 was truncated mid-dict by full
@@ -387,7 +414,10 @@ def main() -> None:
     # Soft wall-clock budget: never let extra passes push the bench past
     # ~15 min (a pass always completes atomically so min-of-n stays
     # comparable across queries; passes 2+ are dropped only as a whole).
-    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "900"))
+    # 1100 since round 10 (was 900): the replay tier + 9 new headline
+    # entries left no room for the adaptive sub-second repeats inside
+    # 900 s; worst-case wall stays bounded at budget + one pass.
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "1100"))
     t_start = time.perf_counter()
     runs: dict[str, list[float]] = {n: [] for n in names}
     done_passes = 0
@@ -395,6 +425,8 @@ def main() -> None:
         if done_passes and time.perf_counter() - t_start > budget_s:
             break
         for name in names:
+            if done_passes and name in REPLAY_TIER:
+                continue  # replay tier: measured once (pass 1 only)
             runs[name].append(run_query(spark, name, sf_dir))
         done_passes += 1
 
@@ -433,6 +465,8 @@ def main() -> None:
         and time.perf_counter() - t_start <= budget_s
     ):
         for name in names:
+            if name in REPLAY_TIER:
+                continue
             runs[name].append(run_query(spark, name, sf_dir))
         done_passes += 1
         extra_passes += 1
@@ -450,12 +484,16 @@ def main() -> None:
     # bought where it is cheapest and needed most.
     sub_target = float(os.environ.get("SPARK_GRAFT_SUBSEC_TARGET_PCT", "10"))
     sub_max = int(os.environ.get("SPARK_GRAFT_SUBSEC_MAX_EXTRA", "12"))
-    for name in names:
+    # worst spread first: if the budget runs out mid-loop, the entries
+    # left unconverged are the least-noisy ones
+    by_spread = sorted(
+        (n for n in names if runs[n] and min(runs[n]) < 1.0),
+        key=lambda n: -_spread(runs[n]),
+    )
+    for name in by_spread:
         added = 0
         while (
-            runs[name]
-            and min(runs[name]) < 1.0
-            and (len(runs[name]) < 2 or _spread(runs[name]) > sub_target)
+            (len(runs[name]) < 2 or _spread(runs[name]) > sub_target)
             and added < sub_max
             and time.perf_counter() - t_start <= budget_s
         ):
@@ -518,6 +556,7 @@ def main() -> None:
     detail = {
         "queries_full": timings,
         "short_to_full": {_short(n): n for n in timings},
+        "replay_tier": sorted(REPLAY_TIER),
         "core20": CORE20,
         "core20_sec": core,
         "ext_sec": ext,
