@@ -169,6 +169,7 @@ HEADLINE = [
     "q300_curriculum_token_pacing",
     "q301_minhash_index_erasure",
     "q302_midstream_erasure_gate",
+    "q303_ann_index_erasure",
 ]
 
 # Stable trend tier (VERDICT r5 #6): these 20 have been in the headline
@@ -225,6 +226,7 @@ REPLAY_TIER = {
     "q299_erasure_vacuum_compliance",
     "q301_minhash_index_erasure",
     "q302_midstream_erasure_gate",
+    "q303_ann_index_erasure",
 }
 
 

@@ -2723,3 +2723,137 @@ def q284_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned.unpersist()
     sc.unpersist()
     return out
+
+
+# --------------------------------------------------------------------------
+# q303 — ANN (IVF) index erasure audit (round 10; the lifecycle story
+# extended beyond the dedup indexes)
+# --------------------------------------------------------------------------
+@query(
+    "q303_ann_index_erasure",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS arr FROM embeddings),
+    seeds AS (
+      SELECT arr AS s_arr,
+             ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                vec_id) - 1 AS s_idx
+      FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT {_IVF_CELLS}),
+    asg AS (
+      SELECT vec_id, s_idx AS cell FROM (
+        SELECT v.vec_id, s.s_idx,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                 ORDER BY list_cosine_similarity(v.arr, s.s_arr) DESC,
+                          s.s_idx) AS rn
+        FROM v CROSS JOIN seeds s) t WHERE rn = 1)
+    SELECT CAST(cell AS BIGINT) AS cell,
+           COUNT(*) AS n_before,
+           CAST(SUM(CASE WHEN vec_id % 9 = 4 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_erased,
+           CAST(COUNT(*) - SUM(CASE WHEN vec_id % 9 = 4 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_after
+    FROM asg GROUP BY cell ORDER BY cell
+    """,
+    tags=("extension", "similarity", "ann", "ivf", "lifecycle",
+          "erasure"),
+)
+def q303_ann_index_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN-index ERASURE audit (round 10): the right-to-erasure
+    lifecycle closed for the dedup indexes this round (q295/q299/q301)
+    has the same gap on the SIMILARITY side — a deleted document's
+    EMBEDDING stays in a stored IVF index forever: recoverable vector
+    residue, and the deleted vector keeps surfacing as a retrieval
+    candidate. This audit drives the identical cadence through a
+    stored IVF index and proves ``operators/index_lifecycle`` is
+    index-FAMILY-agnostic (anything keyed by the document id scrubs
+    the same way):
+
+    1. assign every embedding to its Voronoi cell (``ivf_assign``,
+       q264's audited map-only argmax) and COMMIT both stores:
+       the vector corpus (vec_id, embedding, label) and the inverted
+       index (vec_id, cell) as VersionedTables;
+    2. ``erase_documents(..., id_col='vec_id')`` — corpus delete_where
+       (``vec_id % 9 = 4``) + same-cadence index scrub;
+    3. publish per-cell inverted-list sizes BEFORE and AFTER from the
+       committed snapshots (time travel), plus each cell's erased
+       count.
+
+    The oracle recomputes the Voronoi partition from scratch (q264's
+    seeds/argmax CTEs verbatim) and derives the per-cell before/
+    erased/after ledger from the erase predicate alone — equality
+    proves the stored index held exactly the true inverted lists, the
+    scrub removed exactly the erased vectors from every list (a
+    failed scrub inflates n_after; an over-eager one deflates it),
+    and no phantom vector remains in any current inverted list.
+
+    Scale: assignment is map-only against an 8 x 64-float broadcast
+    codebook; the scrub is one semi-join rewrite linear in index size
+    (probed at 5M rows — SCALE_PROBE_r10.md); the audit itself is two
+    groupBy(cell) passes over constant-version snapshots. At
+    deployment the index table is additionally bucketed by cell, so
+    the scrub rewrite prunes to touched buckets.
+    """
+    from movie_data_pipeline_spark.operators.index_lifecycle import (
+        erase_documents,
+    )
+    from movie_data_pipeline_spark.operators.similarity import ivf_assign
+    from movie_data_pipeline_spark.sources.versioned import VersionedTable
+
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = _tempfile.mkdtemp(prefix="mdp-q303-")
+    corpus_path, index_path = f"{base}/vectors", f"{base}/ivf"
+    try:
+        assigned = ivf_assign(emb, n_cells=_IVF_CELLS)
+        VersionedTable(corpus_path).commit(emb)
+        VersionedTable(index_path).commit(
+            assigned.select("vec_id", "cell"),
+            meta={"n_cells": _IVF_CELLS},
+        )
+        erase_documents(
+            spark, corpus_path, [index_path], "vec_id % 9 = 4",
+            id_col="vec_id",
+        )
+
+        idx_t = VersionedTable(index_path)
+        corpus_t = VersionedTable(corpus_path)
+        before = (
+            idx_t.read(spark, version=0)
+            .groupBy("cell")
+            .agg(F.count("*").alias("n_before"))
+        )
+        after = (
+            idx_t.read(spark, version=1)
+            .groupBy("cell")
+            .agg(F.count("*").cast("long").alias("n_after"))
+        )
+        erased = (
+            idx_t.read(spark, version=0)
+            .join(
+                corpus_t.read(spark, version=1).select("vec_id"),
+                "vec_id",
+                "left_anti",
+            )
+            .groupBy("cell")
+            .agg(F.count("*").alias("n_erased"))
+        )
+        result = (
+            before.join(erased, "cell", "left")
+            .join(after, "cell", "left")
+            .select(
+                F.col("cell").cast("long").alias("cell"),
+                "n_before",
+                F.coalesce("n_erased", F.lit(0))
+                .cast("long")
+                .alias("n_erased"),
+                F.coalesce("n_after", F.lit(0))
+                .cast("long")
+                .alias("n_after"),
+            )
+            .orderBy("cell")
+        )
+        return result.localCheckpoint(eager=True)
+    finally:
+        _shutil.rmtree(base, ignore_errors=True)
