@@ -485,6 +485,26 @@ def simhash_rung_thresholds() -> tuple[int, int]:
     )
 
 
+def _materialize_for_reuse(df: DataFrame) -> DataFrame:
+    """Materialize a frame consumed by multiple plan branches, per the
+    session's ``spark.movie_data_pipeline.dedup.materialize`` config:
+    ``localCheckpoint`` (default — executor-local MEMORY_AND_DISK
+    partitions, freed on plan GC, but lost with a decommissioned
+    executor), ``persist`` (replayable lineage — the cluster-safe
+    choice under dynamic allocation), or ``none`` (recompute per
+    branch)."""
+    mode = df.sparkSession.conf.get(
+        "spark.movie_data_pipeline.dedup.materialize", "localCheckpoint"
+    )
+    if mode == "persist":
+        from pyspark import StorageLevel
+
+        return df.persist(StorageLevel.MEMORY_AND_DISK)
+    if mode == "none":
+        return df
+    return df.localCheckpoint(eager=False)
+
+
 def simhash_band_rows(
     sh: DataFrame,
     id_col: str = "doc_id",
@@ -502,7 +522,9 @@ def simhash_band_rows(
     gate that bands each arriving batch by the batch's own size would
     silently stop matching its stored index; streaming/sinks.py's
     SimHash gate pins the rung as an index-build parameter AND
-    validates it against the stored index's rung column on every batch.
+    validates it against the manifest's ``meta.simhash_rung`` table
+    property on every batch (one JSON read; the stored index's rung
+    column is only a legacy fallback for pre-meta indexes).
     """
     t1, t2 = simhash_rung_thresholds()
     if rung is None:
@@ -510,12 +532,16 @@ def simhash_band_rows(
         # Spark does not share the subtree across the crossJoin (the
         # count side is column-pruned, so the two exchanges differ and
         # ReuseExchange never fires — ADVICE r9), which evaluated the
-        # fingerprint aggregation twice. A lazy local checkpoint
-        # materializes it ONCE on first use and both branches (and the
-        # downstream pair self-join) read the cached partitions;
-        # storage is executor-local MEMORY_AND_DISK, freed when the
-        # plan is garbage-collected.
-        sh = sh.localCheckpoint(eager=False)
+        # fingerprint aggregation twice. Materializing it ONCE lets
+        # both branches (and the downstream pair self-join) read the
+        # cached partitions. Default is a lazy local checkpoint —
+        # fastest on a stable cluster, but non-recomputable: local
+        # checkpoints die with their executor, so a cluster running
+        # dynamic allocation / spot instances should flip
+        # ``spark.movie_data_pipeline.dedup.materialize`` to
+        # ``persist`` (replayable MEMORY_AND_DISK lineage) or ``none``
+        # (recompute twice, zero block-manager state) — ADVICE r10.
+        sh = _materialize_for_reuse(sh)
         n1 = sh.agg(F.count("*").alias("__n_fp"))
         rung_col = (
             F.when(F.col("__n_fp") <= t1, 1)

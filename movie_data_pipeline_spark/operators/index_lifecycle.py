@@ -65,18 +65,27 @@ def scrub_index_to_corpus(
     """
     index = VersionedTable(index_path)
     head = index.read(spark)
-    n_before = head.count()
     accepted = VersionedTable(accepted_path)
     if accepted.current_version() is None:
         # No corpus at all: every index row is phantom.
-        survivors = head.limit(0)
-        n_after = 0
+        n_phantom = head.count()
+        live_ids = None
     else:
         live_ids = accepted.read(spark).select(id_col)
-        survivors = head.join(live_ids, id_col, "left_semi")
-        n_after = survivors.count()
+        n_phantom = head.join(live_ids, id_col, "left_anti").count()
+    if n_phantom == 0:
+        # Nothing to scrub: skip the commit entirely (ADVICE r10 — an
+        # erase_documents over many indexes must not rewrite and
+        # version-bump indexes the condition never touched). One
+        # anti-join count decides; the current version is returned.
+        return index.current_version(), 0
+    survivors = (
+        head.limit(0)
+        if live_ids is None
+        else head.join(live_ids, id_col, "left_semi")
+    )
     new_v = index.commit(survivors, mode="overwrite")
-    return new_v, n_before - n_after
+    return new_v, n_phantom
 
 
 def erase_documents(
@@ -177,8 +186,18 @@ def migrate_simhash_index(
     head = index.read(spark)
     stored = index.manifest().get("meta", {}).get("simhash_rung")
     if stored is None:
-        row = head.select("rung").first()
-        stored = None if row is None else row["rung"]
+        # Legacy fallback (pre-meta indexes): min/max aggregate — a
+        # mixed-rung index is corruption and must fail deterministically
+        # (ADVICE r10), never pass on whichever row came back first.
+        row = head.agg(
+            F.min("rung").alias("lo"), F.max("rung").alias("hi")
+        ).first()
+        if row["lo"] is not None and row["lo"] != row["hi"]:
+            raise ValueError(
+                f"simhash index at {index_path} holds mixed rungs "
+                f"{row['lo']}..{row['hi']} — corrupted index"
+            )
+        stored = row["lo"]
     if stored == new_rung:
         raise ValueError(
             f"simhash index at {index_path} is already at rung "

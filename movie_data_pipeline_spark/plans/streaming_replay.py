@@ -46,6 +46,22 @@ def _await(q, what: str, timeout: int = 600) -> None:
         )
 
 
+def _one_part(out_dir: str, what: str) -> str:
+    """Path of the single part file a ``coalesce(1)`` write produced.
+    An EMPTY half (tiny or filtered corpus) writes no part file at all
+    — the old ``glob(...)[0]`` raised a bare IndexError there (ADVICE
+    r10); fail with the same explicit vacuous-case message q295 uses."""
+    import glob as _glob
+
+    parts = _glob.glob(f"{out_dir}/part-*.parquet")
+    if not parts:
+        raise AssertionError(
+            f"{what}: an input half wrote no rows — the replay would "
+            "be vacuous on this corpus (empty or fully filtered half)"
+        )
+    return parts[0]
+
+
 def _assert_single_file(path: str, what: str) -> None:
     """q205/q210's oracles pin SINGLE-micro-batch semantics; the batch
     count follows the source file count under availableNow.  The
@@ -592,7 +608,7 @@ def q244_streaming_multibatch_gate(
         ):
             out = f"{base}/half{i}"
             half.coalesce(1).write.parquet(out)
-            part = _glob.glob(f"{out}/part-*.parquet")[0]
+            part = _one_part(out, "q244")
             dest = f"{src}/{i}_half.parquet"
             _os.rename(part, dest)
             # strictly increasing mtimes: the file-stream source lists
@@ -722,7 +738,7 @@ def q267_streaming_closed_window_ledger(
         ):
             out = f"{base}/half{i}"
             half.coalesce(1).write.parquet(out)
-            part = _glob.glob(f"{out}/part-*.parquet")[0]
+            part = _one_part(out, "q267")
             dest = f"{src}/{i}_half.parquet"
             _os.rename(part, dest)
             _os.utime(dest, (1_000_000 + i * 100, 1_000_000 + i * 100))
@@ -962,7 +978,7 @@ def q292_simhash_multibatch_gate(
         ):
             out = f"{base}/half{i}"
             half.coalesce(1).write.parquet(out)
-            part = _glob.glob(f"{out}/part-*.parquet")[0]
+            part = _one_part(out, "q292")
             dest = f"{src}/{i}_half.parquet"
             _os.rename(part, dest)
             _os.utime(dest, (1_000_000 + i * 100, 1_000_000 + i * 100))
@@ -1277,7 +1293,7 @@ def q296_simhash_rung_migration(
             _os.makedirs(src)
             out = f"{base}/half{i}"
             half.coalesce(1).write.parquet(out)
-            part = _glob.glob(f"{out}/part-*.parquet")[0]
+            part = _one_part(out, "q296")
             _os.rename(part, f"{src}/{i}_half.parquet")
             streams.append(
                 spark.readStream.schema(docs.schema).parquet(src)
@@ -1705,7 +1721,7 @@ def q302_midstream_erasure_gate(
             _os.makedirs(src)
             out = f"{base}/half{i}"
             half.coalesce(1).write.parquet(out)
-            part = _glob.glob(f"{out}/part-*.parquet")[0]
+            part = _one_part(out, "q302")
             _os.rename(part, f"{src}/{i}_half.parquet")
             streams.append(
                 spark.readStream.schema(docs.schema).parquet(src)

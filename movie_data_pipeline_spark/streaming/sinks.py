@@ -414,8 +414,22 @@ def simhash_gate_batch_writer(
                     "simhash_rung"
                 )
                 if stored is None:
-                    row = idx_df.select("rung").first()
-                    stored = None if row is None else row["rung"]
+                    # Legacy fallback (pre-meta indexes only): aggregate
+                    # min/max over the rung column — deterministic, and
+                    # a corrupted mixed-rung index fails loudly instead
+                    # of nondeterministically passing on an arbitrary
+                    # row (ADVICE r10). Paid once per legacy index: the
+                    # next commit backfills the manifest property.
+                    row = idx_df.agg(
+                        F.min("rung").alias("lo"), F.max("rung").alias("hi")
+                    ).first()
+                    if row["lo"] is not None and row["lo"] != row["hi"]:
+                        raise ValueError(
+                            f"simhash gate: index at {index_path} holds "
+                            f"mixed rungs {row['lo']}..{row['hi']} — "
+                            "corrupted index; rebuild or migrate it"
+                        )
+                    stored = row["lo"]
                 if stored is not None and stored != rung:
                     raise ValueError(
                         f"simhash gate: index at {index_path} was built "
