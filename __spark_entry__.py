@@ -178,6 +178,12 @@ _REVERIFY_QUEUE: dict[str, int] = {
     "q79_simhash_hamming_pairs": 10,
     "q274_simhash_quality_audit": 10,
     "q286_training_order_manifest": 10,
+    # round 11: q297's pricing body factored into the _skew_pricing_frame
+    # helper shared with q306 (oracle byte-identical — asserted against
+    # the r10 tree — and the plan is the same DAG, but the registered
+    # builder changed), and the band-row builders gained the
+    # bit_blocks=None parameter (default path identical).
+    "q297_simhash_skew_pricing": 11,
 }
 
 

@@ -423,6 +423,80 @@ def simhash(
     )
 
 
+def simhash_centered(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 60,
+) -> DataFrame:
+    """CENTERED SimHash fingerprint (round 11, VERDICT r10 #1): fixes
+    the measured bit skew AT THE SOURCE. q294 shows per-bit set shares
+    of 0.01-0.99 on this corpus — a template-collapse signature with a
+    twist: the vocabulary is tiny and near-ubiquitous (every token in
+    ~78% of documents), so the classic IDF reweighting is inert (every
+    weight rounds to zero) and the skew lives in the MEAN of each
+    bit's vote distribution, not in which tokens vote. The standard
+    fix from learning-to-hash (threshold each projection at its
+    corpus-central value, as ITQ/spectral-hashing do) applies
+    directly: set bit j iff the document's vote sum exceeds the
+    CORPUS MEAN vote for bit j, instead of zero.
+
+    The comparison is exact integer — ``vote_j * n > S_j`` with S_j
+    the per-bit vote total — so both engines evaluate it identically
+    (no float mean). Balance follows by construction: votes above the
+    mean vs below split every bit near 50/50 regardless of how
+    template-skewed the raw votes are (measured: mean |share-0.5|
+    drops 0.27 -> 0.03 on this corpus, q305; the band-collision floor
+    follows, q306). Locality is preserved: a per-bit monotone
+    threshold maps near-equal vote vectors to near-equal fingerprints,
+    same as the zero threshold.
+
+    Operational contract: the thresholds are CORPUS STATISTICS, so
+    like the band rung they are an index-build parameter — a stored
+    index pins (S_j, n) in its manifest meta and every later batch
+    fingerprints against the PINNED thresholds (re-deriving them per
+    batch would silently fork the fingerprint space). The streaming
+    gates keep the zero-threshold operator + the
+    :func:`balanced_bit_blocks` banding permutation (map-only index
+    migration, no re-hash); centered fingerprints are the from-scratch
+    build path.
+
+    Scale shape: the same single wide vote aggregate as
+    :func:`simhash`, plus one 1-row (61-column) aggregate over the
+    vote frame broadcast back — the vote frame is materialized once
+    (``spark.movie_data_pipeline.dedup.materialize``) and consumed by
+    both. Never a driver-side count.
+    """
+    toks = spread(df).select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+    ).withColumn(
+        "bh", base_hash60(F.col("token")) if bits > 32 else base_hash32(F.col("token"))
+    )
+    votes = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(bh div {1 << j}) % 2") == 1, 1).otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(bits)
+        ]
+    )
+    votes = _materialize_for_reuse(votes)
+    totals = votes.agg(
+        F.count("*").alias("__n"),
+        *[F.sum(f"b{j}").alias(f"s{j}") for j in range(bits)],
+    )
+    base = votes.crossJoin(F.broadcast(totals))
+    fingerprint = None
+    for j in range(bits):
+        term = F.when(
+            F.col(f"b{j}") * F.col("__n") > F.col(f"s{j}"), F.lit(1 << j)
+        ).otherwise(F.lit(0))
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return base.select(
+        F.col(id_col), fingerprint.cast("long").alias("simhash")
+    )
+
+
 # --- SimHash band ladder (round 9, VERDICT r8 #1) -------------------------
 # The 60-bit fingerprint splits into 6 ten-bit blocks; a band is the
 # concatenation of m distinct blocks and the ladder enumerates ALL
@@ -448,6 +522,100 @@ def simhash(
 _SIMHASH_BLOCKS = 6
 _SIMHASH_BLOCK_BITS = 10
 _SIMHASH_RUNG_TARGET = 8  # band-bucket occupancy target between rungs
+
+
+def snake_block_of_rank(rank: int, n_blocks: int = _SIMHASH_BLOCKS) -> int:
+    """Serpentine (snake) block for the 0-based balance rank: rounds of
+    ``n_blocks`` bits alternate direction (0..5, 5..0, ...), the
+    standard greedy that balances per-block sums of a sorted sequence.
+    ONE definition shared by the Python operator and (as rendered
+    integer arithmetic) the in-plan/oracle twins."""
+    rnd, pos = divmod(rank, n_blocks)
+    return pos if rnd % 2 == 0 else n_blocks - 1 - pos
+
+
+def balanced_bit_blocks(
+    set_counts: list[int], n_docs: int, bits: int = 60
+) -> list[int]:
+    """Entropy-balanced bit→position assignment (round 11, VERDICT r10
+    #1): given the measured per-bit set counts (q294's table), permute
+    the fingerprint bits so each 10-bit block carries an even share of
+    the corpus's bit skew, instead of whatever ``bit_idx div 10``
+    happens to concentrate.
+
+    Why it works: a band's random-collision probability is
+    ``prod_{bits j in band} (p_j^2 + (1-p_j)^2)`` — monotone in each
+    bit's imbalance ``|2*n_set_j - n|`` — and for a fixed multiset of
+    per-bit factors the ladder's total expected collisions (an
+    elementary symmetric sum of the per-block products) is MINIMIZED
+    when the block products are equal. Sorting bits by imbalance
+    descending and snake-assigning them across the 6 blocks is the
+    classic greedy for that balance. Because the result is a pure bit
+    PERMUTATION into 6 disjoint blocks, every ladder guarantee
+    survives verbatim: h differing bits still touch at most h blocks
+    (pigeonhole: Hamming <= 6-m always collides at rung m), and
+    Hamming distance itself is permutation-invariant, so the exact
+    verify bar is untouched — only the random-collision floor drops.
+
+    Determinism is pure-integer: bits rank by (|2*n_set - n| DESC,
+    bit_idx ASC); rank r goes to block ``snake(r)`` at slot ``r div
+    6``; the new position is ``block*10 + slot``. The same arithmetic
+    is rendered in the in-plan Spark/DuckDB twins (plans/dedup.py), so
+    all three derivations are bit-identical on the same counts.
+
+    Returns ``positions``: ``positions[bit_idx]`` = the permuted bit
+    position (block * 10 + slot). Always a permutation of 0..bits-1.
+    """
+    if len(set_counts) != bits:
+        raise ValueError(
+            f"need {bits} per-bit counts, got {len(set_counts)}"
+        )
+    order = sorted(
+        range(bits), key=lambda j: (-abs(2 * set_counts[j] - n_docs), j)
+    )
+    positions = [0] * bits
+    for rank, j in enumerate(order):
+        block = snake_block_of_rank(rank)
+        slot = rank // _SIMHASH_BLOCKS
+        positions[j] = block * _SIMHASH_BLOCK_BITS + slot
+    return positions
+
+
+def measure_balanced_bit_blocks(
+    fp: DataFrame, hash_col: str = "simhash", bits: int = 60
+) -> list[int]:
+    """Measure per-bit set counts over a fingerprint frame and return
+    the :func:`balanced_bit_blocks` assignment — the index-build /
+    migration entry point. ONE aggregate pass (61 parallel integer
+    sums); the collected row is constant-size metadata, the same
+    licence as an IVF codebook."""
+    row = fp.agg(
+        F.count("*").alias("__n"),
+        *[
+            F.sum(F.expr(f"({hash_col} div {1 << j}) % 2")).alias(f"c{j}")
+            for j in range(bits)
+        ],
+    ).first()
+    n = row["__n"]
+    if not n:
+        raise ValueError("cannot measure bit balance of an empty frame")
+    return balanced_bit_blocks(
+        [int(row[f"c{j}"]) for j in range(bits)], int(n), bits
+    )
+
+
+def permute_fingerprint(hash_col: str, positions: list[int]) -> Column:
+    """Bit-permuted fingerprint: bit j of column ``hash_col`` moves to
+    ``positions[j]``. 60 integer shift-free terms, all in codegen —
+    the same arithmetic family as the fingerprint fold in
+    :func:`simhash`, identical on both engines."""
+    if sorted(positions) != list(range(len(positions))):
+        raise ValueError("positions must be a permutation of 0..bits-1")
+    out = None
+    for j, p in enumerate(positions):
+        term = F.expr(f"({hash_col} div {1 << j}) % 2") * F.lit(1 << p)
+        out = term if out is None else out + term
+    return out.cast("long")
 
 
 def simhash_band_combos() -> list[tuple[int, int, tuple[int, ...]]]:
@@ -510,10 +678,22 @@ def simhash_band_rows(
     id_col: str = "doc_id",
     hash_col: str = "simhash",
     rung: int | None = None,
+    bit_blocks: list[int] | None = None,
 ) -> DataFrame:
     """(id, fingerprint, band_idx, band_val) — one row per ladder band
     per document; the storable SimHash index layout AND the candidate
     join key of :func:`simhash_hamming_pairs`.
+
+    ``bit_blocks`` (round 11, VERDICT r10 #1) applies an entropy-
+    balanced bit permutation (:func:`balanced_bit_blocks`) BEFORE
+    banding: band values come from the permuted fingerprint while the
+    emitted ``hash_col`` stays the ORIGINAL fingerprint (Hamming is
+    permutation-invariant, so exact verification is unchanged). Like
+    the rung, the assignment is an index-build parameter — rows banded
+    under different assignments never join meaningfully, so a stored
+    index pins it in the manifest (``meta.simhash_bit_blocks``) and
+    the gate validates it per batch. ``None`` = identity layout
+    (bit_idx div 10), bit-for-bit the pre-round-11 band rows.
 
     ``rung=None`` picks the rung from the in-plan fingerprint count
     (self-join use). An INDEX must pin an explicit rung at build time —
@@ -551,8 +731,14 @@ def simhash_band_rows(
         base = sh.crossJoin(F.broadcast(n1)).withColumn("__rung", rung_col)
     else:
         base = sh.withColumn("__rung", F.lit(int(rung)))
+    band_src = hash_col
+    if bit_blocks is not None:
+        base = base.withColumn(
+            "__permfp", permute_fingerprint(hash_col, bit_blocks)
+        )
+        band_src = "__permfp"
     return (
-        _band_explode(base, id_col, hash_col)
+        _band_explode(base, id_col, band_src)
         .filter(F.col("rung") == F.col("__rung"))
         .select(id_col, hash_col, "band_idx", "band_val")
     )
@@ -613,16 +799,26 @@ def simhash_band_rows_all_rungs(
     sh: DataFrame,
     id_col: str = "doc_id",
     hash_col: str = "simhash",
+    bit_blocks: list[int] | None = None,
 ) -> DataFrame:
     """Band rows for EVERY ladder rung at once — (id, fingerprint,
     rung m, band_idx, band_val), 41 rows per document — so a rung
     planner (q290) can price all three candidate-generation layouts
     over the real corpus in ONE pass instead of three. Shares
     :func:`_band_explode` with :func:`simhash_band_rows`, so the two
-    can never diverge."""
-    return _band_explode(
-        sh.select(id_col, hash_col), id_col, hash_col
-    ).select(id_col, hash_col, "rung", "band_idx", "band_val")
+    can never diverge. ``bit_blocks`` bands the permuted fingerprint
+    (emitted ``hash_col`` stays original), exactly as in
+    :func:`simhash_band_rows`."""
+    base = sh.select(id_col, hash_col)
+    band_src = hash_col
+    if bit_blocks is not None:
+        base = base.withColumn(
+            "__permfp", permute_fingerprint(hash_col, bit_blocks)
+        )
+        band_src = "__permfp"
+    return _band_explode(base, id_col, band_src).select(
+        id_col, hash_col, "rung", "band_idx", "band_val"
+    )
 
 
 def simhash_hamming_pairs(
@@ -631,9 +827,15 @@ def simhash_hamming_pairs(
     hash_col: str = "simhash",
     max_hamming: int = 5,
     rung: int | None = None,
+    bit_blocks: list[int] | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs from SimHash fingerprints: size-adaptive
     banded candidate generation + exact Hamming verification.
+    ``bit_blocks`` applies the entropy-balanced band permutation to
+    candidate GENERATION only — the verify bar is the exact popcount
+    of the ORIGINAL fingerprints, which a bit permutation cannot
+    change, so every guaranteed pair (Hamming <= 6-rung) survives
+    identically and only the random-collision floor moves.
 
     Candidates come from the block-combination band ladder (module
     comment above): the fingerprint count n — aggregated IN-PLAN and
@@ -660,7 +862,10 @@ def simhash_hamming_pairs(
     integer XOR+popcount inside codegen — no Python, no second shuffle
     (the fingerprints travel with the band rows).
     """
-    band_rows = simhash_band_rows(sh, id_col=id_col, hash_col=hash_col, rung=rung)
+    band_rows = simhash_band_rows(
+        sh, id_col=id_col, hash_col=hash_col, rung=rung,
+        bit_blocks=bit_blocks,
+    )
     a, b = band_rows.alias("a"), band_rows.alias("b")
     cand = (
         a.join(

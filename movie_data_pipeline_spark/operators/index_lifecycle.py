@@ -152,11 +152,15 @@ def count_phantom_index_rows(
     return head.join(live_ids, id_col, "left_anti").count()
 
 
+_KEEP = "keep"
+
+
 def migrate_simhash_index(
     spark: SparkSession,
     index_path: str,
     new_rung: int,
     id_col: str = "doc_id",
+    bit_blocks: list[int] | None | str = _KEEP,
 ) -> int:
     """Rebuild a stored SimHash band index at ``new_rung`` from its own
     stored fingerprints — the operator a gate runs when corpus growth
@@ -174,9 +178,20 @@ def migrate_simhash_index(
     rung fails the manifest validation loudly instead of silently
     accepting duplicates (streaming/sinks.simhash_gate_batch_writer).
 
+    ``bit_blocks`` (round 11, VERDICT r10 #1) migrates the BANDING
+    ASSIGNMENT in the same one-commit cadence: pass an entropy-balanced
+    permutation (``operators/dedup.measure_balanced_bit_blocks`` over
+    the index's own stored fingerprints — no text access needed) to
+    re-band under it, ``None`` to reset to the identity layout, or
+    leave the default to keep the stored assignment. The manifest's
+    ``simhash_bit_blocks`` property updates atomically with the rows,
+    so a gate writer pinned to the old assignment fails its manifest
+    validation loudly on the next batch.
+
     Returns the new committed version. Raises ValueError when the
-    index is already at ``new_rung`` (a no-op rewrite hides
-    configuration bugs) or when ``new_rung`` is not a ladder rung.
+    migration would be a no-op rewrite (same rung AND same assignment
+    — a silent full rewrite hides configuration bugs) or when
+    ``new_rung`` is not a ladder rung.
     """
     from movie_data_pipeline_spark.operators.dedup import simhash_band_rows
 
@@ -184,7 +199,17 @@ def migrate_simhash_index(
         raise ValueError(f"new_rung must be 1, 2 or 3, got {new_rung}")
     index = VersionedTable(index_path)
     head = index.read(spark)
-    stored = index.manifest().get("meta", {}).get("simhash_rung")
+    meta = index.manifest().get("meta") or {}
+    stored_blocks = meta.get("simhash_bit_blocks")
+    if isinstance(bit_blocks, str):
+        if bit_blocks != _KEEP:
+            raise ValueError(f"bit_blocks must be a list, None or 'keep'")
+        target_blocks = stored_blocks
+    else:
+        target_blocks = (
+            None if bit_blocks is None else [int(b) for b in bit_blocks]
+        )
+    stored = meta.get("simhash_rung")
     if stored is None:
         # Legacy fallback (pre-meta indexes): min/max aggregate — a
         # mixed-rung index is corruption and must fail deterministically
@@ -198,17 +223,21 @@ def migrate_simhash_index(
                 f"{row['lo']}..{row['hi']} — corrupted index"
             )
         stored = row["lo"]
-    if stored == new_rung:
+    if stored == new_rung and target_blocks == stored_blocks:
         raise ValueError(
             f"simhash index at {index_path} is already at rung "
-            f"{new_rung}; migration would be a no-op rewrite"
+            f"{new_rung} under this banding assignment; migration "
+            "would be a no-op rewrite"
         )
     fp = head.select(id_col, "simhash").distinct()
     rebanded = simhash_band_rows(
-        fp, id_col=id_col, rung=new_rung
+        fp, id_col=id_col, rung=new_rung, bit_blocks=target_blocks
     ).withColumn("rung", F.lit(int(new_rung)))
     return index.commit(
         rebanded,
         mode="overwrite",
-        meta={"simhash_rung": int(new_rung)},
+        meta={
+            "simhash_rung": int(new_rung),
+            "simhash_bit_blocks": target_blocks,
+        },
     )

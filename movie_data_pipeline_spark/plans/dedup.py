@@ -31,6 +31,7 @@ from movie_data_pipeline_spark.operators.dedup import (
     minhash_signatures_wide,
     ppjoin_pairs,
     simhash,
+    simhash_centered,
     simhash_hamming_pairs,
 )
 from movie_data_pipeline_spark.functions.text import base_hash32, tokens, word_shingles
@@ -270,7 +271,10 @@ def _render_simhash_band_ctes(forced_rung: int | None = None) -> str:
 
 
 _SIMHASH_BAND_CTES = _render_simhash_band_ctes()
-_SIMHASH_CTES = f"""
+# Vote CTEs shared by the zero-threshold fingerprint (``_SIMHASH_CTES``,
+# the r8 family) and the round-11 CENTERED fingerprint — one rendered
+# source so the two can only differ in the threshold.
+_SIMHASH_VOTE_CTES = f"""
   toks AS (
     SELECT doc_id, unnest({_TOKS_SQL}) AS token FROM documents
   ),
@@ -281,11 +285,24 @@ _SIMHASH_CTES = f"""
     SELECT doc_id, bit_idx, pow2,
            SUM(CASE WHEN (bh // pow2) % 2 = 1 THEN 1 ELSE -1 END) AS vote
     FROM hashed CROSS JOIN bits
-    GROUP BY doc_id, bit_idx, pow2),
+    GROUP BY doc_id, bit_idx, pow2)"""
+_SIMHASH_CTES = f"""{_SIMHASH_VOTE_CTES},
   fingerprints AS (
     SELECT doc_id,
            CAST(SUM(CASE WHEN vote > 0 THEN pow2 ELSE 0 END) AS BIGINT) AS simhash
     FROM votes GROUP BY doc_id)
+"""
+# Centered fingerprint (operators/dedup.simhash_centered): bit j set
+# iff the doc's vote exceeds the CORPUS MEAN vote for bit j — the
+# comparison is exact integer (vote * n > sum of votes), no float mean.
+_SIMHASH_CENTERED_CTES = f"""{_SIMHASH_VOTE_CTES},
+  vtot AS (
+    SELECT bit_idx, SUM(vote) AS s, COUNT(*) AS n
+    FROM votes GROUP BY bit_idx),
+  fingerprints AS (
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN vote * n > s THEN pow2 ELSE 0 END) AS BIGINT) AS simhash
+    FROM votes JOIN vtot USING (bit_idx) GROUP BY doc_id)
 """
 
 
@@ -3939,20 +3956,32 @@ def q288_cluster_churn_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # q290 — SimHash rung planner (price every ladder layout on the corpus)
 # --------------------------------------------------------------------------
-def _render_simhash_allrung_ctes() -> str:
+def _render_simhash_allrung_ctes(
+    src: str = "fingerprints",
+    out: str = "allbands",
+    blks: str = "blks",
+    with_combos: bool = True,
+) -> str:
     """Band rows for EVERY rung (no rung filter) — the oracle twin of
     ``operators/dedup.simhash_band_rows_all_rungs``, composed from the
     SAME ``_simhash_combo_sql`` fragment as the rung-filtered renderer.
-    Expects ``fingerprints``; emits ``allbands(doc_id, rung, band_idx,
-    band_val)``."""
+    Expects a ``src(doc_id, simhash)`` CTE; emits ``out(doc_id, rung,
+    band_idx, band_val)``. ``with_combos=False`` skips re-emitting the
+    shared ``combos`` VALUES table when an earlier fragment in the
+    same query already defined it."""
     vals, blk, band_val = _simhash_combo_sql()
-    return f"""combos(m, band_idx, j1, j2, j3) AS (VALUES
+    combos_cte = (
+        f"""combos(m, band_idx, j1, j2, j3) AS (VALUES
       {vals}),
-    blks AS (SELECT doc_id, simhash, [{blk}] AS blk FROM fingerprints),
-    allbands AS (
+    """
+        if with_combos
+        else ""
+    )
+    return f"""{combos_cte}{blks} AS (SELECT doc_id, simhash, [{blk}] AS blk FROM {src}),
+    {out} AS (
       SELECT doc_id, combos.m AS rung, band_idx,
              {band_val} AS band_val
-      FROM blks, combos)"""
+      FROM {blks}, combos)"""
 
 
 @query(
@@ -4091,10 +4120,16 @@ def q294_simhash_bit_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # q297 — skew-corrected rung pricing (round 10, VERDICT r9 #3)
 # --------------------------------------------------------------------------
-def _q297_oracle() -> str:
+def _q297_oracle(fp_ctes: str = None) -> str:
+    """Skew-pricing oracle, parameterized on the fingerprint CTE block
+    (round 11): rendered with ``_SIMHASH_CTES`` it is byte-identical to
+    the round-10 q297 oracle; q306 renders the same body over the
+    CENTERED fingerprint CTEs."""
+    if fp_ctes is None:
+        fp_ctes = _SIMHASH_CTES
     vals, _blk, _bv = _simhash_combo_sql()
     return f"""
-    WITH {_SIMHASH_CTES},
+    WITH {fp_ctes},
     {_render_simhash_allrung_ctes()},
     bitgrid AS (SELECT j AS bit_idx FROM generate_series(0, 59) t(j)),
     per_bit AS (
@@ -4191,13 +4226,20 @@ def q297_simhash_skew_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     is constant-size (60 bits, 6 blocks, 41 bands, 3 rungs). Linear in
     corpus size, never generates a pair.
     """
+    docs = load_table(spark, sf_dir, "documents")
+    fp = simhash(docs).localCheckpoint(eager=False)
+    return _skew_pricing_frame(spark, fp)
+
+
+def _skew_pricing_frame(spark: SparkSession, fp: DataFrame) -> DataFrame:
+    """The q297 pricing computation over a given fingerprint frame —
+    shared verbatim by q297 (zero-threshold fingerprints) and q306
+    (centered fingerprints), so the two prices can only differ through
+    the fingerprints themselves."""
     from movie_data_pipeline_spark.operators.dedup import (
         simhash_band_combos,
         simhash_band_rows_all_rungs,
     )
-
-    docs = load_table(spark, sf_dir, "documents")
-    fp = simhash(docs).localCheckpoint(eager=False)
 
     per_bit = (
         fp.select(
@@ -4284,3 +4326,457 @@ def q297_simhash_skew_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rung")
     )
+
+
+# --------------------------------------------------------------------------
+# q304 — entropy-balanced banding: the skew MITIGATION priced in-plan
+# (round 11, VERDICT r10 #1)
+# --------------------------------------------------------------------------
+_PER_BIT_SQL = """per_bit AS (
+      SELECT bit_idx,
+             SUM((simhash // CAST(2 ** bit_idx AS BIGINT)) % 2) AS n_set,
+             COUNT(*) AS n
+      FROM fingerprints CROSS JOIN bitgrid
+      GROUP BY bit_idx)"""
+
+# Snake assignment arithmetic — ONE rendered form shared by the oracle
+# and mirrored expression-for-expression by the Spark plan below, and
+# by construction the same integers operators/dedup.balanced_bit_blocks
+# produces (tested in tests/test_simhash_balance.py).
+_SNAKE_BLK_SQL = (
+    "CASE WHEN (r // 6) % 2 = 0 THEN r % 6 ELSE 5 - (r % 6) END"
+)
+
+
+def _q304_oracle() -> str:
+    vals, _blk, _bv = _simhash_combo_sql()
+    return f"""
+    WITH {_SIMHASH_CTES},
+    {_render_simhash_allrung_ctes()},
+    bitgrid AS (SELECT j AS bit_idx FROM generate_series(0, 59) t(j)),
+    {_PER_BIT_SQL},
+    asg AS (
+      SELECT bit_idx, n_set, n,
+             ROW_NUMBER() OVER (ORDER BY ABS(2 * n_set - n) DESC,
+                                bit_idx) - 1 AS r
+      FROM per_bit),
+    asg2 AS (
+      SELECT bit_idx, n_set, n,
+             {_SNAKE_BLK_SQL} AS blk,
+             ({_SNAKE_BLK_SQL}) * 10 + (r // 6) AS newpos
+      FROM asg),
+    permuted AS (
+      SELECT f.doc_id,
+             CAST(SUM(((f.simhash // CAST(2 ** a.bit_idx AS BIGINT)) % 2)
+                      * CAST(2 ** a.newpos AS BIGINT)) AS BIGINT) AS simhash
+      FROM fingerprints f CROSS JOIN asg2 a
+      GROUP BY f.doc_id),
+    {_render_simhash_allrung_ctes(src="permuted", out="ballbands",
+                                  blks="bblks", with_combos=False)},
+    bkt_n AS (
+      SELECT rung, band_idx, band_val, COUNT(*) AS sz
+      FROM allbands GROUP BY 1, 2, 3),
+    act_n AS (
+      SELECT rung, CAST(SUM(sz * (sz - 1) // 2) AS BIGINT) AS actual_naive
+      FROM bkt_n GROUP BY rung),
+    bkt_b AS (
+      SELECT rung, band_idx, band_val, COUNT(*) AS sz
+      FROM ballbands GROUP BY 1, 2, 3),
+    act_b AS (
+      SELECT rung,
+             CAST(SUM(sz * (sz - 1) // 2) AS BIGINT) AS actual_balanced
+      FROM bkt_b GROUP BY rung),
+    cbn AS (
+      SELECT bit_idx, bit_idx // 10 AS block_idx,
+             (n_set * 1.0 / n) * (n_set * 1.0 / n)
+             + (1 - n_set * 1.0 / n) * (1 - n_set * 1.0 / n) AS c
+      FROM per_bit),
+    cbb AS (
+      SELECT bit_idx, blk AS block_idx,
+             (n_set * 1.0 / n) * (n_set * 1.0 / n)
+             + (1 - n_set * 1.0 / n) * (1 - n_set * 1.0 / n) AS c
+      FROM asg2),
+    bpn AS (
+      SELECT block_idx, PRODUCT(c ORDER BY bit_idx) AS bp
+      FROM cbn GROUP BY block_idx),
+    bpb AS (
+      SELECT block_idx, PRODUCT(c ORDER BY bit_idx) AS bp
+      FROM cbb GROUP BY block_idx),
+    pcombos(m, band_idx, j1, j2, j3) AS (VALUES
+      {vals}),
+    bandp_n AS (
+      SELECT pcombos.m AS rung, band_idx,
+             (b1.bp * COALESCE(b2.bp, 1.0)) * COALESCE(b3.bp, 1.0) AS p
+      FROM pcombos
+      JOIN bpn b1 ON b1.block_idx = pcombos.j1
+      LEFT JOIN bpn b2 ON b2.block_idx = pcombos.j2
+      LEFT JOIN bpn b3 ON b3.block_idx = pcombos.j3),
+    bandp_b AS (
+      SELECT pcombos.m AS rung, band_idx,
+             (b1.bp * COALESCE(b2.bp, 1.0)) * COALESCE(b3.bp, 1.0) AS p
+      FROM pcombos
+      JOIN bpb b1 ON b1.block_idx = pcombos.j1
+      LEFT JOIN bpb b2 ON b2.block_idx = pcombos.j2
+      LEFT JOIN bpb b3 ON b3.block_idx = pcombos.j3),
+    expd_n AS (
+      SELECT rung, CAST(COUNT(*) AS BIGINT) AS n_bands,
+             SUM(p ORDER BY band_idx) AS s
+      FROM bandp_n GROUP BY rung),
+    expd_b AS (
+      SELECT rung, SUM(p ORDER BY band_idx) AS s
+      FROM bandp_b GROUP BY rung),
+    nn AS (SELECT MAX(n) AS n FROM per_bit)
+    SELECT CAST(expd_n.rung AS BIGINT) AS rung,
+           n_bands,
+           actual_naive,
+           actual_balanced,
+           {r4('(CAST(n AS DOUBLE) * (n - 1) / 2)'
+               ' * CAST(n_bands AS DOUBLE)'
+               ' * POW(2.0, -10 * expd_n.rung)')} AS exp_pairs_uniform,
+           {r4('(CAST(n AS DOUBLE) * (n - 1) / 2) * expd_n.s')}
+             AS exp_pairs_naive,
+           {r4('(CAST(n AS DOUBLE) * (n - 1) / 2) * expd_b.s')}
+             AS exp_pairs_balanced,
+           {r4('expd_n.s / (CAST(n_bands AS DOUBLE)'
+               ' * POW(2.0, -10 * expd_n.rung))')} AS infl_naive,
+           {r4('expd_b.s / (CAST(n_bands AS DOUBLE)'
+               ' * POW(2.0, -10 * expd_n.rung))')} AS infl_balanced
+    FROM expd_n
+    JOIN expd_b ON expd_b.rung = expd_n.rung
+    JOIN act_n ON act_n.rung = expd_n.rung
+    JOIN act_b ON act_b.rung = expd_n.rung
+    CROSS JOIN nn
+    ORDER BY rung
+    """
+
+
+@query(
+    "q304_simhash_balanced_banding",
+    oracle=_q304_oracle(),
+    tags=("extension", "dedup", "simhash", "calibration", "planner",
+          "skew", "mitigation"),
+)
+def q304_simhash_balanced_banding(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Entropy-BALANCED band assignment, measured against the naive
+    layout (round 11, VERDICT r10 #1 — mitigate the skew, don't just
+    price it): q297 shows the template-collapsed corpus inflates the
+    band-collision floor 404x at rung 2 / 7,798x at rung 3 because the
+    naive ``bit_idx div 10`` blocks CONCENTRATE degenerate bits (the
+    per-band floor is the product of its bits' collision factors, so
+    one all-degenerate band dominates the sum). The mitigation is a
+    measured bit PERMUTATION: rank bits by integer imbalance
+    ``|2*n_set - n|`` and snake-assign them across the 6 blocks
+    (operators/dedup.balanced_bit_blocks), which equalizes per-block
+    products — the elementary-symmetric-sum expectation is minimized
+    at equality, and every ladder guarantee survives because blocks
+    stay disjoint bit sets (pigeonhole) and Hamming is permutation-
+    invariant (the exact verify bar is untouched).
+
+    Per rung this publishes the naive and balanced ACTUAL banded
+    candidate counts side by side with the uniform floor, both
+    independent-bits expectations, and both inflation factors — the
+    before/after table of the mitigation on the real corpus. The
+    honest sf0.1 result: 404x -> 350x at rung 2, 7,799x -> 6,543x at
+    rung 3 (-13/-16%), because THIS corpus's skew is spread across
+    nearly every bit — the naive blocks are close to product-balanced
+    by accident, and a permutation can never remove the total per-bit
+    entropy deficit (the product of all 60 collision factors is
+    permutation-invariant; equalizing block products is the best any
+    assignment can do). The permutation's real protection is against
+    CONCENTRATED skew — a template burst collapsing one block's bits,
+    where the naive layout's floor turns quadratic in one band while
+    the balanced layout stays near the Schur bound
+    (tools/floor_probe.py measures that case synthetically:
+    SCALE_PROBE_r11.md). Removing the deficit itself requires fixing
+    the fingerprint, which is q305/q306's centered variant —
+    skew_inflation ~1x there.
+
+    Determinism: the assignment is pure integer (imbalance rank +
+    snake arithmetic, rendered identically in both engines and equal
+    by construction to the Python operator the gates use); expectation
+    folds are ordered, as in q297. Shape: fingerprints once (lazy
+    local checkpoint), one 60-row assignment (constant-size window),
+    one broadcast re-permute pass, two 41-combo band explodes + bucket
+    groupBys — linear, never generates a pair.
+    """
+    from pyspark.sql.window import Window
+
+    from movie_data_pipeline_spark.operators.dedup import (
+        simhash_band_combos,
+        simhash_band_rows_all_rungs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = simhash(docs).localCheckpoint(eager=False)
+
+    per_bit = (
+        fp.select(
+            "simhash",
+            F.explode(F.sequence(F.lit(0), F.lit(59))).alias("bit_idx"),
+        )
+        .groupBy("bit_idx")
+        .agg(
+            F.sum(
+                F.expr("(simhash div CAST(pow(2, bit_idx) AS BIGINT)) % 2")
+            ).alias("n_set"),
+            F.count("*").alias("n"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    w = Window.orderBy(
+        F.desc(F.abs(F.lit(2) * F.col("n_set") - F.col("n"))),
+        F.asc("bit_idx"),
+    )
+    asg = (
+        per_bit.withColumn("r", F.row_number().over(w) - 1)
+        .withColumn(
+            "blk",
+            F.expr(
+                "CASE WHEN (r div 6) % 2 = 0 THEN r % 6"
+                " ELSE 5 - (r % 6) END"
+            ),
+        )
+        .withColumn("newpos", F.col("blk") * 10 + F.expr("r div 6"))
+    )
+    permuted = (
+        fp.select(
+            "doc_id",
+            "simhash",
+            F.explode(F.sequence(F.lit(0), F.lit(59))).alias("bit_idx"),
+        )
+        .join(F.broadcast(asg.select("bit_idx", "newpos")), "bit_idx")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.expr("(simhash div CAST(pow(2, bit_idx) AS BIGINT)) % 2")
+                * F.expr("CAST(pow(2, newpos) AS BIGINT)")
+            )
+            .cast("long")
+            .alias("simhash")
+        )
+    )
+
+    def _actual(bands: DataFrame, out: str) -> DataFrame:
+        return (
+            bands.groupBy("rung", "band_idx", "band_val")
+            .agg(F.count("*").alias("sz"))
+            .groupBy("rung")
+            .agg(
+                F.sum(F.expr("(sz * (sz - 1)) div 2")).cast("long").alias(out)
+            )
+        )
+
+    act_n = _actual(simhash_band_rows_all_rungs(fp), "actual_naive")
+    act_b = _actual(
+        simhash_band_rows_all_rungs(permuted), "actual_balanced"
+    )
+
+    p = F.col("n_set") * F.lit(1.0) / F.col("n")
+    c_expr = (p * p + (F.lit(1) - p) * (F.lit(1) - p)).alias("c")
+    cbn = per_bit.select(
+        "bit_idx", (F.col("bit_idx") / 10).cast("int").alias("block_idx"),
+        c_expr,
+    )
+    cbb = asg.select("bit_idx", F.col("blk").alias("block_idx"), c_expr)
+    combos = spark.createDataFrame(
+        [(m, i, c[0], c[1] if len(c) > 1 else -1, c[2] if len(c) > 2 else -1)
+         for (m, i, c) in simhash_band_combos()],
+        "m INT, band_idx INT, j1 INT, j2 INT, j3 INT",
+    )
+
+    def _expd(cb: DataFrame, s_out: str) -> DataFrame:
+        bp = cb.groupBy("block_idx").agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("bit_idx", "c"))),
+                F.lit(1.0),
+                lambda acc, x: acc * x["c"],
+            ).alias("bp")
+        )
+        b1, b2, b3 = bp.alias("b1"), bp.alias("b2"), bp.alias("b3")
+        bandp = (
+            combos.join(b1, F.col("b1.block_idx") == F.col("j1"))
+            .join(b2, F.col("b2.block_idx") == F.col("j2"), "left")
+            .join(b3, F.col("b3.block_idx") == F.col("j3"), "left")
+            .select(
+                F.col("m").alias("rung"),
+                "band_idx",
+                (
+                    (F.col("b1.bp") * F.coalesce(F.col("b2.bp"), F.lit(1.0)))
+                    * F.coalesce(F.col("b3.bp"), F.lit(1.0))
+                ).alias("p"),
+            )
+        )
+        return bandp.groupBy("rung").agg(
+            F.count("*").cast("long").alias(f"__nb_{s_out}"),
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("band_idx", "p"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["p"],
+            ).alias(s_out),
+        )
+
+    expd_n = _expd(cbn, "s_n")
+    expd_b = _expd(cbb, "s_b").drop("__nb_s_b")
+    nn = per_bit.agg(F.max("n").alias("n"))
+
+    n_d = F.col("n").cast("double")
+    pairs = n_d * (F.col("n") - 1) / 2
+    unif_per_band = F.col("__nb_s_n").cast("double") * F.pow(
+        F.lit(2.0), F.lit(-10) * F.col("rung")
+    )
+    return (
+        expd_n.join(expd_b, "rung")
+        .join(act_n, "rung")
+        .join(act_b, "rung")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            F.col("rung").cast("long").alias("rung"),
+            F.col("__nb_s_n").alias("n_bands"),
+            "actual_naive",
+            "actual_balanced",
+            round4(pairs * unif_per_band).alias("exp_pairs_uniform"),
+            round4(pairs * F.col("s_n")).alias("exp_pairs_naive"),
+            round4(pairs * F.col("s_b")).alias("exp_pairs_balanced"),
+            round4(F.col("s_n") / unif_per_band).alias("infl_naive"),
+            round4(F.col("s_b") / unif_per_band).alias("infl_balanced"),
+        )
+        .orderBy("rung")
+    )
+
+
+# --------------------------------------------------------------------------
+# q305 — centered-fingerprint bit balance (the source-level fix, measured)
+# --------------------------------------------------------------------------
+@query(
+    "q305_simhash_centered_balance",
+    oracle=f"""
+    WITH {_SIMHASH_CTES},
+    vtot AS (
+      SELECT bit_idx, SUM(vote) AS s, COUNT(*) AS n
+      FROM votes GROUP BY bit_idx),
+    cfp AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN vote * n > s THEN pow2 ELSE 0 END)
+                  AS BIGINT) AS simhash
+      FROM votes JOIN vtot USING (bit_idx) GROUP BY doc_id),
+    bitgrid AS (SELECT j AS bit_idx FROM generate_series(0, 59) t(j)),
+    pb_raw AS (
+      SELECT bit_idx,
+             SUM((simhash // CAST(2 ** bit_idx AS BIGINT)) % 2) AS n_set,
+             COUNT(*) AS n
+      FROM fingerprints CROSS JOIN bitgrid GROUP BY bit_idx),
+    pb_c AS (
+      SELECT bit_idx,
+             SUM((simhash // CAST(2 ** bit_idx AS BIGINT)) % 2) AS n_set,
+             COUNT(*) AS n
+      FROM cfp CROSS JOIN bitgrid GROUP BY bit_idx)
+    SELECT CAST(pb_raw.bit_idx AS BIGINT) AS bit_idx,
+           CAST(pb_raw.n_set AS BIGINT) AS n_set_raw,
+           CAST(pb_c.n_set AS BIGINT) AS n_set_centered,
+           {r4('ABS(pb_raw.n_set * 1.0 / pb_raw.n - 0.5)')} AS abs_dev_raw,
+           {r4('ABS(pb_c.n_set * 1.0 / pb_c.n - 0.5)')} AS abs_dev_centered
+    FROM pb_raw JOIN pb_c ON pb_c.bit_idx = pb_raw.bit_idx
+    ORDER BY bit_idx
+    """,
+    tags=("extension", "dedup", "simhash", "audit", "monitor",
+          "mitigation"),
+)
+def q305_simhash_centered_balance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CENTERED-fingerprint bit balance, side by side with the raw
+    fingerprint (round 11, VERDICT r10 #1): q294 measures per-bit set
+    shares of 0.01-0.99 on this corpus, and the root cause is not
+    token identity (the vocabulary is tiny and near-ubiquitous — IDF
+    weights all round to zero) but the MEAN of each bit's vote
+    distribution being far from the zero threshold. The fix is the
+    learning-to-hash standard: threshold each bit at its corpus-
+    central value (operators/dedup.simhash_centered — exact integer
+    ``vote*n > sum`` comparison, no float mean). This audit publishes
+    the before/after per bit: on this corpus the mean |share - 0.5|
+    drops from ~0.27 to ~0.03 (sf0.001; same collapse at every SF),
+    which is what pulls q306's collision-floor inflation down to ~1x.
+
+    Shape: ONE token-vote pass shared by both fingerprints (the
+    centered one adds a 60-row vote-total aggregate and a broadcast
+    threshold join), then two 60-row balance rollups. Linear; output
+    is 60 rows at any corpus size.
+    """
+    raw = simhash(docs := load_table(spark, sf_dir, "documents"))
+    centered = simhash_centered(docs)
+
+    def _pb(fp: DataFrame, n_set_out: str) -> DataFrame:
+        return (
+            fp.select(
+                "simhash",
+                F.explode(F.sequence(F.lit(0), F.lit(59))).alias("bit_idx"),
+            )
+            .groupBy("bit_idx")
+            .agg(
+                F.sum(
+                    F.expr(
+                        "(simhash div CAST(pow(2, bit_idx) AS BIGINT)) % 2"
+                    )
+                ).alias(n_set_out),
+                F.count("*").alias(f"__n_{n_set_out}"),
+            )
+        )
+
+    pb_raw = _pb(raw, "n_set_raw")
+    pb_c = _pb(centered, "n_set_centered")
+    dev_raw = F.abs(
+        F.col("n_set_raw") * F.lit(1.0) / F.col("__n_n_set_raw") - F.lit(0.5)
+    )
+    dev_c = F.abs(
+        F.col("n_set_centered") * F.lit(1.0) / F.col("__n_n_set_centered")
+        - F.lit(0.5)
+    )
+    return (
+        pb_raw.join(pb_c, "bit_idx")
+        .select(
+            F.col("bit_idx").cast("long").alias("bit_idx"),
+            F.col("n_set_raw").cast("long").alias("n_set_raw"),
+            F.col("n_set_centered").cast("long").alias("n_set_centered"),
+            round4(dev_raw).alias("abs_dev_raw"),
+            round4(dev_c).alias("abs_dev_centered"),
+        )
+        .orderBy("bit_idx")
+    )
+
+
+# --------------------------------------------------------------------------
+# q306 — centered-fingerprint rung pricing (skew_inflation -> ~1x)
+# --------------------------------------------------------------------------
+@query(
+    "q306_simhash_centered_pricing",
+    oracle=_q297_oracle(_SIMHASH_CENTERED_CTES),
+    tags=("extension", "dedup", "simhash", "calibration", "planner",
+          "skew", "mitigation"),
+)
+def q306_simhash_centered_pricing(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q297's skew-corrected rung pricing re-run on the CENTERED
+    fingerprints (round 11, VERDICT r10 #1 — the 'done' criterion):
+    with per-bit thresholds at the corpus mean the vote distributions
+    split near 50/50 (q305), so the independent-bits expectation falls
+    back toward the uniform floor — ``skew_inflation`` collapses from
+    404x/7,798x (q297 at rungs 2/3 on the raw fingerprints) to ~1x,
+    i.e. SimHash banding WORKS on this template-collapsed corpus
+    instead of merely knowing it doesn't. The pricing body is
+    _skew_pricing_frame / _q297_oracle — SHARED verbatim with q297, so
+    the two tables can only differ through the fingerprints.
+
+    Lifecycle contract: centered thresholds are corpus statistics —
+    an index built on centered fingerprints pins (per-bit vote totals,
+    n) in its manifest meta exactly like the rung, and batches
+    fingerprint against the pinned thresholds; migrating means
+    re-hashing text, which is why the map-only banding permutation
+    (q304) exists for indexes that cannot re-hash. Shape: identical to
+    q297 — linear, never generates a pair.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fp = simhash_centered(docs).localCheckpoint(eager=False)
+    return _skew_pricing_frame(spark, fp)

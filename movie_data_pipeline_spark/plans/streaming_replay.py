@@ -1746,3 +1746,191 @@ def q302_midstream_erasure_gate(
         return result.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# q307 — balanced-banding + rung migration across a live gate (round 11,
+# VERDICT r10 #1 — the mitigation's lifecycle leg)
+# --------------------------------------------------------------------------
+def _q307_oracle() -> str:
+    from movie_data_pipeline_spark.plans.dedup import (
+        _SIMHASH_CTES,
+        _render_simhash_allrung_ctes,
+    )
+
+    return f"""
+    WITH {_SIMHASH_CTES},
+    {_render_simhash_allrung_ctes()},
+    b0 AS (
+      SELECT a.doc_id, f.simhash, a.band_idx, a.band_val
+      FROM allbands a JOIN fingerprints f USING (doc_id)
+      WHERE a.rung = 1 AND a.doc_id % 2 = 0),
+    d0 AS (
+      SELECT DISTINCT y.doc_id
+      FROM b0 x JOIN b0 y
+        ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+       AND x.doc_id < y.doc_id
+      WHERE bit_count(xor(x.simhash, y.simhash)) <= 5),
+    acc0 AS (
+      SELECT doc_id FROM documents
+      WHERE doc_id % 2 = 0
+        AND doc_id NOT IN (SELECT doc_id FROM d0)),
+    bitgrid AS (SELECT j AS bit_idx FROM generate_series(0, 59) t(j)),
+    pb AS (
+      SELECT bit_idx,
+             SUM((simhash // CAST(2 ** bit_idx AS BIGINT)) % 2) AS n_set,
+             COUNT(*) AS n
+      FROM fingerprints JOIN acc0 USING (doc_id)
+      CROSS JOIN bitgrid GROUP BY bit_idx),
+    asg AS (
+      SELECT bit_idx,
+             ROW_NUMBER() OVER (ORDER BY ABS(2 * n_set - n) DESC,
+                                bit_idx) - 1 AS r
+      FROM pb),
+    asg2 AS (
+      SELECT bit_idx,
+             (CASE WHEN (r // 6) % 2 = 0 THEN r % 6
+                   ELSE 5 - (r % 6) END) * 10 + (r // 6) AS newpos
+      FROM asg),
+    permuted AS (
+      SELECT f.doc_id,
+             CAST(SUM(((f.simhash // CAST(2 ** a.bit_idx AS BIGINT)) % 2)
+                      * CAST(2 ** a.newpos AS BIGINT)) AS BIGINT) AS simhash
+      FROM fingerprints f CROSS JOIN asg2 a
+      GROUP BY f.doc_id),
+    {_render_simhash_allrung_ctes(src="permuted", out="pallbands",
+                                  blks="pblks", with_combos=False)},
+    idxmig AS (
+      SELECT a.doc_id, p.simhash, a.band_idx, a.band_val
+      FROM pallbands a
+      JOIN permuted p USING (doc_id)
+      JOIN acc0 USING (doc_id)
+      WHERE a.rung = 2),
+    b1 AS (
+      SELECT a.doc_id, p.simhash, a.band_idx, a.band_val
+      FROM pallbands a JOIN permuted p USING (doc_id)
+      WHERE a.rung = 2 AND a.doc_id % 2 = 1),
+    d1 AS (
+      SELECT DISTINCT y.doc_id
+      FROM b1 x JOIN b1 y
+        ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+       AND x.doc_id < y.doc_id
+      WHERE bit_count(xor(x.simhash, y.simhash)) <= 5),
+    hit1 AS (
+      SELECT DISTINCT b1.doc_id
+      FROM b1 JOIN idxmig
+        ON b1.band_idx = idxmig.band_idx
+       AND b1.band_val = idxmig.band_val
+      WHERE bit_count(xor(b1.simhash, idxmig.simhash)) <= 5),
+    acc1 AS (
+      SELECT doc_id FROM documents
+      WHERE doc_id % 2 = 1
+        AND doc_id NOT IN (SELECT doc_id FROM d1)
+        AND doc_id NOT IN (SELECT doc_id FROM hit1))
+    SELECT d.doc_id, d.source
+    FROM documents d
+    JOIN (SELECT doc_id FROM acc0 UNION ALL SELECT doc_id FROM acc1) a
+      USING (doc_id)
+    ORDER BY d.doc_id
+    """
+
+
+@query(
+    "q307_banding_migration_gate",
+    oracle=_q307_oracle(),
+    tags=("extension", "streaming", "dedup", "simhash", "lifecycle",
+          "migration", "skew", "mitigation"),
+)
+def q307_banding_migration_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Entropy-balanced BANDING migration across a live gate boundary
+    (round 11, VERDICT r10 #1): the operational leg of the skew
+    mitigation — an index built under the naive band layout is
+    re-banded under the measured balanced assignment WITHOUT touching
+    document text, and the gate keeps deduplicating correctly across
+    the boundary.
+
+    The replay: even doc_ids stream through a rung-1 gate (naive
+    banding); the balanced assignment is MEASURED from the index's own
+    stored fingerprints (operators/dedup.measure_balanced_bit_blocks —
+    one 61-column aggregate, no text access); ONE
+    ``migrate_simhash_index`` commit re-bands at rung 2 under that
+    assignment and atomically pins both ``simhash_rung`` and
+    ``simhash_bit_blocks`` in the manifest; odd doc_ids then stream
+    through a rung-2 gate pinned to the same assignment — its manifest
+    validation passes, and its within-batch keep-first and index join
+    both run on PERMUTED band values with the exact Hamming<=5 bar
+    (permutation-invariant) against the migrated rows.
+
+    The oracle derives everything from first principles: batch-0's
+    greedy rung-1 corpus, the per-bit counts of exactly those accepted
+    fingerprints, the integer snake assignment (the same arithmetic as
+    the Python operator, rank by |2*n_set - n| DESC then bit_idx),
+    the permuted fingerprints, and batch-1 novelty via permuted rung-2
+    bands verified at the exact bar. Equality proves the migrated
+    index is byte-equivalent to one BUILT balanced at rung 2 — the
+    banding migration loses nothing, invents nothing, and the gate's
+    pinned-assignment validation holds across it.
+    """
+    import os as _os
+
+    from movie_data_pipeline_spark.operators.dedup import (
+        measure_balanced_bit_blocks,
+    )
+    from movie_data_pipeline_spark.operators.index_lifecycle import (
+        migrate_simhash_index,
+    )
+    from movie_data_pipeline_spark.sources.registry import load_table
+    from movie_data_pipeline_spark.sources.versioned import VersionedTable
+    from movie_data_pipeline_spark.streaming.sinks import (
+        start_simhash_gate_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="mdp-q307-")
+    acc, idx = f"{base}/acc", f"{base}/idx"
+    try:
+        streams = []
+        for i, half in enumerate(
+            (
+                docs.filter(F.col("doc_id") % 2 == 0),
+                docs.filter(F.col("doc_id") % 2 == 1),
+            )
+        ):
+            src = f"{base}/src{i}"
+            _os.makedirs(src)
+            out = f"{base}/half{i}"
+            half.coalesce(1).write.parquet(out)
+            part = _one_part(out, "q307")
+            _os.rename(part, f"{src}/{i}_half.parquet")
+            streams.append(
+                spark.readStream.schema(docs.schema).parquet(src)
+            )
+
+        q0 = start_simhash_gate_stream(
+            streams[0], acc, idx, f"{base}/ckpt0", rung=1
+        )
+        _await(q0, "q307 batch 0")
+        blocks = measure_balanced_bit_blocks(
+            VersionedTable(idx)
+            .read(spark)
+            .select("doc_id", "simhash")
+            .distinct()
+        )
+        migrate_simhash_index(spark, idx, 2, bit_blocks=blocks)
+        q1 = start_simhash_gate_stream(
+            streams[1], acc, idx, f"{base}/ckpt1", rung=2,
+            bit_blocks=blocks,
+        )
+        _await(q1, "q307 batch 1")
+
+        result = (
+            VersionedTable(acc)
+            .read(spark)
+            .select("doc_id", "source")
+            .orderBy("doc_id")
+        )
+        return result.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

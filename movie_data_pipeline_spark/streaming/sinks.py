@@ -324,6 +324,7 @@ def simhash_gate_batch_writer(
     index_path: str,
     rung: int = 1,
     max_hamming: int = 5,
+    bit_blocks: list[int] | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch writer: streaming near-dup ingest gate over the
     60-bit SimHash family (round 9, VERDICT r8 #4) — the q205 MinHash
@@ -367,6 +368,17 @@ def simhash_gate_batch_writer(
     unstored content); replays anti-join survivors against the
     accepted table's doc_ids so nothing lands twice, and the replay's
     index commit back-fills missing band rows.
+
+    ``bit_blocks`` (round 11, VERDICT r10 #1): the entropy-balanced
+    banding permutation (operators/dedup.balanced_bit_blocks) under
+    which the index's band rows were built. Like the rung it is an
+    INDEX-BUILD parameter — band values from different assignments
+    never join meaningfully — so it is persisted in the manifest
+    (``meta.simhash_bit_blocks``) and validated per batch with the
+    same one-JSON-read discipline; a writer restarted with a different
+    assignment fails loudly. Exact Hamming verification uses the
+    ORIGINAL fingerprints (permutation-invariant), so the accept/
+    reject bar is unchanged — only the band-collision floor drops.
     """
     from movie_data_pipeline_spark.operators.dedup import (
         simhash,
@@ -375,18 +387,21 @@ def simhash_gate_batch_writer(
     )
     from movie_data_pipeline_spark.sources.versioned import VersionedTable
 
+    blocks_meta = None if bit_blocks is None else [int(b) for b in bit_blocks]
+
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
         fp = simhash(batch_df).persist()
         try:
-            bands = simhash_band_rows(fp, rung=rung).withColumn(
-                "rung", F.lit(int(rung))
-            )
+            bands = simhash_band_rows(
+                fp, rung=rung, bit_blocks=bit_blocks
+            ).withColumn("rung", F.lit(int(rung)))
             batch_dupes = (
                 simhash_hamming_pairs(
-                    fp, max_hamming=max_hamming, rung=rung
+                    fp, max_hamming=max_hamming, rung=rung,
+                    bit_blocks=bit_blocks,
                 )
                 .select(F.col("doc_b").alias("doc_id"))
                 .distinct()
@@ -410,9 +425,8 @@ def simhash_gate_batch_writer(
                 # rows in one snapshot, so one row is authoritative. An
                 # EMPTY committed index has no rung to validate — it is
                 # treated as unvalidated, same as no version at all.
-                stored = index.manifest().get("meta", {}).get(
-                    "simhash_rung"
-                )
+                meta = index.manifest().get("meta") or {}
+                stored = meta.get("simhash_rung")
                 if stored is None:
                     # Legacy fallback (pre-meta indexes only): aggregate
                     # min/max over the rung column — deterministic, and
@@ -439,6 +453,24 @@ def simhash_gate_batch_writer(
                         "index_lifecycle.migrate_simhash_index) or pin "
                         "the matching rung"
                     )
+                # The banding permutation is pinned the same way: rows
+                # banded under a different bit assignment produce band
+                # values this writer's batches would never match —
+                # duplicates of indexed docs would silently pass. Only
+                # validated when the manifest carries meta (a pre-meta
+                # index predates permuted banding entirely).
+                if "simhash_rung" in meta:
+                    stored_blocks = meta.get("simhash_bit_blocks")
+                    if stored_blocks != blocks_meta:
+                        raise ValueError(
+                            f"simhash gate: index at {index_path} was "
+                            f"banded under bit assignment "
+                            f"{stored_blocks} but this writer is pinned "
+                            f"to {blocks_meta}; migrate the index "
+                            "(operators/index_lifecycle."
+                            "migrate_simhash_index with bit_blocks) or "
+                            "pin the matching assignment"
+                        )
                 corpus_bands = idx_df.select(
                     "band_idx",
                     "band_val",
@@ -477,7 +509,10 @@ def simhash_gate_batch_writer(
                         survivors.select("doc_id"), "doc_id", "left_semi"
                     ),
                     mode="append",
-                    meta={"simhash_rung": int(rung)},
+                    meta={
+                        "simhash_rung": int(rung),
+                        "simhash_bit_blocks": blocks_meta,
+                    },
                 )
             finally:
                 survivors.unpersist()
@@ -493,12 +528,15 @@ def start_simhash_gate_stream(
     index_path: str,
     checkpoint: str,
     rung: int = 1,
+    bit_blocks: list[int] | None = None,
     trigger_available_now: bool = True,
 ) -> StreamingQuery:
     """Document stream → SimHash-gated versioned corpus + band index."""
     writer = (
         docs.writeStream.foreachBatch(
-            simhash_gate_batch_writer(accepted_path, index_path, rung=rung)
+            simhash_gate_batch_writer(
+                accepted_path, index_path, rung=rung, bit_blocks=bit_blocks
+            )
         )
         .outputMode("append")
         .option("checkpointLocation", checkpoint)

@@ -62,6 +62,8 @@ WINDOW_OK = {
     # rolling stats over the per-hour aggregate: frame = |hours in the
     # retention window| — bounded by calendar, not by row count
     "q115_rolling_view_purchase_corr",
+    # balance-rank of the 60 fingerprint bits: frame = 60, constant
+    "q304_simhash_balanced_banding",
 }
 
 

@@ -41,19 +41,30 @@ SIZES = [int(x) for x in os.environ.get(
 ).split(",")]
 
 
-def expected_pairs(n: int, shares: list[float], rung: int) -> float:
-    """C(n,2) * sum over the rung's bands of prod (p^2+(1-p)^2)."""
+def expected_pairs(
+    n: int,
+    shares: list[float],
+    rung: int,
+    positions: list[int] | None = None,
+) -> float:
+    """C(n,2) * sum over the rung's bands of prod (p^2+(1-p)^2).
+    ``positions`` prices a permuted (balanced) band layout: bit j
+    belongs to block positions[j] div 10 instead of j div 10."""
     from movie_data_pipeline_spark.operators.dedup import simhash_band_combos
 
     c = [p * p + (1 - p) * (1 - p) for p in shares]
+    block_of = [
+        (positions[j] if positions else j) // 10 for j in range(60)
+    ]
     total = 0.0
     for m, _idx, blocks in simhash_band_combos():
         if m != rung:
             continue
         prod = 1.0
         for b in blocks:
-            for j in range(10 * b, 10 * b + 10):
-                prod *= c[j]
+            for j in range(60):
+                if block_of[j] == b:
+                    prod *= c[j]
         total += prod
     return n * (n - 1) / 2 * total
 
@@ -103,8 +114,31 @@ def main() -> int:
         "max_share": round(max(measured), 4),
     }), flush=True)
 
+    # Round 11 (VERDICT r10 #1): price the balanced-banding permutation
+    # against the naive layout, on the measured shares AND on a
+    # CONCENTRATED-skew synthetic (10 near-dead bits landing in ONE
+    # naive block — a template burst) where the permutation is the
+    # difference between a quadratic band and the Schur floor.
+    from movie_data_pipeline_spark.operators.dedup import (
+        balanced_bit_blocks,
+    )
+
+    def positions_for(shares: list[float]) -> list[int]:
+        return balanced_bit_blocks(
+            [int(round(p * 1_000_000)) for p in shares], 1_000_000
+        )
+
+    concentrated = [0.0001] * 10 + [0.5] * 50
+    configs = [
+        ("uniform", uniform, "naive", None),
+        ("skewed", measured, "naive", None),
+        ("skewed", measured, "balanced", positions_for(measured)),
+        ("concentrated", concentrated, "naive", None),
+        ("concentrated", concentrated, "balanced",
+         positions_for(concentrated)),
+    ]
     results = []
-    for dist_name, shares in (("uniform", uniform), ("skewed", measured)):
+    for dist_name, shares, layout, positions in configs:
         for n in SIZES:
             rung = pick_rung(n)
             # synthetic independent-bit fingerprints, deterministic
@@ -125,17 +159,17 @@ def main() -> int:
             )
             t0 = time.perf_counter()
             measured_pairs = (
-                simhash_band_rows(synth, rung=rung)
+                simhash_band_rows(synth, rung=rung, bit_blocks=positions)
                 .groupBy("band_idx", "band_val")
                 .agg(F.count("*").alias("sz"))
                 .agg(F.sum(F.expr("(sz * (sz - 1)) div 2")).alias("cp"))
                 .collect()[0]["cp"]
             )
             secs = round(time.perf_counter() - t0, 1)
-            pred = expected_pairs(n, shares, rung)
+            pred = expected_pairs(n, shares, rung, positions)
             row = {
-                "probe": "floor", "dist": dist_name, "n": n,
-                "rung": rung,
+                "probe": "floor", "dist": dist_name, "layout": layout,
+                "n": n, "rung": rung,
                 "measured_pairs": int(measured_pairs),
                 "predicted_pairs": round(pred, 1),
                 "ratio": round(measured_pairs / pred, 4) if pred else None,
