@@ -245,6 +245,37 @@ def ivf_assign(
     return spread(corpus).withColumn("cell", best_cell)
 
 
+def assign_to_centroids(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus with a ``cell`` column: argmax cosine against a GIVEN
+    codebook (vs :func:`ivf_assign`, which seeds its own) — the
+    re-assignment half of an IVF centroid refresh
+    (``operators/index_lifecycle.migrate_ivf_index``).
+
+    Cosines are round4-quantized before the argmax (the q264/q284
+    discipline for DERIVED centroids: the means are exact
+    DECIMAL(30,6)-to-double, but the cosine fold against them deserves
+    a quantization margin before cross-engine comparison); ties break
+    toward the lowest cell index. Map-only: the codebook is compiled
+    into a per-row argmax expression, nothing shuffles.
+    """
+    candidates = []
+    for i, cvec in enumerate(centroids):
+        lit = F.array(*[F.lit(float(v)) for v in cvec])
+        sim = F.floor(
+            cosine(F.col(vec_col), lit) * F.lit(10000.0) + F.lit(0.5)
+        ) / F.lit(10000.0)
+        candidates.append(F.struct(sim.alias("s"), F.lit(-i).alias("ni")))
+    best_cell = (-F.array_max(F.array(*candidates)).getField("ni")).cast(
+        "int"
+    )
+    return spread(corpus).withColumn("cell", best_cell)
+
+
 def cosine_topk_ivf(
     corpus: DataFrame,
     queries: DataFrame,

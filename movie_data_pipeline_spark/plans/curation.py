@@ -2228,3 +2228,155 @@ def q300_curriculum_token_pacing(
         )
         .orderBy("stage")
     )
+
+
+# --------------------------------------------------------------------------
+# q310 — shard-manifest staleness audit after erasure (round 11,
+# VERDICT r10 #4)
+# --------------------------------------------------------------------------
+@query(
+    "q310_manifest_staleness_audit",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id,
+             md5(CAST(doc_id AS VARCHAR) || '{_ORDER_SEED}') AS hk
+      FROM documents),
+    r AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY hk, doc_id) AS rnk,
+             COUNT(*) OVER () AS n
+      FROM h),
+    s AS (
+      SELECT doc_id, rnk,
+             (rnk - 1) // ((n + {_ORDER_SHARDS - 1}) // {_ORDER_SHARDS})
+               AS shard
+      FROM r),
+    d AS (
+      SELECT shard,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                   || CAST(rnk AS VARCHAR)), 1, 8)) AS BIGINT) AS dig,
+             (doc_id % 6 = 2) AS gone
+      FROM s)
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN gone THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_missing,
+           CAST(SUM(dig) AS BIGINT) AS published_digest,
+           CAST(SUM(CASE WHEN gone THEN 0 ELSE dig END) AS BIGINT)
+             AS surviving_digest,
+           CAST(CASE WHEN SUM(CASE WHEN gone THEN 1 ELSE 0 END) > 0
+                THEN 1 ELSE 0 END AS BIGINT) AS stale
+    FROM d GROUP BY shard ORDER BY shard
+    """,
+    tags=("extension", "training", "manifest", "lifecycle", "erasure",
+          "audit"),
+)
+def q310_manifest_staleness_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Shard-manifest STALENESS audit after an erasure (round 11,
+    VERDICT r10 #4): ``erase_documents`` scrubs the corpus and its
+    band/IVF indexes, but a PUBLISHED q286 training-order manifest is
+    a derived artifact too — after an erasure it silently references
+    deleted documents, and a trainer that verifies a materialized
+    shard against its digest either fails opaquely or trains on text
+    that was supposed to be gone. The audit
+    (``operators/index_lifecycle.audit_shard_manifest``) closes the
+    loop, run here in the erase cadence end to end:
+
+    1. commit the documents as a versioned corpus and PUBLISH the
+       q286 manifest as a VersionedTable whose meta pins its
+       derivation (order seed, shard count, built-at corpus version);
+    2. ``erase_documents(..., manifest_paths=[...])`` — corpus
+       delete_where (``doc_id % 6 = 2``) plus the manifest audit in
+       the same cadence (the returned stats carry the stale counts;
+       asserted consistent with the audit frame);
+    3. return the per-shard audit: published digest, digest over the
+       SURVIVING members (re-derived from the corpus AS OF the build
+       version via time travel), missing count, and the stale flag.
+
+    The oracle derives everything from the q286 rank/digest arithmetic
+    and the erase predicate alone. With a seeded md5 permutation every
+    shard almost surely loses members (~1/6 of the corpus spread
+    uniformly), so all 16 rows flag stale — the point: ONE erasure
+    invalidates the whole published training order, and the audit says
+    so before a trainer does. Scale: the q286 rank machinery + two
+    column-pruned joins + one groupBy(shard) — the audit costs what
+    the manifest build cost.
+    """
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from movie_data_pipeline_spark.operators.index_lifecycle import (
+        audit_shard_manifest,
+        erase_documents,
+    )
+    from movie_data_pipeline_spark.sources.versioned import VersionedTable
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = _tempfile.mkdtemp(prefix="mdp-q310-")
+    corpus_path, manifest_path = f"{base}/corpus", f"{base}/manifest"
+    try:
+        VersionedTable(corpus_path).commit(docs)
+        # build the q286 manifest from the COMMITTED corpus snapshot
+        from movie_data_pipeline_spark.functions.text import base_hash32
+        from movie_data_pipeline_spark.operators.prefix import (
+            attach_global_row_number,
+        )
+
+        c0 = VersionedTable(corpus_path).read(spark, version=0)
+        h = c0.select(
+            "doc_id",
+            F.md5(
+                F.concat(F.col("doc_id").cast("string"), F.lit(_ORDER_SEED))
+            ).alias("hk"),
+        )
+        ranked, _n = attach_global_row_number(h, ["hk", "doc_id"], out="rnk")
+        n1 = h.agg(F.count("*").alias("n"))
+        s = ranked.crossJoin(F.broadcast(n1)).withColumn(
+            "shard",
+            F.expr(
+                f"(rnk - 1) div ((n + {_ORDER_SHARDS - 1})"
+                f" div {_ORDER_SHARDS})"
+            ),
+        )
+        digest = base_hash32(
+            F.concat(
+                F.col("doc_id").cast("string"),
+                F.lit(":"),
+                F.col("rnk").cast("string"),
+            )
+        )
+        manifest = s.groupBy("shard").agg(
+            F.count("*").alias("n_docs"),
+            F.min("rnk").alias("min_rank"),
+            F.max("rnk").alias("max_rank"),
+            F.sum(digest).alias("content_digest"),
+        )
+        VersionedTable(manifest_path).commit(
+            manifest,
+            meta={
+                "order_seed": _ORDER_SEED,
+                "n_shards": _ORDER_SHARDS,
+                "built_at_corpus_version": 0,
+            },
+        )
+        stats = erase_documents(
+            spark, corpus_path, [], "doc_id % 6 = 2",
+            manifest_paths=[manifest_path],
+        )
+        audit = audit_shard_manifest(
+            spark, manifest_path, corpus_path
+        ).localCheckpoint(eager=True)
+        # cadence stats must agree with the audit frame
+        row = audit.agg(
+            F.sum("stale").alias("s"), F.sum("n_missing").alias("m")
+        ).first()
+        recorded = stats["manifests"][manifest_path]
+        assert recorded == {
+            "n_stale_shards": int(row["s"]),
+            "n_missing_docs": int(row["m"]),
+        }, (recorded, row)
+        return audit
+    finally:
+        _shutil.rmtree(base, ignore_errors=True)

@@ -1934,3 +1934,179 @@ def q307_banding_migration_gate(
         return result.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# q308 — partitioned-index erasure: the scrub that PRUNES (round 11,
+# VERDICT r10 #2)
+# --------------------------------------------------------------------------
+def _q308_oracle() -> str:
+    from movie_data_pipeline_spark.plans.dedup import (
+        _SIMHASH_CTES,
+        _render_simhash_band_ctes,
+    )
+
+    return f"""
+    WITH {_SIMHASH_CTES},
+    {_render_simhash_band_ctes(forced_rung=1)},
+    cand AS (
+      SELECT DISTINCT b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 5),
+    acc0 AS (
+      SELECT doc_id FROM documents
+      WHERE doc_id NOT IN (SELECT doc_b FROM cand)),
+    erased AS (SELECT doc_id FROM acc0 WHERE doc_id % 16 = 3),
+    m(metric, value) AS (
+      SELECT 'n_accepted_final', (SELECT COUNT(*) FROM acc0)
+      UNION ALL SELECT 'n_accepted_initial', (SELECT COUNT(*) FROM acc0)
+      UNION ALL SELECT 'n_buckets_touched',
+             (SELECT COUNT(DISTINCT doc_id % 8) FROM erased)
+      UNION ALL SELECT 'n_erased', (SELECT COUNT(*) FROM erased)
+      UNION ALL SELECT 'n_index_rows_after_scrub',
+             6 * ((SELECT COUNT(*) FROM acc0)
+                  - (SELECT COUNT(*) FROM erased))
+      UNION ALL SELECT 'n_index_rows_before_scrub',
+             6 * (SELECT COUNT(*) FROM acc0)
+      UNION ALL SELECT 'n_parts_inherited',
+             (SELECT COUNT(DISTINCT doc_id % 8) FROM acc0)
+             - (SELECT COUNT(DISTINCT doc_id % 8) FROM erased)
+      UNION ALL SELECT 'n_phantom_rows_after_scrub', 0
+      UNION ALL SELECT 'n_reaccepted', (SELECT COUNT(*) FROM erased))
+    SELECT metric, CAST(value AS BIGINT) AS value
+    FROM m ORDER BY metric
+    """
+
+
+@query(
+    "q308_partitioned_index_erasure",
+    oracle=_q308_oracle(),
+    tags=("extension", "streaming", "dedup", "simhash", "lifecycle",
+          "erasure", "partitioning"),
+)
+def q308_partitioned_index_erasure(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PARTITIONED-index erasure replay (round 11, VERDICT r10 #2):
+    q295 proved the erasure scrub's semantics; its cost model was a
+    full-index rewrite per commit. This replay drives the same cadence
+    through a BUCKETED index (``index_bucket_k=8``: band rows
+    Hive-partitioned by ``doc_id mod 8``, layout pinned in the
+    manifest's ``partition_by``/``bucket_k`` properties and validated
+    per batch) and proves the scrub now PRUNES:
+
+    1. documents stream through the rung-1 SimHash gate with the
+       bucketed index layout;
+    2. ``erase_documents`` with ``doc_id % 16 = 3`` — a predicate that
+       by construction touches exactly ONE bucket (16 is a multiple of
+       8), the worst case for a full rewrite and the best case for
+       pruning;
+    3. the scrub's ``overwrite_partitions`` commit rewrites only the
+       touched bucket; every other bucket is inherited BY REFERENCE
+       from the parent data dir — ``n_parts_inherited`` is read from
+       the committed MANIFEST itself (physical proof, not a plan
+       claim), and ``n_buckets_touched`` is the complement against the
+       pre-scrub bucket census;
+    4. the erased docs are re-submitted and accepted again — phantom
+       suppression gone, exactly as on the unpartitioned layout.
+
+    The oracle derives every number from the gate's greedy rung-1
+    semantics and integer bucket arithmetic: erased ids ≡ 3 (mod 16)
+    all fall in bucket 3, so exactly one bucket is touched and the
+    other occupied buckets are inherited. Scale: the scrub's cost is
+    one ≤8-row bucket census + a rewrite of the touched bucket —
+    proportional to the erased fraction, not the index
+    (tools/lifecycle_probe.py measures the scaling).
+    """
+    import json as _json
+    import os as _os
+    from functools import reduce
+
+    from movie_data_pipeline_spark.operators.index_lifecycle import (
+        erase_documents,
+    )
+    from movie_data_pipeline_spark.sources.registry import table_path
+    from movie_data_pipeline_spark.sources.versioned import VersionedTable
+    from movie_data_pipeline_spark.streaming.events import stream_table
+    from movie_data_pipeline_spark.streaming.sinks import (
+        simhash_gate_batch_writer,
+        start_simhash_gate_stream,
+    )
+
+    _assert_single_file(table_path(sf_dir, "documents"), "q308")
+    base = tempfile.mkdtemp(prefix="mdp-q308-")
+    acc, idx, ckpt = f"{base}/acc", f"{base}/idx", f"{base}/ckpt"
+    try:
+        docs = stream_table(spark, sf_dir, "documents")
+        q = start_simhash_gate_stream(
+            docs, acc, idx, ckpt, rung=1, index_bucket_k=8
+        )
+        _await(q, "q308")
+
+        acc_t, idx_t = VersionedTable(acc), VersionedTable(idx)
+        resub = (
+            acc_t.read(spark)
+            .filter(F.expr("doc_id % 16 = 3"))
+            .localCheckpoint(eager=True)
+        )
+        if resub.isEmpty():
+            raise AssertionError(
+                "q308: erase condition matched no accepted documents — "
+                "the lifecycle audit would be vacuous"
+            )
+        pre_buckets = (
+            idx_t.read(spark).select("pbucket").distinct().count()
+        )
+        erase_documents(spark, acc, [idx], "doc_id % 16 = 3")
+        # physical pruning proof: the post-scrub manifest inherits the
+        # untouched buckets from the parent dir by reference
+        with open(
+            _os.path.join(idx, "_manifests",
+                          f"{idx_t.current_version():012d}.json")
+        ) as fh:
+            post = _json.load(fh)
+        assert post["mode"] == "overwrite_partitions", post["mode"]
+        n_inherited = sum(
+            len(e["parts"]) for e in post["data_dirs"] if isinstance(e, dict)
+        )
+        n_touched = pre_buckets - n_inherited
+        simhash_gate_batch_writer(acc, idx, rung=1, index_bucket_k=8)(
+            resub, 99
+        )
+
+        acc0 = acc_t.read(spark, version=0).select("doc_id")
+        acc1 = acc_t.read(spark, version=1).select("doc_id")
+        acc2 = acc_t.read(spark, version=2).select("doc_id")
+        idx0 = idx_t.read(spark, version=0)
+        idx1 = idx_t.read(spark, version=1)
+
+        def metric(name: str, frame: DataFrame) -> DataFrame:
+            return frame.agg(
+                F.count("*").cast("long").alias("value")
+            ).select(F.lit(name).alias("metric"), "value")
+
+        def const(name: str, value: int) -> DataFrame:
+            return spark.createDataFrame(
+                [(name, int(value))], "metric STRING, value LONG"
+            )
+
+        rows = [
+            metric("n_accepted_final", acc2),
+            metric("n_accepted_initial", acc0),
+            const("n_buckets_touched", n_touched),
+            metric("n_erased", acc0.join(acc1, "doc_id", "left_anti")),
+            metric("n_index_rows_after_scrub", idx1),
+            metric("n_index_rows_before_scrub", idx0),
+            const("n_parts_inherited", n_inherited),
+            metric(
+                "n_phantom_rows_after_scrub",
+                idx1.join(acc1, "doc_id", "left_anti"),
+            ),
+            metric("n_reaccepted", acc2.join(acc1, "doc_id", "left_anti")),
+        ]
+        result = reduce(DataFrame.unionByName, rows).orderBy("metric")
+        return result.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -79,12 +79,36 @@ class VersionedTable:
         with open(self._manifest_path(version)) as fh:
             return json.load(fh)
 
+    # ---- partition helpers (round 11, VERDICT r10 #2) -----------------
+    @staticmethod
+    def _entry_dir(entry) -> str:
+        """Manifest data_dirs entries are either a plain dir name
+        (whole directory visible) or ``{"dir": name, "parts": [...]}``
+        (only those Hive partition subdirs visible — the partial-
+        overwrite form that lets a scrub inherit untouched partitions
+        by reference instead of rewriting them)."""
+        return entry if isinstance(entry, str) else entry["dir"]
+
+    def _visible_parts(self, entry, partition_col: str) -> list[str]:
+        """Partition subdir names (``col=value``) visible through a
+        manifest entry — physical listing for whole-dir entries, the
+        recorded list for partial entries."""
+        if isinstance(entry, dict):
+            return list(entry["parts"])
+        root = os.path.join(self._data_dir, entry)
+        return sorted(
+            d
+            for d in os.listdir(root)
+            if d.startswith(f"{partition_col}=")
+        )
+
     # ---- write path --------------------------------------------------
     def commit(
         self,
         df: DataFrame,
         mode: str = "overwrite",
         meta: dict | None = None,
+        partition_by: str | None = None,
     ) -> int:
         """Write ``df`` as the next version. ``mode='append'`` keeps the
         parent's data dirs visible; ``'overwrite'`` replaces them.
@@ -101,6 +125,15 @@ class VersionedTable:
         inherits the parent's properties unchanged — a delete_where /
         compact / scrub rewrite must not silently drop the pinned rung.
         Pass an explicit dict (``{}`` to clear) to replace them.
+
+        ``partition_by`` (round 11) writes the data dir Hive-partitioned
+        by that column. A PARTITIONED TABLE records the column as the
+        ``partition_by`` table property (set it in ``meta`` on the first
+        commit); later commits — appends, delete_where, compact — pick
+        it up automatically from the (inherited) properties, so a
+        maintenance rewrite can never silently flatten the layout. The
+        payoff is :meth:`overwrite_partitions`: targeted rewrites that
+        inherit untouched partitions BY REFERENCE.
         """
         if mode not in ("overwrite", "append"):
             raise ValueError(f"mode must be overwrite|append, got {mode!r}")
@@ -108,30 +141,43 @@ class VersionedTable:
         next_v = 0 if head is None else head + 1
         token = uuid.uuid4().hex[:12]
         new_dir = os.path.join(self._data_dir, f"v{next_v}-{token}")
-        df.write.mode("errorifexists").parquet(new_dir)
 
-        dirs = [os.path.basename(new_dir)]
         parent_meta: dict = {}
+        parent: dict | None = None
         if head is not None:
             parent = self.manifest(head)
             parent_meta = parent.get("meta", {})
-            if mode == "append":
-                dirs = parent["data_dirs"] + dirs
+        effective_meta = parent_meta if meta is None else meta
+        part_col = partition_by or (effective_meta or {}).get("partition_by")
+        writer = df.write.mode("errorifexists")
+        if part_col and part_col in df.columns:
+            writer = writer.partitionBy(part_col)
+        writer.parquet(new_dir)
+
+        dirs: list = [os.path.basename(new_dir)]
+        if parent is not None and mode == "append":
+            dirs = parent["data_dirs"] + dirs
         manifest = {
             "version": next_v,
             "parent": head,
             "mode": mode,
             "data_dirs": dirs,
-            "meta": parent_meta if meta is None else meta,
+            "meta": effective_meta,
             "committed_at": time.time(),
         }
+        return self._publish(next_v, token, manifest, new_dir)
+
+    def _publish(
+        self, next_v: int, token: str, manifest: dict, new_dir: str
+    ) -> int:
+        """put-if-absent of the next manifest: hard link fails iff the
+        target exists — the atomic primitive object stores expose as
+        conditional PUT. os.rename would silently clobber a racing
+        winner."""
         tmp = os.path.join(self._manifest_dir, f".tmp-{token}.json")
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
         try:
-            # put-if-absent: hard link fails iff the target exists —
-            # the atomic primitive object stores expose as conditional
-            # PUT. os.rename would silently clobber a racing winner.
             os.link(tmp, self._manifest_path(next_v))
         except FileExistsError:
             shutil.rmtree(new_dir, ignore_errors=True)
@@ -142,13 +188,121 @@ class VersionedTable:
             os.unlink(tmp)
         return next_v
 
+    def overwrite_partitions(
+        self,
+        df: DataFrame,
+        values: list,
+        meta: dict | None = None,
+    ) -> int:
+        """Targeted partition rewrite (round 11, VERDICT r10 #2): ``df``
+        REPLACES exactly the partitions whose ``partition_by`` value is
+        in ``values``; every untouched partition is inherited BY
+        REFERENCE from the parent snapshot — the manifest records
+        ``{"dir": ..., "parts": [...]}`` visibility instead of copying
+        bytes. This is what makes an erasure scrub cost proportional to
+        the ERASED FRACTION instead of the index size (Delta/Iceberg's
+        dynamic partition overwrite, on the same put-if-absent commit
+        protocol — readers see the old or new snapshot, never a mix).
+
+        Safety: refuses rows outside ``values`` (a stray row would
+        silently shadow an inherited partition). Returns the committed
+        version; ``meta`` behaves as in :meth:`commit` (None inherits).
+        """
+        head = self.current_version()
+        if head is None:
+            raise FileNotFoundError(f"no commits yet in {self.path}")
+        parent = self.manifest(head)
+        parent_meta = parent.get("meta", {})
+        part_col = (parent_meta or {}).get("partition_by")
+        if not part_col:
+            raise ValueError(
+                f"{self.path} has no partition_by table property — "
+                "overwrite_partitions needs a partitioned table"
+            )
+        next_v = head + 1
+        token = uuid.uuid4().hex[:12]
+        new_dir = os.path.join(self._data_dir, f"v{next_v}-{token}")
+        df.write.mode("errorifexists").partitionBy(part_col).parquet(new_dir)
+
+        touched = {f"{part_col}={v}" for v in values}
+        written = {
+            d
+            for d in os.listdir(new_dir)
+            if d.startswith(f"{part_col}=")
+        }
+        if not written <= touched:
+            shutil.rmtree(new_dir, ignore_errors=True)
+            raise ValueError(
+                f"overwrite_partitions: frame wrote partitions "
+                f"{sorted(written - touched)} outside the declared "
+                f"values {sorted(touched)}"
+            )
+        entries: list = []
+        for e in parent["data_dirs"]:
+            visible = self._visible_parts(e, part_col)
+            remaining = [p for p in visible if p not in touched]
+            if not remaining:
+                continue
+            if isinstance(e, str) and len(remaining) == len(visible):
+                entries.append(e)
+            else:
+                entries.append(
+                    {"dir": self._entry_dir(e), "parts": remaining}
+                )
+        if written:
+            entries.append(os.path.basename(new_dir))
+        else:
+            # Every row of the touched partitions was dropped (e.g. a
+            # scrub of fully-phantom buckets): the partitions simply
+            # vanish — an empty data dir would break schema inference
+            # on read, so it is not referenced (and removed).
+            shutil.rmtree(new_dir, ignore_errors=True)
+        manifest = {
+            "version": next_v,
+            "parent": head,
+            "mode": "overwrite_partitions",
+            "data_dirs": entries,
+            "meta": parent_meta if meta is None else meta,
+            "committed_at": time.time(),
+        }
+        return self._publish(next_v, token, manifest, new_dir)
+
     # ---- read path ---------------------------------------------------
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         """Snapshot read: latest version by default, any retained
-        version for time travel."""
+        version for time travel. Partitioned tables are read one
+        manifest entry at a time (basePath = the entry's dir, so the
+        partition column is recovered; partial entries list exactly the
+        visible subdirs) and unioned — the same file set, and filters
+        on the partition column still prune at the scan."""
         m = self.manifest(version)
-        paths = [os.path.join(self._data_dir, d) for d in m["data_dirs"]]
-        return spark.read.parquet(*paths)
+        part_col = (m.get("meta") or {}).get("partition_by")
+        entries = m["data_dirs"]
+        if not entries:
+            raise ValueError(
+                f"version {m['version']} of {self.path} references no "
+                "data (every partition was dropped); read an earlier "
+                "version or recommit"
+            )
+        if part_col is None and all(isinstance(e, str) for e in entries):
+            paths = [os.path.join(self._data_dir, e) for e in entries]
+            return spark.read.parquet(*paths)
+        dfs = []
+        for e in entries:
+            root = os.path.join(self._data_dir, self._entry_dir(e))
+            reader = spark.read.option("basePath", root)
+            if isinstance(e, str):
+                dfs.append(reader.parquet(root))
+            else:
+                dfs.append(
+                    reader.parquet(
+                        *[os.path.join(root, p) for p in e["parts"]]
+                    )
+                )
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
 
     # ---- maintenance -------------------------------------------------
     def vacuum(self, keep_last: int = 2) -> list[str]:
@@ -160,7 +314,24 @@ class VersionedTable:
             raise ValueError("keep_last must be >= 1")
         vs = self.versions()
         drop, keep = vs[:-keep_last], vs[-keep_last:]
-        live = {d for v in keep for d in self.manifest(v)["data_dirs"]}
+        # Partition-aware liveness (round 11): a partial manifest entry
+        # references only SOME subdirs of a data dir, so after an
+        # overwrite_partitions a superseded partition's files can
+        # survive in a dir that is still live through its other
+        # partitions. Strict retirement (the q299 compliance bar)
+        # requires deleting every subdir NO retained manifest sees —
+        # whole-dir references keep everything, partial references keep
+        # the union of their listed parts.
+        whole: set[str] = set()
+        partial: dict[str, set[str]] = {}
+        for v in keep:
+            for e in self.manifest(v)["data_dirs"]:
+                d = self._entry_dir(e)
+                if isinstance(e, str):
+                    whole.add(d)
+                else:
+                    partial.setdefault(d, set()).update(e["parts"])
+        live = whole | set(partial)
         deleted = []
         for v in drop:
             os.unlink(self._manifest_path(v))
@@ -168,6 +339,12 @@ class VersionedTable:
             if d not in live:
                 shutil.rmtree(os.path.join(self._data_dir, d))
                 deleted.append(d)
+            elif d not in whole:
+                root = os.path.join(self._data_dir, d)
+                for sub in os.listdir(root):
+                    if "=" in sub and sub not in partial[d]:
+                        shutil.rmtree(os.path.join(root, sub))
+                        deleted.append(f"{d}/{sub}")
         return deleted
 
     def delete_where(

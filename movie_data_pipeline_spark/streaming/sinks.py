@@ -126,6 +126,7 @@ def start_versioned_append_stream(
 def dedup_gate_batch_writer(
     accepted_path: str,
     index_path: str,
+    index_bucket_k: int | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch writer implementing a streaming NEAR-DUPLICATE
     INGEST GATE — the continuous-crawl front door of an LLM data
@@ -189,6 +190,17 @@ def dedup_gate_batch_writer(
 
             index = VersionedTable(index_path)
             if index.current_version() is not None:
+                stored_k = (index.manifest().get("meta") or {}).get(
+                    "bucket_k"
+                )
+                if stored_k != index_bucket_k:
+                    raise ValueError(
+                        f"dedup gate: index at {index_path} uses bucket "
+                        f"layout k={stored_k} but this writer is pinned "
+                        f"to k={index_bucket_k}; appending under a "
+                        "different layout would tear the partitioned "
+                        "table"
+                    )
                 corpus_bands = index.read(spark).select("band", "band_sig")
                 corpus_hits = (
                     bands.join(corpus_bands, ["band", "band_sig"])
@@ -214,12 +226,25 @@ def dedup_gate_batch_writer(
                     )
                 if not new_docs.isEmpty():
                     accepted.commit(new_docs, mode="append")
-                index.commit(
-                    bands.join(
-                        survivors.select("doc_id"), "doc_id", "left_semi"
-                    ),
-                    mode="append",
+                idx_rows = bands.join(
+                    survivors.select("doc_id"), "doc_id", "left_semi"
                 )
+                idx_meta = None
+                if index_bucket_k is not None:
+                    # Bucketed index layout (round 11): see the SimHash
+                    # gate — erasure scrubs prune to touched buckets.
+                    idx_rows = idx_rows.withColumn(
+                        "pbucket",
+                        F.expr(
+                            f"CAST(pmod(doc_id, {int(index_bucket_k)})"
+                            " AS INT)"
+                        ),
+                    )
+                    idx_meta = {
+                        "partition_by": "pbucket",
+                        "bucket_k": int(index_bucket_k),
+                    }
+                index.commit(idx_rows, mode="append", meta=idx_meta)
             finally:
                 survivors.unpersist()
         finally:
@@ -233,12 +258,15 @@ def start_dedup_gate_stream(
     accepted_path: str,
     index_path: str,
     checkpoint: str,
+    index_bucket_k: int | None = None,
     trigger_available_now: bool = True,
 ) -> StreamingQuery:
     """Document stream → near-dup-gated versioned corpus + LSH index."""
     writer = (
         docs.writeStream.foreachBatch(
-            dedup_gate_batch_writer(accepted_path, index_path)
+            dedup_gate_batch_writer(
+                accepted_path, index_path, index_bucket_k=index_bucket_k
+            )
         )
         .outputMode("append")
         .option("checkpointLocation", checkpoint)
@@ -325,6 +353,7 @@ def simhash_gate_batch_writer(
     rung: int = 1,
     max_hamming: int = 5,
     bit_blocks: list[int] | None = None,
+    index_bucket_k: int | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch writer: streaming near-dup ingest gate over the
     60-bit SimHash family (round 9, VERDICT r8 #4) — the q205 MinHash
@@ -471,6 +500,15 @@ def simhash_gate_batch_writer(
                             "migrate_simhash_index with bit_blocks) or "
                             "pin the matching assignment"
                         )
+                    stored_k = meta.get("bucket_k")
+                    if stored_k != index_bucket_k:
+                        raise ValueError(
+                            f"simhash gate: index at {index_path} uses "
+                            f"bucket layout k={stored_k} but this "
+                            f"writer is pinned to k={index_bucket_k}; "
+                            "appending under a different layout would "
+                            "tear the partitioned table"
+                        )
                 corpus_bands = idx_df.select(
                     "band_idx",
                     "band_val",
@@ -504,16 +542,28 @@ def simhash_gate_batch_writer(
                     )
                 if not new_docs.isEmpty():
                     accepted.commit(new_docs, mode="append")
-                index.commit(
-                    bands.join(
-                        survivors.select("doc_id"), "doc_id", "left_semi"
-                    ),
-                    mode="append",
-                    meta={
-                        "simhash_rung": int(rung),
-                        "simhash_bit_blocks": blocks_meta,
-                    },
+                idx_rows = bands.join(
+                    survivors.select("doc_id"), "doc_id", "left_semi"
                 )
+                idx_meta = {
+                    "simhash_rung": int(rung),
+                    "simhash_bit_blocks": blocks_meta,
+                }
+                if index_bucket_k is not None:
+                    # Bucketed index layout (round 11, VERDICT r10 #2):
+                    # rows Hive-partitioned by id mod k, so an erasure
+                    # scrub rewrites only touched buckets
+                    # (scrub_index_to_corpus's pruned path).
+                    idx_rows = idx_rows.withColumn(
+                        "pbucket",
+                        F.expr(
+                            f"CAST(pmod(doc_id, {int(index_bucket_k)})"
+                            " AS INT)"
+                        ),
+                    )
+                    idx_meta["partition_by"] = "pbucket"
+                    idx_meta["bucket_k"] = int(index_bucket_k)
+                index.commit(idx_rows, mode="append", meta=idx_meta)
             finally:
                 survivors.unpersist()
         finally:
@@ -529,13 +579,15 @@ def start_simhash_gate_stream(
     checkpoint: str,
     rung: int = 1,
     bit_blocks: list[int] | None = None,
+    index_bucket_k: int | None = None,
     trigger_available_now: bool = True,
 ) -> StreamingQuery:
     """Document stream → SimHash-gated versioned corpus + band index."""
     writer = (
         docs.writeStream.foreachBatch(
             simhash_gate_batch_writer(
-                accepted_path, index_path, rung=rung, bit_blocks=bit_blocks
+                accepted_path, index_path, rung=rung,
+                bit_blocks=bit_blocks, index_bucket_k=index_bucket_k,
             )
         )
         .outputMode("append")

@@ -212,3 +212,156 @@ def test_migration_preserved_by_scrub(spark, tmp_path):
     scrub_index_to_corpus(spark, idx, acc)
     assert VersionedTable(idx).manifest()["meta"]["simhash_rung"] == 2
     assert _ids(spark, idx) == {0}
+
+
+def test_migrate_ivf_index_refuses_phantoms(spark, tmp_path):
+    from movie_data_pipeline_spark.operators.index_lifecycle import (
+        migrate_ivf_index,
+    )
+    from movie_data_pipeline_spark.sources.versioned import VersionedTable
+    from pyspark.sql import functions as F
+
+    corpus_p, idx_p = str(tmp_path / "vec"), str(tmp_path / "ivf")
+    vecs = spark.range(40).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[
+            (F.col("id") * (i + 1) % 7).cast("float") for i in range(4)
+        ]).alias("embedding"),
+    )
+    VersionedTable(corpus_p).commit(vecs)
+    VersionedTable(idx_p).commit(
+        vecs.select("vec_id", (F.col("vec_id") % 3).cast("int").alias("cell"))
+    )
+    # corpus loses rows but the index is NOT scrubbed -> phantoms
+    VersionedTable(corpus_p).delete_where(spark, "vec_id % 5 = 0")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="scrub before migrating"):
+        migrate_ivf_index(spark, idx_p, corpus_p)
+
+
+def test_migrate_ivf_index_retrains_and_reassigns(spark, tmp_path):
+    from movie_data_pipeline_spark.operators.index_lifecycle import (
+        erase_documents,
+        migrate_ivf_index,
+    )
+    from movie_data_pipeline_spark.operators.similarity import ivf_assign
+    from movie_data_pipeline_spark.sources.registry import load_table
+    from movie_data_pipeline_spark.sources.versioned import VersionedTable
+    from tests.conftest import TESTDATA_SF_DIR
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, TESTDATA_SF_DIR, "embeddings")
+    corpus_p, idx_p = str(tmp_path / "vec"), str(tmp_path / "ivf")
+    VersionedTable(corpus_p).commit(emb)
+    idx_t = VersionedTable(idx_p)
+    idx_t.commit(
+        ivf_assign(emb, n_cells=4).select("vec_id", "cell"),
+        meta={"n_cells": 4},
+    )
+    erase_documents(
+        spark, corpus_p, [idx_p], "vec_id % 3 = 1", id_col="vec_id"
+    )
+    v = migrate_ivf_index(spark, idx_p, corpus_p)
+    assert v == 2
+    meta = idx_t.manifest()["meta"]
+    assert set(meta) >= {"n_cells", "ivf_centroids"}
+    surv = VersionedTable(corpus_p).read(spark)
+    new_idx = idx_t.read(spark)
+    # exactly the surviving vectors, each assigned once
+    assert new_idx.count() == surv.count()
+    assert new_idx.join(surv, "vec_id", "left_anti").count() == 0
+    assert (
+        new_idx.groupBy("vec_id").count().filter("count > 1").count() == 0
+    )
+    # every assigned cell has a codebook entry
+    cells = {int(c) for c in meta["ivf_centroids"]}
+    got = {r["cell"] for r in new_idx.select("cell").distinct().collect()}
+    assert got <= cells
+    # centroids have the right dimensionality
+    dim = len(emb.first()["embedding"])
+    assert all(len(v) == dim for v in meta["ivf_centroids"].values())
+
+
+def test_audit_shard_manifest_flags_stale_shards(spark, tmp_path):
+    from movie_data_pipeline_spark.functions.text import base_hash32
+    from movie_data_pipeline_spark.operators.index_lifecycle import (
+        audit_shard_manifest,
+        erase_documents,
+    )
+    from movie_data_pipeline_spark.operators.prefix import (
+        attach_global_row_number,
+    )
+    from movie_data_pipeline_spark.sources.versioned import VersionedTable
+    from pyspark.sql import functions as F
+
+    corpus_p = str(tmp_path / "corpus")
+    man_p = str(tmp_path / "manifest")
+    docs = spark.range(64).select(F.col("id").alias("doc_id"))
+    VersionedTable(corpus_p).commit(docs)
+    h = docs.select(
+        "doc_id",
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":s"))).alias(
+            "hk"
+        ),
+    )
+    ranked, _ = attach_global_row_number(h, ["hk", "doc_id"], out="rnk")
+    dig = base_hash32(
+        F.concat(
+            F.col("doc_id").cast("string"), F.lit(":"),
+            F.col("rnk").cast("string"),
+        )
+    )
+    manifest = (
+        ranked.withColumn("shard", F.expr("(rnk - 1) div 16"))
+        .groupBy("shard")
+        .agg(F.count("*").alias("n_docs"), F.sum(dig).alias("content_digest"))
+    )
+    VersionedTable(man_p).commit(
+        manifest,
+        meta={
+            "order_seed": ":s",
+            "n_shards": 4,
+            "built_at_corpus_version": 0,
+        },
+    )
+    # no erasure yet: nothing stale, digests match
+    a0 = audit_shard_manifest(spark, man_p, corpus_p)
+    assert a0.filter("stale = 1").count() == 0
+    assert a0.filter("published_digest != surviving_digest").count() == 0
+
+    stats = erase_documents(
+        spark, corpus_p, [], "doc_id = 7", manifest_paths=[man_p]
+    )
+    a1 = audit_shard_manifest(spark, man_p, corpus_p)
+    stale = a1.filter("stale = 1")
+    assert stale.count() == 1  # exactly one shard lost doc 7
+    r = stale.first()
+    assert r["n_missing"] == 1
+    assert r["published_digest"] != r["surviving_digest"]
+    assert stats["manifests"][man_p] == {
+        "n_stale_shards": 1,
+        "n_missing_docs": 1,
+    }
+
+
+def test_audit_shard_manifest_requires_pinned_meta(spark, tmp_path):
+    import pytest as _pytest
+
+    from movie_data_pipeline_spark.operators.index_lifecycle import (
+        audit_shard_manifest,
+    )
+    from movie_data_pipeline_spark.sources.versioned import VersionedTable
+    from pyspark.sql import functions as F
+
+    corpus_p, man_p = str(tmp_path / "c"), str(tmp_path / "m")
+    VersionedTable(corpus_p).commit(
+        spark.range(4).select(F.col("id").alias("doc_id"))
+    )
+    VersionedTable(man_p).commit(
+        spark.createDataFrame(
+            [(0, 4, 1)], "shard LONG, n_docs LONG, content_digest LONG"
+        )
+    )
+    with _pytest.raises(ValueError, match="order_seed"):
+        audit_shard_manifest(spark, man_p, corpus_p)

@@ -82,6 +82,134 @@ def main() -> int:
             }), flush=True)
         finally:
             shutil.rmtree(base, ignore_errors=True)
+
+        # Round 11 (VERDICT r10 #2): the PARTITIONED layout — scrub
+        # cost must scale with the ERASED FRACTION (touched buckets),
+        # not the index size. Index bucketed k=64 by doc_id; erasures
+        # at three fractions, each touching 1 / 6 / 64 buckets by
+        # construction (predicates mod multiples of 64).
+        # Predicates erase HALF of each touched bucket (mod 128 over a
+        # k=64 layout), so the rewrite volume is real, not an empty
+        # write; the all-bucket case erases 10% everywhere.
+        for frac_name, pred in (
+            ("1of64_buckets", "doc_id % 128 = 1"),
+            ("6of64_buckets", "doc_id % 128 IN (2, 12, 22, 32, 42, 52)"),
+            ("10pct_spread", "doc_id % 10 = 3"),
+        ):
+            base = tempfile.mkdtemp(prefix="mdp-lifecycle-probe-")
+            acc, idx = f"{base}/acc", f"{base}/idx"
+            try:
+                terms = None
+                for j in range(60):
+                    bit = (
+                        F.abs(F.xxhash64(F.col("id"), F.lit(j))) % 2 == 0
+                    ).cast("long") * F.lit(1 << j)
+                    terms = bit if terms is None else terms + bit
+                fp = (
+                    spark.range(n)
+                    .repartition(64)
+                    .select(
+                        F.col("id").alias("doc_id"), terms.alias("simhash")
+                    )
+                )
+                VersionedTable(acc).commit(fp.select("doc_id"))
+                bands = (
+                    simhash_band_rows(fp, rung=2)
+                    .withColumn("rung", F.lit(2))
+                    .withColumn(
+                        "pbucket",
+                        F.expr("CAST(pmod(doc_id, 64) AS INT)"),
+                    )
+                )
+                VersionedTable(idx).commit(
+                    bands,
+                    meta={
+                        "simhash_rung": 2,
+                        "partition_by": "pbucket",
+                        "bucket_k": 64,
+                    },
+                )
+                VersionedTable(acc).delete_where(spark, pred)
+                t0 = time.perf_counter()
+                v_new, scrubbed = scrub_index_to_corpus(spark, idx, acc)
+                scrub_s = round(time.perf_counter() - t0, 1)
+                # rewrite volume = survivors written into the new data
+                # dir (the cost driver at object-storage scale); read
+                # back from the committed snapshot's fresh dir only.
+                m = VersionedTable(idx).manifest(v_new)
+                new_dirs = [
+                    e for e in m["data_dirs"] if isinstance(e, str)
+                    and e.startswith(f"v{v_new}-")
+                ]
+                rewritten = (
+                    spark.read.parquet(
+                        *[f"{idx}/data/{d}" for d in new_dirs]
+                    ).count()
+                    if new_dirs
+                    else 0
+                )
+                inherited = sum(
+                    len(e["parts"]) for e in m["data_dirs"]
+                    if isinstance(e, dict)
+                )
+                print(json.dumps({
+                    "op": f"scrub_partitioned_{frac_name}", "n_docs": n,
+                    "buckets_touched": 64 - inherited,
+                    "rows_scrubbed": scrubbed,
+                    "rows_rewritten": rewritten, "sec": scrub_s,
+                }), flush=True)
+            finally:
+                shutil.rmtree(base, ignore_errors=True)
+
+        # Round 11 (VERDICT r10 #3): IVF centroid-refresh migration at
+        # probe scale — synthetic 16-dim vectors, 8 cells, erase 1/7,
+        # scrub, then time migrate_ivf_index (retrain + reassign + one
+        # commit).
+        from movie_data_pipeline_spark.operators.index_lifecycle import (
+            erase_documents,
+            migrate_ivf_index,
+        )
+        from movie_data_pipeline_spark.operators.similarity import (
+            ivf_assign,
+        )
+
+        base = tempfile.mkdtemp(prefix="mdp-lifecycle-probe-")
+        acc, idx = f"{base}/vec", f"{base}/ivf"
+        try:
+            dims = [
+                (
+                    (F.abs(F.xxhash64(F.col("id"), F.lit(j))) % 1000)
+                    / F.lit(1000.0)
+                ).cast("float")
+                for j in range(16)
+            ]
+            vecs = (
+                spark.range(n)
+                .repartition(64)
+                .select(
+                    F.col("id").alias("vec_id"), F.array(*dims).alias(
+                        "embedding"
+                    )
+                )
+            )
+            VersionedTable(acc).commit(vecs)
+            VersionedTable(idx).commit(
+                ivf_assign(vecs, n_cells=8).select("vec_id", "cell"),
+                meta={"n_cells": 8},
+            )
+            erase_documents(
+                spark, acc, [idx], "vec_id % 7 = 2", id_col="vec_id"
+            )
+            t0 = time.perf_counter()
+            migrate_ivf_index(spark, idx, acc)
+            mig_s = round(time.perf_counter() - t0, 1)
+            print(json.dumps({
+                "op": "migrate_ivf_centroids", "n_docs": n,
+                "rows_after": VersionedTable(idx).read(spark).count(),
+                "sec": mig_s,
+            }), flush=True)
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
     return 0
 
 
