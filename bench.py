@@ -180,6 +180,7 @@ HEADLINE = [
     "q308_partitioned_index_erasure",
     "q309_ivf_centroid_migration",
     "q310_manifest_staleness_audit",
+    "q311_centered_gate_replay",
 ]
 
 # Stable trend tier (VERDICT r5 #6): these 20 have been in the headline
@@ -244,6 +245,7 @@ REPLAY_TIER = {
     "q308_partitioned_index_erasure",
     "q309_ivf_centroid_migration",
     "q310_manifest_staleness_audit",
+    "q311_centered_gate_replay",
 }
 
 

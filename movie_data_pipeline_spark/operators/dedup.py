@@ -401,19 +401,7 @@ def simhash(
     34.5). 60 is the widest multiple of the band layout that keeps the
     fingerprint a positive BIGINT on both engines (2^60 < 2^63).
     """
-    toks = spread(df).select(
-        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
-    ).withColumn(
-        "bh", base_hash60(F.col("token")) if bits > 32 else base_hash32(F.col("token"))
-    )
-    votes = toks.groupBy(id_col).agg(
-        *[
-            F.sum(
-                F.when(F.expr(f"(bh div {1 << j}) % 2") == 1, 1).otherwise(-1)
-            ).alias(f"b{j}")
-            for j in range(bits)
-        ]
-    )
+    votes = _simhash_votes(df, id_col, text_col, bits)
     fingerprint = None
     for j in range(bits):
         term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
@@ -467,19 +455,7 @@ def simhash_centered(
     (``spark.movie_data_pipeline.dedup.materialize``) and consumed by
     both. Never a driver-side count.
     """
-    toks = spread(df).select(
-        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
-    ).withColumn(
-        "bh", base_hash60(F.col("token")) if bits > 32 else base_hash32(F.col("token"))
-    )
-    votes = toks.groupBy(id_col).agg(
-        *[
-            F.sum(
-                F.when(F.expr(f"(bh div {1 << j}) % 2") == 1, 1).otherwise(-1)
-            ).alias(f"b{j}")
-            for j in range(bits)
-        ]
-    )
+    votes = _simhash_votes(df, id_col, text_col, bits)
     votes = _materialize_for_reuse(votes)
     totals = votes.agg(
         F.count("*").alias("__n"),
@@ -493,6 +469,85 @@ def simhash_centered(
         ).otherwise(F.lit(0))
         fingerprint = term if fingerprint is None else fingerprint + term
     return base.select(
+        F.col(id_col), fingerprint.cast("long").alias("simhash")
+    )
+
+
+def _simhash_votes(
+    df: DataFrame, id_col: str, text_col: str, bits: int
+) -> DataFrame:
+    """Per-document bit-vote sums (doc, b0..b{bits-1}) — the shared
+    first stage of :func:`simhash` (zero threshold),
+    :func:`simhash_centered` (in-plan mean threshold) and
+    :func:`simhash_centered_pinned` (index-pinned thresholds)."""
+    toks = spread(df).select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+    ).withColumn(
+        "bh",
+        base_hash60(F.col("token")) if bits > 32 else base_hash32(F.col("token")),
+    )
+    return toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(bh div {1 << j}) % 2") == 1, 1).otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(bits)
+        ]
+    )
+
+
+def measure_center_thresholds(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 60,
+) -> dict:
+    """Measure the centered-SimHash thresholds over a corpus: the
+    per-bit vote totals and the document count — the CORPUS STATISTICS
+    an index build pins in its manifest meta
+    (``simhash_center_s``/``simhash_center_n``) so every later batch
+    fingerprints against the SAME thresholds (re-measuring per batch
+    would silently fork the fingerprint space — the same failure mode
+    as re-picking the band rung per batch). One aggregate; the
+    collected row is 61 integers — metadata-sized."""
+    row = _simhash_votes(df, id_col, text_col, bits).agg(
+        F.count("*").alias("__n"),
+        *[F.sum(f"b{j}").alias(f"s{j}") for j in range(bits)],
+    ).first()
+    if not row["__n"]:
+        raise ValueError("cannot measure thresholds on an empty corpus")
+    return {
+        "s": [int(row[f"s{j}"]) for j in range(bits)],
+        "n": int(row["__n"]),
+    }
+
+
+def simhash_centered_pinned(
+    df: DataFrame,
+    thresholds: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 60,
+) -> DataFrame:
+    """Centered SimHash fingerprints under PINNED thresholds (from
+    :func:`measure_center_thresholds`): bit j set iff
+    ``vote_j * n_pinned > s_j_pinned`` — exact integer, identical on
+    both engines. This is the batch-side operator of a centered index:
+    the thresholds come from the index manifest, not from the batch,
+    so fingerprints from any batch live in one consistent space. Same
+    single vote aggregate as :func:`simhash`, plus 60 literal
+    comparisons folded map-side."""
+    s, n = thresholds["s"], int(thresholds["n"])
+    if len(s) != bits:
+        raise ValueError(f"need {bits} thresholds, got {len(s)}")
+    votes = _simhash_votes(df, id_col, text_col, bits)
+    fingerprint = None
+    for j in range(bits):
+        term = F.when(
+            F.col(f"b{j}") * F.lit(n) > F.lit(int(s[j])), F.lit(1 << j)
+        ).otherwise(F.lit(0))
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return votes.select(
         F.col(id_col), fingerprint.cast("long").alias("simhash")
     )
 

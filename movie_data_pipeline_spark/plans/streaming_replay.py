@@ -2110,3 +2110,152 @@ def q308_partitioned_index_erasure(
         return result.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# q311 — centered-fingerprint gate with index-pinned thresholds
+# (round 11; the operational leg of q305/q306)
+# --------------------------------------------------------------------------
+def _q311_oracle() -> str:
+    from movie_data_pipeline_spark.plans.dedup import (
+        _SIMHASH_VOTE_CTES,
+        _render_simhash_band_ctes,
+    )
+
+    return f"""
+    WITH {_SIMHASH_VOTE_CTES},
+    vtot AS (
+      SELECT bit_idx, SUM(vote) AS s, COUNT(*) AS n
+      FROM votes WHERE doc_id % 2 = 0 GROUP BY bit_idx),
+    fingerprints AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN vote * n > s THEN pow2 ELSE 0 END)
+                  AS BIGINT) AS simhash
+      FROM votes JOIN vtot USING (bit_idx) GROUP BY doc_id),
+    {_render_simhash_band_ctes(forced_rung=1)},
+    b0 AS (SELECT * FROM bands WHERE doc_id % 2 = 0),
+    b1 AS (SELECT * FROM bands WHERE doc_id % 2 = 1),
+    d0 AS (
+      SELECT DISTINCT y.doc_id
+      FROM b0 x JOIN b0 y
+        ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+       AND x.doc_id < y.doc_id
+      WHERE bit_count(xor(x.simhash, y.simhash)) <= 5),
+    acc0 AS (
+      SELECT doc_id FROM documents
+      WHERE doc_id % 2 = 0
+        AND doc_id NOT IN (SELECT doc_id FROM d0)),
+    idx1 AS (
+      SELECT band_idx, band_val, simhash
+      FROM b0 JOIN acc0 USING (doc_id)),
+    d1 AS (
+      SELECT DISTINCT y.doc_id
+      FROM b1 x JOIN b1 y
+        ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+       AND x.doc_id < y.doc_id
+      WHERE bit_count(xor(x.simhash, y.simhash)) <= 5),
+    hit1 AS (
+      SELECT DISTINCT b1.doc_id
+      FROM b1 JOIN idx1 USING (band_idx, band_val)
+      WHERE bit_count(xor(b1.simhash, idx1.simhash)) <= 5),
+    acc1 AS (
+      SELECT doc_id FROM documents
+      WHERE doc_id % 2 = 1
+        AND doc_id NOT IN (SELECT doc_id FROM d1)
+        AND doc_id NOT IN (SELECT doc_id FROM hit1))
+    SELECT d.doc_id, d.source
+    FROM documents d
+    JOIN (SELECT doc_id FROM acc0 UNION ALL SELECT doc_id FROM acc1) a
+      USING (doc_id)
+    ORDER BY d.doc_id
+    """
+
+
+@query(
+    "q311_centered_gate_replay",
+    oracle=_q311_oracle(),
+    tags=("extension", "streaming", "dedup", "simhash", "lifecycle",
+          "mitigation", "centered"),
+)
+def q311_centered_gate_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CENTERED-fingerprint ingest gate with INDEX-PINNED thresholds
+    (round 11): q305/q306 prove centered fingerprints restore bit
+    balance and collapse the band-collision floor to ~1x; their
+    operational contract — the per-bit thresholds are corpus
+    statistics that must be FROZEN at index build, exactly like the
+    band rung — is what this replay drives end to end:
+
+    1. even doc_ids stream through the centered rung-1 gate; the FIRST
+       batch measures the thresholds from its own documents
+       (operators/dedup.measure_center_thresholds) and the index
+       commit pins them in the manifest
+       (``simhash_center_s``/``simhash_center_n``);
+    2. odd doc_ids stream through the SAME gate: it reads the PINNED
+       thresholds from the manifest and fingerprints batch 1 in the
+       same space (re-measuring from batch 1 would silently fork the
+       fingerprint space — the rung failure mode again; a
+       zero-threshold writer on this index fails the manifest
+       validation loudly, unit-tested);
+    3. the accepted corpus is returned.
+
+    The oracle derives the thresholds from the even documents' votes
+    alone, fingerprints ALL documents under them, and replays both
+    batches at rung 1 with exact Hamming<=5 verification — equality
+    proves the pinned-threshold space is consistent across batches and
+    the gate's greedy semantics are unchanged by the centered family.
+    """
+    import os as _os
+
+    from movie_data_pipeline_spark.sources.registry import load_table
+    from movie_data_pipeline_spark.sources.versioned import VersionedTable
+    from movie_data_pipeline_spark.streaming.sinks import (
+        start_simhash_gate_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="mdp-q311-")
+    acc, idx = f"{base}/acc", f"{base}/idx"
+    try:
+        streams = []
+        for i, half in enumerate(
+            (
+                docs.filter(F.col("doc_id") % 2 == 0),
+                docs.filter(F.col("doc_id") % 2 == 1),
+            )
+        ):
+            src = f"{base}/src{i}"
+            _os.makedirs(src)
+            out = f"{base}/half{i}"
+            half.coalesce(1).write.parquet(out)
+            part = _one_part(out, "q311")
+            _os.rename(part, f"{src}/{i}_half.parquet")
+            streams.append(
+                spark.readStream.schema(docs.schema).parquet(src)
+            )
+
+        q0 = start_simhash_gate_stream(
+            streams[0], acc, idx, f"{base}/ckpt0", rung=1, centered=True
+        )
+        _await(q0, "q311 batch 0")
+        meta = VersionedTable(idx).manifest()["meta"]
+        assert "simhash_center_s" in meta, "thresholds not pinned"
+        q1 = start_simhash_gate_stream(
+            streams[1], acc, idx, f"{base}/ckpt1", rung=1, centered=True
+        )
+        _await(q1, "q311 batch 1")
+        # batch 1 must NOT have re-pinned: thresholds unchanged
+        meta2 = VersionedTable(idx).manifest()["meta"]
+        assert meta2["simhash_center_s"] == meta["simhash_center_s"]
+        assert meta2["simhash_center_n"] == meta["simhash_center_n"]
+
+        result = (
+            VersionedTable(acc)
+            .read(spark)
+            .select("doc_id", "source")
+            .orderBy("doc_id")
+        )
+        return result.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -354,6 +354,7 @@ def simhash_gate_batch_writer(
     max_hamming: int = 5,
     bit_blocks: list[int] | None = None,
     index_bucket_k: int | None = None,
+    centered: bool = False,
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch writer: streaming near-dup ingest gate over the
     60-bit SimHash family (round 9, VERDICT r8 #4) — the q205 MinHash
@@ -398,6 +399,22 @@ def simhash_gate_batch_writer(
     accepted table's doc_ids so nothing lands twice, and the replay's
     index commit back-fills missing band rows.
 
+    ``centered`` (round 11, VERDICT r10 #1): fingerprint with the
+    CENTERED operator family instead of the zero threshold — on the
+    FIRST batch the per-bit thresholds are measured from that batch
+    (operators/dedup.measure_center_thresholds) and pinned in the
+    manifest (``simhash_center_s``/``simhash_center_n``); every later
+    batch fingerprints against the PINNED thresholds
+    (simhash_centered_pinned), so all fingerprints live in one
+    consistent space (re-measuring per batch would fork it — the rung
+    failure mode again). A centered writer on an uncentered index, or
+    vice versa, fails the manifest validation loudly. The centered
+    space keeps the band floor near uniform on template corpora
+    (q305/q306: skew_inflation ~1x vs 404x), at the cost that the
+    thresholds are corpus statistics frozen at build — re-center by
+    re-fingerprinting (a text re-hash), or rescue an existing
+    zero-threshold index map-only with ``bit_blocks``.
+
     ``bit_blocks`` (round 11, VERDICT r10 #1): the entropy-balanced
     banding permutation (operators/dedup.balanced_bit_blocks) under
     which the index's band rows were built. Like the rung it is an
@@ -410,8 +427,10 @@ def simhash_gate_batch_writer(
     reject bar is unchanged — only the band-collision floor drops.
     """
     from movie_data_pipeline_spark.operators.dedup import (
+        measure_center_thresholds,
         simhash,
         simhash_band_rows,
+        simhash_centered_pinned,
         simhash_hamming_pairs,
     )
     from movie_data_pipeline_spark.sources.versioned import VersionedTable
@@ -422,7 +441,25 @@ def simhash_gate_batch_writer(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        fp = simhash(batch_df).persist()
+        thresholds = None
+        if centered:
+            idx0 = VersionedTable(index_path)
+            stored_meta = (
+                idx0.manifest().get("meta") or {}
+                if idx0.current_version() is not None
+                else {}
+            )
+            if "simhash_center_s" in stored_meta:
+                thresholds = {
+                    "s": stored_meta["simhash_center_s"],
+                    "n": stored_meta["simhash_center_n"],
+                }
+            else:
+                # index build: measure once, pinned by the first commit
+                thresholds = measure_center_thresholds(batch_df)
+            fp = simhash_centered_pinned(batch_df, thresholds).persist()
+        else:
+            fp = simhash(batch_df).persist()
         try:
             bands = simhash_band_rows(
                 fp, rung=rung, bit_blocks=bit_blocks
@@ -509,6 +546,16 @@ def simhash_gate_batch_writer(
                             "appending under a different layout would "
                             "tear the partitioned table"
                         )
+                    stored_centered = "simhash_center_s" in meta
+                    if stored_centered != centered:
+                        raise ValueError(
+                            f"simhash gate: index at {index_path} holds "
+                            f"{'centered' if stored_centered else 'zero-threshold'} "
+                            f"fingerprints but this writer is "
+                            f"{'centered' if centered else 'zero-threshold'}; "
+                            "the two fingerprint spaces never match — "
+                            "rebuild the index or match the writer"
+                        )
                 corpus_bands = idx_df.select(
                     "band_idx",
                     "band_val",
@@ -549,6 +596,11 @@ def simhash_gate_batch_writer(
                     "simhash_rung": int(rung),
                     "simhash_bit_blocks": blocks_meta,
                 }
+                if centered:
+                    idx_meta["simhash_center_s"] = [
+                        int(x) for x in thresholds["s"]
+                    ]
+                    idx_meta["simhash_center_n"] = int(thresholds["n"])
                 if index_bucket_k is not None:
                     # Bucketed index layout (round 11, VERDICT r10 #2):
                     # rows Hive-partitioned by id mod k, so an erasure
@@ -580,6 +632,7 @@ def start_simhash_gate_stream(
     rung: int = 1,
     bit_blocks: list[int] | None = None,
     index_bucket_k: int | None = None,
+    centered: bool = False,
     trigger_available_now: bool = True,
 ) -> StreamingQuery:
     """Document stream → SimHash-gated versioned corpus + band index."""
@@ -588,6 +641,7 @@ def start_simhash_gate_stream(
             simhash_gate_batch_writer(
                 accepted_path, index_path, rung=rung,
                 bit_blocks=bit_blocks, index_bucket_k=index_bucket_k,
+                centered=centered,
             )
         )
         .outputMode("append")

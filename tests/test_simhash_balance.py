@@ -200,3 +200,70 @@ def test_banding_migration_equals_fresh_build(spark, docs, tmp_path):
     # stale writer pinned to the old (identity) banding fails loudly
     with pytest.raises(ValueError, match="bit assignment"):
         simhash_gate_batch_writer(acc_a, idx_a, rung=1)(docs.limit(90), 1)
+
+
+def test_pinned_thresholds_fingerprint_space_is_stable(spark, docs):
+    from movie_data_pipeline_spark.operators.dedup import (
+        measure_center_thresholds,
+        simhash_centered,
+        simhash_centered_pinned,
+    )
+
+    full = measure_center_thresholds(docs)
+    half = docs.limit(200)
+    # pinned over the same corpus == in-plan centered
+    a = simhash_centered(docs).orderBy("doc_id")
+    b = simhash_centered_pinned(docs, full).orderBy("doc_id")
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+    # a SUBSET fingerprinted under the pinned corpus thresholds differs
+    # from the subset re-measuring its own (the fork the pinning
+    # prevents)
+    pinned = simhash_centered_pinned(half, full)
+    remeasured = simhash_centered(half)
+    assert pinned.exceptAll(remeasured).count() > 0
+
+
+def test_centered_gate_pins_and_validates(spark, docs, tmp_path):
+    from movie_data_pipeline_spark.operators.dedup import (
+        measure_center_thresholds,
+        simhash_centered_pinned,
+    )
+    from movie_data_pipeline_spark.sources.versioned import VersionedTable
+    from movie_data_pipeline_spark.streaming.sinks import (
+        simhash_gate_batch_writer,
+    )
+
+    acc, idx = str(tmp_path / "acc"), str(tmp_path / "idx")
+    b0 = docs.limit(60)
+    simhash_gate_batch_writer(acc, idx, rung=1, centered=True)(b0, 0)
+    meta = VersionedTable(idx).manifest()["meta"]
+    assert meta["simhash_center_n"] == 60
+    assert len(meta["simhash_center_s"]) == 60
+    # the index rows ARE batch-0's pinned-threshold fingerprints
+    expected = simhash_centered_pinned(b0, measure_center_thresholds(b0))
+    stored = (
+        VersionedTable(idx).read(spark)
+        .select("doc_id", "simhash")
+        .distinct()
+    )
+    assert stored.exceptAll(
+        expected.join(stored.select("doc_id"), "doc_id", "left_semi")
+    ).isEmpty()
+    # second batch reuses the pinned thresholds (meta unchanged)
+    simhash_gate_batch_writer(acc, idx, rung=1, centered=True)(
+        docs.limit(80), 1
+    )
+    meta2 = VersionedTable(idx).manifest()["meta"]
+    assert meta2["simhash_center_s"] == meta["simhash_center_s"]
+    # a zero-threshold writer on a centered index fails loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="fingerprint space"):
+        simhash_gate_batch_writer(acc, idx, rung=1)(docs.limit(90), 2)
+    # and a centered writer on a zero-threshold index fails too
+    acc2, idx2 = str(tmp_path / "acc2"), str(tmp_path / "idx2")
+    simhash_gate_batch_writer(acc2, idx2, rung=1)(b0, 0)
+    with _pytest.raises(ValueError, match="fingerprint space"):
+        simhash_gate_batch_writer(acc2, idx2, rung=1, centered=True)(
+            docs.limit(70), 1
+        )
