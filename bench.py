@@ -181,6 +181,7 @@ HEADLINE = [
     "q309_ivf_centroid_migration",
     "q310_manifest_staleness_audit",
     "q311_centered_gate_replay",
+    "q312_gate_compaction_replay",
 ]
 
 # Stable trend tier (VERDICT r5 #6): these 20 have been in the headline
@@ -246,6 +247,7 @@ REPLAY_TIER = {
     "q309_ivf_centroid_migration",
     "q310_manifest_staleness_audit",
     "q311_centered_gate_replay",
+    "q312_gate_compaction_replay",
 }
 
 

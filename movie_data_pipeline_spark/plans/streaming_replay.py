@@ -2259,3 +2259,214 @@ def q311_centered_gate_replay(
         return result.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# q312 — small-file COMPACTION under a live gate (round 11; the OPTIMIZE
+# cadence for per-batch append commits)
+# --------------------------------------------------------------------------
+def _q312_oracle() -> str:
+    from movie_data_pipeline_spark.plans.dedup import (
+        _SIMHASH_CTES,
+        _render_simhash_band_ctes,
+    )
+
+    return f"""
+    WITH {_SIMHASH_CTES},
+    {_render_simhash_band_ctes(forced_rung=1)},
+    b0 AS (SELECT * FROM bands WHERE doc_id % 3 = 0),
+    b1 AS (SELECT * FROM bands WHERE doc_id % 3 = 1),
+    b2 AS (SELECT * FROM bands WHERE doc_id % 3 = 2),
+    d0 AS (
+      SELECT DISTINCT y.doc_id
+      FROM b0 x JOIN b0 y
+        ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+       AND x.doc_id < y.doc_id
+      WHERE bit_count(xor(x.simhash, y.simhash)) <= 5),
+    acc0 AS (
+      SELECT doc_id FROM documents
+      WHERE doc_id % 3 = 0
+        AND doc_id NOT IN (SELECT doc_id FROM d0)),
+    idx0 AS (SELECT band_idx, band_val, simhash
+             FROM b0 JOIN acc0 USING (doc_id)),
+    d1 AS (
+      SELECT DISTINCT y.doc_id
+      FROM b1 x JOIN b1 y
+        ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+       AND x.doc_id < y.doc_id
+      WHERE bit_count(xor(x.simhash, y.simhash)) <= 5),
+    hit1 AS (
+      SELECT DISTINCT b1.doc_id
+      FROM b1 JOIN idx0 USING (band_idx, band_val)
+      WHERE bit_count(xor(b1.simhash, idx0.simhash)) <= 5),
+    acc1 AS (
+      SELECT doc_id FROM documents
+      WHERE doc_id % 3 = 1
+        AND doc_id NOT IN (SELECT doc_id FROM d1)
+        AND doc_id NOT IN (SELECT doc_id FROM hit1)),
+    idx01 AS (
+      SELECT band_idx, band_val, simhash FROM idx0
+      UNION ALL
+      SELECT band_idx, band_val, simhash
+      FROM b1 JOIN acc1 USING (doc_id)),
+    d2 AS (
+      SELECT DISTINCT y.doc_id
+      FROM b2 x JOIN b2 y
+        ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+       AND x.doc_id < y.doc_id
+      WHERE bit_count(xor(x.simhash, y.simhash)) <= 5),
+    hit2 AS (
+      SELECT DISTINCT b2.doc_id
+      FROM b2 JOIN idx01 USING (band_idx, band_val)
+      WHERE bit_count(xor(b2.simhash, idx01.simhash)) <= 5),
+    acc2 AS (
+      SELECT doc_id FROM documents
+      WHERE doc_id % 3 = 2
+        AND doc_id NOT IN (SELECT doc_id FROM d2)
+        AND doc_id NOT IN (SELECT doc_id FROM hit2)),
+    acc AS (
+      SELECT doc_id FROM acc0
+      UNION ALL SELECT doc_id FROM acc1
+      UNION ALL SELECT doc_id FROM acc2),
+    m(metric, value) AS (
+      SELECT 'n_accepted_after_resubmit', (SELECT COUNT(*) FROM acc)
+      UNION ALL SELECT 'n_accepted_final', (SELECT COUNT(*) FROM acc)
+      UNION ALL SELECT 'n_commits_corpus_before_compact',
+             (SELECT COUNT(DISTINCT doc_id % 3) FROM acc)
+      UNION ALL SELECT 'n_data_dirs_corpus_after_compact', 1
+      UNION ALL SELECT 'n_data_dirs_index_after_compact', 1
+      UNION ALL SELECT 'n_index_rows_final',
+             6 * (SELECT COUNT(*) FROM acc)
+      UNION ALL SELECT 'n_reaccepted_after_compact', 0
+      UNION ALL SELECT 'n_resubmitted', (SELECT COUNT(*) FROM acc))
+    SELECT metric, CAST(value AS BIGINT) AS value
+    FROM m ORDER BY metric
+    """
+
+
+@query(
+    "q312_gate_compaction_replay",
+    oracle=_q312_oracle(),
+    tags=("extension", "streaming", "dedup", "simhash", "lifecycle",
+          "compaction", "multi-batch"),
+)
+def q312_gate_compaction_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Small-file COMPACTION under a live ingest gate (round 11): the
+    gates land one append commit — one data directory — per
+    micro-batch, which is exactly the small-file problem OPTIMIZE
+    exists for in every lakehouse; ``VersionedTable.compact`` had only
+    a unit test. The replay drives the full operational cadence:
+
+    1. three deterministic micro-batches (doc_id mod 3, ordered by
+       file mtime, ``maxFilesPerTrigger=1``) through the rung-1
+       SimHash gate — ASSERTED >=3 data-carrying batches from the
+       query's own progress, and the pre-compaction commit count is
+       read from the manifests (one dir per batch with >=1 survivor);
+    2. ``compact(target_files=1)`` on corpus AND index — one fresh
+       data dir each (pinned in the hashed output), table properties
+       (the pinned rung) inherited through the rewrite;
+    3. the proof compaction changed NOTHING: every accepted document
+       is re-submitted (same text, shifted ids) through the same gate
+       against the COMPACTED index — rung 1 is exact at Hamming<=5
+       and the copies are Hamming-0 hits, so ALL are rejected
+       (``n_reaccepted_after_compact = 0``) and the corpus is
+       byte-identical to the three-batch greedy result the oracle
+       derives from first principles.
+
+    Scale: compaction is one linear rewrite per table (coalesced);
+    at deployment it runs between batches on whatever cadence the
+    file-count SLO demands, and on a partitioned index it rewrites
+    per partition (commit auto-partitions from the inherited table
+    property). The gate keeps operating across it — snapshot
+    isolation means a reader or the next batch sees pre- or
+    post-compaction, never a mix.
+    """
+    import os as _os
+    from functools import reduce
+
+    from movie_data_pipeline_spark.sources.registry import load_table
+    from movie_data_pipeline_spark.sources.versioned import VersionedTable
+    from movie_data_pipeline_spark.streaming.sinks import (
+        simhash_gate_batch_writer,
+        start_simhash_gate_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="mdp-q312-")
+    src = f"{base}/src"
+    acc, idx, ckpt = f"{base}/acc", f"{base}/idx", f"{base}/ckpt"
+    _os.makedirs(src)
+    try:
+        for i in range(3):
+            out = f"{base}/third{i}"
+            docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
+                out
+            )
+            part = _one_part(out, "q312")
+            dest = f"{src}/{i}_third.parquet"
+            _os.rename(part, dest)
+            _os.utime(dest, (1_000_000 + i * 100, 1_000_000 + i * 100))
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = start_simhash_gate_stream(stream, acc, idx, ckpt, rung=1)
+        _await(q, "q312")
+        fed = {
+            p["batchId"]
+            for p in q.recentProgress
+            if p.get("numInputRows", 0) > 0
+        }
+        if len(fed) < 3:
+            raise AssertionError(
+                f"q312: expected >=3 data-carrying micro-batches, got "
+                f"batchIds {sorted(fed)}"
+            )
+        acc_t, idx_t = VersionedTable(acc), VersionedTable(idx)
+        n_commits_before = len(acc_t.manifest()["data_dirs"])
+        accepted_before = acc_t.read(spark).localCheckpoint(eager=True)
+
+        acc_t.compact(spark, target_files=1)
+        idx_t.compact(spark, target_files=1)
+        dirs_acc = len(acc_t.manifest()["data_dirs"])
+        dirs_idx = len(idx_t.manifest()["data_dirs"])
+        # rung property must survive the compaction rewrite
+        assert idx_t.manifest()["meta"]["simhash_rung"] == 1
+
+        resub = accepted_before.withColumn(
+            "doc_id", F.col("doc_id") + F.lit(1_000_000_000)
+        ).localCheckpoint(eager=True)
+        simhash_gate_batch_writer(acc, idx, rung=1)(resub, 99)
+
+        acc_after = acc_t.read(spark)
+        n_final = accepted_before.count()
+        n_after = acc_after.count()
+        reaccepted = acc_after.join(
+            accepted_before.select("doc_id"), "doc_id", "left_anti"
+        ).count()
+
+        def const(metric: str, value: int) -> DataFrame:
+            return spark.createDataFrame(
+                [(metric, int(value))], "metric STRING, value LONG"
+            )
+
+        rows = [
+            const("n_accepted_after_resubmit", n_after),
+            const("n_accepted_final", n_final),
+            const("n_commits_corpus_before_compact", n_commits_before),
+            const("n_data_dirs_corpus_after_compact", dirs_acc),
+            const("n_data_dirs_index_after_compact", dirs_idx),
+            const(
+                "n_index_rows_final",
+                idx_t.read(spark).count(),
+            ),
+            const("n_reaccepted_after_compact", reaccepted),
+            const("n_resubmitted", resub.count()),
+        ]
+        result = reduce(DataFrame.unionByName, rows).orderBy("metric")
+        return result.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
