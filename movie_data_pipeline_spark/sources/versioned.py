@@ -370,11 +370,39 @@ class VersionedTable:
         where ``condition`` evaluates TRUE are deleted; rows where it
         evaluates NULL (e.g. a NULL key column) are RETAINED — a bare
         ``NOT (condition)`` would silently drop them too.
+
+        Round 11: on a PARTITIONED table (``partition_by`` property)
+        the delete PRUNES exactly like the index scrub — one bounded
+        aggregate finds the partitions holding matching rows, only
+        those are rewritten via :meth:`overwrite_partitions`, and a
+        zero-match delete skips the commit. Falls back to the full
+        rewrite when more than 4096 partitions match (the collected
+        value list is driver metadata and must stay bounded).
         """
         head = self.read(spark)
-        survivors = head.filter(
-            ~F.coalesce(F.expr(condition).cast("boolean"), F.lit(False))
-        )
+        matched = F.coalesce(F.expr(condition).cast("boolean"), F.lit(False))
+        part_col = (self.manifest().get("meta") or {}).get("partition_by")
+        if part_col:
+            rows = (
+                head.filter(matched)
+                .groupBy(part_col)
+                .agg(F.count("*").alias("c"))
+                .limit(4097)
+                .collect()
+            )
+            n_deleted = sum(r["c"] for r in rows)
+            if n_deleted == 0:
+                return self.current_version(), 0
+            if len(rows) <= 4096:
+                touched = sorted(r[part_col] for r in rows)
+                survivors = head.filter(
+                    F.col(part_col).isin(touched)
+                ).filter(~matched)
+                new_v = self.overwrite_partitions(survivors, touched)
+                return new_v, n_deleted
+            # too many touched partitions: the full rewrite is cheaper
+            # than a 4096+-entry manifest diff — fall through
+        survivors = head.filter(~matched)
         n_deleted = head.count() - survivors.count()
         new_v = self.commit(survivors, mode="overwrite")
         return new_v, n_deleted

@@ -198,3 +198,28 @@ def test_minhash_gate_bucketed_index(spark, tmp_path):
         dedup_gate_batch_writer(acc, idx)(docs.limit(70), 1)
     erase_documents(spark, acc, [idx], "doc_id % 8 = 1")
     assert count_phantom_index_rows(spark, idx, acc) == 0
+
+
+def test_delete_where_prunes_on_partitioned_table(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "t"))
+    t.commit(_bucketed(spark, 0, 200, k=8), meta={"partition_by": "pbucket"})
+    # ids = 3 mod 16 all live in bucket 3
+    v, n = t.delete_where(spark, "id % 16 = 3")
+    assert (v, n) == (1, 13)
+    entries = t.manifest()["data_dirs"]
+    partials = [e for e in entries if isinstance(e, dict)]
+    assert len(partials) == 1 and len(partials[0]["parts"]) == 7
+    assert t.read(spark).count() == 187
+    assert t.read(spark).filter("id % 16 = 3").count() == 0
+    # zero-match delete skips the commit entirely
+    v2, n2 = t.delete_where(spark, "id > 10000")
+    assert (v2, n2) == (1, 0)
+    # three-valued logic retained on the pruned path: NULL-evaluating
+    # rows survive (ids = 5 mod 16 split by id mod 32: 5,37,.. TRUE and
+    # 21,53,.. NULL — both non-empty, same bucket 5)
+    v3, n3 = t.delete_where(
+        spark, "CASE WHEN id % 32 >= 16 THEN NULL ELSE id % 16 = 5 END"
+    )
+    assert n3 == t.read(spark, version=1).filter("id % 32 = 5").count()
+    assert t.read(spark).filter("id % 32 = 5").count() == 0
+    assert t.read(spark).filter("id % 32 = 21").count() > 0
