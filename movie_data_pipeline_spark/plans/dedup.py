@@ -4780,3 +4780,200 @@ def q306_simhash_centered_pricing(
     docs = load_table(spark, sf_dir, "documents")
     fp = simhash_centered(docs).localCheckpoint(eager=False)
     return _skew_pricing_frame(spark, fp)
+
+
+# --------------------------------------------------------------------------
+# q315 — centered-threshold staleness audit + RE-CENTER migration
+# (round 12, VERDICT r11 #3)
+# --------------------------------------------------------------------------
+@query(
+    "q315_center_threshold_drift",
+    oracle=f"""
+    WITH {_SIMHASH_VOTE_CTES},
+    pin AS (
+      SELECT bit_idx, SUM(vote) AS s, COUNT(*) AS n
+      FROM votes WHERE doc_id % 4 = 0 GROUP BY bit_idx),
+    cur AS (
+      SELECT bit_idx, SUM(vote) AS s, COUNT(*) AS n
+      FROM votes GROUP BY bit_idx),
+    bef AS (
+      SELECT v.bit_idx,
+             SUM(CASE WHEN v.vote * p.n > p.s THEN 1 ELSE 0 END)
+               AS n_above,
+             COUNT(*) AS n_docs
+      FROM votes v JOIN pin p USING (bit_idx) GROUP BY v.bit_idx),
+    aft AS (
+      SELECT v.bit_idx,
+             SUM(CASE WHEN v.vote * c.n > c.s THEN 1 ELSE 0 END)
+               AS n_above,
+             COUNT(*) AS n_docs
+      FROM votes v JOIN cur c USING (bit_idx) GROUP BY v.bit_idx),
+    u AS (
+      SELECT 'before' AS phase, * FROM bef
+      UNION ALL SELECT 'after', * FROM aft)
+    SELECT phase,
+           CAST(bit_idx AS BIGINT) AS bit_idx,
+           CAST(n_above AS BIGINT) AS n_above,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           {r4('ABS(2.0 * n_above / n_docs - 1.0)')} AS imbalance
+    FROM u ORDER BY phase, bit_idx
+    """,
+    tags=("extension", "dedup", "simhash", "lifecycle", "centered",
+          "audit", "migration"),
+)
+def q315_center_threshold_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Centered-threshold STALENESS audit + re-center migration
+    (round 12, VERDICT r11 #3): q311 pins ``simhash_center_s/n`` at
+    first-batch build, forever — as the corpus drifts away from that
+    first batch the pinned space's balance decays toward q305's raw
+    numbers, and round 11 shipped no monitor and no fix. This replay
+    drives both new operators end to end:
+
+    1. a corpus is committed and a centered index is built the way a
+       gate would: thresholds measured from the FIRST BATCH only
+       (``doc_id % 4 = 0``), every document fingerprinted in that
+       pinned space, banded at rung 1 under a balanced assignment,
+       bucketed layout — the full recommended stack, but with
+       thresholds that represent a quarter of the corpus;
+    2. ``audit_center_thresholds`` (phase 'before'): per bit, how many
+       CURRENT corpus documents set the bit under the PINNED
+       thresholds — the q294-style one-aggregate drift monitor;
+    3. ``recenter_simhash_index``: thresholds re-measured over the
+       members, text re-hashed into the new pinned space, banding
+       re-balanced for that space, bucket layout preserved, ONE
+       overwrite commit (asserted: meta merged, version bumped, rows
+       byte-equal a from-scratch centered build — the q307 bar);
+    4. the audit re-runs (phase 'after') — mean imbalance must sit
+       inside the SCALING.md re-center bar and not materially regress
+       (asserted; not monotone — the mean threshold guarantees
+       near-balance, not strict improvement on an undrifted sample),
+       and equals by construction the in-plan centered balance q305
+       measures;
+    5. the boundary contract: a default-constructed
+       ``recommended_simhash_gate_batch_writer`` adopts the NEW
+       thresholds from the manifest and rejects shifted-id duplicates
+       of indexed content (asserted — no corpus growth, no index
+       commit).
+
+    The hashed result is both audit frames; the oracle derives them
+    from the vote arithmetic alone (pinned = quarter-corpus totals,
+    current = full-corpus totals, exact integer ``vote*n > s``).
+
+    Scale: each audit is one token-explode + per-doc vote aggregate +
+    one 61-sum reduction — one gate batch's fingerprint cost; the
+    re-center is one fingerprint pass + one band explode over the
+    members (what the original build paid). Linear; no driver-side
+    data (the audit's per-bit rows explode from the single aggregate
+    row in-plan).
+    """
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from movie_data_pipeline_spark.operators.dedup import (
+        measure_balanced_bit_blocks,
+        measure_center_thresholds,
+        simhash_band_rows,
+        simhash_centered_pinned,
+    )
+    from movie_data_pipeline_spark.operators.index_lifecycle import (
+        audit_center_thresholds,
+        recenter_simhash_index,
+    )
+    from movie_data_pipeline_spark.sources.versioned import VersionedTable
+    from movie_data_pipeline_spark.streaming.sinks import (
+        recommended_simhash_gate_batch_writer,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = _tempfile.mkdtemp(prefix="mdp-q315-")
+    corpus_path, index_path = f"{base}/corpus", f"{base}/idx"
+    try:
+        VersionedTable(corpus_path).commit(docs)
+        batch0 = docs.filter(F.col("doc_id") % 4 == 0)
+        th0 = measure_center_thresholds(batch0)
+        fp_all = simhash_centered_pinned(docs, th0).localCheckpoint(
+            eager=False
+        )
+        blocks0 = measure_balanced_bit_blocks(
+            fp_all.join(
+                batch0.select("doc_id"), "doc_id", "left_semi"
+            )
+        )
+        rows0 = simhash_band_rows(
+            fp_all, rung=1, bit_blocks=blocks0
+        ).withColumn("rung", F.lit(1)).withColumn(
+            "pbucket", F.expr("CAST(pmod(doc_id, 8) AS INT)")
+        )
+        VersionedTable(index_path).commit(
+            rows0,
+            meta={
+                "simhash_rung": 1,
+                "simhash_bit_blocks": blocks0,
+                "simhash_center_s": [int(x) for x in th0["s"]],
+                "simhash_center_n": int(th0["n"]),
+                "partition_by": "pbucket",
+                "bucket_k": 8,
+            },
+        )
+
+        before = audit_center_thresholds(
+            spark, index_path, corpus_path
+        ).localCheckpoint(eager=True)
+
+        v = recenter_simhash_index(spark, index_path, corpus_path)
+        assert v == 1
+        idx_t = VersionedTable(index_path)
+        meta2 = idx_t.manifest()["meta"]
+        assert meta2["bucket_k"] == 8 and meta2["simhash_rung"] == 1
+        assert sorted(meta2["simhash_bit_blocks"]) == list(range(60))
+
+        after = audit_center_thresholds(
+            spark, index_path, corpus_path
+        ).localCheckpoint(eager=True)
+        # The re-centered space must sit well inside the SCALING.md
+        # re-center bar (mean imbalance 0.2) and never regress
+        # materially vs the stale space. NOT asserted monotone: the
+        # mean threshold guarantees near-balance, not a strict
+        # improvement — when the pinned sample was already
+        # representative (an undrifted quarter), before/after differ
+        # only by strict-inequality tie noise.
+        mean_b = before.agg(F.avg("imbalance")).first()[0]
+        mean_a = after.agg(F.avg("imbalance")).first()[0]
+        assert mean_a <= 0.2, (mean_a, mean_b)
+        assert mean_a <= mean_b + 0.05, (mean_a, mean_b)
+
+        # byte-equal a from-scratch centered build over the members
+        th2 = {"s": meta2["simhash_center_s"], "n": meta2["simhash_center_n"]}
+        fresh = simhash_band_rows(
+            simhash_centered_pinned(docs, th2),
+            rung=1,
+            bit_blocks=meta2["simhash_bit_blocks"],
+        ).withColumn("rung", F.lit(1)).withColumn(
+            "pbucket", F.expr("CAST(pmod(doc_id, 8) AS INT)")
+        )
+        stored = idx_t.read(spark)
+        assert stored.exceptAll(fresh).isEmpty()
+        assert fresh.exceptAll(stored).isEmpty()
+
+        # boundary contract: a zero-tuning writer adopts the new space
+        # and rejects shifted-id duplicates of indexed content
+        resub = docs.filter(F.col("doc_id") % 9 == 1).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(1_000_000_000)
+        )
+        recommended_simhash_gate_batch_writer(corpus_path, index_path)(
+            resub, 99
+        )
+        assert VersionedTable(corpus_path).current_version() == 0
+        assert idx_t.current_version() == 1
+
+        result = (
+            before.withColumn("phase", F.lit("before"))
+            .unionByName(after.withColumn("phase", F.lit("after")))
+            .select("phase", "bit_idx", "n_above", "n_docs", "imbalance")
+            .orderBy("phase", "bit_idx")
+        )
+        return result.localCheckpoint(eager=True)
+    finally:
+        _shutil.rmtree(base, ignore_errors=True)

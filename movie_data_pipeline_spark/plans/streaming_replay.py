@@ -2470,3 +2470,212 @@ def q312_gate_compaction_replay(
         return result.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# q313 — the RECOMMENDED gate: every scale mitigation by default (round 12,
+# VERDICT r11 #1)
+# --------------------------------------------------------------------------
+def _q313_oracle() -> str:
+    from movie_data_pipeline_spark.plans.dedup import (
+        _SIMHASH_VOTE_CTES,
+        _render_simhash_allrung_ctes,
+    )
+
+    return f"""
+    WITH {_SIMHASH_VOTE_CTES},
+    vtot AS (
+      SELECT bit_idx, SUM(vote) AS s, COUNT(*) AS n
+      FROM votes WHERE doc_id % 2 = 0 GROUP BY bit_idx),
+    fingerprints AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN vote * n > s THEN pow2 ELSE 0 END)
+                  AS BIGINT) AS simhash
+      FROM votes JOIN vtot USING (bit_idx) GROUP BY doc_id),
+    bitgrid AS (SELECT j AS bit_idx FROM generate_series(0, 59) t(j)),
+    pb AS (
+      SELECT bit_idx,
+             SUM((simhash // CAST(2 ** bit_idx AS BIGINT)) % 2) AS n_set,
+             COUNT(*) AS n
+      FROM fingerprints CROSS JOIN bitgrid
+      WHERE doc_id % 2 = 0 GROUP BY bit_idx),
+    asg AS (
+      SELECT bit_idx,
+             ROW_NUMBER() OVER (ORDER BY ABS(2 * n_set - n) DESC,
+                                bit_idx) - 1 AS r
+      FROM pb),
+    asg2 AS (
+      SELECT bit_idx,
+             (CASE WHEN (r // 6) % 2 = 0 THEN r % 6
+                   ELSE 5 - (r % 6) END) * 10 + (r // 6) AS newpos
+      FROM asg),
+    permuted AS (
+      SELECT f.doc_id,
+             CAST(SUM(((f.simhash // CAST(2 ** a.bit_idx AS BIGINT)) % 2)
+                      * CAST(2 ** a.newpos AS BIGINT)) AS BIGINT) AS simhash
+      FROM fingerprints f CROSS JOIN asg2 a
+      GROUP BY f.doc_id),
+    {_render_simhash_allrung_ctes(src="permuted", out="pallbands",
+                                  blks="pblks")},
+    b0 AS (
+      SELECT a.doc_id, p.simhash, a.band_idx, a.band_val
+      FROM pallbands a JOIN permuted p USING (doc_id)
+      WHERE a.rung = 1 AND a.doc_id % 2 = 0),
+    d0 AS (
+      SELECT DISTINCT y.doc_id
+      FROM b0 x JOIN b0 y
+        ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+       AND x.doc_id < y.doc_id
+      WHERE bit_count(xor(x.simhash, y.simhash)) <= 5),
+    acc0 AS (
+      SELECT doc_id FROM documents
+      WHERE doc_id % 2 = 0
+        AND doc_id NOT IN (SELECT doc_id FROM d0)),
+    idx1 AS (
+      SELECT band_idx, band_val, simhash
+      FROM b0 JOIN acc0 USING (doc_id)),
+    b1 AS (
+      SELECT a.doc_id, p.simhash, a.band_idx, a.band_val
+      FROM pallbands a JOIN permuted p USING (doc_id)
+      WHERE a.rung = 1 AND a.doc_id % 2 = 1),
+    d1 AS (
+      SELECT DISTINCT y.doc_id
+      FROM b1 x JOIN b1 y
+        ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+       AND x.doc_id < y.doc_id
+      WHERE bit_count(xor(x.simhash, y.simhash)) <= 5),
+    hit1 AS (
+      SELECT DISTINCT b1.doc_id
+      FROM b1 JOIN idx1 USING (band_idx, band_val)
+      WHERE bit_count(xor(b1.simhash, idx1.simhash)) <= 5),
+    acc1 AS (
+      SELECT doc_id FROM documents
+      WHERE doc_id % 2 = 1
+        AND doc_id NOT IN (SELECT doc_id FROM d1)
+        AND doc_id NOT IN (SELECT doc_id FROM hit1))
+    SELECT d.doc_id, d.source
+    FROM documents d
+    JOIN (SELECT doc_id FROM acc0 UNION ALL SELECT doc_id FROM acc1) a
+      USING (doc_id)
+    WHERE NOT (d.doc_id % 5 = 3)
+    ORDER BY d.doc_id
+    """
+
+
+@query(
+    "q313_recommended_gate_replay",
+    oracle=_q313_oracle(),
+    tags=("extension", "streaming", "dedup", "simhash", "lifecycle",
+          "mitigation", "default"),
+)
+def q313_recommended_gate_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The RECOMMENDED gate end to end (round 12, VERDICT r11 #1):
+    round 11 proved every scale mitigation — centered fingerprints
+    (q306: collision-floor inflation ~1x vs 404x), entropy-balanced
+    banding (q304/q307), bucketed index layout with pruned scrubs
+    (q308: 115x less write volume) — but every one was an opt-in
+    kwarg; a default-built 2026 index would rebuild round 10's
+    problems. ``streaming/sinks.recommended_simhash_gate_batch_writer``
+    makes the proven layout the default build path, and this replay is
+    the "zero explicit tuning" proof:
+
+    1. even doc_ids stream through
+       ``start_recommended_simhash_gate_stream`` — NO tuning
+       arguments. The first batch measures the centered thresholds
+       AND the balanced banding assignment from itself and the first
+       commit pins thresholds + assignment + bucket layout + rung in
+       the manifest (asserted);
+    2. odd doc_ids stream through another default-constructed gate:
+       the whole configuration is ADOPTED from the manifest (asserted
+       unchanged — no re-measurement fork);
+    3. a right-to-erasure pass (``doc_id % 5 = 3``) runs
+       ``erase_documents``: the index scrub must take the PRUNED
+       overwrite_partitions path (asserted from the manifest mode)
+       and leave zero phantom rows (asserted);
+    4. the post-erasure corpus is returned and hash-verified.
+
+    The oracle derives the full cadence from first principles: pinned
+    thresholds from the even half's votes, the snake banding
+    assignment from the even half's centered fingerprints (measured
+    PRE-gate, exactly when the writer measures it), permuted rung-1
+    bands with exact Hamming<=5 for both batches, then the erasure
+    filter. Equality proves the default-constructed gate computes the
+    same corpus as the explicitly-tuned mitigated stack.
+
+    Scale: identical plan shapes to q311 (centered) + q307 (balanced
+    banding) + q308 (pruned scrub) — one fingerprint pass per batch,
+    one band equi-join per batch, erasure cost proportional to the
+    erased fraction. Reference: the reference has no dedup/index story
+    (etl1.py full-refresh loads only); this is the extension surface's
+    default build path.
+    """
+    import os as _os
+
+    from movie_data_pipeline_spark.operators.index_lifecycle import (
+        count_phantom_index_rows,
+        erase_documents,
+    )
+    from movie_data_pipeline_spark.sources.registry import load_table
+    from movie_data_pipeline_spark.sources.versioned import VersionedTable
+    from movie_data_pipeline_spark.streaming.sinks import (
+        RECOMMENDED_INDEX_BUCKET_K,
+        start_recommended_simhash_gate_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="mdp-q313-")
+    acc, idx = f"{base}/acc", f"{base}/idx"
+    try:
+        streams = []
+        for i, half in enumerate(
+            (
+                docs.filter(F.col("doc_id") % 2 == 0),
+                docs.filter(F.col("doc_id") % 2 == 1),
+            )
+        ):
+            src = f"{base}/src{i}"
+            _os.makedirs(src)
+            out = f"{base}/half{i}"
+            half.coalesce(1).write.parquet(out)
+            part = _one_part(out, "q313")
+            _os.rename(part, f"{src}/{i}_half.parquet")
+            streams.append(
+                spark.readStream.schema(docs.schema).parquet(src)
+            )
+
+        q0 = start_recommended_simhash_gate_stream(
+            streams[0], acc, idx, f"{base}/ckpt0"
+        )
+        _await(q0, "q313 batch 0")
+        meta = VersionedTable(idx).manifest()["meta"]
+        assert "simhash_center_s" in meta, "thresholds not pinned"
+        assert sorted(meta["simhash_bit_blocks"]) == list(range(60))
+        assert meta["bucket_k"] == RECOMMENDED_INDEX_BUCKET_K
+        assert meta["partition_by"] == "pbucket"
+        assert meta["simhash_rung"] == 1
+
+        q1 = start_recommended_simhash_gate_stream(
+            streams[1], acc, idx, f"{base}/ckpt1"
+        )
+        _await(q1, "q313 batch 1")
+        meta2 = VersionedTable(idx).manifest()["meta"]
+        assert meta2["simhash_center_s"] == meta["simhash_center_s"]
+        assert meta2["simhash_bit_blocks"] == meta["simhash_bit_blocks"]
+
+        erase_documents(spark, acc, [idx], "doc_id % 5 = 3")
+        assert (
+            VersionedTable(idx).manifest()["mode"] == "overwrite_partitions"
+        ), "erasure scrub did not take the pruned path"
+        assert count_phantom_index_rows(spark, idx, acc) == 0
+
+        result = (
+            VersionedTable(acc)
+            .read(spark)
+            .select("doc_id", "source")
+            .orderBy("doc_id")
+        )
+        return result.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

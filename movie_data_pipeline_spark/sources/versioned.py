@@ -92,7 +92,14 @@ class VersionedTable:
     def _visible_parts(self, entry, partition_col: str) -> list[str]:
         """Partition subdir names (``col=value``) visible through a
         manifest entry — physical listing for whole-dir entries, the
-        recorded list for partial entries."""
+        recorded list for partial entries.
+
+        A whole-dir entry with NO partition subdirs is the empty
+        placeholder the all-partitions-dropped path publishes (zero
+        rows, schema only) — returning [] correctly retires it on the
+        next partition overwrite. It cannot hide data: ``commit``
+        refuses unpartitioned rows on a partitioned table (ADVICE
+        r11), so no other creation path exists."""
         if isinstance(entry, dict):
             return list(entry["parts"])
         root = os.path.join(self._data_dir, entry)
@@ -150,7 +157,18 @@ class VersionedTable:
         effective_meta = parent_meta if meta is None else meta
         part_col = partition_by or (effective_meta or {}).get("partition_by")
         writer = df.write.mode("errorifexists")
-        if part_col and part_col in df.columns:
+        if part_col:
+            if part_col not in df.columns:
+                # Writing unpartitioned data into a partitioned table
+                # would create a data dir with no partition subdirs; a
+                # later overwrite_partitions/pruned scrub would silently
+                # drop those rows (ADVICE r11) — fail at the write.
+                raise ValueError(
+                    f"{self.path} is partitioned by {part_col!r} but the "
+                    f"committed frame lacks that column (columns: "
+                    f"{df.columns}); derive it before committing or "
+                    "clear the partition_by property explicitly"
+                )
             writer = writer.partitionBy(part_col)
         writer.parquet(new_dir)
 
@@ -257,6 +275,19 @@ class VersionedTable:
             # vanish — an empty data dir would break schema inference
             # on read, so it is not referenced (and removed).
             shutil.rmtree(new_dir, ignore_errors=True)
+            if not entries:
+                # ALL partitions dropped (full-corpus erasure): a
+                # manifest with no data dirs is permanently unreadable
+                # — read() raises and the next gate batch crashes
+                # (ADVICE r11). Publish a READABLE empty snapshot
+                # instead: one schema-only parquet file (the partition
+                # column stays as a regular column of the empty frame),
+                # exactly what the unpartitioned path commits.
+                os.makedirs(new_dir, exist_ok=True)
+                df.limit(0).repartition(1).write.mode(
+                    "overwrite"
+                ).parquet(new_dir)
+                entries.append(os.path.basename(new_dir))
         manifest = {
             "version": next_v,
             "parent": head,

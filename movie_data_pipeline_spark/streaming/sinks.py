@@ -454,6 +454,21 @@ def simhash_gate_batch_writer(
                     "s": stored_meta["simhash_center_s"],
                     "n": stored_meta["simhash_center_n"],
                 }
+            elif idx0.current_version() is not None:
+                # A committed index with no pinned thresholds was NOT
+                # built centered (legacy/pre-meta, or zero-threshold).
+                # Re-measuring from this batch would fingerprint each
+                # batch in its own space — duplicates of indexed docs
+                # silently pass, the exact fork the thresholds exist to
+                # prevent (ADVICE r11). Fail loudly: rebuild required.
+                raise ValueError(
+                    f"simhash gate: index at {index_path} has committed "
+                    "versions but no pinned centered thresholds "
+                    "(simhash_center_s) — it was not built centered and "
+                    "the two fingerprint spaces never match; rebuild "
+                    "the index centered or run this writer with "
+                    "centered=False"
+                )
             else:
                 # index build: measure once, pinned by the first commit
                 thresholds = measure_center_thresholds(batch_df)
@@ -620,6 +635,147 @@ def simhash_gate_batch_writer(
                 survivors.unpersist()
         finally:
             fp.unpersist()
+
+    return _apply
+
+
+RECOMMENDED_INDEX_BUCKET_K = 64
+
+
+def recommended_simhash_gate_batch_writer(
+    accepted_path: str,
+    index_path: str,
+    rung: int = 1,
+    max_hamming: int = 5,
+    index_bucket_k: int = RECOMMENDED_INDEX_BUCKET_K,
+) -> Callable[[DataFrame, int], None]:
+    """The DEFAULT build path for a NEW SimHash gate index (round 12,
+    VERDICT r11 #1): every scale mitigation round 11 proved is applied
+    with zero tuning arguments, so a fresh 2026 deployment gets the
+    mitigated collision floor and pruned maintenance instead of
+    rebuilding round 10's problems.
+
+    On a FRESH index (no committed version) the first batch measures
+    and pins the full recommended layout in one cadence:
+
+    - **centered fingerprints** (``simhash_center_s/n`` pinned in the
+      manifest; q306: band-collision skew inflation ~1x vs 404x raw);
+    - **entropy-balanced banding** (``simhash_bit_blocks`` measured
+      over the first batch's centered fingerprints — insurance against
+      template-burst skew the centering can't see, q304);
+    - **bucketed partition layout** (``bucket_k`` — erasure scrubs and
+      deletes prune to touched buckets, q308: 115x less write volume).
+
+    On an EXISTING index the ENTIRE configuration is adopted from the
+    manifest's table properties — rung, banding assignment, bucket
+    layout, centered thresholds — so a restarted writer needs no
+    arguments and can never fail its own index's validation. (The
+    explicit :func:`simhash_gate_batch_writer` kwargs remain the
+    legacy/tuning path; a pre-meta legacy index has no stored
+    configuration to adopt and must use it.) ``rung``/``max_hamming``/
+    ``index_bucket_k`` only shape a FRESH build.
+
+    Measurement cost: one extra 61-sum aggregate + one fingerprint
+    pass on the first batch only; every later batch pays exactly what
+    the explicit writer pays (one manifest JSON read).
+    """
+    from movie_data_pipeline_spark.operators.dedup import (
+        measure_balanced_bit_blocks,
+        measure_center_thresholds,
+        simhash_centered_pinned,
+    )
+    from movie_data_pipeline_spark.sources.versioned import VersionedTable
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        idx = VersionedTable(index_path)
+        if idx.current_version() is not None:
+            meta = idx.manifest().get("meta") or {}
+            if "simhash_rung" not in meta:
+                raise ValueError(
+                    f"recommended simhash gate: index at {index_path} "
+                    "is a legacy pre-meta index with no stored "
+                    "configuration to adopt — use "
+                    "simhash_gate_batch_writer with explicit arguments "
+                    "or migrate the index first"
+                )
+            inner = simhash_gate_batch_writer(
+                accepted_path,
+                index_path,
+                rung=int(meta["simhash_rung"]),
+                max_hamming=max_hamming,
+                bit_blocks=meta.get("simhash_bit_blocks"),
+                index_bucket_k=meta.get("bucket_k"),
+                centered="simhash_center_s" in meta,
+            )
+        else:
+            # Fresh build: measure the recommended layout from this
+            # batch. The inner writer re-measures the thresholds
+            # (deterministic — same batch, same aggregate) and pins
+            # them with the first commit.
+            thresholds = measure_center_thresholds(batch_df)
+            blocks = measure_balanced_bit_blocks(
+                simhash_centered_pinned(batch_df, thresholds)
+            )
+            inner = simhash_gate_batch_writer(
+                accepted_path,
+                index_path,
+                rung=rung,
+                max_hamming=max_hamming,
+                bit_blocks=blocks,
+                index_bucket_k=int(index_bucket_k),
+                centered=True,
+            )
+        inner(batch_df, batch_id)
+
+    return _apply
+
+
+def start_recommended_simhash_gate_stream(
+    docs: DataFrame,
+    accepted_path: str,
+    index_path: str,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Document stream → SimHash-gated corpus + index under the
+    recommended scale-safe layout, zero tuning arguments."""
+    writer = (
+        docs.writeStream.foreachBatch(
+            recommended_simhash_gate_batch_writer(accepted_path, index_path)
+        )
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def recommended_dedup_gate_batch_writer(
+    accepted_path: str,
+    index_path: str,
+    index_bucket_k: int = RECOMMENDED_INDEX_BUCKET_K,
+) -> Callable[[DataFrame, int], None]:
+    """Recommended MinHash gate (round 12, VERDICT r11 #1): a fresh
+    index gets the bucketed partition layout (pruned erasure scrubs);
+    an existing index's layout is adopted from its manifest so a
+    restarted writer needs no arguments. The MinHash family has no
+    centered/banding axis — bucket layout is its one scale knob."""
+    from movie_data_pipeline_spark.sources.versioned import VersionedTable
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        idx = VersionedTable(index_path)
+        if idx.current_version() is not None:
+            k = (idx.manifest().get("meta") or {}).get("bucket_k")
+        else:
+            k = int(index_bucket_k)
+        dedup_gate_batch_writer(
+            accepted_path, index_path, index_bucket_k=k
+        )(batch_df, batch_id)
 
     return _apply
 

@@ -6,6 +6,7 @@ and SimHash rung migration across an index's life."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from movie_data_pipeline_spark.operators.index_lifecycle import (
     count_phantom_index_rows,
@@ -365,3 +366,292 @@ def test_audit_shard_manifest_requires_pinned_meta(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="order_seed"):
         audit_shard_manifest(spark, man_p, corpus_p)
+
+
+# --- round 12 (ADVICE r11 fixes) -------------------------------------------
+
+
+def test_migrate_simhash_index_preserves_bucketed_layout(spark, tmp_path):
+    """ADVICE r11: the migration commit used to REPLACE the manifest
+    meta with only the banding properties — flattening a bucketed
+    layout (scrubs lose pruning, a k-pinned gate writer fails every
+    later batch). Meta must merge, and rebanded rows must re-derive
+    the partition column."""
+    acc, idx = str(tmp_path / "acc"), str(tmp_path / "idx")
+    writer1 = simhash_gate_batch_writer(acc, idx, rung=1, index_bucket_k=4)
+    writer1(_docs(spark, [(0, BASE), (1, OTHER), (2, THIRD)]), 0)
+
+    migrate_simhash_index(spark, idx, 2)
+    meta = VersionedTable(idx).manifest()["meta"]
+    assert meta["simhash_rung"] == 2
+    assert meta["partition_by"] == "pbucket"
+    assert meta["bucket_k"] == 4
+    rows = VersionedTable(idx).read(spark)
+    assert "pbucket" in rows.columns
+    assert rows.filter(
+        F.expr("pbucket <> CAST(pmod(doc_id, 4) AS INT)")
+    ).count() == 0
+
+    # a k-pinned rung-2 writer keeps working across the migration...
+    writer2 = simhash_gate_batch_writer(acc, idx, rung=2, index_bucket_k=4)
+    writer2(_docs(spark, [(6, BASE), (7, "novel words entirely here")]), 1)
+    assert 7 in _ids(spark, acc) and 6 not in _ids(spark, acc)
+    # ...and the pruned scrub still sees a partitioned layout
+    VersionedTable(acc).delete_where(spark, "doc_id = 7")
+    v, n = scrub_index_to_corpus(spark, idx, acc)
+    assert n == 15  # rung-2 band rows of doc 7
+    assert count_phantom_index_rows(spark, idx, acc) == 0
+
+
+def test_migrate_simhash_index_preserves_centered_thresholds(
+    spark, tmp_path
+):
+    """Meta-merge must also carry the pinned centered thresholds
+    through a banding/rung migration — dropping them would turn a
+    centered index back into an (invalid) zero-threshold one."""
+    acc, idx = str(tmp_path / "acc"), str(tmp_path / "idx")
+    writer = simhash_gate_batch_writer(acc, idx, rung=1, centered=True)
+    writer(_docs(spark, [(0, BASE), (1, OTHER)]), 0)
+    before = VersionedTable(idx).manifest()["meta"]
+    assert "simhash_center_s" in before
+
+    migrate_simhash_index(spark, idx, 2)
+    after = VersionedTable(idx).manifest()["meta"]
+    assert after["simhash_rung"] == 2
+    assert after["simhash_center_s"] == before["simhash_center_s"]
+    assert after["simhash_center_n"] == before["simhash_center_n"]
+    # a centered rung-2 writer validates cleanly against the migrated
+    # index and still rejects a duplicate of indexed content
+    writer2 = simhash_gate_batch_writer(acc, idx, rung=2, centered=True)
+    writer2(_docs(spark, [(5, BASE)]), 1)
+    assert 5 not in _ids(spark, acc)
+
+
+def test_migrate_ivf_index_keeps_subset_membership(spark, tmp_path):
+    """ADVICE r11: migration used to re-assign the whole corpus head,
+    silently expanding an index that intentionally covers a subset.
+    Membership must be preserved exactly."""
+    from movie_data_pipeline_spark.operators.index_lifecycle import (
+        migrate_ivf_index,
+    )
+    from pyspark.sql import functions as F
+
+    corpus_p, idx_p = str(tmp_path / "vec"), str(tmp_path / "ivf")
+    vecs = spark.range(40).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[
+            ((F.col("id") * (i + 3)) % 11).cast("float") for i in range(4)
+        ]).alias("embedding"),
+    )
+    VersionedTable(corpus_p).commit(vecs)
+    # index covers only even vec_ids — a deliberate subset
+    members = vecs.filter("vec_id % 2 = 0")
+    VersionedTable(idx_p).commit(
+        members.select(
+            "vec_id", (F.col("vec_id") % 3).cast("int").alias("cell")
+        ),
+        meta={"n_cells": 3},
+    )
+    migrate_ivf_index(spark, idx_p, corpus_p)
+    new_idx = VersionedTable(idx_p).read(spark)
+    assert new_idx.count() == 20
+    assert new_idx.filter("vec_id % 2 = 1").count() == 0
+
+
+def test_republish_manifest_closes_staleness_loop(spark, tmp_path):
+    """VERDICT r11 #2 at unit scale: erase -> stale -> republish ->
+    re-audit clean, rows equal a fresh build."""
+    from movie_data_pipeline_spark.operators.index_lifecycle import (
+        audit_shard_manifest,
+        build_order_manifest,
+        republish_manifest,
+    )
+
+    corpus_p, man_p = str(tmp_path / "corpus"), str(tmp_path / "man")
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"), F.lit("x").alias("text")
+    )
+    VersionedTable(corpus_p).commit(docs)
+    VersionedTable(man_p).commit(
+        build_order_manifest(
+            VersionedTable(corpus_p).read(spark, version=0), ":s:", 4
+        ),
+        meta={
+            "order_seed": ":s:",
+            "n_shards": 4,
+            "built_at_corpus_version": 0,
+        },
+    )
+    VersionedTable(corpus_p).delete_where(spark, "doc_id % 10 = 0")
+    audit = audit_shard_manifest(spark, man_p, corpus_p)
+    assert audit.agg(F.sum("stale")).first()[0] > 0
+
+    v = republish_manifest(spark, man_p, corpus_p)
+    assert v == 1
+    meta = VersionedTable(man_p).manifest()["meta"]
+    assert meta["built_at_corpus_version"] == 1
+    re_audit = audit_shard_manifest(spark, man_p, corpus_p)
+    assert re_audit.agg(F.sum("stale")).first()[0] == 0
+    fresh = build_order_manifest(
+        VersionedTable(corpus_p).read(spark), ":s:", 4
+    )
+    assert VersionedTable(man_p).read(spark).exceptAll(fresh).isEmpty()
+
+
+def test_republish_requires_pinned_derivation(spark, tmp_path):
+    from movie_data_pipeline_spark.operators.index_lifecycle import (
+        republish_manifest,
+    )
+
+    corpus_p, man_p = str(tmp_path / "corpus"), str(tmp_path / "man")
+    docs = spark.range(10).select(F.col("id").alias("doc_id"))
+    VersionedTable(corpus_p).commit(docs)
+    VersionedTable(man_p).commit(
+        docs.groupBy().count(), meta={"n_shards": 2}
+    )
+    with pytest.raises(ValueError, match="order_seed"):
+        republish_manifest(spark, man_p, corpus_p)
+
+
+def test_audit_center_thresholds_and_recenter(spark, tmp_path):
+    """VERDICT r11 #3 at unit scale: the audit reads the pinned space's
+    balance over the current corpus; recenter re-pins and re-bands in
+    one commit, preserving layout and membership."""
+    from movie_data_pipeline_spark.operators.dedup import (
+        measure_center_thresholds,
+        simhash_band_rows,
+        simhash_centered_pinned,
+    )
+    from movie_data_pipeline_spark.operators.index_lifecycle import (
+        audit_center_thresholds,
+        recenter_simhash_index,
+    )
+
+    corpus_p, idx_p = str(tmp_path / "corpus"), str(tmp_path / "idx")
+    docs = _docs(
+        spark, [(0, BASE), (1, OTHER), (2, THIRD), (3, BASE + " extra")]
+    )
+    VersionedTable(corpus_p).commit(docs)
+    # thresholds pinned from doc 0 alone — a maximally stale sample
+    th0 = measure_center_thresholds(docs.filter("doc_id = 0"))
+    fp = simhash_centered_pinned(docs, th0)
+    VersionedTable(idx_p).commit(
+        simhash_band_rows(fp, rung=1).withColumn("rung", F.lit(1)),
+        meta={
+            "simhash_rung": 1,
+            "simhash_bit_blocks": None,
+            "simhash_center_s": [int(x) for x in th0["s"]],
+            "simhash_center_n": int(th0["n"]),
+        },
+    )
+    before = audit_center_thresholds(spark, idx_p, corpus_p)
+    assert before.count() == 60
+    assert before.agg(F.max("n_docs")).first()[0] == 4
+
+    v = recenter_simhash_index(spark, idx_p, corpus_p)
+    assert v == 1
+    meta = VersionedTable(idx_p).manifest()["meta"]
+    assert meta["simhash_center_n"] == 4  # re-measured over members
+    assert meta["simhash_bit_blocks"] is None  # naive banding kept
+    # rows equal a fresh centered build over the members
+    th = measure_center_thresholds(docs)
+    fresh = simhash_band_rows(
+        simhash_centered_pinned(docs, th), rung=1
+    ).withColumn("rung", F.lit(1))
+    stored = VersionedTable(idx_p).read(spark)
+    assert stored.exceptAll(fresh).isEmpty()
+    assert fresh.exceptAll(stored).isEmpty()
+
+
+def test_audit_center_requires_centered_index(spark, tmp_path):
+    from movie_data_pipeline_spark.operators.index_lifecycle import (
+        audit_center_thresholds,
+    )
+
+    acc, idx = str(tmp_path / "acc"), str(tmp_path / "idx")
+    simhash_gate_batch_writer(acc, idx, rung=1)(_docs(spark, [(0, BASE)]), 0)
+    with pytest.raises(ValueError, match="no pinned centered"):
+        audit_center_thresholds(spark, idx, acc)
+
+
+def test_recenter_refuses_phantoms_and_rescues_zero_threshold(
+    spark, tmp_path
+):
+    from movie_data_pipeline_spark.operators.index_lifecycle import (
+        recenter_simhash_index,
+        scrub_index_to_corpus,
+    )
+
+    acc, idx = str(tmp_path / "acc"), str(tmp_path / "idx")
+    simhash_gate_batch_writer(acc, idx, rung=1)(
+        _docs(spark, [(0, BASE), (1, OTHER)]), 0
+    )
+    VersionedTable(acc).delete_where(spark, "doc_id = 1")
+    with pytest.raises(ValueError, match="scrub before re-centering"):
+        recenter_simhash_index(spark, idx, acc)
+    scrub_index_to_corpus(spark, idx, acc)
+    # rescue path: a zero-threshold index becomes centered
+    v = recenter_simhash_index(spark, idx, acc)
+    meta = VersionedTable(idx).manifest()["meta"]
+    assert "simhash_center_s" in meta and meta["simhash_center_n"] == 1
+    # and the recommended writer now adopts it cleanly
+    from movie_data_pipeline_spark.streaming.sinks import (
+        recommended_simhash_gate_batch_writer,
+    )
+
+    recommended_simhash_gate_batch_writer(acc, idx)(
+        _docs(spark, [(5, BASE), (6, THIRD)]), 1
+    )
+    assert _ids(spark, acc) == {0, 6}  # 5 is a Hamming-0 dup of 0
+
+
+def test_migrate_ivf_index_splits_to_target(spark, tmp_path):
+    """VERDICT r11 #4 at unit scale: heavy erasure empties cells; a
+    migration with target_cells restores the codebook width by
+    splitting the largest survivors deterministically."""
+    from movie_data_pipeline_spark.operators.index_lifecycle import (
+        erase_documents,
+        migrate_ivf_index,
+    )
+    from movie_data_pipeline_spark.operators.similarity import ivf_assign
+
+    corpus_p, idx_p = str(tmp_path / "vec"), str(tmp_path / "ivf")
+    vecs = spark.range(60).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[
+            ((F.col("id") * (i + 2)) % 13).cast("float") + 0.5
+            for i in range(4)
+        ]).alias("embedding"),
+    )
+    VersionedTable(corpus_p).commit(vecs)
+    idx_t = VersionedTable(idx_p)
+    idx_t.commit(
+        ivf_assign(vecs, n_cells=6).select("vec_id", "cell"),
+        meta={"n_cells": 6},
+    )
+    # keep only ~15% of vectors — some cells almost surely empty
+    erase_documents(
+        spark, corpus_p, [idx_p], "vec_id % 7 != 3", id_col="vec_id"
+    )
+    surviving_cells = (
+        idx_t.read(spark).select("cell").distinct().count()
+    )
+    assert surviving_cells < 6
+
+    v = migrate_ivf_index(
+        spark, idx_p, corpus_p, target_cells=6
+    )
+    meta = idx_t.manifest()["meta"]
+    assert meta["n_cells"] == 6
+    assert len(meta["ivf_centroids"]) == 6
+    # membership unchanged, each member assigned exactly once
+    surv = VersionedTable(corpus_p).read(spark)
+    rows = idx_t.read(spark)
+    assert rows.count() == surv.count()
+    assert rows.join(surv, "vec_id", "left_anti").count() == 0
+    # a target below the surviving count is refused
+    with pytest.raises(ValueError, match="below the"):
+        migrate_ivf_index(spark, idx_p, corpus_p, target_cells=1)
+    # a target needing >1 split per cell is refused
+    with pytest.raises(ValueError, match="one split per cell"):
+        migrate_ivf_index(spark, idx_p, corpus_p, target_cells=13)

@@ -223,3 +223,78 @@ def test_delete_where_prunes_on_partitioned_table(spark, tmp_path):
     assert n3 == t.read(spark, version=1).filter("id % 32 = 5").count()
     assert t.read(spark).filter("id % 32 = 5").count() == 0
     assert t.read(spark).filter("id % 32 = 21").count() > 0
+
+
+# --- round 12 (ADVICE r11 fixes) -------------------------------------------
+
+
+def test_commit_refuses_frame_missing_partition_column(spark, tmp_path):
+    """ADVICE r11: silently writing unpartitioned data into a
+    partitioned table creates a dir a later pruned rewrite would drop
+    without error — the commit must refuse instead."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.commit(_bucketed(spark, 0, 20), meta={"partition_by": "pbucket"})
+    flat = spark.range(20, 30).select("id")  # no pbucket column
+    with pytest.raises(ValueError, match="lacks that column"):
+        t.commit(flat, mode="append")
+    with pytest.raises(ValueError, match="lacks that column"):
+        t.commit(flat, mode="overwrite")
+    # explicit partition_by arg is validated the same way
+    t2 = VersionedTable(str(tmp_path / "t2"))
+    with pytest.raises(ValueError, match="lacks that column"):
+        t2.commit(flat, partition_by="pbucket")
+
+
+def test_overwrite_all_partitions_dropped_stays_readable(spark, tmp_path):
+    """ADVICE r11: dropping EVERY partition used to publish a manifest
+    with no data dirs — read() raised forever and the next gate batch
+    crashed. The all-dropped overwrite now publishes a readable empty
+    snapshot with the parent schema."""
+    t = VersionedTable(str(tmp_path / "t"))
+    df = _bucketed(spark, 0, 40)
+    t.commit(df, meta={"partition_by": "pbucket"})
+    v = t.overwrite_partitions(df.limit(0), [0, 1, 2, 3])
+    assert v == 1
+    r = t.read(spark)
+    assert r.count() == 0
+    assert set(r.columns) == {"id", "pbucket"}
+    # the table keeps working: appends land on the empty head
+    t.commit(_bucketed(spark, 50, 60), mode="append")
+    assert t.read(spark).count() == 10
+    # and the property survived
+    assert t.manifest()["meta"]["partition_by"] == "pbucket"
+
+
+def test_full_corpus_erasure_on_bucketed_index_stays_readable(
+    spark, tmp_path
+):
+    """The ADVICE r11 reproduction: a full-corpus erasure on a BUCKETED
+    index must leave a readable empty index, and the gate must keep
+    operating (the unpartitioned path already did)."""
+    from movie_data_pipeline_spark.operators.index_lifecycle import (
+        count_phantom_index_rows,
+        scrub_index_to_corpus,
+    )
+    from movie_data_pipeline_spark.streaming import (
+        simhash_gate_batch_writer,
+    )
+
+    acc, idx = str(tmp_path / "acc"), str(tmp_path / "idx")
+    writer = simhash_gate_batch_writer(acc, idx, rung=1, index_bucket_k=4)
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog today"),
+            (1, "completely different text about columnar engines"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    writer(docs, 0)
+    VersionedTable(acc).delete_where(spark, "TRUE")
+    v, n = scrub_index_to_corpus(spark, idx, acc)
+    assert n == 12  # 6 rung-1 band rows per doc
+    assert VersionedTable(idx).read(spark).count() == 0
+    assert count_phantom_index_rows(spark, idx, acc) == 0
+    # the gate keeps operating on the scrubbed-empty bucketed index
+    writer(docs, 1)
+    assert VersionedTable(acc).read(spark).count() == 2
+    assert VersionedTable(idx).read(spark).count() == 12

@@ -148,3 +148,130 @@ def test_gate_stream_end_to_end(spark, tmp_path):
     # 1 dups 0; 3 near-dups 0; exactly one of {0,1,3} survives + 2, 4
     assert 2 in got and 4 in got
     assert len(got & {0, 1, 3}) == 1
+
+
+def test_centered_writer_refuses_uncentered_index(spark, tmp_path):
+    """ADVICE r11: centered=True against an index that has committed
+    versions but no pinned thresholds used to RE-MEASURE thresholds
+    from every batch — each batch fingerprinting in its own space, so
+    duplicates of indexed docs silently passed. It must raise."""
+    import pytest
+
+    acc, idx = str(tmp_path / "acc"), str(tmp_path / "idx")
+    # build zero-threshold (meta carries simhash_rung but no center_s)
+    simhash_gate_batch_writer(acc, idx, rung=1)(
+        _docs(spark, [(0, BASE), (1, OTHER)]), 0
+    )
+    writer_c = simhash_gate_batch_writer(acc, idx, rung=1, centered=True)
+    with pytest.raises(ValueError, match="not built centered"):
+        writer_c(_docs(spark, [(2, THIRD)]), 1)
+    # and a legacy pre-meta index (no meta at all) raises the same way
+    idx2, acc2 = str(tmp_path / "idx2"), str(tmp_path / "acc2")
+    VersionedTable(idx2).commit(
+        VersionedTable(idx).read(spark), meta={}
+    )
+    writer_c2 = simhash_gate_batch_writer(acc2, idx2, rung=1, centered=True)
+    with pytest.raises(ValueError, match="not built centered"):
+        writer_c2(_docs(spark, [(3, THIRD)]), 0)
+
+
+# --- round 12: recommended (default scale-safe) gate -----------------------
+
+
+def test_recommended_gate_pins_full_scale_safe_layout(spark, tmp_path):
+    """VERDICT r11 #1: a default-constructed gate must land EVERY
+    round-11 mitigation — centered thresholds, balanced banding,
+    bucketed layout — pinned in the manifest with zero tuning args."""
+    from movie_data_pipeline_spark.streaming.sinks import (
+        RECOMMENDED_INDEX_BUCKET_K,
+        recommended_simhash_gate_batch_writer,
+    )
+
+    acc, idx = str(tmp_path / "acc"), str(tmp_path / "idx")
+    writer = recommended_simhash_gate_batch_writer(acc, idx)
+    writer(_docs(spark, [(0, BASE), (1, OTHER), (2, BASE)]), 0)
+    meta = VersionedTable(idx).manifest()["meta"]
+    assert "simhash_center_s" in meta and "simhash_center_n" in meta
+    assert sorted(meta["simhash_bit_blocks"]) == list(range(60))
+    assert meta["bucket_k"] == RECOMMENDED_INDEX_BUCKET_K
+    assert meta["partition_by"] == "pbucket"
+    assert meta["simhash_rung"] == 1
+    # doc 2 is an exact within-batch duplicate of BASE (identical
+    # votes -> identical centered fingerprint, Hamming 0) -> dropped
+    assert _accepted_ids(spark, acc) == {0, 1}
+
+    # a restarted recommended writer adopts the stored config wholesale
+    # (no re-measurement: thresholds and blocks unchanged) and keeps
+    # gating against the stored index
+    writer2 = recommended_simhash_gate_batch_writer(acc, idx)
+    writer2(_docs(spark, [(5, BASE), (6, THIRD)]), 1)
+    meta2 = VersionedTable(idx).manifest()["meta"]
+    assert meta2["simhash_center_s"] == meta["simhash_center_s"]
+    assert meta2["simhash_bit_blocks"] == meta["simhash_bit_blocks"]
+    assert _accepted_ids(spark, acc) == {0, 1, 6}
+
+
+def test_recommended_gate_erasure_scrub_prunes(spark, tmp_path):
+    """The q308 bar with zero tuning: an erasure on a recommended-built
+    index must go down the PRUNED overwrite_partitions path."""
+    from movie_data_pipeline_spark.operators.index_lifecycle import (
+        count_phantom_index_rows,
+        erase_documents,
+    )
+    from movie_data_pipeline_spark.streaming.sinks import (
+        recommended_simhash_gate_batch_writer,
+    )
+
+    acc, idx = str(tmp_path / "acc"), str(tmp_path / "idx")
+    writer = recommended_simhash_gate_batch_writer(acc, idx)
+    writer(_docs(spark, [(0, BASE), (1, OTHER), (2, THIRD)]), 0)
+    erase_documents(spark, acc, [idx], "doc_id = 1")
+    assert count_phantom_index_rows(spark, idx, acc) == 0
+    assert VersionedTable(idx).manifest()["mode"] == "overwrite_partitions"
+    assert _accepted_ids(spark, acc) == {0, 2}
+
+
+def test_recommended_gate_refuses_legacy_index(spark, tmp_path):
+    import pytest
+
+    from movie_data_pipeline_spark.streaming.sinks import (
+        recommended_simhash_gate_batch_writer,
+    )
+
+    acc, idx = str(tmp_path / "acc"), str(tmp_path / "idx")
+    simhash_gate_batch_writer(acc, idx, rung=1)(_docs(spark, [(0, BASE)]), 0)
+    # strip the meta -> legacy pre-meta index
+    legacy = str(tmp_path / "legacy")
+    VersionedTable(legacy).commit(VersionedTable(idx).read(spark), meta={})
+    w = recommended_simhash_gate_batch_writer(str(tmp_path / "acc2"), legacy)
+    with pytest.raises(ValueError, match="legacy pre-meta"):
+        w(_docs(spark, [(1, OTHER)]), 0)
+
+
+def test_recommended_minhash_gate_buckets_fresh_index(spark, tmp_path):
+    from movie_data_pipeline_spark.streaming.sinks import (
+        RECOMMENDED_INDEX_BUCKET_K,
+        recommended_dedup_gate_batch_writer,
+    )
+
+    acc, idx = str(tmp_path / "acc"), str(tmp_path / "idx")
+    writer = recommended_dedup_gate_batch_writer(acc, idx)
+    writer(_docs(spark, [(0, BASE), (1, OTHER)]), 0)
+    meta = VersionedTable(idx).manifest()["meta"]
+    assert meta["bucket_k"] == RECOMMENDED_INDEX_BUCKET_K
+    assert meta["partition_by"] == "pbucket"
+    # restart adopts the stored layout; an UNBUCKETED legacy index is
+    # adopted as unbucketed (k=None) rather than torn
+    writer2 = recommended_dedup_gate_batch_writer(acc, idx)
+    writer2(_docs(spark, [(2, THIRD)]), 1)
+    assert _accepted_ids(spark, acc) == {0, 1, 2}
+    acc3, idx3 = str(tmp_path / "acc3"), str(tmp_path / "idx3")
+    from movie_data_pipeline_spark.streaming.sinks import (
+        dedup_gate_batch_writer,
+    )
+
+    dedup_gate_batch_writer(acc3, idx3)(_docs(spark, [(0, BASE)]), 0)
+    recommended_dedup_gate_batch_writer(acc3, idx3)(
+        _docs(spark, [(1, OTHER)]), 1
+    )
+    assert _accepted_ids(spark, acc3) == {0, 1}
