@@ -2679,3 +2679,239 @@ def q313_recommended_gate_replay(
         return result.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# q317 — PRUNED compaction under a live BUCKETED gate (round 12, VERDICT
+# r11 #5; q312's partitioned sibling)
+# --------------------------------------------------------------------------
+def _q317_oracle() -> str:
+    from movie_data_pipeline_spark.plans.dedup import (
+        _SIMHASH_CTES,
+        _render_simhash_band_ctes,
+    )
+
+    return f"""
+    WITH {_SIMHASH_CTES},
+    {_render_simhash_band_ctes(forced_rung=1)},
+    b0 AS (SELECT * FROM bands WHERE doc_id % 3 = 0),
+    b1 AS (SELECT * FROM bands WHERE doc_id % 3 = 1),
+    b2 AS (SELECT * FROM bands WHERE doc_id % 3 = 2),
+    d0 AS (
+      SELECT DISTINCT y.doc_id
+      FROM b0 x JOIN b0 y
+        ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+       AND x.doc_id < y.doc_id
+      WHERE bit_count(xor(x.simhash, y.simhash)) <= 5),
+    acc0 AS (
+      SELECT doc_id FROM documents
+      WHERE doc_id % 3 = 0
+        AND doc_id NOT IN (SELECT doc_id FROM d0)),
+    idx0 AS (SELECT band_idx, band_val, simhash
+             FROM b0 JOIN acc0 USING (doc_id)),
+    d1 AS (
+      SELECT DISTINCT y.doc_id
+      FROM b1 x JOIN b1 y
+        ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+       AND x.doc_id < y.doc_id
+      WHERE bit_count(xor(x.simhash, y.simhash)) <= 5),
+    hit1 AS (
+      SELECT DISTINCT b1.doc_id
+      FROM b1 JOIN idx0 USING (band_idx, band_val)
+      WHERE bit_count(xor(b1.simhash, idx0.simhash)) <= 5),
+    acc1 AS (
+      SELECT doc_id FROM documents
+      WHERE doc_id % 3 = 1
+        AND doc_id NOT IN (SELECT doc_id FROM d1)
+        AND doc_id NOT IN (SELECT doc_id FROM hit1)),
+    idx01 AS (
+      SELECT band_idx, band_val, simhash FROM idx0
+      UNION ALL
+      SELECT band_idx, band_val, simhash
+      FROM b1 JOIN acc1 USING (doc_id)),
+    d2 AS (
+      SELECT DISTINCT y.doc_id
+      FROM b2 x JOIN b2 y
+        ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+       AND x.doc_id < y.doc_id
+      WHERE bit_count(xor(x.simhash, y.simhash)) <= 5),
+    hit2 AS (
+      SELECT DISTINCT b2.doc_id
+      FROM b2 JOIN idx01 USING (band_idx, band_val)
+      WHERE bit_count(xor(b2.simhash, idx01.simhash)) <= 5),
+    acc2 AS (
+      SELECT doc_id FROM documents
+      WHERE doc_id % 3 = 2
+        AND doc_id NOT IN (SELECT doc_id FROM d2)
+        AND doc_id NOT IN (SELECT doc_id FROM hit2)),
+    acc AS (
+      SELECT doc_id FROM acc0
+      UNION ALL SELECT doc_id FROM acc1
+      UNION ALL SELECT doc_id FROM acc2),
+    m(metric, value) AS (
+      SELECT 'max_files_per_bucket_after_compact', 1
+      UNION ALL SELECT 'n_accepted_final', (SELECT COUNT(*) FROM acc)
+      UNION ALL SELECT 'n_data_dirs_corpus_after_compact', 1
+      UNION ALL SELECT 'n_index_rows_final',
+             6 * (SELECT COUNT(*) FROM acc)
+      UNION ALL SELECT 'n_reaccepted_after_compact', 0
+      UNION ALL SELECT 'n_resubmitted', (SELECT COUNT(*) FROM acc))
+    SELECT metric, CAST(value AS BIGINT) AS value
+    FROM m ORDER BY metric
+    """
+
+
+@query(
+    "q317_bucketed_gate_compaction",
+    oracle=_q317_oracle(),
+    tags=("extension", "streaming", "dedup", "simhash", "lifecycle",
+          "compaction", "partitioned", "multi-batch"),
+)
+def q317_bucketed_gate_compaction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PRUNED compaction under a live BUCKETED gate (round 12, VERDICT
+    r11 #5): q312 proved compaction under a live gate, but
+    ``VersionedTable.compact`` was a full rewrite even on partitioned
+    tables — a 100 TB bucketed index compaction rewrote every
+    partition including single-file ones. ``compact`` now prunes: a
+    per-partition file census from the manifest finds the fragmented
+    partitions, only those are rewritten via ``overwrite_partitions``
+    (one file per partition), single-file partitions are inherited BY
+    REFERENCE, and an already-compact table is a version-preserving
+    no-op. The replay is q312's cadence on the bucketed layout:
+
+    1. three deterministic micro-batches (doc_id mod 3) through a
+       rung-1 gate with ``index_bucket_k=8`` — per-batch append
+       commits fragment the hot buckets;
+    2. ``compact`` on corpus (unpartitioned → one data dir) AND index
+       (bucketed → pruned): asserted from the manifests that the
+       index compaction took the ``overwrite_partitions`` path when
+       fragmentation existed, that every single-file bucket kept its
+       exact physical file by reference, that every bucket holds at
+       most one file after, and that the pinned rung + bucket layout
+       survived;
+    3. the proof compaction changed nothing: every accepted document
+       re-submitted with shifted ids is REJECTED against the
+       compacted index (Hamming-0 hits), and the corpus equals the
+       three-batch greedy result the oracle derives from first
+       principles.
+
+    Scale: the compaction cost is proportional to the FRAGMENTED
+    partition count, not the index (tools/lifecycle_probe.py carries
+    the scaling row); the census is driver-side manifest metadata
+    bounded by the 4096-partition fallback.
+    """
+    import os as _os
+    from functools import reduce
+
+    from movie_data_pipeline_spark.sources.registry import load_table
+    from movie_data_pipeline_spark.sources.versioned import VersionedTable
+    from movie_data_pipeline_spark.streaming.sinks import (
+        simhash_gate_batch_writer,
+        start_simhash_gate_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="mdp-q317-")
+    src = f"{base}/src"
+    acc, idx, ckpt = f"{base}/acc", f"{base}/idx", f"{base}/ckpt"
+    _os.makedirs(src)
+    try:
+        for i in range(3):
+            out = f"{base}/third{i}"
+            docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
+                out
+            )
+            part = _one_part(out, "q317")
+            dest = f"{src}/{i}_third.parquet"
+            _os.rename(part, dest)
+            _os.utime(dest, (1_000_000 + i * 100, 1_000_000 + i * 100))
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = start_simhash_gate_stream(
+            stream, acc, idx, ckpt, rung=1, index_bucket_k=8
+        )
+        _await(q, "q317")
+        acc_t, idx_t = VersionedTable(acc), VersionedTable(idx)
+        accepted_before = acc_t.read(spark).localCheckpoint(eager=True)
+
+        def files_per_bucket() -> dict[str, list[str]]:
+            m = idx_t.manifest()
+            out: dict[str, list[str]] = {}
+            for e in m["data_dirs"]:
+                d = e if isinstance(e, str) else e["dir"]
+                root = _os.path.join(idx, "data", d)
+                parts = (
+                    e["parts"]
+                    if isinstance(e, dict)
+                    else [
+                        p
+                        for p in _os.listdir(root)
+                        if p.startswith("pbucket=")
+                    ]
+                )
+                for p in parts:
+                    out.setdefault(p, []).extend(
+                        _os.path.join(d, p, f)
+                        for f in _os.listdir(_os.path.join(root, p))
+                        if f.endswith(".parquet")
+                    )
+            return out
+
+        pre = files_per_bucket()
+        had_fragmentation = any(len(fs) > 1 for fs in pre.values())
+        v_before = idx_t.current_version()
+
+        acc_t.compact(spark, target_files=1)
+        idx_t.compact(spark, target_files=1)
+
+        post = files_per_bucket()
+        max_after = max(len(fs) for fs in post.values())
+        assert max_after == 1, post
+        if had_fragmentation:
+            assert idx_t.manifest()["mode"] == "overwrite_partitions"
+            # single-file buckets kept their exact physical files
+            for p, fs in pre.items():
+                if len(fs) == 1:
+                    assert post[p] == fs, (p, fs, post[p])
+        else:
+            assert idx_t.current_version() == v_before
+        # pinned layout survives the pruned rewrite
+        meta = idx_t.manifest()["meta"]
+        assert meta["simhash_rung"] == 1 and meta["bucket_k"] == 8
+
+        resub = accepted_before.withColumn(
+            "doc_id", F.col("doc_id") + F.lit(2_999_999_997)
+        ).localCheckpoint(eager=True)
+        simhash_gate_batch_writer(acc, idx, rung=1, index_bucket_k=8)(
+            resub, 99
+        )
+        acc_after = acc_t.read(spark)
+        reaccepted = acc_after.join(
+            accepted_before.select("doc_id"), "doc_id", "left_anti"
+        ).count()
+
+        def const(metric: str, value: int) -> DataFrame:
+            return spark.createDataFrame(
+                [(metric, int(value))], "metric STRING, value LONG"
+            )
+
+        rows = [
+            const("max_files_per_bucket_after_compact", max_after),
+            const("n_accepted_final", accepted_before.count()),
+            const(
+                "n_data_dirs_corpus_after_compact",
+                len(acc_t.manifest()["data_dirs"]),
+            ),
+            const("n_index_rows_final", idx_t.read(spark).count()),
+            const("n_reaccepted_after_compact", reaccepted),
+            const("n_resubmitted", resub.count()),
+        ]
+        result = reduce(DataFrame.unionByName, rows).orderBy("metric")
+        return result.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

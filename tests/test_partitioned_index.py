@@ -298,3 +298,69 @@ def test_full_corpus_erasure_on_bucketed_index_stays_readable(
     writer(docs, 1)
     assert VersionedTable(acc).read(spark).count() == 2
     assert VersionedTable(idx).read(spark).count() == 12
+
+
+def test_compact_prunes_to_fragmented_partitions(spark, tmp_path):
+    """VERDICT r11 #5: compaction on a partitioned table rewrites ONLY
+    partitions whose file count exceeds the target; single-file
+    partitions are inherited by reference, and an already-compact
+    table is a no-op (no commit)."""
+
+    def batch(ids):
+        return spark.createDataFrame(
+            [(i, f"pmod-{i % 4}") for i in ids], "id LONG, txt STRING"
+        ).withColumn("pbucket", F.expr("CAST(pmod(id, 4) AS INT)"))
+
+    t = VersionedTable(str(tmp_path / "t"))
+    # bucket 0: 3 files; bucket 1: 2 files; bucket 2: 1 file; 3: empty
+    t.commit(batch([0, 1]), meta={"partition_by": "pbucket"})
+    t.commit(batch([4, 5, 2]), mode="append")
+    t.commit(batch([8]), mode="append")
+    before = {(r.id, r.pbucket) for r in t.read(spark).collect()}
+
+    def files_per_bucket():
+        m = t.manifest()
+        out: dict[str, list[str]] = {}
+        for e in m["data_dirs"]:
+            d = e if isinstance(e, str) else e["dir"]
+            root = os.path.join(str(tmp_path / "t"), "data", d)
+            parts = (
+                e["parts"]
+                if isinstance(e, dict)
+                else [p for p in os.listdir(root) if p.startswith("pbucket=")]
+            )
+            for p in parts:
+                out.setdefault(p, []).extend(
+                    os.path.join(d, p, f)
+                    for f in os.listdir(os.path.join(root, p))
+                    if f.endswith(".parquet")
+                )
+        return out
+
+    pre = files_per_bucket()
+    assert len(pre["pbucket=0"]) == 3
+    assert len(pre["pbucket=1"]) == 2
+    assert len(pre["pbucket=2"]) == 1
+
+    v = t.compact(spark)
+    assert v == 3
+    assert t.manifest()["mode"] == "overwrite_partitions"
+    post = files_per_bucket()
+    assert all(len(fs) == 1 for fs in post.values()), post
+    # the single-file bucket kept its EXACT physical file (by reference)
+    assert post["pbucket=2"] == pre["pbucket=2"]
+    assert {(r.id, r.pbucket) for r in t.read(spark).collect()} == before
+
+    # already compact -> no-op, no version bump
+    assert t.compact(spark) == 3
+    assert t.current_version() == 3
+
+
+def test_compact_unpartitioned_unchanged(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "t"))
+    t.commit(spark.range(10))
+    t.commit(spark.range(10, 20), mode="append")
+    v = t.compact(spark, target_files=1)
+    assert v == 2
+    assert len(t.manifest()["data_dirs"]) == 1
+    assert t.read(spark).count() == 20

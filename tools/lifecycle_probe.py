@@ -161,6 +161,84 @@ def main() -> int:
             finally:
                 shutil.rmtree(base, ignore_errors=True)
 
+        # Round 12 (VERDICT r11 #5): PRUNED compaction — cost must
+        # scale with the FRAGMENTED partition count, not the table.
+        # Same k=64 bucketed band index, fragmented by appending in
+        # f fragment batches restricted to the first b buckets (the
+        # other 64-b buckets stay single-file and must be inherited
+        # by reference).
+        for frag_name, frag_buckets in (
+            ("4of64_buckets", 4),
+            ("16of64_buckets", 16),
+            ("64of64_buckets", 64),
+        ):
+            base = tempfile.mkdtemp(prefix="mdp-lifecycle-probe-")
+            idx = f"{base}/idx"
+            try:
+                terms = None
+                for j in range(60):
+                    bit = (
+                        F.abs(F.xxhash64(F.col("id"), F.lit(j))) % 2 == 0
+                    ).cast("long") * F.lit(1 << j)
+                    terms = bit if terms is None else terms + bit
+                fp = (
+                    spark.range(n)
+                    .repartition(64)
+                    .select(
+                        F.col("id").alias("doc_id"), terms.alias("simhash")
+                    )
+                )
+                bands = (
+                    simhash_band_rows(fp, rung=2)
+                    .withColumn("rung", F.lit(2))
+                    .withColumn(
+                        "pbucket",
+                        F.expr("CAST(pmod(doc_id, 64) AS INT)"),
+                    )
+                )
+                t = VersionedTable(idx)
+                # one task per bucket -> exactly one base file per
+                # bucket (otherwise every task writes a file into
+                # every bucket and the whole table starts fragmented)
+                t.commit(
+                    bands.repartition(64, F.col("pbucket")),
+                    meta={
+                        "simhash_rung": 2,
+                        "partition_by": "pbucket",
+                        "bucket_k": 64,
+                    },
+                )
+                # fragment the first `frag_buckets` buckets with 3
+                # extra single-file appends each
+                for r in range(3):
+                    t.commit(
+                        bands.filter(
+                            F.col("pbucket") < frag_buckets
+                        ).filter(F.col("doc_id") % 3 == r).repartition(1),
+                        mode="append",
+                    )
+                t0 = time.perf_counter()
+                v_new = t.compact(spark, target_files=1)
+                sec = round(time.perf_counter() - t0, 1)
+                m = t.manifest(v_new)
+                new_dirs = [
+                    e for e in m["data_dirs"] if isinstance(e, str)
+                    and e.startswith(f"v{v_new}-")
+                ]
+                rewritten = (
+                    spark.read.parquet(
+                        *[f"{idx}/data/{d}" for d in new_dirs]
+                    ).count()
+                    if new_dirs
+                    else 0
+                )
+                print(json.dumps({
+                    "op": f"compact_partitioned_{frag_name}", "n_docs": n,
+                    "rows_rewritten": rewritten, "sec": sec,
+                }), flush=True)
+            finally:
+                shutil.rmtree(base, ignore_errors=True)
+
         # Round 11 (VERDICT r10 #3): IVF centroid-refresh migration at
         # probe scale — synthetic 16-dim vectors, 8 cells, erase 1/7,
         # scrub, then time migrate_ivf_index (retrain + reassign + one
