@@ -614,7 +614,17 @@ def main() -> None:
                 was = prev.get(_short(name))
                 if was:  # positive prior timing
                     pct = (now - was) / was * 100
-                    flag = "  <-- regression" if pct > flag_pct else ""
+                    # Absolute-delta floor (round 12, VERDICT r11 #7):
+                    # sub-second entries swing tens of percent on fixed
+                    # JVM/scheduling overhead alone (r11: q258 "+79%"
+                    # was +0.36 s) — a percentage flag below a 0.25 s
+                    # absolute delta is scatter, not signal, so it can
+                    # never raise the regression marker.
+                    flag = (
+                        "  <-- regression"
+                        if pct > flag_pct and (now - was) >= 0.25
+                        else ""
+                    )
                     print(
                         f"# {name:38s} {was:8.3f} {now:8.3f} {pct:+7.1f}%{flag}",
                         file=sys.stderr,
