@@ -233,12 +233,20 @@ def dedup_gate_batch_writer(
                 if index_bucket_k is not None:
                     # Bucketed index layout (round 11): see the SimHash
                     # gate — erasure scrubs prune to touched buckets.
+                    # The bucket-keyed repartition (round 12) is the
+                    # optimized-write half: without it every task
+                    # writes a file into every bucket it touches
+                    # (tasks x k tiny files PER BATCH — the small-file
+                    # generator compaction exists to fix); with it each
+                    # bucket gets exactly one file per batch.
                     idx_rows = idx_rows.withColumn(
                         "pbucket",
                         F.expr(
                             f"CAST(pmod(doc_id, {int(index_bucket_k)})"
                             " AS INT)"
                         ),
+                    ).repartition(
+                        int(index_bucket_k), F.col("pbucket")
                     )
                     idx_meta = {
                         "partition_by": "pbucket",
@@ -620,13 +628,19 @@ def simhash_gate_batch_writer(
                     # Bucketed index layout (round 11, VERDICT r10 #2):
                     # rows Hive-partitioned by id mod k, so an erasure
                     # scrub rewrites only touched buckets
-                    # (scrub_index_to_corpus's pruned path).
+                    # (scrub_index_to_corpus's pruned path). The
+                    # bucket-keyed repartition (round 12) keeps each
+                    # batch's append at ONE file per bucket — without
+                    # it every task writes into every bucket it
+                    # touches (tasks x k tiny files per batch).
                     idx_rows = idx_rows.withColumn(
                         "pbucket",
                         F.expr(
                             f"CAST(pmod(doc_id, {int(index_bucket_k)})"
                             " AS INT)"
                         ),
+                    ).repartition(
+                        int(index_bucket_k), F.col("pbucket")
                     )
                     idx_meta["partition_by"] = "pbucket"
                     idx_meta["bucket_k"] = int(index_bucket_k)

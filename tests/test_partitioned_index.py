@@ -364,3 +364,36 @@ def test_compact_unpartitioned_unchanged(spark, tmp_path):
     assert v == 2
     assert len(t.manifest()["data_dirs"]) == 1
     assert t.read(spark).count() == 20
+
+
+def test_gate_bucketed_append_writes_one_file_per_bucket(spark, tmp_path):
+    """Round 12 optimized write: a bucketed gate batch must land ONE
+    file per touched bucket, not one per (task, bucket) — the
+    small-file generator pruned compaction exists to clean up."""
+    from movie_data_pipeline_spark.streaming import (
+        simhash_gate_batch_writer,
+    )
+
+    acc, idx = str(tmp_path / "acc"), str(tmp_path / "idx")
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("unique document body number "),
+            F.col("id").cast("string"),
+            F.lit(" with sufficiently many distinct filler tokens"),
+        ).alias("text"),
+    ).repartition(16)  # many tasks on purpose
+    simhash_gate_batch_writer(acc, idx, rung=1, index_bucket_k=8)(docs, 0)
+
+    t = VersionedTable(str(tmp_path / "idx"))
+    m = t.manifest()
+    root = os.path.join(idx, "data", m["data_dirs"][0])
+    for p in os.listdir(root):
+        if not p.startswith("pbucket="):
+            continue
+        files = [
+            f
+            for f in os.listdir(os.path.join(root, p))
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == 1, (p, files)
