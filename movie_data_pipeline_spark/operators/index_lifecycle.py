@@ -913,3 +913,127 @@ def audit_shard_manifest(
         )
         .orderBy("shard")
     )
+
+
+def plan_maintenance(
+    spark: SparkSession,
+    corpus_path: str,
+    simhash_indexes: dict[str, str] | None = None,
+    generic_indexes: dict[str, str] | None = None,
+    manifests: dict[str, str] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    drift_bar: float = 0.2,
+) -> "DataFrame":
+    """The operational capstone of the rounds-10-12 lifecycle suite
+    (round 12): ONE recommendations frame a maintenance scheduler can
+    act on, evaluating every DATA-derivable health signal the
+    individual operators expose:
+
+    - ``scrub`` (any index): CURRENT phantom rows — rows whose
+      document left the corpus (:func:`count_phantom_index_rows`'s
+      anti-join, in-plan). recommended iff > 0; fix is
+      :func:`scrub_index_to_corpus` / :func:`erase_documents`.
+    - ``migrate_rung`` (SimHash indexes): distinct stored fingerprints
+      vs the pinned rung's ladder threshold
+      (``operators/dedup.simhash_rung_thresholds``). recommended iff
+      the count crossed the pinned rung's ceiling; fix is
+      :func:`migrate_simhash_index`.
+    - ``recenter`` (centered SimHash indexes): mean per-bit imbalance
+      of the current corpus under the PINNED thresholds
+      (:func:`audit_center_thresholds`), vs ``drift_bar`` (the
+      SCALING.md rule, default 0.2). Skipped for non-centered indexes.
+    - ``republish`` (training-shard manifests): stale shards per
+      :func:`audit_shard_manifest`. recommended iff > 0; fix is
+      :func:`republish_manifest` / ``erase_documents(republish=True)``.
+
+    FILE-layout signals (fragmented partitions) are deliberately NOT
+    here: ``VersionedTable.compact`` already self-plans from the
+    manifest census and no-ops when nothing is fragmented — call it
+    unconditionally on the same cadence.
+
+    Returns (target, action, metric, threshold, recommended) — one
+    row per (table, applicable action), ``metric`` round4-quantized,
+    deterministic given the stored data (labels are caller-chosen, so
+    the frame is stable across temp paths). Cost: one anti-join per
+    index, one distinct-count per SimHash index, one vote aggregate
+    per centered index, one manifest re-derivation per manifest — the
+    audit costs of the underlying operators, nothing more.
+    """
+    from functools import reduce
+
+    from pyspark.sql import DataFrame
+
+    from movie_data_pipeline_spark.operators.dedup import (
+        simhash_rung_thresholds,
+    )
+
+    def row(target: str, action: str, metric: float, threshold: float,
+            recommended: bool) -> DataFrame:
+        return spark.createDataFrame(
+            [(target, action, float(metric), float(threshold),
+              1 if recommended else 0)],
+            "target STRING, action STRING, metric DOUBLE, "
+            "threshold DOUBLE, recommended LONG",
+        )
+
+    t1, t2 = simhash_rung_thresholds()
+    rung_ceiling = {1: t1, 2: t2, 3: float("inf")}
+    out: list[DataFrame] = []
+    for label, path in {**(simhash_indexes or {}),
+                        **(generic_indexes or {})}.items():
+        n_phantom = count_phantom_index_rows(
+            spark, path, corpus_path, id_col=id_col
+        )
+        out.append(row(label, "scrub", n_phantom, 0.0, n_phantom > 0))
+    for label, path in (simhash_indexes or {}).items():
+        idx = VersionedTable(path)
+        meta = idx.manifest().get("meta") or {}
+        rung = meta.get("simhash_rung")
+        if rung is not None:
+            n_fp = (
+                idx.read(spark)
+                .select(id_col, "simhash")
+                .distinct()
+                .count()
+            )
+            ceil = rung_ceiling[int(rung)]
+            out.append(
+                row(
+                    label,
+                    "migrate_rung",
+                    n_fp,
+                    ceil if ceil != float("inf") else -1.0,
+                    ceil != float("inf") and n_fp > ceil,
+                )
+            )
+        if "simhash_center_s" in meta:
+            mean_imb = (
+                audit_center_thresholds(
+                    spark, path, corpus_path,
+                    id_col=id_col, text_col=text_col,
+                )
+                .agg(F.avg("imbalance"))
+                .first()[0]
+            )
+            mean_imb = (
+                __import__("math").floor(mean_imb * 10000.0 + 0.5)
+                / 10000.0
+            )
+            out.append(
+                row(
+                    label, "recenter", mean_imb, drift_bar,
+                    mean_imb > drift_bar,
+                )
+            )
+    for label, path in (manifests or {}).items():
+        stale = (
+            audit_shard_manifest(spark, path, corpus_path, id_col=id_col)
+            .agg(F.sum("stale"))
+            .first()[0]
+        )
+        stale = int(stale or 0)
+        out.append(row(label, "republish", stale, 0.0, stale > 0))
+    if not out:
+        raise ValueError("plan_maintenance: nothing to evaluate")
+    return reduce(DataFrame.unionByName, out).orderBy("target", "action")

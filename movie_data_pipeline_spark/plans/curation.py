@@ -2496,3 +2496,190 @@ def q314_manifest_republish(
         return result.localCheckpoint(eager=True)
     finally:
         _shutil.rmtree(base, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# q318 — maintenance planner: every lifecycle signal in one frame
+# (round 12)
+# --------------------------------------------------------------------------
+def _q318_oracle() -> str:
+    from movie_data_pipeline_spark.plans.dedup import _SIMHASH_VOTE_CTES
+
+    return f"""
+    WITH {_SIMHASH_VOTE_CTES},
+    pin AS (
+      SELECT bit_idx, SUM(vote) AS s, COUNT(*) AS n
+      FROM votes WHERE doc_id % 4 = 0 GROUP BY bit_idx),
+    bef AS (
+      -- the audit runs AFTER the erasure: imbalance is measured over
+      -- the surviving corpus under the (pre-erasure) pinned thresholds
+      SELECT v.bit_idx,
+             SUM(CASE WHEN v.vote * p.n > p.s THEN 1 ELSE 0 END)
+               AS n_above,
+             COUNT(*) AS n_docs
+      FROM votes v JOIN pin p USING (bit_idx)
+      WHERE NOT (v.doc_id % 6 = 2)
+      GROUP BY v.bit_idx),
+    imb AS (
+      SELECT floor(AVG(floor(ABS(2.0 * n_above / n_docs - 1.0)
+                             * 10000 + 0.5) / 10000)
+                   * 10000 + 0.5) / 10000 AS v
+      FROM bef),
+    ndel AS (
+      SELECT COUNT(*) AS v FROM documents WHERE doc_id % 6 = 2),
+    nall AS (SELECT COUNT(*) AS v FROM documents),
+    h AS (
+      SELECT doc_id,
+             md5(CAST(doc_id AS VARCHAR) || '{_ORDER_SEED}') AS hk
+      FROM documents),
+    r AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY hk, doc_id) AS rnk,
+             COUNT(*) OVER () AS n
+      FROM h),
+    s AS (
+      SELECT doc_id,
+             (rnk - 1) // ((n + {_ORDER_SHARDS - 1}) // {_ORDER_SHARDS})
+               AS shard
+      FROM r),
+    stale AS (
+      SELECT COUNT(*) AS v FROM (
+        SELECT shard FROM s GROUP BY shard
+        HAVING SUM(CASE WHEN doc_id % 6 = 2 THEN 1 ELSE 0 END) > 0)),
+    plan(target, action, metric, threshold, recommended) AS (
+      SELECT 'epoch0', 'republish', (SELECT v FROM stale) * 1.0, 0.0,
+             CASE WHEN (SELECT v FROM stale) > 0 THEN 1 ELSE 0 END
+      UNION ALL
+      SELECT 'minhash_bands', 'scrub', (SELECT v FROM ndel) * 4.0, 0.0,
+             CASE WHEN (SELECT v FROM ndel) > 0 THEN 1 ELSE 0 END
+      UNION ALL
+      SELECT 'simhash_bands', 'migrate_rung',
+             (SELECT v FROM nall) * 1.0, 8192.0,
+             CASE WHEN (SELECT v FROM nall) > 8192 THEN 1 ELSE 0 END
+      UNION ALL
+      SELECT 'simhash_bands', 'recenter', (SELECT v FROM imb), 0.2,
+             CASE WHEN (SELECT v FROM imb) > 0.2 THEN 1 ELSE 0 END
+      UNION ALL
+      SELECT 'simhash_bands', 'scrub', (SELECT v FROM ndel) * 6.0, 0.0,
+             CASE WHEN (SELECT v FROM ndel) > 0 THEN 1 ELSE 0 END)
+    SELECT target, action, metric, threshold,
+           CAST(recommended AS BIGINT) AS recommended
+    FROM plan ORDER BY target, action
+    """
+
+
+@query(
+    "q318_maintenance_planner",
+    oracle=_q318_oracle(),
+    tags=("extension", "lifecycle", "audit", "planner", "dedup",
+          "manifest"),
+)
+def q318_maintenance_planner(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MAINTENANCE PLANNER (round 12): rounds 10-12 built the full
+    lifecycle toolkit — scrub, rung migration, re-center, republish,
+    pruned compaction — each with its own audit; this is the
+    operational capstone that evaluates every DATA-derivable signal in
+    ONE frame a scheduler can act on
+    (``operators/index_lifecycle.plan_maintenance``). The replay
+    constructs a corpus with every signal live:
+
+    1. documents committed as a versioned corpus; a centered rung-1
+       SimHash band index (thresholds pinned from the ``doc_id%4=0``
+       quarter — a mildly drifted space), a MinHash band index, and a
+       published q286 shard manifest;
+    2. an erasure (``doc_id % 6 = 2``) via bare ``delete_where`` —
+       deliberately WITHOUT the scrub/republish cadence, leaving
+       phantom index rows and a stale manifest for the planner to
+       find;
+    3. ``plan_maintenance`` evaluates: phantom rows per index
+       (scrub — recommended for both), stored fingerprints vs the
+       pinned rung's ladder ceiling (migrate_rung — below threshold
+       at these SFs), current-corpus imbalance under the pinned
+       centered thresholds vs the SCALING.md 0.2 bar (recenter), and
+       stale shards per the manifest audit (republish — recommended).
+
+    The oracle derives every metric from first principles: phantom
+    counts from the erase predicate times the band layout (6 rung-1
+    SimHash rows, 4 MinHash band rows per doc), the fingerprint count,
+    the mean pinned-space imbalance from the vote arithmetic, and the
+    stale-shard count from the q286 rank derivation. File-layout
+    signals are deliberately absent: ``compact`` self-plans from the
+    manifest census and no-ops when clean.
+
+    Scale: the planner pays exactly the underlying audits' costs (one
+    anti-join per index, one distinct count, one vote aggregate, one
+    manifest re-derivation) — all linear, all column-pruned.
+    """
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from movie_data_pipeline_spark.operators.dedup import (
+        band_signatures,
+        measure_center_thresholds,
+        minhash_signatures_wide,
+        simhash_band_rows,
+        simhash_centered_pinned,
+    )
+    from movie_data_pipeline_spark.operators.index_lifecycle import (
+        build_order_manifest,
+        plan_maintenance,
+    )
+    from movie_data_pipeline_spark.sources.versioned import VersionedTable
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = _tempfile.mkdtemp(prefix="mdp-q318-")
+    corpus_p = f"{base}/corpus"
+    sh_p, mh_p, man_p = f"{base}/sh", f"{base}/mh", f"{base}/man"
+    try:
+        VersionedTable(corpus_p).commit(docs)
+        c0 = VersionedTable(corpus_p).read(spark, version=0)
+
+        th0 = measure_center_thresholds(
+            c0.filter(F.col("doc_id") % 4 == 0)
+        )
+        fp = simhash_centered_pinned(c0, th0)
+        VersionedTable(sh_p).commit(
+            simhash_band_rows(fp, rung=1).withColumn("rung", F.lit(1)),
+            meta={
+                "simhash_rung": 1,
+                "simhash_bit_blocks": None,
+                "simhash_center_s": [int(x) for x in th0["s"]],
+                "simhash_center_n": int(th0["n"]),
+            },
+        )
+        VersionedTable(mh_p).commit(
+            band_signatures(minhash_signatures_wide(c0)).select(
+                "doc_id", "band", "band_sig"
+            )
+        )
+        VersionedTable(man_p).commit(
+            build_order_manifest(c0, _ORDER_SEED, _ORDER_SHARDS),
+            meta={
+                "order_seed": _ORDER_SEED,
+                "n_shards": _ORDER_SHARDS,
+                "built_at_corpus_version": 0,
+            },
+        )
+        # the un-maintained erasure the planner exists to catch
+        VersionedTable(corpus_p).delete_where(spark, "doc_id % 6 = 2")
+
+        plan = plan_maintenance(
+            spark,
+            corpus_p,
+            simhash_indexes={"simhash_bands": sh_p},
+            generic_indexes={"minhash_bands": mh_p},
+            manifests={"epoch0": man_p},
+        ).localCheckpoint(eager=True)
+        # the two hard signals must actually fire
+        rec = {
+            (r["target"], r["action"]): r["recommended"]
+            for r in plan.collect()
+        }
+        assert rec[("simhash_bands", "scrub")] == 1
+        assert rec[("minhash_bands", "scrub")] == 1
+        assert rec[("epoch0", "republish")] == 1
+        return plan
+    finally:
+        _shutil.rmtree(base, ignore_errors=True)

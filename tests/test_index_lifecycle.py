@@ -655,3 +655,46 @@ def test_migrate_ivf_index_splits_to_target(spark, tmp_path):
     # a target needing >1 split per cell is refused
     with pytest.raises(ValueError, match="one split per cell"):
         migrate_ivf_index(spark, idx_p, corpus_p, target_cells=13)
+
+
+def test_plan_maintenance_signals(spark, tmp_path):
+    """The planner recommends exactly the actions whose signals fire."""
+    from movie_data_pipeline_spark.operators.dedup import (
+        measure_center_thresholds,
+        simhash_band_rows,
+        simhash_centered_pinned,
+    )
+    from movie_data_pipeline_spark.operators.index_lifecycle import (
+        plan_maintenance,
+        scrub_index_to_corpus,
+    )
+
+    corpus_p, sh_p = str(tmp_path / "c"), str(tmp_path / "sh")
+    docs = _docs(spark, [(i, f"{BASE} tail{i}") for i in range(8)])
+    VersionedTable(corpus_p).commit(docs)
+    th = measure_center_thresholds(docs)
+    VersionedTable(sh_p).commit(
+        simhash_band_rows(
+            simhash_centered_pinned(docs, th), rung=1
+        ).withColumn("rung", F.lit(1)),
+        meta={
+            "simhash_rung": 1,
+            "simhash_center_s": [int(x) for x in th["s"]],
+            "simhash_center_n": int(th["n"]),
+        },
+    )
+    VersionedTable(corpus_p).delete_where(spark, "doc_id >= 6")
+    plan = plan_maintenance(
+        spark, corpus_p, simhash_indexes={"sh": sh_p}
+    )
+    rec = {(r["target"], r["action"]): r for r in plan.collect()}
+    assert rec[("sh", "scrub")]["recommended"] == 1
+    assert rec[("sh", "scrub")]["metric"] == 12.0  # 2 docs x 6 bands
+    assert rec[("sh", "migrate_rung")]["recommended"] == 0
+    # after the scrub the signal clears
+    scrub_index_to_corpus(spark, sh_p, corpus_p)
+    plan2 = plan_maintenance(
+        spark, corpus_p, simhash_indexes={"sh": sh_p}
+    )
+    rec2 = {(r["target"], r["action"]): r for r in plan2.collect()}
+    assert rec2[("sh", "scrub")]["recommended"] == 0
