@@ -154,8 +154,23 @@ _REVERIFY_QUEUE: dict[str, int] = {
     # round 8: q268/q277's groupBy key digested to a fixed-width md5
     # prefix on both engines (VERDICT r7 #3 — ~5x less shuffle bytes;
     # spans identical, plan + oracle text changed).
-    "q268_repeated_passages": 8,
-    "q277_passage_scrub_savings": 8,
+    # round 12 (optimization): _dup_spans' shared-window test rewritten
+    # from groupBy + semi-join to min/max over a digest-partitioned
+    # window — the corpus-wide explode+md5 subtree is evaluated ONCE
+    # instead of four times (oracle untouched; outputs hash-identical
+    # at sf0.001/sf0.01 in the builder's driver_sim, but the
+    # registered plans changed shape). q281 consumes the same helper.
+    "q268_repeated_passages": 12,
+    "q277_passage_scrub_savings": 12,
+    "q281_granularity_agreement": 12,
+    # round 12 (optimization): containment_pairs emits both directions
+    # map-side from ONE evaluation of the pair+size join instead of a
+    # unionAll that inlined the whole subtree twice (measured -31% at
+    # sf0.1; output-identical, driver_sim green at sf0.01, oracle
+    # untouched). Candidate persists for the jaccard family were
+    # measured (q18/q63/q273/q276) and REJECTED as regressions — those
+    # plans are byte-identical to round 11, so they are not queued.
+    "q149_containment_pairs": 12,
     # round 9: SimHash banding migrated to the size-adaptive block-
     # combination ladder (VERDICT r8 #1 — rung from the in-plan
     # fingerprint count; published pair sets CHANGE at every SF: rung 1

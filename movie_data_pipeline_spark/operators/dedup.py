@@ -144,6 +144,13 @@ def jaccard_pairs(
         .groupBy(id_col)
         .agg(F.count("*").alias("n_shingles"))
     )
+    # sizes feeds both join dims (size_a/size_b below). Measured round
+    # 12: caching it REGRESSED q18 2.42->3.26 s and q63 3.72->4.89 s at
+    # sf0.1 — the subtree re-reads the already-cached bucket frame, so
+    # the second evaluation is cheap, while a persist adds a
+    # materialization barrier and cache write traffic. Left uncached
+    # deliberately (guide §5: cache only when recomputing costs more
+    # than the memory pressure).
 
     ids = F.col("ids")
     pair_array = F.flatten(
@@ -1205,14 +1212,25 @@ def containment_pairs(
     both = common.join(sa.hint("SHUFFLE_HASH"), "doc_a").join(
         sb.hint("SHUFFLE_HASH"), "doc_b"
     )
-    fwd = both.select(
-        F.col("doc_a").alias("src_doc"),
-        F.col("doc_b").alias("dst_doc"),
-        (F.col("n_common") / F.col("size_a")).alias("containment"),
+    # Both directions are emitted map-side from ONE evaluation of the
+    # pair+size join (guide §2.4): the old fwd/rev unionAll inlined the
+    # whole common+joins subtree twice — the pair generation and both
+    # size joins ran again for the reverse direction. An inline
+    # 2-element explode keeps the same rows at half the work.
+    directions = F.array(
+        F.struct(
+            F.col("doc_a").alias("src_doc"),
+            F.col("doc_b").alias("dst_doc"),
+            (F.col("n_common") / F.col("size_a")).alias("containment"),
+        ),
+        F.struct(
+            F.col("doc_b").alias("src_doc"),
+            F.col("doc_a").alias("dst_doc"),
+            (F.col("n_common") / F.col("size_b")).alias("containment"),
+        ),
     )
-    rev = both.select(
-        F.col("doc_b").alias("src_doc"),
-        F.col("doc_a").alias("dst_doc"),
-        (F.col("n_common") / F.col("size_b")).alias("containment"),
+    return (
+        both.select(F.explode(directions).alias("e"))
+        .select("e.*")
+        .filter(F.col("containment") >= F.lit(threshold))
     )
-    return fwd.unionAll(rev).filter(F.col("containment") >= F.lit(threshold))

@@ -2686,13 +2686,26 @@ def _dup_spans(docs: DataFrame) -> DataFrame:
     docs = docs.select("doc_id", "text").filter(
         F.length("text") >= _PASS_W
     )
-    # The heavy groupBy shuffles an 8-byte BIGINT digest of each
+    # The heavy exchange carries an 8-byte BIGINT digest of each
     # window, not the raw 40-char key (VERDICT r7 #3 — the raw-key
     # exchange moved ~50x corpus bytes); the raw window is recomputed
     # for the small HIT subset only, and an exact regroup on it makes
     # the answer provably collision-free (a digest collision can only
     # ADD candidate rows, which the raw-key regroup then removes —
     # equal windows always share a digest, so nothing is missed).
+    #
+    # Round 12 (guide §2.4): the shared-window test is min/max OVER A
+    # WINDOW partitioned by the digest instead of groupBy + semi-join
+    # back. The old shape evaluated the corpus-wide explode+md5
+    # subtree TWICE PER STAGE (once under the aggregate, once as the
+    # semi-join probe side — 4 Generate passes in the physical plan);
+    # the window form computes the flag on the SAME shuffled rows the
+    # semi-join would have moved anyway (the probe side was already
+    # exchanged by wd for the sort-merge join, so bytes-over-network
+    # are unchanged) and the plan keeps ONE Generate. Skew is
+    # identical by construction: a hot window key concentrated its
+    # rows in one merge-join partition before and concentrates them
+    # in one WindowExec partition now.
     win_expr = F.expr(f"substring(text, p, {_PASS_W})")
     wins = docs.select(
         "doc_id",
@@ -2707,29 +2720,25 @@ def _dup_spans(docs: DataFrame) -> DataFrame:
         .cast("long")
         .alias("wd"),
     )
-    sharedd = (
-        wins.groupBy("wd")
-        .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
-        .filter(F.col("mn") != F.col("mx"))
-        .select("wd")
-    )
-    # window frames are corpus-sized on both sides — never broadcast
-    # (the q248/q256b discipline for unbounded build sides)
-    hits0 = wins.join(sharedd.hint("SHUFFLE_MERGE"), "wd", "left_semi").select(
-        "doc_id", "p"
+    wd_w = Window.partitionBy("wd")
+    hits0 = (
+        wins.withColumn(
+            "shr", F.min("doc_id").over(wd_w) != F.max("doc_id").over(wd_w)
+        )
+        .filter("shr")
+        .select("doc_id", "p")
     )
     hit_wins = hits0.join(docs.hint("SHUFFLE_MERGE"), "doc_id").select(
         "doc_id", "p", win_expr.alias("win")
     )
-    shared = (
-        hit_wins.groupBy("win")
-        .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
-        .filter(F.col("mn") != F.col("mx"))
-        .select("win")
+    raw_w = Window.partitionBy("win")
+    hits = (
+        hit_wins.withColumn(
+            "shr", F.min("doc_id").over(raw_w) != F.max("doc_id").over(raw_w)
+        )
+        .filter("shr")
+        .select("doc_id", "p")
     )
-    hits = hit_wins.join(
-        shared.hint("SHUFFLE_MERGE"), "win", "left_semi"
-    ).select("doc_id", "p")
     wlag = Window.partitionBy("doc_id").orderBy("p")
     brk = F.when(
         F.col("p") - F.lag("p").over(wlag) > _PASS_W, F.lit(1)
@@ -2971,6 +2980,12 @@ def _wj_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     jaccard_capped, w_jaccard), UNthresholded — shared with q276's tau
     sweep. Mirrors _WJ_SCORED_CTES."""
     docs = load_table(spark, sf_dir, "documents")
+    # cand feeds both the shared-weight join (via pa) and the final
+    # scored join; measured round 12: caching it (and wdoc) REGRESSED
+    # q273 6.78->8.38 s / q276 6.96->8.80 s at sf0.1 — both subtrees
+    # re-read the already-persisted bucket and shw frames, so the
+    # double inline is cheaper than the materialization barrier a
+    # persist inserts. Left uncached deliberately (guide §5).
     cand = jaccard_pairs(
         docs,
         threshold=_WJ_CAND_FLOOR,

@@ -132,15 +132,18 @@ def test_reverify_queue_live_state():
     q268/q277 window-key digest (VERDICT r7 #3), and the round-10
     ADVICE fixes (q79/q274 lazy-checkpointed fingerprints — their
     round-9 ladder entries superseded by dict-key overwrite — and
-    q286's pre-rank count), and round 11's q297 pricing-body
-    factoring (shared with q306) are queued; the ones whose latest green
+    q286's pre-rank count), round 11's q297 pricing-body
+    factoring (shared with q306), and the round-12 optimization's
+    plan-shape changes (the _dup_spans window rewrite: q268/q277/q281;
+    the containment_pairs direction explode: q149) are queued; the
+    ones whose latest green
     row predates their change round are active (q82 was IN the r4
     window, so its r4 row already verifies the capped semantics and
     it auto-deactivates), and their placement never displaces a
     never-verified name from the window."""
     import __spark_entry__ as e
 
-    assert len(e._REVERIFY_QUEUE) == 22
+    assert len(e._REVERIFY_QUEUE) == 23
     for n in e._REVERIFY_QUEUE:
         assert n in REGISTRY
     active = set(e._FORCE_REVERIFY)
