@@ -171,6 +171,28 @@ _REVERIFY_QUEUE: dict[str, int] = {
     # measured (q18/q63/q273/q276) and REJECTED as regressions — those
     # plans are byte-identical to round 11, so they are not queued.
     "q149_containment_pairs": 12,
+    # round 12 (optimization): the symmetrize/flag/credit unions that
+    # inlined their (often expensive) source subtree once per
+    # orientation are now map-side two/three-way explodes of ONE
+    # evaluation — connected_components/_star (every CC consumer), the
+    # q103 edge symmetrization, q116's triangle corner credit + degree,
+    # q155's basket-pair symmetrization, q179's edge symmetrization,
+    # q198's degree count, q281's pair-member flag. Outputs identical
+    # (driver_sim green at sf0.01 for all 14 touched names; oracles
+    # untouched); measured -9% to -25% at sf0.1.
+    "q82_dedup_kept_corpus": 12,
+    "q103_pagerank_trade_graph": 12,
+    "q116_copurchase_triangles": 12,
+    "q139_corpus_pipeline_report": 12,
+    "q155_kcore_peeling": 12,
+    "q173_leakage_free_split": 12,
+    "q175_entity_resolution": 12,
+    "q179_lpa_communities": 12,
+    "q182_dedup_savings": 12,
+    "q198_degree_powerlaw": 12,
+    "q209_cluster_best_rep": 12,
+    "q228_chaining_audit": 12,
+    "q288_cluster_churn_audit": 12,
     # round 9: SimHash banding migrated to the size-adaptive block-
     # combination ladder (VERDICT r8 #1 — rung from the in-plan
     # fingerprint count; published pair sets CHANGE at every SF: rung 1

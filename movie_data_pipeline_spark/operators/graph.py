@@ -70,7 +70,22 @@ def connected_components(
     Returns ``DataFrame[node, component]``.
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    # both orientations emitted map-side from ONE evaluation of the
+    # caller's edge frame — the union form inlined the (often
+    # expensive: capped Jaccard pairs) edge subtree twice when the
+    # materialization first ran (guide §2.4)
+    sym = (
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a"), F.col("b")),
+                    F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
+        .distinct()
+    )
     sym = _materialize(sym)
 
     if nodes is None:
@@ -132,7 +147,18 @@ def connected_components_star(
         F.col("a") != F.col("b")
     )
     cur = _materialize(
-        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+        # map-side two-orientation explode: one evaluation of the edge
+        # subtree, same rows as the old self-union (guide §2.4)
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a"), F.col("b")),
+                    F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
+        .distinct()
     )
     if nodes is None:
         universe = cur.select(F.col("a").alias("node")).distinct()

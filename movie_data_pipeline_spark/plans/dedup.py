@@ -3747,11 +3747,12 @@ def q281_granularity_agreement(
         max_shingle_df=JACCARD_MAX_SHINGLE_DF,
         threshold=float(_AUDIT_J),
     ).select("doc_a", "doc_b")
-    jflag = (
-        jp.select(F.col("doc_a").alias("doc_id"))
-        .unionAll(jp.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
+    # both pair members flagged map-side from one evaluation of the
+    # capped-pair frame (the unionAll form inlined jaccard_pairs' final
+    # join subtree twice — guide §2.4)
+    jflag = jp.select(
+        F.explode(F.array(F.col("doc_a"), F.col("doc_b"))).alias("doc_id")
+    ).distinct()
     base = docs.select("doc_id", "source")
     per = (
         base.join(pflag.withColumn("pf", F.lit(1)), "doc_id", "left")

@@ -121,9 +121,23 @@ def q103_pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # uses per iteration) reads the materialized edge list instead of
     # re-deriving the join+distinct lineage — without this, iteration k
     # recomputes iterations 1..k-1 and the build is O(iters²).
-    edges = base.unionByName(
-        base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
+    # both orientations map-side from one evaluation of the join+
+    # distinct base (the unionByName form computed it twice when the
+    # persist first materialized — guide §2.4)
+    edges = (
+        base.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src"), F.col("dst")),
+                    F.struct(
+                        F.col("dst").alias("src"), F.col("src").alias("dst")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .persist()
+    )
     deg = edges.groupBy("src").agg(
         F.count("*").alias("outdeg"),
         (F.lit(1.0) / F.count("*").cast("double")).alias("w"),
@@ -408,16 +422,23 @@ def q116_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
         .select("a", "b", "c")
     )
+    # each triangle credits all three corners map-side from ONE
+    # evaluation of the wedge-close double join — the old 3-way
+    # unionAll inlined that join subtree three times (guide §2.4;
+    # round-12 measured win on the same shape in containment_pairs)
     node_tris = (
-        tris.select(F.col("a").alias("node"))
-        .unionAll(tris.select(F.col("b").alias("node")))
-        .unionAll(tris.select(F.col("c").alias("node")))
+        tris.select(
+            F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias(
+                "node"
+            )
+        )
         .groupBy("node")
         .agg(F.count("*").alias("n_tri"))
     )
     deg = (
-        edges.select(F.col("pa").alias("node"))
-        .unionAll(edges.select(F.col("pb").alias("node")))
+        edges.select(
+            F.explode(F.array(F.col("pa"), F.col("pb"))).alias("node")
+        )
         .groupBy("node")
         .agg(F.count("*").alias("degree"))
     )
@@ -524,9 +545,21 @@ def q155_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("pr.p").alias("p"), F.col("pr.q").alias("q"))
         .distinct()
     )
-    sym = e.unionByName(
-        e.select(F.col("q").alias("p"), F.col("p").alias("q"))
-    ).persist()
+    # both orientations map-side from one evaluation of the basket
+    # pair explode+distinct (the unionByName form computed it twice
+    # when the persist first materialized — guide §2.4)
+    sym = (
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("p"), F.col("q")),
+                    F.struct(F.col("q").alias("p"), F.col("p").alias("q")),
+                )
+            ).alias("e")
+        )
+        .select("e.p", "e.q")
+        .persist()
+    )
     d0 = sym.groupBy("p").agg(F.count("*").alias("c")).persist()
     kk = d0.agg(
         F.ceil(F.expr("percentile(c, 0.1)")).cast("long").alias("k")
@@ -946,9 +979,23 @@ def q179_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_co") >= _TRI_MIN_CO)
         .select("pa", "pb")
     )
+    # both orientations emitted map-side from one evaluation of the
+    # edge derivation (the unionAll form computed the basket explode +
+    # co-count aggregate twice when the persist first materialized)
     sym = (
-        edges.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
-        .unionAll(edges.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("pa").alias("src"), F.col("pb").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("pb").alias("src"), F.col("pa").alias("dst")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .persist()  # reused every propagation round
     )
     labels = sym.select(F.col("src").alias("node")).distinct().select(
@@ -1048,9 +1095,13 @@ def q198_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_co") >= _TRI_MIN_CO)
         .select("pa", "pb")
     )
+    # both endpoints counted map-side from one evaluation of the edge
+    # derivation (the unionAll form inlined the basket explode +
+    # co-count aggregate twice — guide §2.4)
     deg = (
-        edges.select(F.col("pa").alias("node"))
-        .unionAll(edges.select(F.col("pb").alias("node")))
+        edges.select(
+            F.explode(F.array(F.col("pa"), F.col("pb"))).alias("node")
+        )
         .groupBy("node")
         .agg(F.count("*").cast("long").alias("degree"))
     )
