@@ -171,6 +171,12 @@ _REVERIFY_QUEUE: dict[str, int] = {
     # measured (q18/q63/q273/q276) and REJECTED as regressions — those
     # plans are byte-identical to round 11, so they are not queued.
     "q149_containment_pairs": 12,
+    # round 12 (optimization): ppjoin_pairs caches its verification
+    # array frame — consumed by both verify dims on different join
+    # keys, the collect_list+sort aggregate ran twice (q144 measured
+    # 9.7->5.1 s same-context at sf0.1; output-identical, driver_sim
+    # green at sf0.01/sf0.001).
+    "q144_ppjoin_pairs": 12,
     # round 12 (optimization): the symmetrize/flag/credit unions that
     # inlined their (often expensive) source subtree once per
     # orientation are now map-side two/three-way explodes of ONE

@@ -1121,9 +1121,17 @@ def ppjoin_pairs(
     # distinct runs on the thresholded survivors — orders of magnitude
     # fewer rows than the candidate stream.
 
-    arrs = sh.groupBy(id_col).agg(
-        F.sort_array(F.collect_list("shingle")).alias("arr"),
-        F.count("*").alias("sz"),
+    arrs = (
+        sh.groupBy(id_col)
+        .agg(
+            F.sort_array(F.collect_list("shingle")).alias("arr"),
+            F.count("*").alias("sz"),
+        )
+        # both verify dims (arr_a and arr_b) consume this frame on
+        # DIFFERENT join keys, so the exchanges cannot be reused and
+        # the collect_list+sort aggregate ran twice from the cached
+        # shingle frame; cached it is built once (guide §2.4)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     verified = (
         cand.join(

@@ -143,7 +143,7 @@ def test_reverify_queue_live_state():
     never-verified name from the window."""
     import __spark_entry__ as e
 
-    assert len(e._REVERIFY_QUEUE) == 34
+    assert len(e._REVERIFY_QUEUE) == 35
     for n in e._REVERIFY_QUEUE:
         assert n in REGISTRY
     active = set(e._FORCE_REVERIFY)
