@@ -3929,9 +3929,18 @@ def q288_cluster_churn_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("node").alias("doc_id"), F.col("component").alias(out)
         )
 
-    shared = comp(_CHURN_PRED_A, "ca").join(
-        comp(_CHURN_PRED_B, "cb"), "doc_id"
-    )
+    # The two snapshot component runs are INDEPENDENT eager loops
+    # (label propagation materializes + convergence-counts per round),
+    # so run them from two driver threads and let the scheduler
+    # back-fill each run's straggler tail with the other's tasks
+    # (guide §2.6). Results are deterministic either way — the threads
+    # only overlap job submission.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fa = pool.submit(comp, _CHURN_PRED_A, "ca")
+        fb = pool.submit(comp, _CHURN_PRED_B, "cb")
+        shared = fa.result().join(fb.result(), "doc_id")
     per_a = shared.groupBy("ca").agg(
         F.count("*").alias("n_shared"),
         F.countDistinct("cb").alias("n_b_clusters"),
