@@ -182,6 +182,17 @@ HEADLINE = [
     "q310_manifest_staleness_audit",
     "q311_centered_gate_replay",
     "q312_gate_compaction_replay",
+    # round-12 additions (mid-build work verified this round): the
+    # zero-tuning recommended gate, the manifest republish loop, the
+    # center-drift audit + re-center, IVF cell-split recovery, pruned
+    # bucketed compaction, and the maintenance planner — all
+    # multi-commit lifecycle orchestrations, so all replay-tier.
+    "q313_recommended_gate_replay",
+    "q314_manifest_republish",
+    "q315_center_threshold_drift",
+    "q316_ivf_cell_split_recovery",
+    "q317_bucketed_gate_compaction",
+    "q318_maintenance_planner",
 ]
 
 # Stable trend tier (VERDICT r5 #6): these 20 have been in the headline
@@ -248,6 +259,12 @@ REPLAY_TIER = {
     "q310_manifest_staleness_audit",
     "q311_centered_gate_replay",
     "q312_gate_compaction_replay",
+    "q313_recommended_gate_replay",
+    "q314_manifest_republish",
+    "q315_center_threshold_drift",
+    "q316_ivf_cell_split_recovery",
+    "q317_bucketed_gate_compaction",
+    "q318_maintenance_planner",
 }
 
 
@@ -434,13 +451,16 @@ def main() -> None:
     if names:
         run_query(spark, names[0], sf_dir)
 
-    # Soft wall-clock budget: never let extra passes push the bench past
-    # ~15 min (a pass always completes atomically so min-of-n stays
-    # comparable across queries; passes 2+ are dropped only as a whole).
-    # 1100 since round 10 (was 900): the replay tier + 9 new headline
-    # entries left no room for the adaptive sub-second repeats inside
-    # 900 s; worst-case wall stays bounded at budget + one pass.
-    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "1100"))
+    # Soft wall-clock budget (a pass always completes atomically so
+    # min-of-n stays comparable across queries; passes 2+ are dropped
+    # only as a whole). 1100 since round 10 (was 900); 1500 since round
+    # 12: the six new replay entries (q313-q318, ~140 s per pass at
+    # sf0.1) exhausted 1100 after two passes — the plan tier fell to
+    # min-of-2 and the adaptive sub-second repeats never ran, which
+    # made every cross-round number noisier (measured: repeats dropped
+    # 3 -> 2 and even untouched sub-second entries read +40%+). The
+    # worst-case wall stays bounded at budget + one pass.
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "1500"))
     t_start = time.perf_counter()
     runs: dict[str, list[float]] = {n: [] for n in names}
     done_passes = 0
