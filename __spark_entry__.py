@@ -227,6 +227,42 @@ _REVERIFY_QUEUE: dict[str, int] = {
     # builder changed), and the band-row builders gained the
     # bit_blocks=None parameter (default path identical).
     "q297_simhash_skew_pricing": 11,
+    # round 13 (optimization): _wj_scored consumes its candidate frame
+    # ONCE (jaccard_capped rides through the shared-weight aggregate —
+    # the second inline of the whole jaccard_pairs subtree is gone);
+    # q254's exact-intersection leg emits source pairs map-side from
+    # one bucket pass instead of a self-join; ppjoin_pairs bounds its
+    # persists with an eager local checkpoint (q144's registered plan
+    # becomes a checkpoint scan). Oracles untouched; driver_sim green
+    # at sf0.01 for all four.
+    "q273_idf_weighted_jaccard": 13,
+    "q276_weighted_dedup_agreement": 13,
+    "q254_kmv_overlap_estimates": 13,
+    "q144_ppjoin_pairs": 13,
+    # round 13 (optimization): the gate writers' bucket append is a
+    # REBALANCE instead of a fixed k-way repartition, and the replay-
+    # idempotency anti-join is persisted across its emptiness probe +
+    # commit — every gate-driven replay re-verifies; q312/q317 overlap
+    # their two independent compactions and q316 its three snapshot
+    # probes from driver threads (outputs deterministic). driver_sim
+    # green at sf0.01 for all 18 touched replay names.
+    "q205_streaming_dedup_gate": 13,
+    "q244_streaming_multibatch_gate": 13,
+    "q287_simhash_index_gate": 13,
+    "q292_simhash_multibatch_gate": 13,
+    "q295_index_erasure_audit": 13,
+    "q296_simhash_rung_migration": 13,
+    "q299_erasure_vacuum_compliance": 13,
+    "q301_minhash_index_erasure": 13,
+    "q302_midstream_erasure_gate": 13,
+    "q307_banding_migration_gate": 13,
+    "q308_partitioned_index_erasure": 13,
+    "q311_centered_gate_replay": 13,
+    "q312_gate_compaction_replay": 13,
+    "q313_recommended_gate_replay": 13,
+    "q315_center_threshold_drift": 13,
+    "q316_ivf_cell_split_recovery": 13,
+    "q317_bucketed_gate_compaction": 13,
 }
 
 

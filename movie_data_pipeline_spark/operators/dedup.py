@@ -1158,7 +1158,20 @@ def ppjoin_pairs(
         )
         .filter(F.col("jaccard") >= F.lit(threshold))
     )
-    return verified.select("doc_a", "doc_b", "jaccard").distinct()
+    # Bound the caches' lifetime (§5 hygiene, VERDICT r12 #10): the
+    # thresholded survivor set is orders of magnitude smaller than the
+    # candidate stream, so materialize it eagerly (executor-local
+    # checkpoint — nothing moves through the driver) and release the
+    # shingle + verification-array persists; a long-lived session no
+    # longer accumulates MEMORY_AND_DISK blocks per call.
+    out = (
+        verified.select("doc_a", "doc_b", "jaccard")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    arrs.unpersist()
+    sh.unpersist()
+    return out
 
 
 def containment_pairs(

@@ -2980,12 +2980,12 @@ def _wj_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     jaccard_capped, w_jaccard), UNthresholded — shared with q276's tau
     sweep. Mirrors _WJ_SCORED_CTES."""
     docs = load_table(spark, sf_dir, "documents")
-    # cand feeds both the shared-weight join (via pa) and the final
-    # scored join; measured round 12: caching it (and wdoc) REGRESSED
-    # q273 6.78->8.38 s / q276 6.96->8.80 s at sf0.1 — both subtrees
-    # re-read the already-persisted bucket and shw frames, so the
-    # double inline is cheaper than the materialization barrier a
-    # persist inserts. Left uncached deliberately (guide §5).
+    # cand is consumed once (the capped score rides through the wab
+    # aggregate below). Round 12 measured a persist of cand/wdoc as a
+    # REGRESSION (q273 6.78->8.38 s, q276 6.96->8.80 s at sf0.1 — the
+    # subtrees re-read already-persisted bucket/shw frames, so a
+    # materialization barrier costs more than recompute, guide §5);
+    # round 13 removed the second consumption instead (§2.4).
     cand = jaccard_pairs(
         docs,
         threshold=_WJ_CAND_FLOOR,
@@ -3008,7 +3008,15 @@ def _wj_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dec = F.col("idf").cast("decimal(20,4)")
     wdoc = shw.groupBy("doc_id").agg(F.sum(dec).alias("w"))
-    pa = cand.select("doc_a", "doc_b").join(
+    # cand is consumed ONCE (round 13, VERDICT r12 #3): jaccard_capped
+    # rides through the shared-weight join and comes back out of the
+    # pair aggregate (min of a per-pair constant — exact), so the
+    # whole candidate subtree is no longer inlined a second time for
+    # the final scored join. Every cand pair shares >= 1 sub-cap
+    # shingle, and capped shingles are a subset of shw's uncapped
+    # rows, so the inner pair x shingle join retains exactly the cand
+    # pair set — identical rows to the old cand-join-back form.
+    pa = cand.join(
         shw.select(
             F.col("doc_id").alias("doc_a"), "shingle", "idf"
         ).hint("SHUFFLE_MERGE"),
@@ -3024,7 +3032,10 @@ def _wj_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("doc_b") == F.col("doc_b2")),
         )
         .groupBy("doc_a", "doc_b")
-        .agg(F.sum(dec).alias("w_ab"))
+        .agg(
+            F.sum(dec).alias("w_ab"),
+            F.min("jaccard_capped").alias("jaccard_capped"),
+        )
     )
     wa = wdoc.select(F.col("doc_id").alias("doc_a"), F.col("w").alias("w_a"))
     wb = wdoc.select(F.col("doc_id").alias("doc_b"), F.col("w").alias("w_b"))
@@ -3040,8 +3051,7 @@ def _wj_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     # eagerly ships every partition through the driver (hit the
     # 1 GiB maxResultSize at the 10x replica's copy-pair explosion).
     return (
-        cand.join(wab.hint("SHUFFLE_MERGE"), ["doc_a", "doc_b"])
-        .join(wa.hint("SHUFFLE_HASH"), "doc_a")
+        wab.join(wa.hint("SHUFFLE_HASH"), "doc_a")
         .join(wb.hint("SHUFFLE_HASH"), "doc_b")
         .select(
             "doc_a",

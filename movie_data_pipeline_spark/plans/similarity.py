@@ -3523,9 +3523,22 @@ def q316_ivf_cell_split_recovery(
                 n_cand,
             )
 
-        recall_pre, _ = probe(0, full, exact_pre, nprobe=2)
-        recall_shrunk, cand_s = probe(2, surv, exact_post, nprobe=1)
-        recall_restored, cand_r = probe(3, surv, exact_post, nprobe=2)
+        # The three stored-snapshot probes are independent eager
+        # read-only sweeps (each: counts over its own persisted cand
+        # frame against an already-committed snapshot), so submit them
+        # from driver threads and let the scheduler back-fill each
+        # probe's straggler tail with the others' tasks (guide §2.6 —
+        # the q288 pattern). Deterministic: threads only overlap job
+        # submission; results are consumed in fixed order.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            f_pre = pool.submit(probe, 0, full, exact_pre, 2)
+            f_shrunk = pool.submit(probe, 2, surv, exact_post, 1)
+            f_restored = pool.submit(probe, 3, surv, exact_post, 2)
+            recall_pre, _ = f_pre.result()
+            recall_shrunk, cand_s = f_shrunk.result()
+            recall_restored, cand_r = f_restored.result()
         # the codebook-width claim: at EQUAL scan budget (1/4 vs 2/8 of
         # the cells) the restored index must beat the shrunken one
         assert recall_restored >= recall_shrunk, (

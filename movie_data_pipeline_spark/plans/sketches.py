@@ -536,13 +536,30 @@ def q254_kmv_overlap_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sizes = sh.groupBy("source").agg(F.count("*").alias("n"))
-    ex = (
-        sh.select(F.col("source").alias("sa"), "shingle")
-        .join(
-            sh.select(F.col("source").alias("sb"), "shingle"), "shingle"
+    # Exact intersection via ONE bucket pass (round 13, VERDICT r12
+    # #5): the old self-join inlined the _src_shingles subtree on BOTH
+    # sides; a groupBy(shingle) + map-side pair explode of the sorted
+    # source array (jaccard_pairs' bucket shape — sources are few, so
+    # the arrays are tiny and need no df cap) evaluates it once.
+    # Deliberately NOT persisted: ex is its only consumer, and the
+    # measured q254 bucket-frame persist regressed 1.27x at sf0.1 (the
+    # barrier costs more than it saves — the r12 persist finding).
+    srcs_arr = F.col("srcs")
+    src_pairs = F.flatten(
+        F.transform(
+            srcs_arr,
+            lambda x, i: F.transform(
+                F.slice(srcs_arr, i + 2, F.size(srcs_arr) - i - 1),
+                lambda y: F.struct(x.alias("sa"), y.alias("sb")),
+            ),
         )
-        .filter(F.col("sa") < F.col("sb"))
-        .groupBy("sa", "sb")
+    )
+    ex = (
+        sh.groupBy("shingle")
+        .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
+        .filter(F.size("srcs") > 1)
+        .select(F.explode(src_pairs).alias("p"))
+        .groupBy(F.col("p.sa").alias("sa"), F.col("p.sb").alias("sb"))
         .agg(F.count("*").alias("n_int"))
     )
     est = cm.select(

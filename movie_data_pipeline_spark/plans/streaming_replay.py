@@ -2429,8 +2429,16 @@ def q312_gate_compaction_replay(
         n_commits_before = len(acc_t.manifest()["data_dirs"])
         accepted_before = acc_t.read(spark).localCheckpoint(eager=True)
 
-        acc_t.compact(spark, target_files=1)
-        idx_t.compact(spark, target_files=1)
+        # Corpus and index compactions target DIFFERENT tables — two
+        # independent eager rewrites, overlapped from driver threads so
+        # each one's straggler tail back-fills the other (guide §2.6,
+        # the q288 pattern; deterministic — separate directories).
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fa = pool.submit(acc_t.compact, spark, 1)
+            fb = pool.submit(idx_t.compact, spark, 1)
+            fa.result(), fb.result()
         dirs_acc = len(acc_t.manifest()["data_dirs"])
         dirs_idx = len(idx_t.manifest()["data_dirs"])
         # rung property must survive the compaction rewrite
@@ -2866,8 +2874,14 @@ def q317_bucketed_gate_compaction(
         had_fragmentation = any(len(fs) > 1 for fs in pre.values())
         v_before = idx_t.current_version()
 
-        acc_t.compact(spark, target_files=1)
-        idx_t.compact(spark, target_files=1)
+        # Independent tables — overlap the two compaction rewrites
+        # (guide §2.6, same as q312).
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fa = pool.submit(acc_t.compact, spark, 1)
+            fb = pool.submit(idx_t.compact, spark, 1)
+            fa.result(), fb.result()
 
         post = files_per_bucket()
         max_after = max(len(fs) for fs in post.values())

@@ -180,6 +180,13 @@ def dedup_gate_batch_writer(
         sigs = minhash_signatures_wide(batch_df)
         sigs.persist()
         try:
+            # Materialize the signature cache BEFORE the multi-leaf
+            # consumers (round 13): the within-batch pair self-join and
+            # the corpus check scan sigs at several plan leaves inside
+            # one job — on a cold cache those leaves race and each
+            # recomputes the signing subtree (guide §5). One cheap
+            # count populates the cache once.
+            sigs.count()
             bands = band_signatures(sigs)
             batch_dupes = (
                 lsh_candidate_pairs_wide(sigs)
@@ -220,12 +227,20 @@ def dedup_gate_batch_writer(
                 accepted = VersionedTable(accepted_path)
                 new_docs = survivors
                 if accepted.current_version() is not None:
+                    # Persisted across the emptiness probe + commit
+                    # (round 13): the anti-join re-reads the accepted
+                    # table's doc_id column, and without a cache the
+                    # isEmpty probe and the commit write each ran it.
                     landed_ids = accepted.read(spark).select("doc_id")
                     new_docs = survivors.join(
                         landed_ids, "doc_id", "left_anti"
-                    )
-                if not new_docs.isEmpty():
-                    accepted.commit(new_docs, mode="append")
+                    ).persist()
+                try:
+                    if not new_docs.isEmpty():
+                        accepted.commit(new_docs, mode="append")
+                finally:
+                    if new_docs is not survivors:
+                        new_docs.unpersist()
                 idx_rows = bands.join(
                     survivors.select("doc_id"), "doc_id", "left_semi"
                 )
@@ -233,21 +248,25 @@ def dedup_gate_batch_writer(
                 if index_bucket_k is not None:
                     # Bucketed index layout (round 11): see the SimHash
                     # gate — erasure scrubs prune to touched buckets.
-                    # The bucket-keyed repartition (round 12) is the
-                    # optimized-write half: without it every task
-                    # writes a file into every bucket it touches
-                    # (tasks x k tiny files PER BATCH — the small-file
-                    # generator compaction exists to fix); with it each
-                    # bucket gets exactly one file per batch.
+                    # Bucket-keyed REBALANCE before the write (round
+                    # 13; was a fixed repartition(k) in round 12):
+                    # without clustering every task writes a file into
+                    # every bucket it touches (tasks x k tiny files PER
+                    # BATCH); a fixed k-way exchange fixed that but
+                    # cost k near-empty reduce tasks per micro-batch at
+                    # small scale. REBALANCE keeps the one-file-per-
+                    # bucket clustering (hash routing is by pbucket
+                    # alone) while AQE coalesces the tiny batch to few
+                    # tasks and, at 100 TB, splits an oversized bucket
+                    # into advisory-sized files (guide §6) — the
+                    # scale-adaptive width a constant can't give.
                     idx_rows = idx_rows.withColumn(
                         "pbucket",
                         F.expr(
                             f"CAST(pmod(doc_id, {int(index_bucket_k)})"
                             " AS INT)"
                         ),
-                    ).repartition(
-                        int(index_bucket_k), F.col("pbucket")
-                    )
+                    ).hint("rebalance", "pbucket")
                     idx_meta = {
                         "partition_by": "pbucket",
                         "bucket_k": int(index_bucket_k),
@@ -484,6 +503,14 @@ def simhash_gate_batch_writer(
         else:
             fp = simhash(batch_df).persist()
         try:
+            # Materialize the fingerprint cache BEFORE the multi-leaf
+            # consumers (round 13): the Hamming-pair self-join and the
+            # corpus band join scan fp at several plan leaves inside
+            # one job — on a cold cache those leaves race and each
+            # recomputes the whole fingerprint subtree (measured 2-3x
+            # the batch cost at sf0.1; guide §5). One cheap count
+            # populates the cache once.
+            fp.count()
             bands = simhash_band_rows(
                 fp, rung=rung, bit_blocks=bit_blocks
             ).withColumn("rung", F.lit(int(rung)))
@@ -606,12 +633,20 @@ def simhash_gate_batch_writer(
                 accepted = VersionedTable(accepted_path)
                 new_docs = survivors
                 if accepted.current_version() is not None:
+                    # Persisted across the emptiness probe + commit
+                    # (round 13): the anti-join re-reads the accepted
+                    # table's doc_id column, and without a cache the
+                    # isEmpty probe and the commit write each ran it.
                     landed_ids = accepted.read(spark).select("doc_id")
                     new_docs = survivors.join(
                         landed_ids, "doc_id", "left_anti"
-                    )
-                if not new_docs.isEmpty():
-                    accepted.commit(new_docs, mode="append")
+                    ).persist()
+                try:
+                    if not new_docs.isEmpty():
+                        accepted.commit(new_docs, mode="append")
+                finally:
+                    if new_docs is not survivors:
+                        new_docs.unpersist()
                 idx_rows = bands.join(
                     survivors.select("doc_id"), "doc_id", "left_semi"
                 )
@@ -628,20 +663,20 @@ def simhash_gate_batch_writer(
                     # Bucketed index layout (round 11, VERDICT r10 #2):
                     # rows Hive-partitioned by id mod k, so an erasure
                     # scrub rewrites only touched buckets
-                    # (scrub_index_to_corpus's pruned path). The
-                    # bucket-keyed repartition (round 12) keeps each
-                    # batch's append at ONE file per bucket — without
-                    # it every task writes into every bucket it
-                    # touches (tasks x k tiny files per batch).
+                    # (scrub_index_to_corpus's pruned path). Bucket-
+                    # keyed REBALANCE (round 13; was repartition(k) in
+                    # round 12): keeps each batch's append at one file
+                    # per bucket while AQE sizes the exchange — tiny
+                    # batches coalesce to few tasks instead of k
+                    # near-empty ones, oversized buckets split into
+                    # advisory-sized files at scale (guide §6).
                     idx_rows = idx_rows.withColumn(
                         "pbucket",
                         F.expr(
                             f"CAST(pmod(doc_id, {int(index_bucket_k)})"
                             " AS INT)"
                         ),
-                    ).repartition(
-                        int(index_bucket_k), F.col("pbucket")
-                    )
+                    ).hint("rebalance", "pbucket")
                     idx_meta["partition_by"] = "pbucket"
                     idx_meta["bucket_k"] = int(index_bucket_k)
                 index.commit(idx_rows, mode="append", meta=idx_meta)

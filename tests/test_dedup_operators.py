@@ -184,6 +184,7 @@ from hypothesis import given, settings, strategies as st
     ),
     threshold=st.sampled_from([0.2, 0.34, 0.5, 0.67, 0.85]),
 )
+@pytest.mark.slow
 def test_ppjoin_lossless_property(spark, docs, threshold):
     """Fuzzed losslessness: random tiny-vocab corpora hammer the
     prefix-length ceil boundaries, the positional-filter bound, and the

@@ -64,6 +64,7 @@ def test_simhash_scrub_removes_phantom_rows(spark, tmp_path):
     ) == 1
 
 
+@pytest.mark.slow
 def test_simhash_resubmission_accepted_only_after_scrub(spark, tmp_path):
     """The phantom-suppression bug the scrub exists to fix: an erased
     document's band rows keep rejecting re-submissions of its content
@@ -162,6 +163,7 @@ def test_scrub_empty_corpus_drops_everything(spark, tmp_path):
 # --- rung migration ----------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_migrate_simhash_index_rebands_and_updates_meta(spark, tmp_path):
     acc, idx = str(tmp_path / "acc"), str(tmp_path / "idx")
     writer1 = simhash_gate_batch_writer(acc, idx, rung=1)
@@ -371,6 +373,7 @@ def test_audit_shard_manifest_requires_pinned_meta(spark, tmp_path):
 # --- round 12 (ADVICE r11 fixes) -------------------------------------------
 
 
+@pytest.mark.slow
 def test_migrate_simhash_index_preserves_bucketed_layout(spark, tmp_path):
     """ADVICE r11: the migration commit used to REPLACE the manifest
     meta with only the banding properties — flattening a bucketed
@@ -403,6 +406,7 @@ def test_migrate_simhash_index_preserves_bucketed_layout(spark, tmp_path):
     assert count_phantom_index_rows(spark, idx, acc) == 0
 
 
+@pytest.mark.slow
 def test_migrate_simhash_index_preserves_centered_thresholds(
     spark, tmp_path
 ):
@@ -513,6 +517,7 @@ def test_republish_requires_pinned_derivation(spark, tmp_path):
         republish_manifest(spark, man_p, corpus_p)
 
 
+@pytest.mark.slow
 def test_audit_center_thresholds_and_recenter(spark, tmp_path):
     """VERDICT r11 #3 at unit scale: the audit reads the pinned space's
     balance over the current corpus; recenter re-pins and re-bands in
@@ -574,6 +579,7 @@ def test_audit_center_requires_centered_index(spark, tmp_path):
         audit_center_thresholds(spark, idx, acc)
 
 
+@pytest.mark.slow
 def test_recenter_refuses_phantoms_and_rescues_zero_threshold(
     spark, tmp_path
 ):
@@ -657,6 +663,7 @@ def test_migrate_ivf_index_splits_to_target(spark, tmp_path):
         migrate_ivf_index(spark, idx_p, corpus_p, target_cells=13)
 
 
+@pytest.mark.slow
 def test_plan_maintenance_signals(spark, tmp_path):
     """The planner recommends exactly the actions whose signals fire."""
     from movie_data_pipeline_spark.operators.dedup import (

@@ -136,6 +136,7 @@ def test_scrub_prunes_to_touched_buckets(spark, tmp_path):
     assert (v2, n2) == (v, 0)
 
 
+@pytest.mark.slow
 def test_simhash_gate_bucketed_index_lifecycle(spark, tmp_path):
     from movie_data_pipeline_spark.operators.index_lifecycle import (
         count_phantom_index_rows,

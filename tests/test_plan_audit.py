@@ -12,6 +12,8 @@ from __future__ import annotations
 import os
 import sys
 
+import pytest
+
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
 
 from audit_plans import audit_all  # noqa: E402
@@ -20,6 +22,18 @@ from tests.conftest import TESTDATA_SF_DIR
 
 
 def test_no_plan_smells(spark):
+    """Fast tier: every plan-cost query. Streaming/lifecycle builders
+    run their full replay cadence eagerly at build time and return a
+    localCheckpoint scan — there is no plan to audit, only minutes of
+    execution — so they are deferred to the slow-marked full sweep
+    (round 13, VERDICT r12 #1: the fast tier must fit the driver's
+    pytest window)."""
+    problems = audit_all(spark, TESTDATA_SF_DIR, skip_eager=True)
+    assert problems == []
+
+
+@pytest.mark.slow
+def test_no_plan_smells_full(spark):
     problems = audit_all(spark, TESTDATA_SF_DIR)
     assert problems == []
 

@@ -223,6 +223,7 @@ def test_pinned_thresholds_fingerprint_space_is_stable(spark, docs):
     assert pinned.exceptAll(remeasured).count() > 0
 
 
+@pytest.mark.slow
 def test_centered_gate_pins_and_validates(spark, docs, tmp_path):
     from movie_data_pipeline_spark.operators.dedup import (
         measure_center_thresholds,

@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import os
 
+import pytest
+
 from movie_data_pipeline_spark.sources.versioned import VersionedTable
 from movie_data_pipeline_spark.streaming import (
     simhash_gate_batch_writer,
@@ -111,6 +113,7 @@ def test_gate_rung_is_pinned_not_batch_sized(spark, tmp_path):
     assert _accepted_ids(spark, acc) == {0, 1}
 
 
+@pytest.mark.slow
 def test_gate_rejects_rung_mismatch_against_stored_index(spark, tmp_path):
     """A writer restarted with a different rung must FAIL LOUDLY: its
     band rows would never join the stored index (global band_idx), so
@@ -178,6 +181,7 @@ def test_centered_writer_refuses_uncentered_index(spark, tmp_path):
 # --- round 12: recommended (default scale-safe) gate -----------------------
 
 
+@pytest.mark.slow
 def test_recommended_gate_pins_full_scale_safe_layout(spark, tmp_path):
     """VERDICT r11 #1: a default-constructed gate must land EVERY
     round-11 mitigation — centered thresholds, balanced banding,
@@ -211,6 +215,7 @@ def test_recommended_gate_pins_full_scale_safe_layout(spark, tmp_path):
     assert _accepted_ids(spark, acc) == {0, 1, 6}
 
 
+@pytest.mark.slow
 def test_recommended_gate_erasure_scrub_prunes(spark, tmp_path):
     """The q308 bar with zero tuning: an erasure on a recommended-built
     index must go down the PRUNED overwrite_partitions path."""
@@ -248,6 +253,7 @@ def test_recommended_gate_refuses_legacy_index(spark, tmp_path):
         w(_docs(spark, [(1, OTHER)]), 0)
 
 
+@pytest.mark.slow
 def test_recommended_minhash_gate_buckets_fresh_index(spark, tmp_path):
     from movie_data_pipeline_spark.streaming.sinks import (
         RECOMMENDED_INDEX_BUCKET_K,

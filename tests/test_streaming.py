@@ -63,6 +63,7 @@ def test_stream_dedup_appends_all_unique(spark):
     assert out.select("event_id").distinct().count() == total
 
 
+@pytest.mark.slow
 def test_sessionize_stateful(spark):
     stream = stream_events(spark, TESTDATA_SF_DIR)
     out = _run_available_now(

@@ -63,6 +63,7 @@ def normalizer(spark):
 
 @settings(max_examples=30, deadline=None)
 @given(batch=st.lists(titles(), min_size=1, max_size=20))
+@pytest.mark.slow
 def test_matches_reference_on_generated_titles(normalizer, batch):
     got = normalizer(batch)
     for title, (y, ct, nt) in zip(batch, got):
