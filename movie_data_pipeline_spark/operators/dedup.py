@@ -139,6 +139,13 @@ def jaccard_pairs(
         from pyspark import StorageLevel
 
         buckets = buckets.persist(StorageLevel.MEMORY_AND_DISK)
+        # NOT eagerly materialized: measured round 13 — a count()
+        # barrier here regressed the consumers (q229 1.18x, q281
+        # 1.16x, q288 1.20x, q209 1.10x at sf0.1): the bucket subtree
+        # is cheap enough that concurrent cold-cache leaves just use
+        # idle cores, while the barrier serializes the whole job
+        # (the r12 persist finding again). Contrast ppjoin_pairs,
+        # whose wide collect_list arrays DO pay for materialization.
     sizes = (
         buckets.select(F.explode("ids").alias(id_col))
         .groupBy(id_col)
@@ -1040,6 +1047,10 @@ def ppjoin_pairs(
     sh = doc_shingles(df, id_col, text_col, n).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    # Materialize before the multi-leaf consumers (round 13, guide §5):
+    # sh feeds the df-rank join on both sides AND the verification
+    # arrays — cold-cache leaves race and re-shingle otherwise.
+    sh.count()
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("sh_df"))
     per_doc = Window.partitionBy(id_col)
     ranked = (
@@ -1133,6 +1144,9 @@ def ppjoin_pairs(
         # shingle frame; cached it is built once (guide §2.4)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # Materialize: the single verify action scans arrs at two leaves
+    # (doc_a and doc_b dims) — populate the cache once (round 13, §5).
+    arrs.count()
     verified = (
         cand.join(
             arrs.select(

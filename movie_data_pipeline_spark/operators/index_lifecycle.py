@@ -979,18 +979,23 @@ def plan_maintenance(
 
     t1, t2 = simhash_rung_thresholds()
     rung_ceiling = {1: t1, 2: t2, 3: float("inf")}
-    out: list[DataFrame] = []
-    for label, path in {**(simhash_indexes or {}),
-                        **(generic_indexes or {})}.items():
-        n_phantom = count_phantom_index_rows(
-            spark, path, corpus_path, id_col=id_col
-        )
-        out.append(row(label, "scrub", n_phantom, 0.0, n_phantom > 0))
-    for label, path in (simhash_indexes or {}).items():
-        idx = VersionedTable(path)
-        meta = idx.manifest().get("meta") or {}
-        rung = meta.get("simhash_rung")
-        if rung is not None:
+
+    # Each signal is an independent READ-ONLY audit of a committed
+    # table (an anti-join count, a distinct count, a vote aggregate, a
+    # manifest re-derivation). Round 13 (guide §2.6): evaluate them
+    # from a small driver thread pool so each audit's straggler tail
+    # back-fills the others; rows are assembled in the deterministic
+    # task order (and sorted at the end regardless).
+    def _scrub(path: str):
+        def thunk():
+            n = count_phantom_index_rows(
+                spark, path, corpus_path, id_col=id_col
+            )
+            return (n, 0.0, n > 0)
+        return thunk
+
+    def _migrate(idx: VersionedTable, rung: int):
+        def thunk():
             n_fp = (
                 idx.read(spark)
                 .select(id_col, "simhash")
@@ -998,16 +1003,15 @@ def plan_maintenance(
                 .count()
             )
             ceil = rung_ceiling[int(rung)]
-            out.append(
-                row(
-                    label,
-                    "migrate_rung",
-                    n_fp,
-                    ceil if ceil != float("inf") else -1.0,
-                    ceil != float("inf") and n_fp > ceil,
-                )
+            return (
+                n_fp,
+                ceil if ceil != float("inf") else -1.0,
+                ceil != float("inf") and n_fp > ceil,
             )
-        if "simhash_center_s" in meta:
+        return thunk
+
+    def _recenter(path: str):
+        def thunk():
             mean_imb = (
                 audit_center_thresholds(
                     spark, path, corpus_path,
@@ -1020,20 +1024,42 @@ def plan_maintenance(
                 __import__("math").floor(mean_imb * 10000.0 + 0.5)
                 / 10000.0
             )
-            out.append(
-                row(
-                    label, "recenter", mean_imb, drift_bar,
-                    mean_imb > drift_bar,
+            return (mean_imb, drift_bar, mean_imb > drift_bar)
+        return thunk
+
+    def _republish(path: str):
+        def thunk():
+            stale = (
+                audit_shard_manifest(
+                    spark, path, corpus_path, id_col=id_col
                 )
+                .agg(F.sum("stale"))
+                .first()[0]
             )
+            stale = int(stale or 0)
+            return (stale, 0.0, stale > 0)
+        return thunk
+
+    tasks: list[tuple[str, str, object]] = []
+    for label, path in {**(simhash_indexes or {}),
+                        **(generic_indexes or {})}.items():
+        tasks.append((label, "scrub", _scrub(path)))
+    for label, path in (simhash_indexes or {}).items():
+        idx = VersionedTable(path)
+        meta = idx.manifest().get("meta") or {}
+        rung = meta.get("simhash_rung")
+        if rung is not None:
+            tasks.append((label, "migrate_rung", _migrate(idx, rung)))
+        if "simhash_center_s" in meta:
+            tasks.append((label, "recenter", _recenter(path)))
     for label, path in (manifests or {}).items():
-        stale = (
-            audit_shard_manifest(spark, path, corpus_path, id_col=id_col)
-            .agg(F.sum("stale"))
-            .first()[0]
-        )
-        stale = int(stale or 0)
-        out.append(row(label, "republish", stale, 0.0, stale > 0))
-    if not out:
+        tasks.append((label, "republish", _republish(path)))
+    if not tasks:
         raise ValueError("plan_maintenance: nothing to evaluate")
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(4, len(tasks))) as pool:
+        futures = [(t, a, pool.submit(fn)) for t, a, fn in tasks]
+        out = [row(t, a, *f.result()) for t, a, f in futures]
     return reduce(DataFrame.unionByName, out).orderBy("target", "action")

@@ -2640,28 +2640,50 @@ def q318_maintenance_planner(
             c0.filter(F.col("doc_id") % 4 == 0)
         )
         fp = simhash_centered_pinned(c0, th0)
-        VersionedTable(sh_p).commit(
-            simhash_band_rows(fp, rung=1).withColumn("rung", F.lit(1)),
-            meta={
-                "simhash_rung": 1,
-                "simhash_bit_blocks": None,
-                "simhash_center_s": [int(x) for x in th0["s"]],
-                "simhash_center_n": int(th0["n"]),
-            },
-        )
-        VersionedTable(mh_p).commit(
-            band_signatures(minhash_signatures_wide(c0)).select(
-                "doc_id", "band", "band_sig"
+
+        # The three derived-artifact builds write three DIFFERENT
+        # tables from the same committed snapshot — independent eager
+        # jobs, overlapped from driver threads (guide §2.6, the q288
+        # pattern; deterministic, separate directories).
+        def _build_sh() -> None:
+            VersionedTable(sh_p).commit(
+                simhash_band_rows(fp, rung=1).withColumn(
+                    "rung", F.lit(1)
+                ),
+                meta={
+                    "simhash_rung": 1,
+                    "simhash_bit_blocks": None,
+                    "simhash_center_s": [int(x) for x in th0["s"]],
+                    "simhash_center_n": int(th0["n"]),
+                },
             )
-        )
-        VersionedTable(man_p).commit(
-            build_order_manifest(c0, _ORDER_SEED, _ORDER_SHARDS),
-            meta={
-                "order_seed": _ORDER_SEED,
-                "n_shards": _ORDER_SHARDS,
-                "built_at_corpus_version": 0,
-            },
-        )
+
+        def _build_mh() -> None:
+            VersionedTable(mh_p).commit(
+                band_signatures(minhash_signatures_wide(c0)).select(
+                    "doc_id", "band", "band_sig"
+                )
+            )
+
+        def _build_man() -> None:
+            VersionedTable(man_p).commit(
+                build_order_manifest(c0, _ORDER_SEED, _ORDER_SHARDS),
+                meta={
+                    "order_seed": _ORDER_SEED,
+                    "n_shards": _ORDER_SHARDS,
+                    "built_at_corpus_version": 0,
+                },
+            )
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            for f in [
+                pool.submit(_build_sh),
+                pool.submit(_build_mh),
+                pool.submit(_build_man),
+            ]:
+                f.result()
         # the un-maintained erasure the planner exists to catch
         VersionedTable(corpus_p).delete_where(spark, "doc_id % 6 = 2")
 

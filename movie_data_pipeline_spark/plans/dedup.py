@@ -4964,44 +4964,75 @@ def q315_center_threshold_drift(
         assert meta2["bucket_k"] == 8 and meta2["simhash_rung"] == 1
         assert sorted(meta2["simhash_bit_blocks"]) == list(range(60))
 
-        after = audit_center_thresholds(
-            spark, index_path, corpus_path
-        ).localCheckpoint(eager=True)
-        # The re-centered space must sit well inside the SCALING.md
-        # re-center bar (mean imbalance 0.2) and never regress
-        # materially vs the stale space. NOT asserted monotone: the
-        # mean threshold guarantees near-balance, not a strict
-        # improvement — when the pinned sample was already
-        # representative (an undrifted quarter), before/after differ
-        # only by strict-inequality tie noise.
-        mean_b = before.agg(F.avg("imbalance")).first()[0]
-        mean_a = after.agg(F.avg("imbalance")).first()[0]
-        assert mean_a <= 0.2, (mean_a, mean_b)
-        assert mean_a <= mean_b + 0.05, (mean_a, mean_b)
+        # The three post-recenter checks are independent READ-ONLY
+        # sweeps over the committed v1 state (the boundary writer
+        # rejects every shifted-id duplicate, so it commits nothing) —
+        # submit them from driver threads so each one's straggler tail
+        # back-fills the others (guide §2.6, the q288/q316 pattern;
+        # deterministic — threads only overlap job submission).
+        def _after_audit() -> DataFrame:
+            a = audit_center_thresholds(
+                spark, index_path, corpus_path
+            ).localCheckpoint(eager=True)
+            # The re-centered space must sit well inside the
+            # SCALING.md re-center bar (mean imbalance 0.2) and never
+            # regress materially vs the stale space. NOT asserted
+            # monotone: the mean threshold guarantees near-balance,
+            # not a strict improvement — when the pinned sample was
+            # already representative (an undrifted quarter),
+            # before/after differ only by strict-inequality tie noise.
+            mean_b = before.agg(F.avg("imbalance")).first()[0]
+            mean_a = a.agg(F.avg("imbalance")).first()[0]
+            assert mean_a <= 0.2, (mean_a, mean_b)
+            assert mean_a <= mean_b + 0.05, (mean_a, mean_b)
+            return a
 
-        # byte-equal a from-scratch centered build over the members
-        th2 = {"s": meta2["simhash_center_s"], "n": meta2["simhash_center_n"]}
-        fresh = simhash_band_rows(
-            simhash_centered_pinned(docs, th2),
-            rung=1,
-            bit_blocks=meta2["simhash_bit_blocks"],
-        ).withColumn("rung", F.lit(1)).withColumn(
-            "pbucket", F.expr("CAST(pmod(doc_id, 8) AS INT)")
-        )
-        stored = idx_t.read(spark)
-        assert stored.exceptAll(fresh).isEmpty()
-        assert fresh.exceptAll(stored).isEmpty()
+        def _equality() -> None:
+            # byte-equal a from-scratch centered build over the members
+            th2 = {
+                "s": meta2["simhash_center_s"],
+                "n": meta2["simhash_center_n"],
+            }
+            fresh = simhash_band_rows(
+                simhash_centered_pinned(docs, th2),
+                rung=1,
+                bit_blocks=meta2["simhash_bit_blocks"],
+            ).withColumn("rung", F.lit(1)).withColumn(
+                "pbucket", F.expr("CAST(pmod(doc_id, 8) AS INT)")
+            ).persist()
+            # both exceptAll directions scan fresh — the fingerprint
+            # subtree is the expensive kind that pays for an explicit
+            # materialization (guide §5, the gate-writer finding)
+            fresh.count()
+            try:
+                stored = idx_t.read(spark)
+                assert stored.exceptAll(fresh).isEmpty()
+                assert fresh.exceptAll(stored).isEmpty()
+            finally:
+                fresh.unpersist()
 
-        # boundary contract: a zero-tuning writer adopts the new space
-        # and rejects shifted-id duplicates of indexed content
-        resub = docs.filter(F.col("doc_id") % 9 == 1).withColumn(
-            "doc_id", F.col("doc_id") + F.lit(1_000_000_000)
-        )
-        recommended_simhash_gate_batch_writer(corpus_path, index_path)(
-            resub, 99
-        )
-        assert VersionedTable(corpus_path).current_version() == 0
-        assert idx_t.current_version() == 1
+        def _boundary() -> None:
+            # boundary contract: a zero-tuning writer adopts the new
+            # space and rejects shifted-id duplicates of indexed
+            # content
+            resub = docs.filter(F.col("doc_id") % 9 == 1).withColumn(
+                "doc_id", F.col("doc_id") + F.lit(1_000_000_000)
+            )
+            recommended_simhash_gate_batch_writer(
+                corpus_path, index_path
+            )(resub, 99)
+            assert VersionedTable(corpus_path).current_version() == 0
+            assert idx_t.current_version() == 1
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            f_after = pool.submit(_after_audit)
+            f_eq = pool.submit(_equality)
+            f_bd = pool.submit(_boundary)
+            after = f_after.result()
+            f_eq.result()
+            f_bd.result()
 
         result = (
             before.withColumn("phase", F.lit("before"))

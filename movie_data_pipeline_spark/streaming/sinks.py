@@ -218,7 +218,14 @@ def dedup_gate_batch_writer(
 
             survivors = survivors.persist()
             try:
-                if survivors.isEmpty():
+                # count() instead of isEmpty(): the emptiness guard is
+                # needed either way (an all-duplicate batch must not
+                # commit), and a full count materializes the survivors
+                # cache completely, so the accepted anti-join, the
+                # docs commit, and the index semi-join below read
+                # blocks instead of recomputing the partitions the
+                # early-exit probe never touched (round 13, guide §5).
+                if survivors.count() == 0:
                     return
                 # Replay idempotency: docs that already landed in the
                 # accepted table (crash before the index commit, then
@@ -628,7 +635,14 @@ def simhash_gate_batch_writer(
 
             survivors = survivors.persist()
             try:
-                if survivors.isEmpty():
+                # count() instead of isEmpty(): the emptiness guard is
+                # needed either way (an all-duplicate batch must not
+                # commit), and a full count materializes the survivors
+                # cache completely, so the accepted anti-join, the
+                # docs commit, and the index semi-join below read
+                # blocks instead of recomputing the partitions the
+                # early-exit probe never touched (round 13, guide §5).
+                if survivors.count() == 0:
                     return
                 accepted = VersionedTable(accepted_path)
                 new_docs = survivors
